@@ -1,13 +1,214 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_filter_project" -> (Relational.q02FilterProject _),
+    "q03_shipping_priority" -> (Relational.q03ShippingPriority _),
+    "q04_semi_join" -> (Relational.q04SemiJoin _),
+    "q05_local_supplier" -> (Relational.q05LocalSupplier _),
+    "q06_forecast_revenue" -> (Relational.q06ForecastRevenue _),
+    "q07_topk_orders" -> (Relational.q07TopkOrders _),
+    "q08_window_rank" -> (Relational.q08WindowRank _),
+    "q09_distinct_agg" -> (Relational.q09DistinctAgg _),
+    "q10_anti_join" -> (Relational.q10AntiJoin _),
+    "q11_group_having" -> (Relational.q11GroupHaving _),
+    "q12_case_agg" -> (Relational.q12CaseAgg _),
+    "q13_outer_join_agg" -> (Relational.q13OuterJoinAgg _),
+    "q14_rollup" -> (Relational.q14Rollup _),
+    "q15_union_agg" -> (Relational.q15UnionAgg _),
+    "q16_scalar_subquery" -> (Relational.q16ScalarSubquery _),
+    "q17_events_sessionize" -> (Relational.q17EventsSessionize _),
+    "q18_events_json" -> (Relational.q18EventsJson _),
+    "q19_date_bucket_agg" -> (Relational.q19DateBucketAgg _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         ROUND(AVG(l_quantity), 4) AS avg_qty,
+         ROUND(AVG(l_extendedprice), 4) AS avg_price,
+         ROUND(AVG(l_discount), 4) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q05_local_supplier" ->
+      """SELECT n_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY n_name""",
+    "q06_forecast_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q07_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20""",
+    "q08_window_rank" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS rk
+           FROM customer) t
+         WHERE rk <= 5
+         ORDER BY c_mktsegment, rk, c_custkey""",
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(*) AS n_rows
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+    "q10_anti_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS sum_price
+         FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+    "q11_group_having" ->
+      """SELECT p_brand, ROUND(SUM(p_retailprice), 2) AS sum_retail,
+         COUNT(*) AS n_parts
+         FROM part
+         GROUP BY p_brand
+         HAVING ROUND(SUM(p_retailprice), 2) > 2000.0
+         ORDER BY p_brand""",
+    "q12_case_agg" ->
+      """SELECT l_linestatus,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
+    "q13_outer_join_agg" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) t
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q14_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         COALESCE(l_linestatus, 'ALL') AS linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q15_union_agg" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM (
+           SELECT event_type, value FROM events WHERE value > 150.0
+           UNION ALL
+           SELECT event_type, value FROM events
+           WHERE ts < TIMESTAMP '2024-01-08 00:00:00') t
+         GROUP BY event_type
+         ORDER BY event_type""",
+    "q16_scalar_subquery" ->
+      """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem l
+         JOIN (SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
+               FROM lineitem GROUP BY l_partkey) a
+           ON l.l_partkey = a.ap_partkey
+         WHERE l.l_quantity < 0.2 * a.avg_qty""",
+    "q17_events_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+         FROM (
+           SELECT user_id, value,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM (
+             SELECT user_id, ts, event_id, value,
+               CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM (
+               SELECT user_id, ts, event_id, value,
+                 LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events) a) b) c
+         GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q18_events_json" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+         COUNT(*) AS n
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
+    "q19_date_bucket_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY day, event_type""",
+  )
 }

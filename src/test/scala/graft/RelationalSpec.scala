@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends GraftSuite {
+
+  test("every registered query runs at sf0.001 and is non-degenerate") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed to execute")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("q01 pricing summary has the 6 TPC-H flag/status groups") {
+    val rows = Relational.q01PricingSummary(spark, sf).collect()
+    assert(rows.length == 6)
+    val qty = rows.map(_.getAs[Double]("sum_qty")).sum
+    assert(qty > 0)
+  }
+
+  test("q03 top-k is ordered by revenue desc") {
+    val rev = Relational.q03ShippingPriority(spark, sf)
+      .collect().map(_.getAs[Double]("revenue"))
+    assert(rev.length <= 10)
+    assert(rev.sameElements(rev.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q04 semi join never duplicates orders") {
+    val total = Relational.q04SemiJoin(spark, sf)
+      .collect().map(_.getAs[Long]("order_count")).sum
+    val distinctOrders = Tables.orders(spark, sf)
+      .filter("o_orderdate >= '1996-01-01' and o_orderdate < '1997-01-01'")
+      .count()
+    assert(total <= distinctOrders)
+  }
+
+  test("q08 window rank emits at most 5 per segment") {
+    val byseg = Relational.q08WindowRank(spark, sf).collect()
+      .groupBy(_.getAs[String]("c_mktsegment"))
+    byseg.foreach { case (_, rows) => assert(rows.length <= 5) }
+  }
+
+  test("q17 sessionization: session counts sum to event count") {
+    val n = Relational.q17EventsSessionize(spark, sf)
+      .collect().map(_.getAs[Long]("n_events")).sum
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("broadcast hint survives in q03 plan") {
+    val plan = Relational.q03ShippingPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in plan:\n$plan")
+  }
+}
