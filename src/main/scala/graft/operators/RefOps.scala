@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-surface operators (SURVEY §2.B) — the hadoop-stuff
+  * capabilities re-expressed as declarative Spark plans.
+  *
+  * The reference runs these as hand-written MapReduce jobs over
+  * gzip-compressed SequenceFile batches (RecordCount.java,
+  * DistributedGrep.java, RecordFinderMap.java, SampleMapRed.java,
+  * IngestTest.java). Here each is a scan→filter/project→agg plan:
+  * decompression is the columnar reader's job, pattern predicates stay
+  * inside whole-stage codegen, and counting is a partial-agg tree — the
+  * map-side-combine the reference wires up manually (RecordCount.java:110
+  * setCombinerClass) is what Catalyst emits for free.
+  */
+object RefOps {
+
+  /** r01: per-source record counts — the reference's RecordCount job
+    * (RecordCount.java:33-88) generalized over every table. Each branch is
+    * a metadata-only parquet count at any scale. */
+  def r01RecordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.all.map { t =>
+      Tables.load(spark, dir, t).agg(count(lit(1)).as("n_records"))
+        .select(lit(t).as("tbl"), col("n_records"))
+    }.reduce(_ unionAll _).orderBy(col("tbl"))
+
+  /** r02: distributed grep — DistributedGrep.java:36's regex scan
+    * (`Pattern.compile(...)` + map-only job) as a pushed filter + rlike.
+    * Map-only at any scale: no shuffle except the output ordering. */
+  def r02DistributedGrep(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").rlike("(fast|slow) (join|merge)"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Patterns for the multi-pattern grep (kept to syntax with identical
+    * semantics in Java regex and RE2 so the oracle agrees). */
+  val grepPatterns: Seq[String] = Seq(
+    "spark", "window [a-z]+", "(fast|slow) (join|merge)", "zzz_never_matches")
+
+  /** r03: match-count per pattern. The tiny pattern set is broadcast and
+    * cross-joined against the corpus (documents is the 100 TB side; one
+    * pass over it evaluates every pattern), then a 4-group aggregation.
+    * sum(CASE) keeps zero-match patterns in the output. */
+  def r03GrepCount(spark: SparkSession, dir: String): DataFrame = {
+    val pats = spark.createDataFrame(
+      grepPatterns.map(Tuple1.apply)).toDF("pattern")
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(pats))
+      .groupBy(col("pattern"))
+      .agg(sum(when(col("text").rlike(col("pattern").toString) === lit(true), 1L)
+        .otherwise(0L)).as("n_matches"))
+      .orderBy(col("pattern"))
+  }
+
+  /** r04: record finder — RecordFinderMap.java:50's substring containment
+    * scan (`nextToken.contains("126.247.0.97")`) over document text. */
+  def r04RecordFinder(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").contains("window") && col("text").contains("hash"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** r05: CDR line round-trip — IngestTest.java:112 writes syslog/CDR
+    * lines (`<pri> ts {set}[user]: EVENT: proto n ...`); the wiretap greps
+    * them back out. Here: format each event as a CDR line, then
+    * regexp_extract the fields back and aggregate — proving the parse.
+    * Both directions are codegen'd string expressions, no UDFs. */
+  def r05CdrParse(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.events(spark, dir).select(
+      format_string("<%d> {CGN-SET%d}[USER%d]: %s: proto %d",
+        pmod(col("event_id"), lit(32)).cast("int"),
+        pmod(col("user_id"), lit(4)).cast("int"),
+        col("user_id").cast("int"),
+        upper(col("event_type")),
+        pmod(col("event_id"), lit(7)).cast("int")).as("line"))
+    lines
+      .withColumn("user", regexp_extract(col("line"), "\\[USER(\\d+)\\]", 1).cast("long"))
+      .withColumn("event", regexp_extract(col("line"), "\\]: ([A-Z]+):", 1))
+      .withColumn("proto", regexp_extract(col("line"), "proto (\\d+)", 1).cast("long"))
+      .groupBy(col("event"))
+      .agg(countDistinct(col("user")).as("n_users"),
+        sum(col("proto")).as("sum_proto"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("event"))
+  }
+}
