@@ -31,6 +31,11 @@ object SparkEntry {
     "q17_events_sessionize" -> (Relational.q17EventsSessionize _),
     "q18_events_json" -> (Relational.q18EventsJson _),
     "q19_date_bucket_agg" -> (Relational.q19DateBucketAgg _),
+    "r01_record_count" -> (RefOps.r01RecordCount _),
+    "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
+    "r03_grep_count" -> (RefOps.r03GrepCount _),
+    "r04_record_finder" -> (RefOps.r04RecordFinder _),
+    "r05_cdr_parse" -> (RefOps.r05CdrParse _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -210,5 +215,32 @@ object SparkEntry {
          FROM events
          GROUP BY 1, 2
          ORDER BY day, event_type""",
+    "r01_record_count" ->
+      Tables.all.map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_records FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"),
+    "r02_distributed_grep" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE regexp_matches(text, '(fast|slow) (join|merge)')
+         ORDER BY doc_id""",
+    "r03_grep_count" ->
+      """SELECT pattern,
+         CAST(SUM(CASE WHEN regexp_matches(text, pattern) THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+         FROM documents
+         CROSS JOIN (VALUES ('spark'), ('window [a-z]+'),
+                     ('(fast|slow) (join|merge)'), ('zzz_never_matches')) p(pattern)
+         GROUP BY pattern
+         ORDER BY pattern""",
+    "r04_record_finder" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE contains(text, 'window') AND contains(text, 'hash')
+         ORDER BY doc_id""",
+    "r05_cdr_parse" ->
+      """SELECT upper(event_type) AS event,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(event_id % 7) AS BIGINT) AS sum_proto,
+         COUNT(*) AS n_lines
+         FROM events
+         GROUP BY 1
+         ORDER BY 1""",
   )
 }

@@ -43,4 +43,11 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Table-name dispatch that routes through the type-correcting loaders
+    * (notably `events`' nanos→micros handling) rather than raw `load`. */
+  def byName(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case other    => load(s, d, other)
+  }
 }

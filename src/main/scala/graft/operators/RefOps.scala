@@ -23,7 +23,7 @@ object RefOps {
     * a metadata-only parquet count at any scale. */
   def r01RecordCount(spark: SparkSession, dir: String): DataFrame =
     Tables.all.map { t =>
-      Tables.load(spark, dir, t).agg(count(lit(1)).as("n_records"))
+      Tables.byName(spark, dir, t).agg(count(lit(1)).as("n_records"))
         .select(lit(t).as("tbl"), col("n_records"))
     }.reduce(_ unionAll _).orderBy(col("tbl"))
 
@@ -51,7 +51,7 @@ object RefOps {
     Tables.documents(spark, dir)
       .crossJoin(broadcast(pats))
       .groupBy(col("pattern"))
-      .agg(sum(when(col("text").rlike(col("pattern").toString) === lit(true), 1L)
+      .agg(sum(when(regexp_like(col("text"), col("pattern")), 1L)
         .otherwise(0L)).as("n_matches"))
       .orderBy(col("pattern"))
   }

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.RefOps
+
+class RefOpsSpec extends GraftSuite {
+
+  test("r01 counts every table, all non-empty") {
+    val rows = RefOps.r01RecordCount(spark, sf).collect()
+    assert(rows.length == Tables.all.length)
+    rows.foreach(r => assert(r.getAs[Long]("n_records") > 0,
+      s"${r.getAs[String]("tbl")} empty"))
+  }
+
+  test("r03 per-pattern counts differ and the never-match pattern is zero") {
+    val counts = RefOps.r03GrepCount(spark, sf).collect()
+      .map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n_matches")).toMap
+    assert(counts("zzz_never_matches") == 0L)
+    assert(counts("spark") > 0L)
+    // regression for the col.toString bug: patterns must NOT all agree
+    assert(counts.values.toSet.size > 1, s"all patterns matched identically: $counts")
+  }
+
+  test("r04 finder results all contain both substrings") {
+    val ids = RefOps.r04RecordFinder(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    val docs = Tables.documents(spark, sf).collect()
+    docs.filter(r => ids.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(t.contains("window") && t.contains("hash"))
+    }
+  }
+
+  test("r05 cdr parse round-trips event counts") {
+    val n = RefOps.r05CdrParse(spark, sf).collect().map(_.getAs[Long]("n_lines")).sum
+    assert(n == Tables.events(spark, sf).count())
+  }
+}
