@@ -36,6 +36,10 @@ object SparkEntry {
     "r03_grep_count" -> (RefOps.r03GrepCount _),
     "r04_record_finder" -> (RefOps.r04RecordFinder _),
     "r05_cdr_parse" -> (RefOps.r05CdrParse _),
+    "t01_token_count" -> (TextAnalysis.t01TokenCount _),
+    "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
+    "t03_lang_id" -> (TextAnalysis.t03LangId _),
+    "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,5 +246,5 @@ object SparkEntry {
          FROM events
          GROUP BY 1
          ORDER BY 1""",
-  )
+  ) ++ TextAnalysis.oracle
 }

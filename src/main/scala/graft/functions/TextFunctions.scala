@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable text-hash / tokenization column builders.
+  *
+  * Everything here is a pure Catalyst expression tree — no UDFs, no Scala
+  * closures at row scope — so plans stay inside whole-stage codegen and
+  * scale to the 100 TB documents table as map-side column work. All hashes
+  * use explicit integer arithmetic mod 1e9+7 (never engine hash builtins)
+  * so the DuckDB oracle reproduces values exactly (SURVEY §6).
+  *
+  * Mirrors of these expressions as DuckDB SQL fragments live in
+  * [[TextSql]]; keep the two in lockstep.
+  */
+object TextFunctions {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Portable per-token value: length*961 + ascii(first)*31 + ascii(last).
+    * Cheap, deterministic, and identical in DuckDB — collisions only merge
+    * hash buckets, which every consumer tolerates. */
+  def tokenVal(t: Column): Column =
+    length(t) * lit(961) + ascii(t) * lit(31) + ascii(reverse(t))
+
+  /** Left-fold polynomial fingerprint over per-token values (Rabin–Karp
+    * style; reference: the record-identity checks hadoop-stuff does by
+    * re-scanning batches, RecordFinderMap.java:50). */
+  def polyFingerprint(toks: Column): Column =
+    aggregate(transform(toks, tokenVal(_)), lit(0L),
+      (acc, v) => (acc * lit(31L) + v) % lit(HashMod))
+
+  /** Distinct word-3-gram shingle hashes, computed straight off the token
+    * array: (v1*1000003 + v2*31 + v3) mod P. Requires size(toks) >= 3 —
+    * callers filter first (Spark `sequence(1, n)` turns DESCENDING for
+    * n < 1, unlike DuckDB generate_series, which returns empty). */
+  def shingleHashes(toks: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - lit(2)),
+      i => (tokenVal(element_at(toks, i)) * lit(1000003L)
+        + tokenVal(element_at(toks, i + lit(1))) * lit(31L)
+        + tokenVal(element_at(toks, i + lit(2)))) % lit(HashMod)))
+
+  /** Distinct word-3-gram shingle strings (for set-based Jaccard). */
+  def shingles(toks: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - lit(2)),
+      i => concat_ws(" ", slice(toks, i, lit(3)))))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
+
+  /** Language-marker token lists for the n-gram/stopword language
+    * heuristic. Markers chosen to be disjoint across languages. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "fast", "slow"),
+    "es" -> Seq("el", "la", "los", "las", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ein"))
+
+  def markerHits(toks: Column, language: String): Column =
+    size(filter(toks, t => t.isin(langMarkers(language): _*)))
+}
+
+/** DuckDB SQL fragments mirroring [[TextFunctions]] expression-for-
+  * expression, used to assemble oracle SQL. Integer fold order and mod
+  * points match exactly so values agree bit-for-bit. */
+object TextSql {
+  val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  def tokenVal(t: String): String =
+    s"(length($t)*961 + ascii($t)*31 + ascii(reverse($t)))"
+
+  def polyFingerprint(toks: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform($toks, t -> ${tokenVal("t")})),
+        (acc, v) -> (acc*31 + v) % 1000000007)"""
+
+  def shingleHashes(toks: String): String =
+    s"""list_distinct(list_transform(generate_series(1, len($toks)-2),
+        i -> (${tokenVal(s"$toks[i]")}*1000003
+            + ${tokenVal(s"$toks[i+1]")}*31
+            + ${tokenVal(s"$toks[i+2]")}) % 1000000007))"""
+
+  def shingles(toks: String): String =
+    s"""list_distinct(list_transform(generate_series(1, len($toks)-2),
+        i -> array_to_string($toks[i:i+2], ' ')))"""
+
+  def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def markerHits(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> list_contains(${inList(words)}, t)))"
+}

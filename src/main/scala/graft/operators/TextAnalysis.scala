@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.C — text-analysis operators over the documents table.
+  *
+  * All four are map-side column pipelines (scan → project → optional agg):
+  * at 100 TB each is embarrassingly parallel with zero or one shuffle, and
+  * every expression is codegen'd (no UDFs). Oracle SQL lives alongside each
+  * operator and reuses the [[graft.functions.TextSql]] fragments so hash
+  * arithmetic matches DuckDB exactly.
+  */
+object TextAnalysis {
+
+  private def docsWithTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("toks", TF.tokens(col("text")))
+
+  /** t01: token counting — whitespace tokens and BPE-ish regex tokens. */
+  def t01TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docsWithTokens(spark, dir).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_re_tokens"))
+      .orderBy("doc_id")
+
+  /** t02: quality scoring — length/punctuation/stopword-ratio heuristics.
+    * Ratios are computed raw, combined, then rounded once at the output
+    * edge (both engines see identical double op order). */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTok: Column = size(col("toks"))
+    val stopRatio: Column = TF.stopwordHits(col("toks")) / nTok
+    val punctRatio: Column =
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) /
+        length(col("text"))
+    val sumTokLen: Column =
+      aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+    val quality: Column = least(nTok / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.5
+    docsWithTokens(spark, dir).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(sumTokLen / nTok, 4).as("avg_tok_len"),
+      round(quality, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t03: language-ID heuristic — marker-token hits per language, argmax
+    * with deterministic tie-break order en > es > de, 'und' when no hits.
+    * Output is the (actual, predicted) confusion grid. */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame = {
+    val en = TF.markerHits(col("toks"), "en")
+    val es = TF.markerHits(col("toks"), "es")
+    val de = TF.markerHits(col("toks"), "de")
+    val pred = when(en === 0 && es === 0 && de === 0, "und")
+      .when(en >= es && en >= de, "en")
+      .when(es >= de, "es")
+      .otherwise("de")
+    docsWithTokens(spark, dir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** t04: document fingerprinting — polynomial rolling hash over token
+    * values (Rabin–Karp), mod 1e9+7. */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docsWithTokens(spark, dir)
+      .select(col("doc_id"), TF.polyFingerprint(col("toks")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val oracle: Map[String, String] = {
+    val toks = TS.toks
+    Map(
+      "t01_token_count" ->
+        s"""SELECT doc_id,
+            len($toks) AS n_ws_tokens,
+            len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_re_tokens
+            FROM documents ORDER BY doc_id""",
+      "t02_quality_score" ->
+        s"""SELECT doc_id,
+            len($toks) AS n_tokens,
+            round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text), 4) AS punct_ratio,
+            round(${TS.markerHits(toks, TF.stopwords)} / len($toks), 4) AS stop_ratio,
+            round(list_sum(list_transform($toks, t -> length(t))) / len($toks), 4) AS avg_tok_len,
+            round(least(len($toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                  + (${TS.markerHits(toks, TF.stopwords)} / len($toks)) * CAST(0.5 AS DOUBLE), 4) AS quality
+            FROM documents ORDER BY doc_id""",
+      "t03_lang_id" ->
+        s"""WITH scored AS (
+              SELECT lang,
+                ${TS.markerHits(toks, TF.langMarkers("en"))} AS en_h,
+                ${TS.markerHits(toks, TF.langMarkers("es"))} AS es_h,
+                ${TS.markerHits(toks, TF.langMarkers("de"))} AS de_h
+              FROM documents)
+            SELECT lang,
+              CASE WHEN en_h = 0 AND es_h = 0 AND de_h = 0 THEN 'und'
+                   WHEN en_h >= es_h AND en_h >= de_h THEN 'en'
+                   WHEN es_h >= de_h THEN 'es'
+                   ELSE 'de' END AS pred_lang,
+              COUNT(*) AS n_docs
+            FROM scored GROUP BY 1, 2 ORDER BY 1, 2""",
+      "t04_fingerprint" ->
+        s"""SELECT doc_id, ${TS.polyFingerprint(toks)} AS fingerprint
+            FROM documents ORDER BY doc_id""",
+    )
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends GraftSuite {
+
+  test("t01 token counts are positive and ws==regex on punctuation-free text") {
+    val rows = TextAnalysis.t01TokenCount(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ws_tokens") > 0)
+      assert(r.getAs[Long]("n_re_tokens") >= r.getAs[Long]("n_ws_tokens"))
+    }
+  }
+
+  test("t02 ratios stay in [0,1]") {
+    TextAnalysis.t02QualityScore(spark, sf).collect().foreach { r =>
+      Seq("punct_ratio", "stop_ratio", "quality").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+      }
+      assert(r.getAs[Double]("avg_tok_len") > 0)
+    }
+  }
+
+  test("t03 confusion grid covers every document") {
+    val n = TextAnalysis.t03LangId(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(n == Tables.documents(spark, sf).count())
+  }
+
+  test("t04 fingerprints are stable and mostly distinct") {
+    val fps = TextAnalysis.t04Fingerprint(spark, sf).collect()
+      .map(_.getAs[Long]("fingerprint"))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+    // vocabulary-soup corpus: distinct texts should yield distinct prints
+    assert(fps.distinct.length > fps.length * 9 / 10)
+  }
+}
