@@ -40,6 +40,14 @@ object SparkEntry {
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
     "t03_lang_id" -> (TextAnalysis.t03LangId _),
     "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
+    "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
+    "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
+    "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),
+    "d04_simhash" -> (Dedup.d04Simhash _),
+    "d05_embedding_dup" -> (Dedup.d05EmbeddingDup _),
+    "s01_knn_brute" -> (Similarity.s01KnnBrute _),
+    "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,5 +254,5 @@ object SparkEntry {
          FROM events
          GROUP BY 1
          ORDER BY 1""",
-  ) ++ TextAnalysis.oracle
+  ) ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle
 }

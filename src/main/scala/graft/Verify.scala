@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate re-inlines the full generator expression
+      // into a pre-Generate filter; for the interpreted higher-order-fn
+      // shingle/minhash arrays that re-runs tokenization per row (~5x
+      // slower at sf0.1). The rule only prunes empty arrays — safe to drop.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,10 +34,25 @@ object TextFunctions {
     aggregate(transform(toks, tokenVal(_)), lit(0L),
       (acc, v) => (acc * lit(31L) + v) % lit(HashMod))
 
-  /** Distinct word-3-gram shingle hashes, computed straight off the token
-    * array: (v1*1000003 + v2*31 + v3) mod P. Requires size(toks) >= 3 —
-    * callers filter first (Spark `sequence(1, n)` turns DESCENDING for
-    * n < 1, unlike DuckDB generate_series, which returns empty). */
+  /** Per-token values of a token array, as longs. Materialize this as its
+    * own column before building shingles: referencing the transform three
+    * times inside the shingle lambda would re-evaluate the tokenization
+    * per element access (CollapseProject inlines single-use aliases). */
+  def tokenVals(toks: Column): Column = transform(toks, t => tokenVal(t).cast("long"))
+
+  /** Distinct word-3-gram shingle hashes over a PREcomputed token-value
+    * array ([[tokenVals]]): (v1*1000003 + v2*31 + v3) mod P. Requires
+    * size >= 3 — callers filter first (Spark `sequence(1, n)` turns
+    * DESCENDING for n < 1, unlike DuckDB generate_series → empty). */
+  def shingleHashesFromVals(tv: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(tv) - lit(2)),
+      i => (element_at(tv, i) * lit(1000003L)
+        + element_at(tv, i + lit(1)) * lit(31L)
+        + element_at(tv, i + lit(2))) % lit(HashMod)))
+
+  /** Distinct word-3-gram shingle hashes straight off the token array.
+    * Prefer the [[tokenVals]] + [[shingleHashesFromVals]] split in plans —
+    * this single-expression form re-derives each token value per shingle. */
   def shingleHashes(toks: Column): Column =
     array_distinct(transform(sequence(lit(1), size(toks) - lit(2)),
       i => (tokenVal(element_at(toks, i)) * lit(1000003L)

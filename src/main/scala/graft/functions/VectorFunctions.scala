@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector (Array[Float] embedding) column builders.
+  *
+  * Pure Catalyst higher-order-function expressions — no UDFs — so scoring
+  * stays inside whole-stage codegen and distributes as map-side work over
+  * the 100 TB embeddings side. Elements are cast to double BEFORE any
+  * arithmetic and folded strictly left-to-right, matching the
+  * [[VectorSql]] DuckDB fragments bit-for-bit (float→double widening and
+  * IEEE double ops are exact and order-fixed in both engines).
+  */
+object VectorFunctions {
+
+  /** Strict left-fold dot product in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** 8-bit sign-LSH bucket: bit i is set when v[2i+1] > v[2i+33]
+    * (1-indexed), i.e. the sign of the projection onto the deterministic
+    * pseudo-hyperplane e_{2i+1} - e_{2i+33}. 256 buckets; an equi-join on
+    * the bucket id replaces the O(n²) cross join — the ANN scale path. */
+  def signBucket(v: Column): Column =
+    aggregate(sequence(lit(0), lit(7)), lit(0L),
+      (acc, i) => acc + when(
+        element_at(v, (i * lit(2) + lit(1)).cast("int")) >
+          element_at(v, (i * lit(2) + lit(33)).cast("int")),
+        pow(2.0, i).cast("long")).otherwise(lit(0L)))
+}
+
+/** DuckDB SQL fragments mirroring [[VectorFunctions]] expression-for-
+  * expression (same double widening, same fold order). */
+object VectorSql {
+
+  def dot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, len($a)),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+        (acc, v) -> acc + v)"""
+
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  def signBucket(v: String): String =
+    s"""list_sum(list_transform(generate_series(0, 7),
+        i -> CASE WHEN $v[CAST(i*2+1 AS INT)] > $v[CAST(i*2+33 AS INT)]
+                  THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))"""
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF, TextSql => TS, VectorFunctions => VF, VectorSql => VS}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.D — deduplication over documents + embeddings.
+  *
+  * Every near-dup operator avoids the O(n²) cross join: candidate
+  * generation is an equi-join on a derived key (shingle hash for d02, LSH
+  * band key for d03, label block for d05), which shuffles linearly by key
+  * and only scores within-bucket pairs — the property that survives a
+  * 100 TB corpus. All hash arithmetic is explicit integer math mod 1e9+7
+  * (SURVEY §6) so the DuckDB oracle reproduces values exactly.
+  */
+object Dedup {
+
+  private val P = TF.HashMod
+
+  /** Deterministic MinHash parameters: h_i(s) = (a_i·s + b_i) mod P,
+    * 32 hashes → 16 bands × 2 rows. a_i ≠ 0 (mod P prime). */
+  val minhashA: Seq[Long] = (1 to 32).map(i => (2654435761L * i) % P)
+  val minhashB: Seq[Long] = (1 to 32).map(i => (2747636419L * i + 40503L) % P)
+
+  private def normText: Column =
+    lower(regexp_replace(trim(col("text")), "\\s+", " "))
+
+  /** Threshold filter wrapped in coalesce(_, false): same rows (the score
+    * is never null), but blocks constraint propagation from inferring
+    * isnotnull() on the score's inputs — that inference re-inlines the
+    * whole interpreted shingle/cosine expression into a pre-Generate
+    * Filter and re-runs tokenization per element access (~7x the whole
+    * operator's cost at sf0.1; see the Filter node in .explain before
+    * this guard). */
+  private def atLeast(score: Column, t: Double): Column =
+    coalesce(score >= t, lit(false))
+
+  /** d01: exact dedup — canonical-pick over md5(normalized text) groups.
+    * One shuffle on the 128-bit group key; at 100 TB the window min is a
+    * partial-aggregable pattern (AQE coalesces the tiny groups). */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("dup_group"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normText).as("dup_group"))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** doc_id → distinct word-3-gram shingle hash set (docs with ≥3 tokens).
+    * Token values are materialized as their own projection so the shingle
+    * lambda's three element_at references don't re-run tokenization. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("tv", TF.tokenVals(col("toks")))
+      .select(col("doc_id"), TF.shingleHashesFromVals(col("tv")).as("sh"))
+
+  /** d02: n-gram Jaccard near-dups via an inverted shingle index: explode
+    * shingles → self-equi-join on the hash → shared-count per pair →
+    * Jaccard = shared / (|A|+|B|−shared) ≥ 0.2. Linear in corpus size ×
+    * shingle frequency; heavy shingles are the skew risk at scale (AQE
+    * skew-join; a stop-shingle frequency cap is the documented mitigation). */
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docShingles(spark, dir)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.n").as("ni"), col("b.n").as("nj"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared") / (col("ni") + col("nj") - col("shared")))
+      .filter(atLeast(col("jaccard"), 0.2))
+      .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_i", "doc_j")
+  }
+
+  /** 32-element MinHash signature of a shingle-hash set. */
+  def minhashSig(sh: Column): Column =
+    array(minhashA.zip(minhashB).map { case (a, b) =>
+      aggregate(sh, lit(P), (m, s) => least(m, (s * lit(a) + lit(b)) % lit(P)))
+    }: _*)
+
+  /** d03: MinHash + LSH — the dedup scale path. Signatures are map-side;
+    * candidates come from an equi-join on (band, band-key) over 16 bands
+    * of 2 rows (P(candidate) = 1−(1−j²)^16: ≈99% at j=0.5, ≈1% at the
+    * j≈0.025 background), then candidates are verified with exact Jaccard
+    * ≥ 0.2. Only candidate pairs are ever scored — never all pairs. */
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val bands = sh.withColumn("sig", minhashSig(col("sh")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)), j =>
+          element_at(col("sig"), (j * lit(2) + lit(1)).cast("int")) * lit(P) +
+            element_at(col("sig"), (j * lit(2) + lit(2)).cast("int")))))
+      .toDF("doc_id", "band", "key")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    cand
+      .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
+      .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
+      .withColumn("jaccard", inter / (size(col("sh_i")) + size(col("sh_j")) - inter))
+      .filter(atLeast(col("jaccard"), 0.2))
+      .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_i", "doc_j")
+  }
+
+  /** 63-bit SimHash over per-token portable hashes: bit b is the sign of
+    * Σ_tokens ±1 where the ±1 is universal-hash bit b of the token value.
+    * (63 bits, not 64, to stay in non-negative BIGINT range in both
+    * engines.) Map-side only — fingerprinting 100 TB is a pure scan. */
+  def simhash63(toks: Column): Column = {
+    val tokVals = transform(toks, t => TF.tokenVal(t).cast("long"))
+    aggregate(sequence(lit(0), lit(62)), lit(0L), (acc, b) =>
+      acc + when(
+        aggregate(tokVals, lit(0L), (s, v) =>
+          s + when(((v * (((b.cast("long") + lit(1L)) * lit(1103515245L)) % lit(P))
+            + (b.cast("long") * lit(12345L) + lit(6789L))) % lit(P)) % lit(2L) === lit(1L),
+            lit(1L)).otherwise(lit(-1L))) > 0,
+        pow(2.0, b).cast("long")).otherwise(lit(0L)))
+  }
+
+  /** d04: per-document SimHash signatures (near-dup detection = hamming
+    * distance on these; banding 4×16 bits gives the candidate join —
+    * exercised in the spec, the signature table is the oracle surface). */
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"), simhash63(col("toks")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** d05: embedding-cosine near-dups, label-blocked: equi-join on label
+    * (at scale: on a sign-LSH bucket, see Similarity.s02) then pairwise
+    * cosine ≥ 0.35 within the block only. */
+  def d05EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(col("label"), col("vec_id").as("vec_i"), col("embedding").as("va"))
+      .join(e.select(col("label"), col("vec_id").as("vec_j"), col("embedding").as("vb")),
+        Seq("label"))
+      .filter(col("vec_i") < col("vec_j"))
+      .withColumn("cos", VF.cosine(col("va"), col("vb")))
+      .filter(atLeast(col("cos"), 0.35))
+      .select(col("label"), col("vec_i"), col("vec_j"), round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_i", "vec_j")
+  }
+
+  val oracle: Map[String, String] = {
+    val toks = TS.toks
+    val sh = TS.shingleHashes(toks)
+    val sigSql = minhashA.zip(minhashB).map { case (a, b) =>
+      s"list_min(list_transform(sh, s -> (s*$a + $b) % $P))"
+    }.mkString("[", ",\n              ", "]")
+    Map(
+      "d01_exact_dedup" ->
+        """SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS dup_group,
+           doc_id = min(doc_id) OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS is_canonical
+           FROM documents ORDER BY doc_id""",
+      "d02_ngram_jaccard" ->
+        s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM d),
+            p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.n AS ni, b.n AS nj,
+                    COUNT(*) AS shared
+                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+            SELECT doc_i, doc_j, round(shared / (ni + nj - shared), 4) AS jaccard
+            FROM p WHERE shared / (ni + nj - shared) >= 0.2
+            ORDER BY doc_i, doc_j""",
+      "d03_minhash_lsh" ->
+        s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
+            sig AS (SELECT doc_id, sh, $sigSql AS sig FROM d),
+            bands AS (SELECT doc_id, j, sig[CAST(2*j+1 AS INT)]*$P + sig[CAST(2*j+2 AS INT)] AS key
+                      FROM sig, generate_series(0, 15) AS t(j)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+                     FROM bands a JOIN bands b
+                     ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+            v AS (SELECT doc_i, doc_j,
+                    len(list_intersect(x.sh, y.sh)) /
+                      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+                  FROM cand JOIN d x ON x.doc_id = cand.doc_i
+                            JOIN d y ON y.doc_id = cand.doc_j)
+            SELECT doc_i, doc_j, round(jac, 4) AS jaccard FROM v WHERE jac >= 0.2
+            ORDER BY doc_i, doc_j""",
+      "d04_simhash" ->
+        s"""SELECT doc_id,
+            CAST(list_sum(list_transform(generate_series(0, 62), b ->
+              CASE WHEN list_sum(list_transform(
+                list_transform($toks, t -> ${TS.tokenVal("t")}), v ->
+                  CASE WHEN ((v * (((b+1) * 1103515245) % $P) + (b*12345 + 6789)) % $P) % 2 = 1
+                       THEN 1 ELSE -1 END)) > 0
+                   THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+            FROM documents ORDER BY doc_id""",
+      "d05_embedding_dup" ->
+        s"""WITH p AS (SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
+                  ${VS.cosine("a.embedding", "b.embedding")} AS cos
+                FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT label, vec_i, vec_j, round(cos, 4) AS cosine
+            FROM p WHERE cos >= 0.35 ORDER BY vec_i, vec_j""",
+    )
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions => VF, VectorSql => VS}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.E — similarity search over the embeddings table.
+  *
+  * The query set is the small side and is broadcast; the 100 TB embedding
+  * corpus is only ever scanned map-side (score) and shuffled once (the
+  * per-query top-k window on query_id — k·|queries| rows per partition,
+  * sort-based and spill-safe). s01 is the exact baseline; s02 is the ANN
+  * scale path where a 256-bucket sign-LSH equi-join replaces the full
+  * scan per query. Cosine ordering uses round(cos, 6) with id tie-breaks
+  * so ranking is deterministic across engines (SURVEY §6).
+  */
+object Similarity {
+
+  /** Fixed query set: the first 8 vectors. */
+  val NumQueries = 8
+
+  /** s01: brute-force exact top-5 cosine neighbors per query. */
+  def s01KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** s02: ANN — candidates restricted to the query's sign-LSH bucket
+    * (equi-join on bucket id, linear shuffle), exact cosine + top-3
+    * within bucket only. Recall trades against the 256× scan reduction;
+    * more hyperplanes / multi-probe widen recall at the same join shape. */
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VF.signBucket(col("embedding")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s01_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < $NumQueries),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                  ${VS.cosine("qv", "e.embedding")} AS cos
+                FROM embeddings e, q WHERE e.vec_id <> query_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rk
+                FROM s)
+          SELECT query_id, rk, neighbor_id, round(cos, 4) AS cosine
+          FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+    "s02_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+                  ${VS.signBucket("embedding")} AS bucket FROM embeddings),
+          q AS (SELECT bucket, vec_id AS query_id, embedding AS qv
+                FROM e WHERE vec_id < $NumQueries),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                  ${VS.cosine("qv", "e.embedding")} AS cos
+                FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rk
+                FROM s)
+          SELECT query_id, rk, neighbor_id, round(cos, 4) AS cosine
+          FROM r WHERE rk <= 3 ORDER BY query_id, rk""",
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSuite {
+
+  test("d01 covers every doc and canonical rows exist per group") {
+    val rows = Dedup.d01ExactDedup(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val byGroup = rows.groupBy(_.getAs[String]("dup_group"))
+    byGroup.foreach { case (g, rs) =>
+      assert(rs.count(_.getAs[Boolean]("is_canonical")) == 1, s"group $g")
+    }
+  }
+
+  test("d02 finds the planted near-dup pairs, all above threshold") {
+    val rows = Dedup.d02NgramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty, "no near-dup pairs found")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.2)
+      assert(r.getAs[Long]("doc_i") < r.getAs[Long]("doc_j"))
+    }
+  }
+
+  test("d03 LSH candidates are a (near-complete) subset of d02 pairs") {
+    val exact = Dedup.d02NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    val lsh = Dedup.d03MinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    assert(lsh.nonEmpty, "LSH found no pairs")
+    assert(lsh.subsetOf(exact), s"LSH emitted non-verified pairs: ${lsh -- exact}")
+    // 16 bands × 2 rows: expected recall ≥ 1-(1-j²)^16 ≈ 99% at j=0.5
+    assert(lsh.size * 10 >= exact.size * 9, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("d04 simhash: near-dup pairs are closer in hamming than random pairs") {
+    val fp = Dedup.d04Simhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp.values.forall(_ >= 0L))
+    val dupPairs = Dedup.d02NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupHam = dupPairs.map { case (i, j) => ham(fp(i), fp(j)) }
+    val ids = fp.keys.toSeq.sorted
+    val randHam = ids.zip(ids.drop(1)).take(100).map { case (i, j) => ham(fp(i), fp(j)) }
+    assert(dupHam.sum.toDouble / dupHam.size < randHam.sum.toDouble / randHam.size,
+      s"dup avg hamming ${dupHam.sum.toDouble / dupHam.size} not below random ${randHam.sum.toDouble / randHam.size}")
+  }
+
+  test("d05 embedding dups stay within label blocks and above threshold") {
+    val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.35)
+      assert(r.getAs[Long]("vec_i") < r.getAs[Long]("vec_j"))
+    }
+  }
+}

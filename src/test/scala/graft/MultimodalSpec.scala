@@ -1,0 +1,27 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends GraftSuite {
+
+  test("m01 digests are unique per doc and byte lengths match n_chars encoding") {
+    val rows = Multimodal.m01BinaryMeta(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val digests = rows.map(_.getAs[String]("digest"))
+    assert(digests.forall(_.length == 64))
+    assert(digests.distinct.length == digests.length, "sha256 collision on distinct texts?")
+    rows.foreach(r => assert(r.getAs[Long]("n_bytes") > 0))
+  }
+
+  test("decode pipeline emits typed metadata for every payload, deterministically") {
+    val out1 = Multimodal.decodePipeline(spark, sf).collect().sortBy(_.doc_id)
+    val out2 = Multimodal.decodePipeline(spark, sf).collect().sortBy(_.doc_id)
+    assert(out1.length == Tables.documents(spark, sf).count())
+    assert(out1.toSeq == out2.toSeq, "decode not deterministic across runs")
+    out1.foreach { m =>
+      assert(m.n_bytes > 0)
+      assert(m.width >= 64 && m.height >= 64)
+      assert(m.format == "png" || m.format == "jpeg")
+    }
+  }
+}

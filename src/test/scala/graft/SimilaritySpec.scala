@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends GraftSuite {
+
+  test("s01 returns exactly 5 ranked neighbors per query, cosine descending") {
+    val rows = Similarity.s01KnnBrute(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q: ${rs.length} neighbors")
+      val cos = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"query $q not descending")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q), s"query $q returned itself")
+    }
+  }
+
+  test("s02 ANN results are true neighbors (bucket-mates, never self)") {
+    val rows = Similarity.s02AnnLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+  }
+
+  test("s02 top-1 matches s01 when the exact best neighbor shares the bucket") {
+    // ANN top-1 must never beat the exact top-1
+    val exact = Similarity.s01KnnBrute(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    Similarity.s02AnnLsh(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        assert(r.getAs[Double]("cosine") <= exact(q) + 1e-9)
+      }
+  }
+}
