@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import scala.collection.mutable
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingSpec extends GraftSuite {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("wiretap routes by regex and picks up registrations between batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val wt = new Wiretap
+    wt.register("alice", "ERROR \\d+")
+    val got = mutable.Buffer.empty[(String, String)]
+    val q = wt.routeDynamic(input.toDF(), b =>
+      got.synchronized { got ++= b.collect().map(r => (r.getString(0), r.getString(1))) })
+    try {
+      input.addData("ERROR 42 disk full", "INFO all good")
+      q.processAllAvailable()
+      assert(got.toSet == Set("alice" -> "ERROR 42 disk full"))
+      // dynamic registration: next batch sees the new interest
+      wt.register("bob", "INFO .*")
+      input.addData("INFO warm", "ERROR 7 net down")
+      q.processAllAvailable()
+      assert(got.toSet == Set(
+        "alice" -> "ERROR 42 disk full",
+        "alice" -> "ERROR 7 net down",
+        "bob" -> "INFO warm"))
+      wt.deregister("alice")
+      input.addData("ERROR 99 ignored now")
+      q.processAllAvailable()
+      assert(!got.exists(_._2.contains("ERROR 99")))
+    } finally q.stop()
+  }
+
+  test("windowed agg with watermark aggregates by 10-minute window") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamAgg.windowedCounts(input.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(5), "click", 2.0), (ts(12), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg").collect()
+        .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      assert(rows.exists { case (_, et, n, s) => et == "click" && n == 2 && s == 3.0 })
+      assert(rows.exists { case (_, et, n, s) => et == "view" && n == 1 && s == 4.0 })
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent]
+    val sessions = Sessionize.sessionize(input.toDS(), gapMinutes = 30, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 60-min gap event
+      input.addData(SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts(65), 4.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").as[ClosedSession].collect()
+      assert(afterGap.exists(s => s.user_id == 1L && s.n_events == 2 && s.sum_value == 3.0),
+        s"first session not closed by gap: ${afterGap.toSeq}")
+      // advance watermark far past the open session's timeout → it closes
+      input.addData(SessionEvent(2L, ts(600), 8.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, ts(601), 8.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sessions").as[ClosedSession].collect()
+      assert(afterTimeout.exists(s => s.user_id == 1L && s.n_events == 1 && s.sum_value == 4.0),
+        s"open session not closed by timeout: ${afterTimeout.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream ingest drains a directory of text files into parquet exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/$name"),
+        String.join("\n", lines: _*).getBytes)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    writeFile("a.log", Seq("l1", "l2"))
+    writeFile("b.log", Seq("l3"))
+    val q1 = Ingest.streamIngest(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+    // restart with one new file: checkpoint must skip the old ones
+    writeFile("c.log", Seq("l4", "l5"))
+    val q2 = Ingest.streamIngest(spark, s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    q2.awaitTermination()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 5, "restart reprocessed or dropped files")
+    assert(out.select("line").collect().map(_.getString(0)).toSet ==
+      Set("l1", "l2", "l3", "l4", "l5"))
+  }
+}
