@@ -1,0 +1,25 @@
+package graft
+
+import graft.functions.{CosineSimExpr, ShingleHashesExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions registering graft's native expressions as SQL
+  * functions, so `spark.sql("... graft_cosine(a, b) ...")` works anywhere
+  * the DataFrame API does. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashesExpr(children.head)))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two hot interpreted paths.
+  *
+  * The declarative higher-order-function forms in [[TextFunctions]] /
+  * [[VectorFunctions]] evaluate as interpreted expression trees (HOFs
+  * have no doGenCode), costing a virtual call per array element; these
+  * replacements compute the same values in tight compiled loops and stay
+  * inside whole-stage codegen via `defineCodeGen`/`nullSafeCodeGen`.
+  * Value parity with the declarative forms (and hence the DuckDB oracle,
+  * SURVEY §6) is exact on ASCII text — `charAt(0)` = first byte = what
+  * both `ascii()` builtins return — and the gate + NativeExprSpec enforce
+  * it; arithmetic is identical (same fold order, IEEE double ops).
+  */
+object ShingleHashUtil {
+  val P = 1000000007L
+
+  /** Portable token value: length*961 + ascii(first)*31 + ascii(last) —
+    * mirrors [[TextFunctions.tokenVal]] / [[TextSql.tokenVal]]. */
+  def tokenVal(t: UTF8String): Long = {
+    if (t == null || t.numBytes() == 0) 0L
+    else {
+      val s = t.toString
+      s.length.toLong * 961L + s.charAt(0).toLong * 31L + s.charAt(s.length - 1).toLong
+    }
+  }
+
+  /** Distinct word-3-gram shingle hashes in first-occurrence order —
+    * mirrors tokenVals → shingleHashesFromVals → array_distinct. */
+  def shingleHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) { vals(i) = tokenVal(arr.getUTF8String(i)); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - 3) {
+      seen.add((vals(i) * 1000003L + vals(i + 1) * 31L + vals(i + 2)) % P)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<string> tokens → array<long> distinct 3-gram shingle hashes. */
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashUtil.shingleHashes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashUtil.shingleHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+object CosineSimUtil {
+  /** Cosine in one pass; accumulator-for-accumulator identical to the
+    * three strict left-fold dots of [[VectorFunctions.cosine]] (the
+    * accumulators are independent, so interleaving them preserves every
+    * intermediate double exactly). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** (array<float>, array<float>) → cosine similarity as double; null when
+  * either side is null or lengths differ (zip_with null semantics). */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected two array<float>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else CosineSimUtil.cosine(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.CosineSimUtil.cosine($a, $b);
+      }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+/** Column-API entry points for the native expressions. */
+object NativeFunctions {
+  def shingleHashes(toks: Column): Column =
+    Shims.column(ShingleHashesExpr(Shims.expression(toks)))
+  def cosine(a: Column, b: Column): Column =
+    Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
+}

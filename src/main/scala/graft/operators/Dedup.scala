@@ -48,15 +48,15 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** doc_id → distinct word-3-gram shingle hash set (docs with ≥3 tokens).
-    * Token values are materialized as their own projection so the shingle
-    * lambda's three element_at references don't re-run tokenization. */
+  /** doc_id → distinct word-3-gram shingle hash set (docs with ≥3 tokens),
+    * via the native codegen'd [[graft.functions.ShingleHashesExpr]] —
+    * value-identical to the declarative TF.tokenVals→shingleHashesFromVals
+    * chain (NativeExprSpec proves it) but a compiled loop per row. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", TF.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
-      .withColumn("tv", TF.tokenVals(col("toks")))
-      .select(col("doc_id"), TF.shingleHashesFromVals(col("tv")).as("sh"))
+      .select(col("doc_id"), graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
 
   /** d02: n-gram Jaccard near-dups via an inverted shingle index: explode
     * shingles → self-equi-join on the hash → shared-count per pair →

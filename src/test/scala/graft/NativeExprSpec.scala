@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.{NativeFunctions => NF, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+
+/** Parity proofs: the native codegen'd expressions must produce values
+  * IDENTICAL (bit-for-bit for doubles, element-for-element for arrays)
+  * to the declarative HOF forms the DuckDB oracle mirrors. */
+class NativeExprSpec extends GraftSuite {
+
+  test("native shingle hashes equal the declarative chain, order included") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("tv", TF.tokenVals(col("toks")))
+      .select(col("doc_id"),
+        NF.shingleHashes(col("toks")).as("native"),
+        TF.shingleHashesFromVals(col("tv")).as("decl"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: native != declarative")
+    }
+  }
+
+  test("native cosine equals declarative cosine bit-for-bit") {
+    val e = Tables.embeddings(spark, sf)
+    val pairs = e.select(col("vec_id").as("i"), col("label"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("j"), col("label"), col("embedding").as("vb")), Seq("label"))
+      .filter(col("i") < col("j"))
+      .select(VF.cosine(col("va"), col("vb")).as("native"),
+        VF.cosineDeclarative(col("va"), col("vb")).as("decl"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val n = r.getDouble(0)
+      val d = r.getDouble(1)
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(d),
+        s"native $n != declarative $d")
+    }
+  }
+
+  test("extensions expose graft_cosine / graft_shingles in SQL") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
+    val c = spark.sql(
+      """SELECT graft_cosine(a.embedding, b.embedding) AS c
+         FROM emb_v a JOIN emb_v b ON a.vec_id = 0 AND b.vec_id = 1""").collect()
+    assert(c.length == 1 && math.abs(c.head.getDouble(0)) <= 1.0)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    val s = spark.sql(
+      """SELECT graft_shingles(split(trim(text), '\\s+')) AS sh
+         FROM docs_v WHERE size(split(trim(text), '\\s+')) >= 3 LIMIT 5""").collect()
+    assert(s.length == 5 && s.forall(_.getSeq[Long](0).nonEmpty))
+  }
+}
