@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Plan-shape audit (SURVEY §5): these assertions pin the physical-plan
+  * properties that make the operators viable at 100 TB — filters reaching
+  * the parquet scan, pruned read schemas, broadcast dims, partial
+  * aggregation, bounded shuffle counts. A regression here can pass every
+  * value check and still be 100x slower at scale. */
+class PlanAuditSpec extends GraftSuite {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes its plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  private def planStr(df: DataFrame): String = executed(df).toString
+  private def shuffles(df: DataFrame): Int =
+    executed(df).collect { case s: ShuffleExchangeLike => s }.size
+
+  test("q02: filter is pushed to the parquet scan and schema is pruned") {
+    val s = Relational.q02FilterProject(spark, sf).queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters:") && s.contains("l_shipdate"),
+      s"no pushed shipdate filter in scan:\n$s")
+    assert(!s.contains("l_comment"), "read schema not pruned — scans unused columns")
+  }
+
+  test("q01: aggregation is partial (map-side combine before the shuffle)") {
+    val s = planStr(Relational.q01PricingSummary(spark, sf))
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected partial+final HashAggregate:\n$s")
+  }
+
+  test("q05: dimension joins broadcast — the fact table shuffles at most once") {
+    val df = Relational.q05LocalSupplier(spark, sf)
+    val s = planStr(df)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3,
+      s"snowflake dims should broadcast:\n$s")
+  }
+
+  test("q06: pure scan-agg has zero pre-agg shuffles") {
+    val n = shuffles(Relational.q06ForecastRevenue(spark, sf))
+    assert(n == 0, s"scalar agg over a scan should not shuffle (got $n)")
+  }
+
+  test("s01: query set broadcasts; corpus is never shuffled for scoring") {
+    val s = planStr(Similarity.s01KnnBrute(spark, sf))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$s")
+  }
+
+  test("d02: candidate generation is an equi-join, not a cross join") {
+    val s = planStr(Dedup.d02NgramJaccard(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from an equi-join on the shingle hash:\n$s")
+  }
+
+  test("salted join equals the plain join and splits hot keys") {
+    import spark.implicits._
+    // heavy skew: one key holds 10k of 10.4k rows
+    val big = (Seq.fill(10000)(1) ++ (2 to 401)).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.expr("uuid()"))
+    val small = (1 to 401).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).groupBy("k").count()
+    val salted = SkewUtils.saltedJoin(big, small, "k", salt = 8).groupBy("k").count()
+    val p = plain.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val q = salted.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(p == q, "salted join changed the result")
+    val planS = salted.queryExecution.executedPlan.toString
+    assert(planS.contains(SkewUtils.SaltCol), "salt column missing from join keys")
+  }
+}
