@@ -40,6 +40,10 @@ object SparkEntry {
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
     "t03_lang_id" -> (TextAnalysis.t03LangId _),
     "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
+    "t05_top_tokens" -> (TextAnalysis.t05TopTokens _),
+    "t06_bigram_counts" -> (TextAnalysis.t06BigramCounts _),
+    "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
+    "p02_hash_split" -> (Sampling.p02HashSplit _),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -254,5 +258,6 @@ object SparkEntry {
          FROM events
          GROUP BY 1
          ORDER BY 1""",
-  ) ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle
+  ) ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+    Multimodal.oracle ++ Sampling.oracle
 }

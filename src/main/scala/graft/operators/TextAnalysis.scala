@@ -73,6 +73,31 @@ object TextAnalysis {
       .select(col("doc_id"), TF.polyFingerprint(col("toks")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** t05: corpus heavy hitters — top-25 tokens by document frequency.
+    * Explode → two-level agg; the explode and both aggs are map-partial
+    * first, so at 100 TB the shuffle carries one row per (token, partial
+    * count), not one per occurrence. */
+  def t05TopTokens(spark: SparkSession, dir: String): DataFrame =
+    docsWithTokens(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(25)
+
+  /** t06: bigram counts — the n-gram LM statistic. Same partial-agg
+    * shape as t05; bigrams are built positionally off the token array. */
+  def t06BigramCounts(spark: SparkSession, dir: String): DataFrame =
+    docsWithTokens(spark, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - lit(1)),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + lit(1)))))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(25)
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
@@ -107,6 +132,16 @@ object TextAnalysis {
       "t04_fingerprint" ->
         s"""SELECT doc_id, ${TS.polyFingerprint(toks)} AS fingerprint
             FROM documents ORDER BY doc_id""",
+      "t05_top_tokens" ->
+        s"""SELECT token, COUNT(*) AS doc_freq FROM (
+              SELECT doc_id, unnest(list_distinct($toks)) AS token FROM documents)
+            GROUP BY token ORDER BY doc_freq DESC, token LIMIT 25""",
+      "t06_bigram_counts" ->
+        s"""SELECT bigram, COUNT(*) AS n FROM (
+              SELECT unnest(list_transform(generate_series(1, len($toks) - 1),
+                i -> $toks[i] || ' ' || $toks[i+1])) AS bigram
+              FROM documents WHERE len($toks) >= 2)
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""",
     )
   }
 }

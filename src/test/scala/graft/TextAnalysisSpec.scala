@@ -29,6 +29,33 @@ class TextAnalysisSpec extends GraftSuite {
     assert(n == Tables.documents(spark, sf).count())
   }
 
+  test("t05 top tokens: doc_freq bounded by corpus size, descending") {
+    val rows = TextAnalysis.t05TopTokens(spark, sf).collect()
+    assert(rows.length == 25)
+    val freqs = rows.map(_.getAs[Long]("doc_freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    assert(freqs.head <= Tables.documents(spark, sf).count())
+  }
+
+  test("t06 bigram counts are positive and bigrams are two tokens") {
+    val rows = TextAnalysis.t06BigramCounts(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0)
+      assert(r.getAs[String]("bigram").split(" ").length == 2)
+    }
+  }
+
+  test("p01/p02 sampling: counts partition the corpus deterministically") {
+    val p1 = graft.operators.Sampling.p01StratifiedSample(spark, sf).collect()
+    assert(p1.map(_.getAs[Long]("n_total")).sum == Tables.documents(spark, sf).count())
+    p1.foreach(r => assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total")))
+    val p2 = graft.operators.Sampling.p02HashSplit(spark, sf).collect()
+    assert(p2.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+    val bySplit = p2.groupBy(_.getAs[String]("split")).view.mapValues(_.map(_.getAs[Long]("n_docs")).sum)
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+  }
+
   test("t04 fingerprints are stable and mostly distinct") {
     val fps = TextAnalysis.t04Fingerprint(spark, sf).collect()
       .map(_.getAs[Long]("fingerprint"))
