@@ -21,7 +21,24 @@ object Similarity {
   /** Fixed query set: the first 8 vectors. */
   val NumQueries = 8
 
-  /** s01: brute-force exact top-5 cosine neighbors per query. */
+  /** Rank the (tiny, ≤ k·|queries|-row) top-k result — the heap operator
+    * emits membership unordered; this window touches only survivors. */
+  private def ranked(top: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** s01: brute-force exact top-5 cosine neighbors per query. Top-k runs
+    * through the custom partial/final heap operator
+    * ([[graft.plans.TopKPerGroup]]): the scored 100 TB side is reduced
+    * map-side to ≤ k rows per query per partition before the only
+    * shuffle — the window-rank idiom would shuffle and SORT every scored
+    * row instead. */
   def s01KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < NumQueries)
@@ -30,13 +47,8 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VF.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
-        col("neighbor_id"), round(col("cos"), 4).as("cosine"))
-      .orderBy("query_id", "rk")
+    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 5), 5)
   }
 
   /** s02: ANN — candidates restricted to the query's sign-LSH bucket
@@ -52,13 +64,8 @@ object Similarity {
       .join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VF.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
-        col("neighbor_id"), round(col("cos"), 4).as("cosine"))
-      .orderBy("query_id", "rk")
+    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
   val oracle: Map[String, String] = Map(
