@@ -31,6 +31,7 @@ object SparkEntry {
     "q17_events_sessionize" -> (Relational.q17EventsSessionize _),
     "q18_events_json" -> (Relational.q18EventsJson _),
     "q19_date_bucket_agg" -> (Relational.q19DateBucketAgg _),
+    "q20_percentile_stats" -> (Relational.q20PercentileStats _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -231,6 +232,15 @@ object SparkEntry {
          FROM events
          GROUP BY 1, 2
          ORDER BY day, event_type""",
+    "q20_percentile_stats" ->
+      """SELECT event_type,
+         ROUND(quantile_cont(value, 0.5), 4) AS p50,
+         ROUND(quantile_cont(value, 0.95), 4) AS p95,
+         ROUND(MIN(value), 2) AS min_v,
+         ROUND(MAX(value), 2) AS max_v
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
     "r01_record_count" ->
       Tables.all.map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_records FROM $t")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),

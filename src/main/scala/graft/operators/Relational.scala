@@ -261,4 +261,18 @@ object Relational {
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
+
+  /** q20: exact percentile stats per group — Spark `percentile` and
+    * DuckDB `quantile_cont` both use linear interpolation over the sorted
+    * group, so rounded values hash-match. Exact percentile sorts within
+    * the group; at 100 TB swap in approx_percentile (t-digest sketch,
+    * partial-aggregable) when ±ε is acceptable. */
+  def q20PercentileStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"))
+      .orderBy(col("event_type"))
 }
