@@ -53,6 +53,7 @@ case class TopKPerGroupExec(groupKeys: Seq[Expression], ordering: Seq[SortOrder]
     val keyExprs = groupKeys
     val order = ordering
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -63,25 +64,63 @@ case class TopKPerGroupExec(groupKeys: Seq[Expression], ordering: Seq[SortOrder]
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = cmp.compare(b, a)
       }
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = toUnsafe(iter.next())
-        var heap = heaps.get(keyProj(row))
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, revCmp)
-          heaps.put(keyProj(row).copy(), heap)
+      // Memory bound for the PARTIAL pass: emitting a heap early and
+      // starting a fresh one for the same key is superset-safe (the
+      // final pass trims), so group-state never exceeds maxGroups·k
+      // rows regardless of group cardinality. The final pass holds one
+      // heap per group actually clustered into the partition — the same
+      // footprint contract as a final HashAggregate.
+      val maxGroups = if (isPartial) TopKPerGroupExec.MaxPartialGroups else Int.MaxValue
+
+      new Iterator[InternalRow] {
+        private var drain: java.util.Iterator[java.util.PriorityQueue[UnsafeRow]] = null
+        private var current: java.util.Iterator[UnsafeRow] = java.util.Collections.emptyIterator()
+
+        private def startDrain(): Unit = {
+          drain = new java.util.ArrayList(heaps.values()).iterator()
+          heaps.clear()
         }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (cmp.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        private def advance(): Boolean = {
+          while (!current.hasNext) {
+            if (drain != null && drain.hasNext) { current = drain.next().iterator() }
+            else if (drain != null && !iter.hasNext) { return false }
+            else if (!iter.hasNext) { if (heaps.isEmpty) return false; startDrain() }
+            else {
+              // consume input until flush or exhaustion
+              var flushed = false
+              while (iter.hasNext && !flushed) {
+                val row = toUnsafe(iter.next())
+                var heap = heaps.get(keyProj(row))
+                if (heap == null) {
+                  heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, revCmp)
+                  heaps.put(keyProj(row).copy(), heap)
+                }
+                if (heap.size < kLocal) heap.add(row.copy())
+                else if (cmp.compare(row, heap.peek()) < 0) {
+                  heap.poll()
+                  heap.add(row.copy())
+                }
+                if (heaps.size() >= maxGroups) { startDrain(); flushed = true }
+              }
+              if (!flushed && !heaps.isEmpty) startDrain()
+            }
+          }
+          true
         }
+        override def hasNext: Boolean = advance()
+        override def next(): InternalRow = { advance(); current.next() }
       }
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Partial-pass flush threshold: at most this many concurrent group
+    * heaps per partition before emitting them downstream-early. */
+  var MaxPartialGroups: Int = 1 << 17
 }
 
 /** Planner strategy: logical TopKPerGroup → partial + final exec pair. */

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.{NativeFunctions => NF, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+
+/** Randomized parity: native expressions vs declarative forms over
+  * generated inputs far outside the testdata distribution — empty and
+  * 1-char tokens, repeated tokens, degenerate and near-parallel vectors.
+  * Parity domain is printable ASCII (SURVEY §6; the oracle corpus is
+  * ASCII) — generators stay inside it deliberately. */
+class NativeExprPropertySpec extends GraftSuite {
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("shingle parity holds on 200 random ASCII token arrays") {
+    import spark.implicits._
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789.,!?-"
+    def tok(): String = {
+      val n = rnd.nextInt(8) // 0..7 chars — includes empty tokens
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(60))(tok()))
+    }
+    val df = docs.toDF("id", "toks")
+      .withColumn("tv", TF.tokenVals(col("toks")))
+      .select(col("id"),
+        NF.shingleHashes(col("toks")).as("native"),
+        TF.shingleHashesFromVals(col("tv")).as("decl"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"row ${r.getLong(0)} diverged")
+    }
+  }
+
+  test("cosine parity holds on 200 random float vector pairs, bit-for-bit") {
+    import spark.implicits._
+    def vec(dim: Int): Array[Float] =
+      Array.fill(dim)((rnd.nextGaussian() * (1 + rnd.nextInt(100))).toFloat)
+    val pairs = (1 to 200).map { i =>
+      val d = 1 + rnd.nextInt(128)
+      val a = vec(d)
+      // mix: random partner, scaled copy (cos≈±1), near-parallel
+      val b = rnd.nextInt(3) match {
+        case 0 => vec(d)
+        case 1 => a.map(_ * (if (rnd.nextBoolean()) 2.5f else -0.5f))
+        case _ => a.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.01f else x }
+      }
+      (i.toLong, a, b)
+    }
+    val df = pairs.toDF("id", "a", "b")
+      .select(col("id"),
+        VF.cosine(col("a"), col("b")).as("native"),
+        VF.cosineDeclarative(col("a"), col("b")).as("decl"))
+    df.collect().foreach { r =>
+      val n = java.lang.Double.doubleToLongBits(r.getDouble(1))
+      val d = java.lang.Double.doubleToLongBits(r.getDouble(2))
+      assert(n == d, s"row ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+}

@@ -50,6 +50,24 @@ class TopKSpec extends GraftSuite {
     assert(!plan.contains("Sort "), s"top-k must not sort:\n$plan")
   }
 
+  test("partial-pass flush (memory bound) preserves exactness: many groups, tiny threshold") {
+    import spark.implicits._
+    val prev = graft.plans.TopKPerGroupExec.MaxPartialGroups
+    try {
+      graft.plans.TopKPerGroupExec.MaxPartialGroups = 2 // force constant flushing
+      val rnd = new scala.util.Random(7)
+      val rows = (1 to 5000).map(i => (rnd.nextInt(40).toLong, i.toLong, rnd.nextDouble()))
+      val df = rows.toDF("g", "id", "score").repartition(8)
+      val viaTopK = TopK.perGroup(df, Seq(col("g")), Seq(col("score").desc, col("id").asc), 3)
+        .select("g", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+      val viaWindow = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("g", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaTopK == viaWindow)
+      assert(viaTopK.size == 40 * 3)
+    } finally graft.plans.TopKPerGroupExec.MaxPartialGroups = prev
+  }
+
   test("handles groups smaller than k and duplicate-score ties") {
     import spark.implicits._
     val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.5), (2L, 12L, 0.9))
