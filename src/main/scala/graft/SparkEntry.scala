@@ -52,6 +52,7 @@ object SparkEntry {
     "d05_embedding_dup" -> (Dedup.d05EmbeddingDup _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
   )
 

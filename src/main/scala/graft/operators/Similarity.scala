@@ -68,6 +68,50 @@ object Similarity {
       Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
+  /** s03: IVF ANN — the centroid-quantizer scale path. A coarse KMeans
+    * (fixed seed) partitions the corpus into inverted lists; each query
+    * probes its `nprobe` nearest centroids and exact-rescans only those
+    * lists (here 2/16 of the corpus, with the same heap top-k as s01).
+    * At 100 TB: fit on a sample, broadcast the (tiny) centroid set, and
+    * list assignment is one map-side pass — the probe join shuffles by
+    * list id exactly like the LSH bucket join. Not DuckDB-expressible
+    * (KMeans), so rows-only in the gate; invariants are spec-pinned. */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nLists = 16
+    val nProbe = 2
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(5).fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+    val centDf = spark.createDataFrame(
+      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }).toDF("list_id", "centroid")
+    // probe lists: nprobe nearest centroids per query (tiny: queries x k)
+    val sqDist = aggregate(
+      zip_with(col("qv"), col("centroid"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("list_id"))
+    val probes = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", sqDist)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("list_id"), col("query_id"), col("qv"))
+    val scored = assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+  }
+
   val oracle: Map[String, String] = Map(
     "s01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -25,6 +25,20 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("s03 IVF results are structurally valid and never beat exact top-1") {
+    val exact = Similarity.s01KnnBrute(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    val rows = Similarity.s03AnnIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      rs.filter(_.getAs[Long]("rk") == 1L)
+        .foreach(r => assert(r.getAs[Double]("cosine") <= exact(q) + 1e-9))
+    }
+  }
+
   test("s02 top-1 matches s01 when the exact best neighbor shares the bucket") {
     // ANN top-1 must never beat the exact top-1
     val exact = Similarity.s01KnnBrute(spark, sf).collect()
