@@ -32,6 +32,8 @@ object SparkEntry {
     "q18_events_json" -> (Relational.q18EventsJson _),
     "q19_date_bucket_agg" -> (Relational.q19DateBucketAgg _),
     "q20_percentile_stats" -> (Relational.q20PercentileStats _),
+    "q21_exclusive_supplier" -> (Relational.q21ExclusiveSupplier _),
+    "q22_dormant_customers" -> (Relational.q22DormantCustomers _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -242,6 +244,29 @@ object SparkEntry {
          FROM events
          GROUP BY event_type
          ORDER BY event_type""",
+    "q21_exclusive_supplier" ->
+      """SELECT s.l_suppkey AS suppkey,
+         COUNT(DISTINCT s.l_orderkey) AS n_excl_orders
+         FROM lineitem s
+         WHERE EXISTS (SELECT 1 FROM lineitem o2
+                       WHERE o2.l_orderkey = s.l_orderkey
+                         AND o2.l_linenumber <> s.l_linenumber)
+           AND NOT EXISTS (SELECT 1 FROM lineitem o3
+                           WHERE o3.l_orderkey = s.l_orderkey
+                             AND o3.l_suppkey <> s.l_suppkey)
+         GROUP BY 1
+         ORDER BY n_excl_orders DESC, suppkey
+         LIMIT 15""",
+    "q22_dormant_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+         ROUND(SUM(c_acctbal), 2) AS total_bal
+         FROM customer c
+         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey""",
     "r01_record_count" ->
       Tables.all.map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_records FROM $t")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),

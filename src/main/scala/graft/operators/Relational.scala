@@ -275,4 +275,45 @@ object Relational {
         round(min(col("value")), 2).as("min_v"),
         round(max(col("value")), 2).as("max_v"))
       .orderBy(col("event_type"))
+
+  /** q21: TPC-H Q21 shape — EXISTS + NOT EXISTS self-joins on the fact:
+    * suppliers that are the sole supplier on at least one multi-line
+    * order. Both subqueries become semi/anti joins shuffling on the
+    * shared l_orderkey, so the three lineitem branches co-partition —
+    * one shuffle key for the whole pipeline. */
+  def q21ExclusiveSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+    val s = l.as("s")
+    val multi = s.join(l.as("o2"),
+      col("o2.l_orderkey") === col("s.l_orderkey") &&
+        col("o2.l_linenumber") =!= col("s.l_linenumber"), "left_semi")
+    val exclusive = multi.join(l.as("o3"),
+      col("o3.l_orderkey") === col("s.l_orderkey") &&
+        col("o3.l_suppkey") =!= col("s.l_suppkey"), "left_anti")
+    exclusive
+      .groupBy(col("s.l_suppkey").as("suppkey"))
+      .agg(countDistinct(col("s.l_orderkey")).as("n_excl_orders"))
+      .orderBy(col("n_excl_orders").desc, col("suppkey"))
+      .limit(15)
+  }
+
+  /** q22: TPC-H Q22 shape — scalar subquery threshold + anti join:
+    * above-average-balance customers with no urgent orders, grouped by
+    * nation. The AVG is a broadcast scalar; the anti join shuffles on
+    * custkey (or broadcasts the filtered orders side under AQE). */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal)) // 1-row scalar, broadcast like a subquery
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
 }
