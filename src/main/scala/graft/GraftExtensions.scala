@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, ShingleHashesExpr}
+import graft.functions.{CosineSimExpr, ShingleHashesExpr, Simhash63Expr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingles"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleHashesExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Simhash63Expr].getName, "graft_simhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Simhash63Expr(children.head)))
   }
 }

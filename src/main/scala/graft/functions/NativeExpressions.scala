@@ -95,6 +95,53 @@ object CosineSimUtil {
   }
 }
 
+object Simhash63Util {
+  private val P = ShingleHashUtil.P
+
+  /** 63-bit SimHash over token values — mirrors
+    * [[graft.operators.Dedup.simhash63]] constant-for-constant: bit b is
+    * the sign of Σ_tokens ±1 under universal hash
+    * ((v·c_b + d_b) mod P) mod 2 with c_b = ((b+1)·1103515245) mod P,
+    * d_b = b·12345 + 6789. */
+  def simhash63(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) { vals(i) = ShingleHashUtil.tokenVal(arr.getUTF8String(i)); i += 1 }
+    var out = 0L
+    var b = 0
+    while (b < 63) {
+      val c = ((b + 1).toLong * 1103515245L) % P
+      val d = b.toLong * 12345L + 6789L
+      var score = 0L
+      i = 0
+      while (i < n) {
+        if (((vals(i) * c + d) % P) % 2 == 1) score += 1 else score -= 1
+        i += 1
+      }
+      if (score > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** array<string> tokens → 63-bit SimHash as long. */
+case class Simhash63Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash63Util.simhash63(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Simhash63Util.simhash63($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash63Expr =
+    copy(child = newChild)
+}
+
 /** (array<float>, array<float>) → cosine similarity as double; null when
   * either side is null or lengths differ (zip_with null semantics). */
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -129,6 +176,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
 object NativeFunctions {
   def shingleHashes(toks: Column): Column =
     Shims.column(ShingleHashesExpr(Shims.expression(toks)))
+  def simhash63(toks: Column): Column =
+    Shims.column(Simhash63Expr(Shims.expression(toks)))
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
 }

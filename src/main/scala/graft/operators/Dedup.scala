@@ -114,8 +114,11 @@ object Dedup {
   /** 63-bit SimHash over per-token portable hashes: bit b is the sign of
     * Σ_tokens ±1 where the ±1 is universal-hash bit b of the token value.
     * (63 bits, not 64, to stay in non-negative BIGINT range in both
-    * engines.) Map-side only — fingerprinting 100 TB is a pure scan. */
-  def simhash63(toks: Column): Column = {
+    * engines.) Map-side only — fingerprinting 100 TB is a pure scan.
+    * Production path is the native [[graft.functions.Simhash63Expr]]
+    * (NativeExprSpec proves bit-for-bit parity); this declarative form is
+    * the oracle-mirror reference. */
+  def simhash63Declarative(toks: Column): Column = {
     val tokVals = transform(toks, t => TF.tokenVal(t).cast("long"))
     aggregate(sequence(lit(0), lit(62)), lit(0L), (acc, b) =>
       acc + when(
@@ -132,8 +135,33 @@ object Dedup {
   def d04Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", TF.tokens(col("text")))
-      .select(col("doc_id"), simhash63(col("toks")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.simhash63(col("toks")).as("simhash"))
       .orderBy("doc_id")
+
+  /** d06: SimHash near-dup PAIRS — the banded-candidate + hamming-verify
+    * path over d04's signatures. The 63-bit signature splits into four
+    * 16-bit bands; pairs agreeing on any band (equi-join, linear shuffle)
+    * are verified with bit_count(xor) ≤ 8. Same LSH-style shape as d03:
+    * candidates from an equi-join, never all pairs. */
+  def d06SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.simhash63(col("toks")).as("simhash"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 to 3).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(atLeast(lit(8L) - col("hamming"), 0.0)) // hamming <= 8, barrier form
+      .orderBy("doc_i", "doc_j")
+  }
 
   /** d05: embedding-cosine near-dups, label-blocked: equi-join on label
     * (at scale: on a sign-LSH bucket, see Similarity.s02) then pairwise
@@ -197,6 +225,23 @@ object Dedup {
                        THEN 1 ELSE -1 END)) > 0
                    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
             FROM documents ORDER BY doc_id""",
+      "d06_simhash_pairs" ->
+        s"""WITH s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(generate_series(0, 62), b ->
+                CASE WHEN list_sum(list_transform(
+                  list_transform($toks, t -> ${TS.tokenVal("t")}), v ->
+                    CASE WHEN ((v * (((b+1) * 1103515245) % $P) + (b*12345 + 6789)) % $P) % 2 = 1
+                         THEN 1 ELSE -1 END)) > 0
+                     THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+              FROM documents),
+            bands AS (SELECT doc_id, h, b, (h >> CAST(b*16 AS INT)) & 65535 AS key
+                      FROM s, generate_series(0, 3) t(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+                       CAST(bit_count(CAST(xor(a.h, b.h) AS BIGINT)) AS BIGINT) AS hamming
+                     FROM bands a JOIN bands b
+                     ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT doc_i, doc_j, hamming FROM cand WHERE hamming <= 8
+            ORDER BY doc_i, doc_j""",
       "d05_embedding_dup" ->
         s"""WITH p AS (SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
                   ${VS.cosine("a.embedding", "b.embedding")} AS cos

@@ -47,6 +47,18 @@ class DedupSpec extends GraftSuite {
       s"dup avg hamming ${dupHam.sum.toDouble / dupHam.size} not below random ${randHam.sum.toDouble / randHam.size}")
   }
 
+  test("d06 simhash pairs: banded candidates verified at hamming <= 8") {
+    val rows = Dedup.d06SimhashPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fp = Dedup.d04Simhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    rows.foreach { r =>
+      val (i, j, h) = (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"), r.getAs[Long]("hamming"))
+      assert(h <= 8 && i < j)
+      assert(java.lang.Long.bitCount(fp(i) ^ fp(j)) == h, s"hamming mismatch for ($i,$j)")
+    }
+  }
+
   test("d05 embedding dups stay within label blocks and above threshold") {
     val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
     assert(rows.nonEmpty)

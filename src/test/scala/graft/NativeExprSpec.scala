@@ -24,6 +24,16 @@ class NativeExprSpec extends GraftSuite {
     }
   }
 
+  test("native simhash equals the declarative chain on every doc") {
+    val rows = Tables.documents(spark, sf)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(NF.simhash63(col("toks")).as("native"),
+        graft.operators.Dedup.simhash63Declarative(col("toks")).as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("native cosine equals declarative cosine bit-for-bit") {
     val e = Tables.embeddings(spark, sf)
     val pairs = e.select(col("vec_id").as("i"), col("label"), col("embedding").as("va"))
