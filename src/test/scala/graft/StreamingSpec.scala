@@ -82,6 +82,40 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionize matches the flatMapGroupsWithState semantics") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[SessionEvent]
+    val q = SessionizeTws.sessionize(input.toDS(), gapMinutes = 30, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("tws_sessions").outputMode("append").start()
+    try {
+      input.addData(SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts(65), 4.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("tws_sessions").as[ClosedSession].collect()
+      assert(afterGap.exists(s => s.user_id == 1L && s.n_events == 2 && s.sum_value == 3.0),
+        s"gap-closed session missing: ${afterGap.toSeq}")
+      // watermark far ahead → event-time timer closes the open session
+      input.addData(SessionEvent(2L, ts(600), 8.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, ts(601), 8.0))
+      q.processAllAvailable()
+      val afterTimer = spark.table("tws_sessions").as[ClosedSession].collect()
+      assert(afterTimer.exists(s => s.user_id == 1L && s.n_events == 1 && s.sum_value == 4.0),
+        s"timer-closed session missing: ${afterTimer.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream ingest drains a directory of text files into parquet exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     def writeFile(name: String, lines: Seq[String]): Unit =
