@@ -64,6 +64,37 @@ object Multimodal {
       }
   }
 
+  /** One inference result; `batch_size` records the actual batch the row
+    * was scored in (spec-observable). */
+  case class InferenceResult(doc_id: Long, embedding: Array[Float], batch_size: Int)
+
+  /** STUB batch model — deterministic fake embedding per payload, shaped
+    * like a real encoder call: takes the WHOLE batch at once (vectorized
+    * hardware wants fixed-size batches, not row-at-a-time). */
+  def fakeModel(batch: Seq[(Long, Array[Byte])]): Seq[InferenceResult] =
+    batch.map { case (id, payload) =>
+      val v = Array.tabulate(8)(i =>
+        ((payload.length * 31 + i * 7 + (if (payload.nonEmpty) payload(0) else 0)) % 97) / 97.0f)
+      InferenceResult(id, v, batch.length)
+    }
+
+  /** Batched inference over binary payloads: mapPartitions →
+    * `grouped(batchSize)` → model per batch. The iterator stays lazy
+    * (no partition materialization); at 100 TB batch size is the knob
+    * that trades accelerator utilization against latency, and partition
+    * count spreads model replicas across executors. */
+  def batchedInference(spark: SparkSession, dir: String,
+      batchSize: Int = 32): Dataset[InferenceResult] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real pipelines load the model once per partition here
+        it.grouped(batchSize).flatMap(b => fakeModel(b))
+      }
+  }
+
   val oracle: Map[String, String] = Map(
     "m01_binary_meta" ->
       """SELECT doc_id,

@@ -13,6 +13,17 @@ class MultimodalSpec extends GraftSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_bytes") > 0))
   }
 
+  test("batched inference covers every doc in full batches (tail excepted)") {
+    val out = Multimodal.batchedInference(spark, sf, batchSize = 32).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    assert(out.forall(_.batch_size <= 32))
+    // with 4 partitions, at most one short tail batch per partition
+    val short = out.map(_.batch_size).count(_ < 32)
+    assert(short <= 4 * 31, s"too many underfilled batch rows: $short")
+    assert(out.forall(_.embedding.length == 8))
+    assert(out.map(_.doc_id).distinct.length == out.length)
+  }
+
   test("decode pipeline emits typed metadata for every payload, deterministically") {
     val out1 = Multimodal.decodePipeline(spark, sf).collect().sortBy(_.doc_id)
     val out2 = Multimodal.decodePipeline(spark, sf).collect().sortBy(_.doc_id)
