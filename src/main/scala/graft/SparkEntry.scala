@@ -53,6 +53,7 @@ object SparkEntry {
     "d04_simhash" -> (Dedup.d04Simhash _),
     "d05_embedding_dup" -> (Dedup.d05EmbeddingDup _),
     "d06_simhash_pairs" -> (Dedup.d06SimhashPairs _),
+    "d07_dup_clusters" -> (Dedup.d07DupClusters _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible

@@ -178,6 +178,38 @@ object Dedup {
       .orderBy("vec_i", "vec_j")
   }
 
+  /** d07: duplicate CLUSTERS — connected components over the d02 pair
+    * graph, the step that turns pairwise near-dup hits into actionable
+    * dedup groups. Iterative min-label propagation: each round every
+    * node adopts the smallest cluster id among itself and its
+    * neighbors; rounds are whole-graph joins (distributed), the driver
+    * only checks the converged count. Dup clusters have tiny diameter,
+    * so this converges in a handful of rounds even at corpus scale;
+    * localCheckpoint truncates the growing lineage per round. Output:
+    * one row per cluster with its canonical (min) doc and size. */
+  def d07DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d02NgramJaccard(spark, dir).select(col("doc_i"), col("doc_j"))
+    val edges = pairs.union(pairs.select(col("doc_j"), col("doc_i")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(prop, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster") =!= col("o.cluster")).isEmpty
+      labels = next
+    }
+    labels.groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .orderBy("cluster_id")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val sh = TS.shingleHashes(toks)
@@ -242,6 +274,23 @@ object Dedup {
                      ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
             SELECT doc_i, doc_j, hamming FROM cand WHERE hamming <= 8
             ORDER BY doc_i, doc_j""",
+      "d07_dup_clusters" ->
+        s"""WITH RECURSIVE
+            d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM d),
+            p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, a.n, b.n
+                  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.2),
+            e AS (SELECT doc_i AS s, doc_j AS t FROM p
+                  UNION SELECT doc_j, doc_i FROM p),
+            r(s, t) AS (SELECT s, t FROM e
+                        UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s),
+            lab AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster
+                    FROM r GROUP BY s)
+            SELECT cluster AS cluster_id, COUNT(*) AS n_docs,
+              MAX(doc_id) AS max_doc
+            FROM lab GROUP BY cluster ORDER BY cluster_id""",
       "d05_embedding_dup" ->
         s"""WITH p AS (SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
                   ${VS.cosine("a.embedding", "b.embedding")} AS cos

@@ -59,6 +59,29 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("d07 clusters partition the pair graph: every pair lands in one cluster") {
+    val pairs = Dedup.d02NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")))
+    val clusters = Dedup.d07DupClusters(spark, sf).collect()
+    val nDocs = clusters.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length,
+      "clusters must cover exactly the docs that appear in pairs")
+    clusters.foreach { c =>
+      assert(c.getAs[Long]("n_docs") >= 2, "a cluster needs at least one pair")
+      assert(c.getAs[Long]("cluster_id") <= c.getAs[Long]("max_doc"))
+    }
+    // canonical id is the component minimum: no pair may straddle clusters
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    // union-find ground truth
+    def find(x: Long): Long = { val p = label.getOrElse(x, x); if (p == x) x else { val r = find(p); label(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) label(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find).map { case (k, v) => (k, v.length.toLong) }
+    val got = clusters.map(c => c.getAs[Long]("cluster_id") -> c.getAs[Long]("n_docs")).toMap
+    assert(got == truth, s"cluster structure mismatch: $got vs $truth")
+  }
+
   test("d05 embedding dups stay within label blocks and above threshold") {
     val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
     assert(rows.nonEmpty)
