@@ -45,6 +45,7 @@ object SparkEntry {
     "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
     "t05_top_tokens" -> (TextAnalysis.t05TopTokens _),
     "t06_bigram_counts" -> (TextAnalysis.t06BigramCounts _),
+    "t07_bm25_search" -> (TextAnalysis.t07Bm25Search _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
     "p02_hash_split" -> (Sampling.p02HashSplit _),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),

@@ -98,6 +98,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(25)
 
+  /** Query terms for t07 (all in the corpus vocabulary). */
+  val searchTerms: Seq[String] = Seq("spark", "window", "hash")
+
+  /** t07: BM25 scored search — rank documents against a term query.
+    * k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1). Two tiny shuffles
+    * (df per term, score per doc) plus broadcast scalars; the corpus
+    * scan itself is one pass. At 100 TB the df/avgdl statistics come
+    * from the same aggregation, just precomputed once and reused across
+    * queries. */
+  def t07Bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val terms = spark.createDataFrame(searchTerms.map(Tuple1.apply)).toDF("term")
+    val docs = docsWithTokens(spark, dir)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.crossJoin(broadcast(terms))
+      .select(col("doc_id"), col("dl"), col("term"),
+        size(filter(col("toks"), t => t === col("term"))).cast("double").as("tf"))
+    val df_ = tf.filter(col("tf") > 0).groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score",
+        col("idf") * col("tf") * (lit(1.2) + 1.0) /
+          (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+    scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("score")), 4).as("bm25"))
+      .filter(coalesce(col("bm25") > 0.0, lit(false)))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
@@ -142,6 +175,24 @@ object TextAnalysis {
                 i -> $toks[i] || ' ' || $toks[i+1])) AS bigram
               FROM documents WHERE len($toks) >= 2)
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""",
+      "t07_bm25_search" -> {
+        val termsVals = searchTerms.map(t => s"('$t')").mkString(", ")
+        s"""WITH d AS (SELECT doc_id, $toks AS toks,
+                  CAST(len($toks) AS DOUBLE) AS dl FROM documents),
+            stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM d),
+            tf AS (SELECT doc_id, dl, term,
+                     CAST(len(list_filter(toks, t -> t = term)) AS DOUBLE) AS tf
+                   FROM d CROSS JOIN (VALUES $termsVals) q(term)),
+            dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf WHERE tf > 0 GROUP BY term),
+            scored AS (SELECT doc_id,
+                ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                  * tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+            SELECT doc_id, ROUND(SUM(score), 4) AS bm25
+            FROM scored GROUP BY doc_id HAVING ROUND(SUM(score), 4) > 0
+            ORDER BY bm25 DESC, doc_id LIMIT 20"""
+      },
     )
   }
 }

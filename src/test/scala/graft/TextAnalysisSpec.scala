@@ -46,6 +46,21 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("t07 BM25: descending positive scores, hits contain a query term") {
+    val rows = TextAnalysis.t07Bm25Search(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val hitIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    Tables.documents(spark, sf).collect()
+      .filter(r => hitIds.contains(r.getAs[Long]("doc_id")))
+      .foreach { r =>
+        val t = r.getAs[String]("text")
+        assert(TextAnalysis.searchTerms.exists(t.contains), s"doc without any query term ranked")
+      }
+  }
+
   test("p01/p02 sampling: counts partition the corpus deterministically") {
     val p1 = graft.operators.Sampling.p01StratifiedSample(spark, sf).collect()
     assert(p1.map(_.getAs[Long]("n_total")).sum == Tables.documents(spark, sf).count())
