@@ -1,0 +1,40 @@
+package graft
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.functions._
+
+class CdrSourceSpec extends GraftSuite {
+
+  private def cdrLine(i: Int): String =
+    s"<${i % 32}> 2013-01-01 {CGN-SET${i % 4}}[USER${100 + i % 5}]: NAT44: proto ${i % 7} (TCP) application: http"
+
+  test("graft-cdr V2 source parses plain and gzip logs into structured rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdrsrc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.log"),
+      ((0 until 80).map(cdrLine) :+ "garbage not a cdr line").mkString("\n").getBytes)
+    val gz = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(s"$dir/b.log.gz"))))
+    (80 until 200).foreach(i => gz.write(cdrLine(i) + "\n"))
+    gz.close()
+
+    val df = spark.read.format("graft.sources.cdr.CdrDataSource").load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("pri", "cdr_set", "user_id", "event", "proto", "line"))
+    assert(df.count() == 201)
+    // both files contribute; parse fields round-trip
+    val parsed = df.filter(col("user_id").isNotNull)
+    assert(parsed.count() == 200)
+    assert(parsed.select("event").distinct().collect().map(_.getString(0)).toSeq == Seq("NAT44"))
+    assert(parsed.agg(countDistinct("user_id")).collect().head.getLong(0) == 5)
+    assert(parsed.agg(sum("proto")).collect().head.getLong(0) ==
+      (0 until 200).map(_ % 7).sum)
+    // malformed line surfaces with null fields, not a failure
+    assert(df.filter(col("user_id").isNull).count() == 1)
+    // scan composes with the relational layer: aggregation over the source
+    val perSet = df.filter(col("cdr_set").isNotNull).groupBy("cdr_set").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSet.keySet == Set("CGN-SET0", "CGN-SET1", "CGN-SET2", "CGN-SET3"))
+    assert(perSet.values.sum == 200)
+  }
+}
