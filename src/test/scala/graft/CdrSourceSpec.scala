@@ -18,7 +18,7 @@ class CdrSourceSpec extends GraftSuite {
     (80 until 200).foreach(i => gz.write(cdrLine(i) + "\n"))
     gz.close()
 
-    val df = spark.read.format("graft.sources.cdr.CdrDataSource").load(dir)
+    val df = spark.read.format("graft-cdr").load(dir) // short name via DataSourceRegister
     assert(df.schema.fieldNames.toSeq ==
       Seq("pri", "cdr_set", "user_id", "event", "proto", "line"))
     assert(df.count() == 201)
