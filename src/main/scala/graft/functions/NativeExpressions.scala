@@ -95,6 +95,49 @@ object CosineSimUtil {
   }
 }
 
+object MinhashSigUtil {
+  private val P = ShingleHashUtil.P
+  /** Same parameter schedule as [[graft.operators.Dedup.minhashA]]/B. */
+  val A: Array[Long] = (1 to 32).map(i => (2654435761L * i) % P).toArray
+  val B: Array[Long] = (1 to 32).map(i => (2747636419L * i + 40503L) % P).toArray
+
+  /** 32-element MinHash signature of a shingle-hash array — mirrors the
+    * declarative [[graft.operators.Dedup.minhashSig]] fold (min over
+    * (s·a_i + b_i) mod P, init P). */
+  def sig(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    val out = Array.fill(32)(P)
+    var i = 0
+    while (i < n) {
+      val s = sh.getLong(i)
+      var j = 0
+      while (j < 32) {
+        val h = (s * A(j) + B(j)) % P
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<long> shingle hashes → array<long> 32-element MinHash signature. */
+case class MinhashSigExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSigUtil.sig(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashSigUtil.sig($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
 object Simhash63Util {
   private val P = ShingleHashUtil.P
 
@@ -178,6 +221,8 @@ object NativeFunctions {
     Shims.column(ShingleHashesExpr(Shims.expression(toks)))
   def simhash63(toks: Column): Column =
     Shims.column(Simhash63Expr(Shims.expression(toks)))
+  def minhashSig(sh: Column): Column =
+    Shims.column(MinhashSigExpr(Shims.expression(sh)))
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
 }

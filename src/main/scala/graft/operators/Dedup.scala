@@ -90,7 +90,7 @@ object Dedup {
     * ≥ 0.2. Only candidate pairs are ever scored — never all pairs. */
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
-    val bands = sh.withColumn("sig", minhashSig(col("sh")))
+    val bands = sh.withColumn("sig", graft.functions.NativeFunctions.minhashSig(col("sh")))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(15)), j =>
           element_at(col("sig"), (j * lit(2) + lit(1)).cast("int")) * lit(P) +

@@ -34,6 +34,18 @@ class NativeExprSpec extends GraftSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native minhash signature equals the declarative 32-fold chain") {
+    val rows = Tables.documents(spark, sf)
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", NF.shingleHashes(col("toks")))
+      .select(NF.minhashSig(col("sh")).as("native"),
+        graft.operators.Dedup.minhashSig(col("sh")).as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native cosine equals declarative cosine bit-for-bit") {
     val e = Tables.embeddings(spark, sf)
     val pairs = e.select(col("vec_id").as("i"), col("label"), col("embedding").as("va"))
