@@ -49,7 +49,7 @@ class SessionProcessor(gapMs: Long)
   override def handleExpiredTimer(userId: Long, tv: TimerValues,
       info: ExpiredTimerInfo): Iterator[ClosedSession] = {
     // stale timers (session extended since registration) fire harmlessly
-    if (open.exists() && info.getExpiryTimeInMs >= open.get().last + gapMs) {
+    if (open.exists() && info.getExpiryTimeInMs() >= open.get().last + gapMs) {
       val out = close(userId, open.get())
       open.clear()
       Iterator.single(out)
