@@ -34,6 +34,7 @@ object SparkEntry {
     "q20_percentile_stats" -> (Relational.q20PercentileStats _),
     "q21_exclusive_supplier" -> (Relational.q21ExclusiveSupplier _),
     "q22_dormant_customers" -> (Relational.q22DormantCustomers _),
+    "q23_funnel" -> (Relational.q23Funnel _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -270,6 +271,21 @@ object SparkEntry {
                              AND o.o_orderpriority = '1-URGENT')
          GROUP BY c_nationkey
          ORDER BY c_nationkey""",
+    "q23_funnel" ->
+      """WITH u AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                          AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                          AND t_click > t_view AND t_purchase IS NOT NULL
+                          AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+         FROM u""",
     "r01_record_count" ->
       Tables.all.map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_records FROM $t")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),

@@ -298,6 +298,28 @@ object Relational {
       .limit(15)
   }
 
+  /** q23: funnel analysis — users progressing view → click → purchase in
+    * event-time order. One shuffle on user_id producing per-user first
+    * occurrence times (conditional min aggregation, map-side partial),
+    * then stage flags are pure column arithmetic. The standard product
+    * funnel at any scale. */
+  def q23Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def firstTs(t: String): Column = min(when(col("event_type") === t, col("ts")))
+    val perUser = e.groupBy(col("user_id")).agg(
+      firstTs("view").as("t_view"),
+      firstTs("click").as("t_click"),
+      firstTs("purchase").as("t_purchase"))
+    val s1 = col("t_view").isNotNull
+    val s2 = s1 && col("t_click").isNotNull && col("t_click") > col("t_view")
+    val s3 = s2 && col("t_purchase").isNotNull && col("t_purchase") > col("t_click")
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(s1, 1L).otherwise(0L)).as("viewed"),
+      sum(when(s2, 1L).otherwise(0L)).as("clicked_after_view"),
+      sum(when(s3, 1L).otherwise(0L)).as("purchased_after_click"))
+  }
+
   /** q22: TPC-H Q22 shape — scalar subquery threshold + anti join:
     * above-average-balance customers with no urgent orders, grouped by
     * nation. The AVG is a broadcast scalar; the anti join shuffles on

@@ -48,6 +48,14 @@ class RelationalSpec extends GraftSuite {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("q23 funnel stages are monotonically narrowing") {
+    val r = Relational.q23Funnel(spark, sf).collect().head
+    val (n, v, c, p) = (r.getAs[Long]("n_users"), r.getAs[Long]("viewed"),
+      r.getAs[Long]("clicked_after_view"), r.getAs[Long]("purchased_after_click"))
+    assert(n >= v && v >= c && c >= p, s"funnel not narrowing: $n >= $v >= $c >= $p")
+    assert(v > 0, "no users entered the funnel at sf0.001")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
