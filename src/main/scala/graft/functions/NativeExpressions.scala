@@ -25,12 +25,18 @@ object ShingleHashUtil {
   val P = 1000000007L
 
   /** Portable token value: length*961 + ascii(first)*31 + ascii(last) —
-    * mirrors [[TextFunctions.tokenVal]] / [[TextSql.tokenVal]]. */
+    * mirrors [[TextFunctions.tokenVal]] / [[TextSql.tokenVal]]. Computed
+    * on CODEPOINTS (codePointCount / codePointAt / codePointBefore) to
+    * match the codepoint semantics of both engines' `length()` and
+    * `ascii()` builtins on non-ASCII text — parity is enforced for
+    * non-ASCII inputs by NativeExprSpec, not just assumed for the ASCII
+    * corpus. */
   def tokenVal(t: UTF8String): Long = {
     if (t == null || t.numBytes() == 0) 0L
     else {
       val s = t.toString
-      s.length.toLong * 961L + s.charAt(0).toLong * 31L + s.charAt(s.length - 1).toLong
+      val len = s.codePointCount(0, s.length).toLong
+      len * 961L + s.codePointAt(0).toLong * 31L + s.codePointBefore(s.length).toLong
     }
   }
 

@@ -32,12 +32,19 @@ object VectorFunctions {
   /** 8-bit sign-LSH bucket: bit i is set when v[2i+1] > v[2i+33]
     * (1-indexed), i.e. the sign of the projection onto the deterministic
     * pseudo-hyperplane e_{2i+1} - e_{2i+33}. 256 buckets; an equi-join on
-    * the bucket id replaces the O(n²) cross join — the ANN scale path. */
+    * the bucket id replaces the O(n²) cross join — the ANN scale path.
+    *
+    * Reads up to element 47, via [[try_element_at]] so a shorter vector
+    * yields NULL comparisons → bit 0, exactly DuckDB's out-of-bounds
+    * `v[i] → NULL` behavior — instead of an ANSI
+    * ARRAY_INDEX_OUT_OF_BOUNDS crash. Vectors with < 47 dims thus
+    * degrade to fewer effective hash bits rather than failing the query
+    * or diverging from the oracle. */
   def signBucket(v: Column): Column =
     aggregate(sequence(lit(0), lit(7)), lit(0L),
       (acc, i) => acc + when(
-        element_at(v, (i * lit(2) + lit(1)).cast("int")) >
-          element_at(v, (i * lit(2) + lit(33)).cast("int")),
+        try_element_at(v, (i * lit(2) + lit(1)).cast("int")) >
+          try_element_at(v, (i * lit(2) + lit(33)).cast("int")),
         pow(2.0, i).cast("long")).otherwise(lit(0L)))
 }
 

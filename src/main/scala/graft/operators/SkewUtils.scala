@@ -20,12 +20,27 @@ object SkewUtils {
 
   val SaltCol = "__graft_salt"
 
+  /** Join types for which replicating the small side `salt` times is
+    * row-for-row equivalent to the unsalted join: types that never emit
+    * an unmatched SMALL-side row. Right/full outer would emit each
+    * unmatched small row `salt` times — rejected. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "semi", "left_anti", "leftanti", "anti", "cross")
+
   /** Equi-join `big ⋈ small` on `key`, with the big side's hot keys
     * spread across `salt` reducers. Result equals `big.join(small,
-    * Seq(key), joinType)` row-for-row (spec-verified). */
+    * Seq(key), joinType)` row-for-row (spec-verified for inner).
+    * Only join types that preserve no unmatched small-side rows are
+    * allowed — right/full outer would duplicate each unmatched small
+    * row `salt` times. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    require(SupportedJoinTypes(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin does not support joinType '$joinType': the salt-replicated " +
+        "small side would emit each unmatched small row `salt` times for " +
+        "right/full outer joins. Supported: " + SupportedJoinTypes.toSeq.sorted.mkString(", "))
     val saltedBig = big.withColumn(SaltCol, (rand(seed = 42) * salt).cast("int"))
     val replicatedSmall = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salt - 1))))

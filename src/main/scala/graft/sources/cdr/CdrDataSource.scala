@@ -47,6 +47,24 @@ object CdrTable {
     """<(\d+)>.*\{([^}]*)\}\[USER(\d+)\]:\s*([A-Z0-9]+):\s*proto (\d+).*""".r
 }
 
+/** Java-serializable Hadoop Configuration carrier (the Writable
+  * round-trip, same shape Spark uses internally) — lets the scan ship
+  * the SESSION Hadoop conf to executor-side readers, so spark.hadoop.*
+  * settings (S3A credentials, endpoints, timeouts) apply to the CDR
+  * source exactly as they do to built-in file sources. */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 class CdrTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-cdr:$path"
   override def schema(): StructType = CdrTable.Schema
@@ -54,32 +72,36 @@ class CdrTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new CdrScan(path)
+      override def build(): Scan = new CdrScan(path,
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     }
 }
 
-class CdrScan(path: String) extends Scan with Batch {
+class CdrScan(path: String, hadoopConf: org.apache.hadoop.conf.Configuration)
+    extends Scan with Batch {
   override def readSchema(): StructType = CdrTable.Schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val hadoopPath = new Path(path)
-    val fs = hadoopPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = hadoopPath.getFileSystem(hadoopConf)
     val files = fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath.toString)
     files.sorted.map(f => CdrInputPartition(f): InputPartition).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new CdrReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdrReaderFactory(new SerializableHadoopConf(hadoopConf))
 }
 
 case class CdrInputPartition(file: String) extends InputPartition
 
-class CdrReaderFactory extends PartitionReaderFactory {
+class CdrReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdrPartitionReader(partition.asInstanceOf[CdrInputPartition].file)
+    new CdrPartitionReader(partition.asInstanceOf[CdrInputPartition].file, conf)
 }
 
-class CdrPartitionReader(file: String) extends PartitionReader[InternalRow] {
+class CdrPartitionReader(file: String, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
   private val hadoopPath = new Path(file)
-  private val fs = hadoopPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val fs = hadoopPath.getFileSystem(conf.value)
   private val raw = fs.open(hadoopPath)
   private val reader = new BufferedReader(new InputStreamReader(
     if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw, UTF_8))

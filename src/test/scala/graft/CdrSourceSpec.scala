@@ -37,4 +37,25 @@ class CdrSourceSpec extends GraftSuite {
     assert(perSet.keySet == Set("CGN-SET0", "CGN-SET1", "CGN-SET2", "CGN-SET3"))
     assert(perSet.values.sum == 200)
   }
+
+  test("graft-cdr propagates session hadoop conf to executor-side readers") {
+    import graft.sources.cdr.SerializableHadoopConf
+    // Round-trip: spark.hadoop.* session settings survive Java serialization
+    // to the reader (the S3A-credentials path ADVICE flagged).
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("graft.test.marker", "mark-42")
+    val ser = new SerializableHadoopConf(conf)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bytes)
+    oos.writeObject(ser); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+      .readObject().asInstanceOf[SerializableHadoopConf]
+    assert(back.value.get("graft.test.marker") == "mark-42")
+    // And spark.hadoop.* keys set at session build reach newHadoopConf at all
+    // (source picks conf up from the session, not new Configuration()).
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdrconf").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.log"), cdrLine(1).getBytes)
+    assert(spark.read.format("graft-cdr").load(dir).count() == 1)
+  }
 }

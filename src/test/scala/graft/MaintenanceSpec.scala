@@ -43,4 +43,37 @@ class MaintenanceSpec extends GraftSuite {
       .collect().head.getDouble(0)
     assert(math.abs(sumAfter - sumBefore) < 1e-6)
   }
+
+  test("compaction recovers a crashed run: orphaned bak restored, stale tmp cleared") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_rec").toString
+    val dir = base + "/t"
+    val df = Tables.nation(spark, sf)
+    df.repartition(4).write.parquet(dir)
+    val n = df.count()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Simulate dying between the two renames: dataset moved to bak, no live dir,
+    // plus a stale tmp from an even earlier crash.
+    assert(fs.rename(new Path(dir), new Path(dir + "_compact_bak")))
+    fs.mkdirs(new Path(dir + "_compact_tmp"))
+    val (_, after) = Compaction.compactParquet(spark, dir, targetFileBytes = 512L * 1024)
+    assert(after >= 1)
+    assert(spark.read.parquet(dir).count() == n, "recovered dataset lost rows")
+    assert(!fs.exists(new Path(dir + "_compact_tmp")) && !fs.exists(new Path(dir + "_compact_bak")),
+      "stale tmp/bak left behind")
+  }
+
+  test("salted join rejects small-side-preserving outer join types") {
+    import graft.operators.SkewUtils
+    val big = Tables.orders(spark, sf).select(org.apache.spark.sql.functions.col("o_custkey").as("k"))
+    val small = Tables.customer(spark, sf).select(org.apache.spark.sql.functions.col("c_custkey").as("k"))
+    intercept[IllegalArgumentException] {
+      SkewUtils.saltedJoin(big, small, "k", salt = 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewUtils.saltedJoin(big, small, "k", salt = 4, joinType = "full_outer")
+    }
+    // left variants remain allowed
+    SkewUtils.saltedJoin(big, small, "k", salt = 4, joinType = "left_semi")
+  }
 }

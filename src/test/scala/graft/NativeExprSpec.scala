@@ -63,6 +63,33 @@ class NativeExprSpec extends GraftSuite {
     }
   }
 
+  test("native tokenVal-based hashes match declarative on NON-ASCII text") {
+    import spark.implicits._
+    // Multi-byte codepoints, incl. non-BMP emoji (surrogate pairs in UTF-16):
+    // codepoint semantics (length()/ascii()) must hold, not charAt/UTF-16.
+    val texts = Seq(
+      "héllo wörld ümlaut çafé over königsberg",
+      "日本語 テキスト 処理 の 例 です ここ",
+      "😀grin 😀😀 mixé ascii tail😀 end",
+      "ß sharp ß eszett Straße straße gross",
+      "ascii only plain words for control")
+    val df = texts.toDF("text")
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("tv", TF.tokenVals(col("toks")))
+    val rows = df.select(
+      NF.shingleHashes(col("toks")).as("nsh"),
+      TF.shingleHashesFromVals(col("tv")).as("dsh"),
+      NF.simhash63(col("toks")).as("nsim"),
+      graft.operators.Dedup.simhash63Declarative(col("toks")).as("dsim"))
+      .collect()
+    assert(rows.length == texts.length)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "non-ASCII shingle divergence")
+      assert(r.getLong(2) == r.getLong(3), "non-ASCII simhash divergence")
+    }
+  }
+
   test("extensions expose graft_cosine / graft_shingles in SQL") {
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
     val c = spark.sql(

@@ -16,6 +16,24 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("signBucket degrades gracefully on short vectors (no ANSI crash)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 64-dim uses all 8 bits; 40-dim can only resolve bits 0-3 (indices up
+    // to 2*3+33=39); 10-dim resolves none -> bucket 0. Mirrors DuckDB's
+    // out-of-bounds list index -> NULL -> CASE gives 0.
+    val vecs = Seq(
+      (64, (1 to 64).map(i => (if (i % 2 == 0) i else -i).toFloat).toArray),
+      (40, (1 to 40).map(_.toFloat).toArray),
+      (10, (1 to 10).map(_.toFloat).toArray))
+    val out = vecs.toDF("dim", "embedding")
+      .select(col("dim"), graft.functions.VectorFunctions.signBucket(col("embedding")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(64) >= 0 && out(64) < 256)
+    assert(out(40) < 16, s"40-dim should only set bits 0-3, got ${out(40)}")
+    assert(out(10) == 0L, s"10-dim should bucket to 0, got ${out(10)}")
+  }
+
   test("s02 ANN results are true neighbors (bucket-mates, never self)") {
     val rows = Similarity.s02AnnLsh(spark, sf).collect()
     assert(rows.nonEmpty)
