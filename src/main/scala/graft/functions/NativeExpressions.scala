@@ -78,6 +78,41 @@ case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object PolyFingerprintUtil {
+  private val P = ShingleHashUtil.P
+
+  /** Left-fold polynomial fingerprint over per-token values — mirrors
+    * [[graft.functions.TextFunctions.polyFingerprint]] fold-for-fold:
+    * acc' = (acc·31 + tokenVal(t)) mod P, init 0. acc < P and
+    * tokenVal < ~2²⁰ so acc·31 + v < 2³⁵ — no overflow. */
+  def fingerprint(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * 31L + ShingleHashUtil.tokenVal(arr.getUTF8String(i))) % P
+      i += 1
+    }
+    acc
+  }
+}
+
+/** array<string> tokens → polynomial rolling-hash fingerprint as long. */
+case class PolyFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    PolyFingerprintUtil.fingerprint(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyFingerprintUtil.fingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprintExpr =
+    copy(child = newChild)
+}
+
 object CosineSimUtil {
   /** Cosine in one pass; accumulator-for-accumulator identical to the
     * three strict left-fold dots of [[VectorFunctions.cosine]] (the
@@ -229,6 +264,8 @@ object NativeFunctions {
     Shims.column(Simhash63Expr(Shims.expression(toks)))
   def minhashSig(sh: Column): Column =
     Shims.column(MinhashSigExpr(Shims.expression(sh)))
+  def polyFingerprint(toks: Column): Column =
+    Shims.column(PolyFingerprintExpr(Shims.expression(toks)))
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
 }

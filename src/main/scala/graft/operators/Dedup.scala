@@ -63,7 +63,9 @@ object Dedup {
     * Jaccard = shared / (|A|+|B|−shared) ≥ 0.2. Linear in corpus size ×
     * shingle frequency; heavy shingles are the skew risk at scale (AQE
     * skew-join; a stop-shingle frequency cap is the documented mitigation). */
-  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted near-dup pairs ≥ 0.2 — shared core of d02 (which adds the
+    * presentation round+sort) and d07 (which consumes the raw pair set). */
+  private def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val ex = docShingles(spark, dir)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
     ex.as("a").join(ex.as("b"),
@@ -73,9 +75,12 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared") / (col("ni") + col("nj") - col("shared")))
       .filter(atLeast(col("jaccard"), 0.2))
+  }
+
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(spark, dir)
       .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_i", "doc_j")
-  }
 
   /** 32-element MinHash signature of a shingle-hash set. */
   def minhashSig(sh: Column): Column =
@@ -188,22 +193,28 @@ object Dedup {
     * localCheckpoint truncates the growing lineage per round. Output:
     * one row per cluster with its canonical (min) doc and size. */
   def d07DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d02NgramJaccard(spark, dir).select(col("doc_i"), col("doc_j"))
+    // Materialize the (expensive) pair generation ONCE before the union —
+    // the two union branches are otherwise separate subtrees and would
+    // re-run the whole inverted-index join twice.
+    val pairs = ngramJaccardPairs(spark, dir)
+      .select(col("doc_i"), col("doc_j")).localCheckpoint()
     val edges = pairs.union(pairs.select(col("doc_j"), col("doc_i")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst")
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).localCheckpoint()
     var converged = false
     while (!converged) {
       val prop = labels.join(edges, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      // Carry the previous label through the propagation join so the
+      // convergence check is a filter on the SAME materialized round —
+      // not a second doc_id join+shuffle per iteration.
       val next = labels.join(prop, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster") =!= col("o.cluster")).isEmpty
-      labels = next
+      converged = next.filter(col("prev") =!= col("cluster")).isEmpty
+      labels = next.select(col("doc_id"), col("cluster"))
     }
     labels.groupBy(col("cluster").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))

@@ -39,7 +39,7 @@ object Pipelines {
       .withColumn("dup_group", md5(norm))
       .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
       .filter(col("is_canonical"))
-      .withColumn("fingerprint", TF.polyFingerprint(col("toks")))
+      .withColumn("fingerprint", graft.functions.NativeFunctions.polyFingerprint(col("toks")))
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
       .select("doc_id", "lang", "source", "text", "quality", "fingerprint", "split")

@@ -16,7 +16,7 @@ object Sampling {
   private def withFp(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", TF.tokens(col("text")))
-      .withColumn("fp", TF.polyFingerprint(col("toks")))
+      .withColumn("fp", graft.functions.NativeFunctions.polyFingerprint(col("toks")))
 
   /** p01: stratified 10% sample — per-language totals vs sampled counts
     * (fingerprint % 100 < 10). The output audits the per-stratum rate. */

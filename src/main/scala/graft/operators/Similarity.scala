@@ -81,9 +81,17 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val nLists = 16
     val nProbe = 2
+    val maxFit = 4096
     val e = Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(5).fit(e)
+    // Fit the coarse quantizer on a bounded deterministic sample — at
+    // 100 TB you never run KMeans over the full corpus; centroid quality
+    // saturates at a few thousand points per list. Systematic vec_id
+    // stride keeps the sample (and hence the result) deterministic.
+    val n = e.count()
+    val stride = math.max(1L, n / maxFit)
+    val fitSample = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(5).fit(fitSample)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
     val centDf = spark.createDataFrame(

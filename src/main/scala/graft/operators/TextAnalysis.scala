@@ -67,10 +67,13 @@ object TextAnalysis {
   }
 
   /** t04: document fingerprinting — polynomial rolling hash over token
-    * values (Rabin–Karp), mod 1e9+7. */
+    * values (Rabin–Karp), mod 1e9+7, via the native codegen'd
+    * [[graft.functions.PolyFingerprintExpr]] (value-identical to the
+    * declarative [[TF.polyFingerprint]] fold; NativeExprSpec proves it). */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
     docsWithTokens(spark, dir)
-      .select(col("doc_id"), TF.polyFingerprint(col("toks")).as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fingerprint"))
       .orderBy("doc_id")
 
   /** t05: corpus heavy hitters — top-25 tokens by document frequency.

@@ -63,6 +63,16 @@ class NativeExprSpec extends GraftSuite {
     }
   }
 
+  test("native polyFingerprint equals the declarative fold on every doc") {
+    val rows = Tables.documents(spark, sf)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(NF.polyFingerprint(col("toks")).as("native"),
+        TF.polyFingerprint(col("toks")).as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("native tokenVal-based hashes match declarative on NON-ASCII text") {
     import spark.implicits._
     // Multi-byte codepoints, incl. non-BMP emoji (surrogate pairs in UTF-16):
@@ -81,12 +91,15 @@ class NativeExprSpec extends GraftSuite {
       NF.shingleHashes(col("toks")).as("nsh"),
       TF.shingleHashesFromVals(col("tv")).as("dsh"),
       NF.simhash63(col("toks")).as("nsim"),
-      graft.operators.Dedup.simhash63Declarative(col("toks")).as("dsim"))
+      graft.operators.Dedup.simhash63Declarative(col("toks")).as("dsim"),
+      NF.polyFingerprint(col("toks")).as("nfp"),
+      TF.polyFingerprint(col("toks")).as("dfp"))
       .collect()
     assert(rows.length == texts.length)
     rows.foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), "non-ASCII shingle divergence")
       assert(r.getLong(2) == r.getLong(3), "non-ASCII simhash divergence")
+      assert(r.getLong(4) == r.getLong(5), "non-ASCII fingerprint divergence")
     }
   }
 
