@@ -47,6 +47,9 @@ object SparkEntry {
     "t05_top_tokens" -> (TextAnalysis.t05TopTokens _),
     "t06_bigram_counts" -> (TextAnalysis.t06BigramCounts _),
     "t07_bm25_search" -> (TextAnalysis.t07Bm25Search _),
+    "t08_cms_counts" -> (TextAnalysis.t08CmsCounts _),
+    "a01_asof_join" -> (Temporal.a01AsofJoin _),
+    "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
     "p02_hash_split" -> (Sampling.p02HashSplit _),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
@@ -314,5 +317,5 @@ object SparkEntry {
          GROUP BY 1
          ORDER BY 1""",
   ) ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-    Multimodal.oracle ++ Sampling.oracle
+    Multimodal.oracle ++ Sampling.oracle ++ Temporal.oracle
 }

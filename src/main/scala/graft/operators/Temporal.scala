@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins — as-of join and
+  * banded time-range join — re-expressed in shapes that scale to a
+  * 100 TB event log instead of the naive range-predicate joins.
+  *
+  * - As-of join: the classic union-and-carry-forward formulation — tag
+  *   both streams, single shuffle on (key), one ordered window pass that
+  *   carries the last left-side timestamp forward. No range explosion,
+  *   no per-row probe: O(n log n) partition-local sort, exactly one
+  *   shuffle by user_id. (A range-predicate join would be a
+  *   BroadcastNestedLoop or cross product.)
+  * - Band join: bucket timestamps to the band width; each pair within
+  *   ±band shares equal or adjacent buckets, so replicating ONE side at
+  *   {b-1, b, b+1} turns the range predicate into an equi-join that
+  *   shuffles linearly, then the exact |Δt| filter verifies. The same
+  *   pattern as the LSH candidate joins in Dedup (SURVEY §5).
+  *
+  * All comparisons are on microsecond epochs (`unix_micros`); the DuckDB
+  * mirrors truncate their nanosecond timestamps to micros first so both
+  * engines compare identical values.
+  */
+object Temporal {
+
+  /** a01: as-of join — each purchase event matched to the most recent
+    * view (view.ts <= purchase.ts) by the same user. The canonical
+    * "enrich fact with latest dimension state" temporal primitive. */
+  def a01AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // side 0 = view, 1 = purchase: at an equal timestamp the view sorts
+    // first, making the match inclusive (>=), same as ASOF JOIN.
+    val tagged = ev.filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("view_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"),
+        col("ts_us").as("purchase_us"), col("view_us"),
+        (col("ts_us") - col("view_us")).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Band width for a02, seconds. */
+  val BandSec = 300L
+
+  /** a02: banded self-join — pairs of events from the same user within
+    * ±300 s, counted per (event_type, event_type). Candidate generation
+    * replicates one side at bucket {b-1, b, b+1} (each qualifying pair
+    * shares equal-or-adjacent buckets exactly once), equi-joins on
+    * (user_id, bucket) — a linear shuffle — and verifies |Δt| exactly. */
+  def a02BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+    val a = ev.withColumn("bucket", expr(s"sec div $BandSec"))
+    val b = ev.withColumn("bucket",
+      explode(array(expr(s"sec div $BandSec - 1"), expr(s"sec div $BandSec"),
+        expr(s"sec div $BandSec + 1"))))
+    a.as("a").join(b.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.bucket") === col("b.bucket") &&
+          col("a.event_id") < col("b.event_id"))
+      .filter(abs(col("a.sec") - col("b.sec")) <= BandSec)
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "a01_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+                FROM events WHERE event_type = 'view')
+          SELECT p.user_id, p.event_id,
+            epoch_us(p.ts) AS purchase_us,
+            epoch_us(v.ts) AS view_us,
+            epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND p.ts >= v.ts
+          ORDER BY p.user_id, p.event_id""",
+    "a02_band_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+                 epoch_us(ts) // 1000000 AS sec FROM events)
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            COUNT(*) AS n_pairs
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id AND a.event_id < b.event_id
+            AND abs(a.sec - b.sec) <= $BandSec
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+}

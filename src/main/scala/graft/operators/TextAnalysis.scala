@@ -134,6 +134,38 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Query tokens for t08 — a mix of frequent, rare, and absent. */
+  val cmsQueryTokens: Seq[String] =
+    Seq("the", "spark", "window", "hash", "fast", "merge", "zzz_absent")
+
+  /** t08: count-min sketch heavy-hitter counts — the sketch path for
+    * token statistics at corpus scale ([[graft.functions.CmsSketch]]:
+    * one 32 KB buffer per partition crosses the wire instead of a
+    * per-token shuffle). Point estimates for a fixed query set are
+    * compared against exact counts; est ≥ exact always, with overcount
+    * bounded by collisions (deterministic: counters are pure sums). */
+  def t08CmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketch
+    val toks = docsWithTokens(spark, dir).select(explode(col("toks")).as("token"))
+    val sketch = toks.agg(CmsSketch.cms(col("token")).as("sk"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    val qdf = spark.createDataFrame(cmsQueryTokens.map { t =>
+      val tv = CmsSketch.tokenValString(t)
+      val i = (0 until CmsSketch.Depth).map(d =>
+        d * CmsSketch.Width + CmsSketch.bucket(d, tv) + 1) // element_at is 1-based
+      (t, i(0), i(1), i(2), i(3))
+    }).toDF("token", "i0", "i1", "i2", "i3")
+    qdf.crossJoin(sketch)
+      .select(col("token"), least(
+        element_at(col("sk"), col("i0")), element_at(col("sk"), col("i1")),
+        element_at(col("sk"), col("i2")), element_at(col("sk"), col("i3"))).as("est"))
+      .join(exact, Seq("token"), "left")
+      .na.fill(0, Seq("exact"))
+      .select(col("token"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy("token")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
@@ -178,6 +210,29 @@ object TextAnalysis {
                 i -> $toks[i] || ' ' || $toks[i+1])) AS bigram
               FROM documents WHERE len($toks) >= 2)
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""",
+      "t08_cms_counts" -> {
+        import graft.functions.CmsSketch
+        val aList = CmsSketch.A.mkString("[", ", ", "]")
+        val bList = CmsSketch.B.mkString("[", ", ", "]")
+        val qVals = TextAnalysis.cmsQueryTokens.flatMap { t =>
+          val tv = CmsSketch.tokenValString(t)
+          (0 until CmsSketch.Depth).map(d => s"('$t', $d, ${CmsSketch.bucket(d, tv)})")
+        }.mkString(", ")
+        s"""WITH toksrc AS (SELECT unnest($toks) AS t FROM documents),
+            grid AS (SELECT d,
+                (((${TS.tokenVal("t")}) * ($aList)[d+1] + ($bList)[d+1])
+                  % ${CmsSketch.P}) % ${CmsSketch.Width} AS w,
+                COUNT(*) AS c
+              FROM toksrc CROSS JOIN generate_series(0, ${CmsSketch.Depth - 1}) s(d)
+              GROUP BY 1, 2),
+            q(token, d, w) AS (VALUES $qVals),
+            est AS (SELECT token, MIN(COALESCE(c, 0)) AS est
+                    FROM q LEFT JOIN grid USING (d, w) GROUP BY token),
+            ex AS (SELECT t AS token, COUNT(*) AS exact FROM toksrc GROUP BY 1)
+            SELECT token, est, COALESCE(exact, 0) AS exact,
+              est - COALESCE(exact, 0) AS overcount
+            FROM est LEFT JOIN ex USING (token) ORDER BY token"""
+      },
       "t07_bm25_search" -> {
         val termsVals = searchTerms.map(t => s"('$t')").mkString(", ")
         s"""WITH d AS (SELECT doc_id, $toks AS toks,

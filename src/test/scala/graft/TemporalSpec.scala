@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+/** Semantics of the temporal joins, pinned independently of the DuckDB
+  * gate: the as-of union-window formulation must equal a direct
+  * "max view ts <= purchase ts" correlated lookup, and the banded
+  * equi-join must equal the naive range join it replaces. */
+class TemporalSpec extends GraftSuite {
+
+  test("a01 as-of match equals the correlated max-prior-view per purchase") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("pus"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), unix_micros(col("ts")).as("vus"))
+    // reference: plain join + max aggregation (quadratic; test-scale only)
+    val expect = p.join(v, col("user_id") === col("vuid") && col("vus") <= col("pus"), "left")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(max(col("vus")).as("view_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val got = Temporal.a01AsofJoin(spark, sf).collect()
+    assert(got.nonEmpty && got.length == expect.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val vUs = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(expect(k) == vUs, s"purchase $k: asof=$vUs expected=${expect(k)}")
+      if (vUs.isDefined) assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+  }
+
+  test("a02 banded equi-join equals the naive range join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+    val naive = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.sec") - col("b.sec")) <= Temporal.BandSec)
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = Temporal.a02BandJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == naive, s"banded=$got naive=$naive")
+  }
+
+  test("cms estimates upper-bound exact counts; absent tokens near zero") {
+    val rows = operators.TextAnalysis.t08CmsCounts(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == operators.TextAnalysis.cmsQueryTokens.sorted)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: est $est < exact $exact")
+    }
+    val absent = rows.find(_.getString(0) == "zzz_absent").get
+    assert(absent.getLong(2) == 0L)
+  }
+}
