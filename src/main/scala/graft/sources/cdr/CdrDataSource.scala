@@ -1,7 +1,5 @@
 package graft.sources.cdr
 
-import java.io.{BufferedReader, InputStreamReader}
-import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.GZIPInputStream
 import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
@@ -70,47 +68,80 @@ class CdrTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = CdrTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val splitBytes = options.getLong("splitBytes", 128L * 1024 * 1024)
     new ScanBuilder {
       override def build(): Scan = new CdrScan(path,
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(), splitBytes)
     }
+  }
 }
 
-class CdrScan(path: String, hadoopConf: org.apache.hadoop.conf.Configuration)
-    extends Scan with Batch {
+/** Plans one InputPartition per `splitBytes` byte range of each
+  * uncompressed file (gzip streams are unsplittable → whole-file
+  * partitions), so a single multi-GB log fans out across executors the
+  * way the reference's HDFS-block-parallel MapReduce jobs did. Range
+  * boundaries use the TextInputFormat line-assignment rule (see
+  * [[CdrPartitionReader]]), so every line lands in exactly one split. */
+class CdrScan(path: String, hadoopConf: org.apache.hadoop.conf.Configuration,
+    splitBytes: Long) extends Scan with Batch {
   override def readSchema(): StructType = CdrTable.Schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val hadoopPath = new Path(path)
     val fs = hadoopPath.getFileSystem(hadoopConf)
-    val files = fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath.toString)
-    files.sorted.map(f => CdrInputPartition(f): InputPartition).toArray
+    fs.listStatus(hadoopPath).filter(_.isFile).sortBy(_.getPath.toString)
+      .flatMap { st =>
+        val f = st.getPath.toString
+        if (f.endsWith(".gz") || st.getLen <= splitBytes)
+          Seq(CdrInputPartition(f, 0L, st.getLen))
+        else
+          (0L until st.getLen by splitBytes).map(off =>
+            CdrInputPartition(f, off, math.min(splitBytes, st.getLen - off)))
+      }.map(p => p: InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdrReaderFactory(new SerializableHadoopConf(hadoopConf))
 }
 
-case class CdrInputPartition(file: String) extends InputPartition
+case class CdrInputPartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 class CdrReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdrPartitionReader(partition.asInstanceOf[CdrInputPartition].file, conf)
+    new CdrPartitionReader(partition.asInstanceOf[CdrInputPartition], conf)
 }
 
-class CdrPartitionReader(file: String, conf: SerializableHadoopConf)
+/** Byte-range line reader with TextInputFormat split semantics: a split
+  * that doesn't start at 0 discards its first (possibly partial) line —
+  * the previous split reads one line PAST its end — so a line whose
+  * first byte is at position s belongs to the unique split with
+  * start < s ≤ end (plus s = 0 to the first split). */
+class CdrPartitionReader(part: CdrInputPartition, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
-  private val hadoopPath = new Path(file)
+  import org.apache.hadoop.io.Text
+  import org.apache.hadoop.util.LineReader
+
+  private val hadoopPath = new Path(part.file)
   private val fs = hadoopPath.getFileSystem(conf.value)
   private val raw = fs.open(hadoopPath)
-  private val reader = new BufferedReader(new InputStreamReader(
-    if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw, UTF_8))
+  private val gz = part.file.endsWith(".gz")
+  private val reader: LineReader =
+    if (gz) new LineReader(new GZIPInputStream(raw))
+    else { raw.seek(part.start); new LineReader(raw) }
+  private val end: Long = part.start + part.length
+  private val text = new Text()
+  private var pos: Long = part.start
+  if (!gz && part.start != 0) pos += reader.readLine(text) // discard partial first line
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    val line = reader.readLine()
-    if (line == null) { current = null; false }
+    if (!gz && pos > end) return false
+    val n = reader.readLine(text)
+    if (n == 0) { current = null; false }
     else {
+      pos += n
+      val line = text.toString
       current = line match {
         case CdrTable.LinePattern(pri, set, user, event, proto) =>
           InternalRow(pri.toInt, UTF8String.fromString(set), user.toLong,

@@ -38,6 +38,24 @@ class CdrSourceSpec extends GraftSuite {
     assert(perSet.values.sum == 200)
   }
 
+  test("graft-cdr splits uncompressed files by byte range without losing lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdrsplit").toString
+    val lines = (0 until 5000).map(cdrLine)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/big.log"),
+      lines.mkString("\n").getBytes)
+    val whole = spark.read.format("graft-cdr").load(dir)
+    val split = spark.read.format("graft-cdr").option("splitBytes", 50000L).load(dir)
+    assert(split.rdd.getNumPartitions > 5,
+      s"expected many byte-range splits, got ${split.rdd.getNumPartitions}")
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.count() == 5000 && whole.count() == 5000)
+    // identical content regardless of split boundaries (incl. boundary lines)
+    assert(split.agg(sum("proto"), countDistinct("user_id")).collect().toSeq ==
+      whole.agg(sum("proto"), countDistinct("user_id")).collect().toSeq)
+    assert(split.select("line").except(whole.select("line")).isEmpty)
+    assert(whole.select("line").except(split.select("line")).isEmpty)
+  }
+
   test("graft-cdr propagates session hadoop conf to executor-side readers") {
     import graft.sources.cdr.SerializableHadoopConf
     // Round-trip: spark.hadoop.* session settings survive Java serialization
