@@ -63,6 +63,29 @@ class MaintenanceSpec extends GraftSuite {
       "stale tmp/bak left behind")
   }
 
+  test("z-order layout clusters BOTH columns' per-file value ranges") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/ev"
+    val ev = Tables.events(spark, sf).select("user_id", "value", "event_id")
+    graft.sources.Layout.zorderWrite(ev, "user_id", "value", dir, nFiles = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ev.count())
+    // per-file spans: z-ordering 16 files over 2 dims should give each
+    // file roughly a quarter of each dimension's range, far under the
+    // full span a single-column sort leaves on the other column
+    def spans(c: String): (Double, Double) = {
+      val per = back.groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .collect().map(_.getDouble(1))
+      val global = ev.agg((max(col(c)) - min(col(c))).cast("double")).collect().head.getDouble(0)
+      (per.sum / per.length, global)
+    }
+    val (uSpan, uGlobal) = spans("user_id")
+    val (vSpan, vGlobal) = spans("value")
+    assert(uSpan < uGlobal * 0.6, s"user_id not clustered: avg $uSpan of $uGlobal")
+    assert(vSpan < vGlobal * 0.6, s"value not clustered: avg $vSpan of $vGlobal")
+  }
+
   test("salted join rejects small-side-preserving outer join types") {
     import graft.operators.SkewUtils
     val big = Tables.orders(spark, sf).select(org.apache.spark.sql.functions.col("o_custkey").as("k"))

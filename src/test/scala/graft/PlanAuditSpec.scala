@@ -61,6 +61,48 @@ class PlanAuditSpec extends GraftSuite {
       s"near-dup candidates must come from an equi-join on the shingle hash:\n$s")
   }
 
+  test("a01: as-of join is one shuffle + window, no range join explosion") {
+    val df = Temporal.a01AsofJoin(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a range/cross join:\n$s")
+    assert(s.contains("Window"), s"expected the carry-forward window:\n$s")
+  }
+
+  test("a02: band join candidates come from an equi-join on (user, bucket)") {
+    val s = planStr(Temporal.a02BandJoin(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"banded join must be an equi-join on the bucket key:\n$s")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // local data is tiny; drop the size gates so the rewrite fires the
+      // way it would for a 100 TB application side, and disable broadcast
+      // so the join actually shuffles (the case bloom pruning targets)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000.0)
+      val joined = li.join(sel,
+        li("l_orderkey") === sel("o_orderkey"))
+      joined.collect()
+      val s = joined.queryExecution.optimizedPlan.toString
+      assert(s.toLowerCase.contains("bloom"),
+        s"expected a runtime bloom filter on the fact scan:\n$s")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join and splits hot keys") {
     import spark.implicits._
     // heavy skew: one key holds 10k of 10.4k rows
