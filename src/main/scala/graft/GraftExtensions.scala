@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, ShingleHashesExpr, Simhash63Expr}
+import graft.functions.{CosineSimExpr, MinhashSigExpr, PolyFingerprintExpr, ShingleHashesExpr, Simhash63Expr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -27,5 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Simhash63Expr].getName, "graft_simhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Simhash63Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSigExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[PolyFingerprintExpr].getName, "graft_fingerprint"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyFingerprintExpr(children.head)))
   }
 }

@@ -114,5 +114,11 @@ class NativeExprSpec extends GraftSuite {
       """SELECT graft_shingles(split(trim(text), '\\s+')) AS sh
          FROM docs_v WHERE size(split(trim(text), '\\s+')) >= 3 LIMIT 5""").collect()
     assert(s.length == 5 && s.forall(_.getSeq[Long](0).nonEmpty))
+    val m = spark.sql(
+      """SELECT graft_minhash(graft_shingles(split(trim(text), '\\s+'))) AS sig,
+            graft_simhash(split(trim(text), '\\s+')) AS sh,
+            graft_fingerprint(split(trim(text), '\\s+')) AS fp
+         FROM docs_v WHERE size(split(trim(text), '\\s+')) >= 3 LIMIT 3""").collect()
+    assert(m.length == 3 && m.forall(_.getSeq[Long](0).length == 32))
   }
 }
