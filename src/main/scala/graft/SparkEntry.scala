@@ -35,6 +35,7 @@ object SparkEntry {
     "q21_exclusive_supplier" -> (Relational.q21ExclusiveSupplier _),
     "q22_dormant_customers" -> (Relational.q22DormantCustomers _),
     "q23_funnel" -> (Relational.q23Funnel _),
+    "q24_market_share" -> (Relational.q24MarketShare _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -59,9 +60,11 @@ object SparkEntry {
     "d05_embedding_dup" -> (Dedup.d05EmbeddingDup _),
     "d06_simhash_pairs" -> (Dedup.d06SimhashPairs _),
     "d07_dup_clusters" -> (Dedup.d07DupClusters _),
+    "d08_neardup_by_source" -> (Dedup.d08NeardupBySource _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible
+    "s04_ann_recall" -> (Similarity.s04AnnRecall _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
   )
 
@@ -289,6 +292,20 @@ object SparkEntry {
                           AND t_click > t_view AND t_purchase IS NOT NULL
                           AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
          FROM u""",
+    "q24_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         ROUND(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
     "r01_record_count" ->
       Tables.all.map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_records FROM $t")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),

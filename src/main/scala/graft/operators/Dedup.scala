@@ -221,6 +221,23 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** d08: near-dup contamination by source — the report a corpus owner
+    * acts on: which source pairs produce the near-dup pairs, with mean
+    * similarity. Composition: d02's pair set joined back to the (tiny,
+    * broadcast) doc→source map twice, unordered pair normalized with
+    * least/greatest, one group-by. */
+  def d08NeardupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    d02NgramJaccard(spark, dir)
+      .join(broadcast(src.select(col("doc_id").as("doc_i"), col("source").as("src_i"))), "doc_i")
+      .join(broadcast(src.select(col("doc_id").as("doc_j"), col("source").as("src_j"))), "doc_j")
+      .select(least(col("src_i"), col("src_j")).as("src_a"),
+        greatest(col("src_i"), col("src_j")).as("src_b"), col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("jaccard")), 4).as("avg_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val sh = TS.shingleHashes(toks)
@@ -244,6 +261,21 @@ object Dedup {
             SELECT doc_i, doc_j, round(shared / (ni + nj - shared), 4) AS jaccard
             FROM p WHERE shared / (ni + nj - shared) >= 0.2
             ORDER BY doc_i, doc_j""",
+      "d08_neardup_by_source" ->
+        s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM d),
+            p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.n AS ni, b.n AS nj,
+                    COUNT(*) AS shared
+                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+            pr AS (SELECT doc_i, doc_j, round(shared / (ni + nj - shared), 4) AS jaccard
+                   FROM p WHERE shared / (ni + nj - shared) >= 0.2)
+            SELECT least(si.source, sj.source) AS src_a,
+              greatest(si.source, sj.source) AS src_b,
+              COUNT(*) AS n_pairs, ROUND(AVG(jaccard), 4) AS avg_jaccard
+            FROM pr JOIN documents si ON pr.doc_i = si.doc_id
+                    JOIN documents sj ON pr.doc_j = sj.doc_id
+            GROUP BY 1, 2 ORDER BY 1, 2""",
       "d03_minhash_lsh" ->
         s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
             sig AS (SELECT doc_id, sh, $sigSql AS sig FROM d),

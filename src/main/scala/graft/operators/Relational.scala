@@ -320,6 +320,34 @@ object Relational {
       sum(when(s3, 1L).otherwise(0L)).as("purchased_after_click"))
   }
 
+  /** q24: TPC-H Q8 market-share shape — one supplier nation's share of
+    * ECONOMY-part revenue sold into ASIA customers, per order year. The
+    * deepest join tree in the suite (7 tables, nation twice): every
+    * dimension broadcasts, so the 100 TB fact side shuffles only for the
+    * single-key year aggregation; the share is a conditional-sum ratio
+    * inside one aggregate pass. */
+  def q24MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n1 = Tables.nation(spark, dir)
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))) / sum(rev),
+        4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   /** q22: TPC-H Q22 shape — scalar subquery threshold + anti join:
     * above-average-balance customers with no urgent orders, grouped by
     * nation. The AVG is a broadcast scalar; the anti join shuffles on

@@ -120,7 +120,53 @@ object Similarity {
       Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
+  /** s04: ANN recall audit — recall@3 of the LSH path (s02) against the
+    * exact top-3 (s01), per query. The metric every ANN deployment
+    * monitors; pure composition of the two gated operators, one tiny
+    * join on (query_id, neighbor_id). */
+  def s04AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s01KnnBrute(spark, dir).filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = s02AnnLsh(spark, dir)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("an")).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("k_exact"), 4))
+      .orderBy("query_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "s04_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < $NumQueries),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                  ${VS.cosine("qv", "e.embedding")} AS cos
+                FROM embeddings e, q WHERE e.vec_id <> query_id),
+          r AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rk
+                FROM s),
+          e3 AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 3),
+          eb AS (SELECT vec_id, embedding,
+                  ${VS.signBucket("embedding")} AS bucket FROM embeddings),
+          qb AS (SELECT bucket, vec_id AS query_id, embedding AS qv
+                 FROM eb WHERE vec_id < $NumQueries),
+          sb AS (SELECT query_id, eb.vec_id AS neighbor_id,
+                  ${VS.cosine("qv", "eb.embedding")} AS cos
+                 FROM eb JOIN qb ON eb.bucket = qb.bucket AND eb.vec_id <> qb.query_id),
+          rb AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rk
+                 FROM sb),
+          a3 AS (SELECT query_id, neighbor_id FROM rb WHERE rk <= 3)
+          SELECT e3.query_id, COUNT(*) AS k_exact,
+            COUNT(a3.neighbor_id) AS n_hit,
+            ROUND(COUNT(a3.neighbor_id) / COUNT(*), 4) AS recall
+          FROM e3 LEFT JOIN a3 ON e3.query_id = a3.query_id
+            AND e3.neighbor_id = a3.neighbor_id
+          GROUP BY 1 ORDER BY 1""",
     "s01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < $NumQueries),

@@ -90,4 +90,13 @@ class DedupSpec extends GraftSuite {
       assert(r.getAs[Long]("vec_i") < r.getAs[Long]("vec_j"))
     }
   }
+
+  test("d08 source report accounts for every d02 pair, unordered keys sorted") {
+    val rows = Dedup.d08NeardupBySource(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(total == Dedup.d02NgramJaccard(spark, sf).count(),
+      "per-source pair counts must partition the d02 pair set")
+    rows.foreach(r => assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b")))
+  }
 }

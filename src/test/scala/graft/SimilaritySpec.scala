@@ -34,6 +34,17 @@ class SimilaritySpec extends GraftSuite {
     assert(out(10) == 0L, s"10-dim should bucket to 0, got ${out(10)}")
   }
 
+  test("s04 recall audit covers every query with recall in [0,1]") {
+    val rows = Similarity.s04AnnRecall(spark, sf).collect()
+    assert(rows.length == Similarity.NumQueries)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_exact") == 3)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= 3)
+    }
+  }
+
   test("s02 ANN results are true neighbors (bucket-mates, never self)") {
     val rows = Similarity.s02AnnLsh(spark, sf).collect()
     assert(rows.nonEmpty)
