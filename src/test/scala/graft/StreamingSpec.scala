@@ -37,6 +37,35 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("cms sketch aggregates incrementally over a stream (complete mode)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.CmsSketch
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("token")
+      .agg(CmsSketch.cms(col("token")).as("sk"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq("spark", "hash", "spark")
+      val b2 = Seq("window", "spark", "hash")
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect().head.getSeq[Long](0)
+      val batch = (b1 ++ b2).toDF("token")
+        .agg(CmsSketch.cms(col("token"))).collect().head.getSeq[Long](0)
+      assert(streamed == batch,
+        "incremental sketch must equal the batch sketch over the same tokens")
+      val tv = CmsSketch.tokenValString("spark")
+      val est = (0 until CmsSketch.Depth)
+        .map(d => streamed(d * CmsSketch.Width + CmsSketch.bucket(d, tv))).min
+      assert(est >= 3, s"'spark' occurs 3 times, sketch says $est")
+    } finally q.stop()
+  }
+
   test("windowed agg with watermark aggregates by 10-minute window") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
