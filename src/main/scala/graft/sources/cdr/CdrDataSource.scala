@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,9 +70,13 @@ class CdrTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val splitBytes = options.getLong("splitBytes", 128L * 1024 * 1024)
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned: StructType = CdrTable.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
       override def build(): Scan = new CdrScan(path,
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(), splitBytes)
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
+        splitBytes, pruned)
     }
   }
 }
@@ -84,8 +88,9 @@ class CdrTable(path: String) extends Table with SupportsRead {
   * boundaries use the TextInputFormat line-assignment rule (see
   * [[CdrPartitionReader]]), so every line lands in exactly one split. */
 class CdrScan(path: String, hadoopConf: org.apache.hadoop.conf.Configuration,
-    splitBytes: Long) extends Scan with Batch {
-  override def readSchema(): StructType = CdrTable.Schema
+    splitBytes: Long, prunedSchema: StructType = CdrTable.Schema)
+    extends Scan with Batch {
+  override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val hadoopPath = new Path(path)
@@ -101,15 +106,17 @@ class CdrScan(path: String, hadoopConf: org.apache.hadoop.conf.Configuration,
       }.map(p => p: InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdrReaderFactory(new SerializableHadoopConf(hadoopConf))
+    new CdrReaderFactory(new SerializableHadoopConf(hadoopConf),
+      prunedSchema.fieldNames)
 }
 
 case class CdrInputPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-class CdrReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
+class CdrReaderFactory(conf: SerializableHadoopConf, fields: Array[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdrPartitionReader(partition.asInstanceOf[CdrInputPartition], conf)
+    new CdrPartitionReader(partition.asInstanceOf[CdrInputPartition], conf, fields)
 }
 
 /** Byte-range line reader with TextInputFormat split semantics: a split
@@ -117,10 +124,18 @@ class CdrReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFact
   * the previous split reads one line PAST its end — so a line whose
   * first byte is at position s belongs to the unique split with
   * start < s ≤ end (plus s = 0 to the first split). */
-class CdrPartitionReader(part: CdrInputPartition, conf: SerializableHadoopConf)
+class CdrPartitionReader(part: CdrInputPartition, conf: SerializableHadoopConf,
+    fields: Array[String] = CdrTable.Schema.fieldNames)
     extends PartitionReader[InternalRow] {
   import org.apache.hadoop.io.Text
   import org.apache.hadoop.util.LineReader
+
+  // Column pruning: the regex parse only runs when a parsed field is in
+  // the pruned schema — a lines-only projection (grep/count shapes) is a
+  // pure decompress-and-split scan.
+  private val needsParse = fields.exists(_ != "line")
+  private val fieldIdx: Array[Int] =
+    fields.map(f => CdrTable.Schema.fieldNames.indexOf(f))
 
   private val hadoopPath = new Path(part.file)
   private val fs = hadoopPath.getFileSystem(conf.value)
@@ -142,13 +157,18 @@ class CdrPartitionReader(part: CdrInputPartition, conf: SerializableHadoopConf)
     else {
       pos += n
       val line = text.toString
-      current = line match {
+      val slots = new Array[Any](6)
+      slots(5) = UTF8String.fromString(line)
+      if (needsParse) line match {
         case CdrTable.LinePattern(pri, set, user, event, proto) =>
-          InternalRow(pri.toInt, UTF8String.fromString(set), user.toLong,
-            UTF8String.fromString(event), proto.toInt, UTF8String.fromString(line))
-        case _ =>
-          InternalRow(null, null, null, null, null, UTF8String.fromString(line))
+          slots(0) = pri.toInt
+          slots(1) = UTF8String.fromString(set)
+          slots(2) = user.toLong
+          slots(3) = UTF8String.fromString(event)
+          slots(4) = proto.toInt
+        case _ => ()
       }
+      current = InternalRow.fromSeq(fieldIdx.toSeq.map(slots))
       true
     }
   }

@@ -56,6 +56,24 @@ class CdrSourceSpec extends GraftSuite {
     assert(whole.select("line").except(split.select("line")).isEmpty)
   }
 
+  test("graft-cdr prunes columns: lines-only projection skips the parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdrprune").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.log"),
+      (0 until 50).map(cdrLine).mkString("\n").getBytes)
+    val df = spark.read.format("graft-cdr").load(dir)
+    val linesOnly = df.select("line")
+    linesOnly.collect()
+    val plan = linesOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<line:string>") ||
+      !plan.contains("user_id"), s"schema not pruned to line:\n$plan")
+    assert(linesOnly.count() == 50)
+    // mixed projection still parses correctly through the pruned path
+    val mixed = df.select("user_id", "line").collect()
+    assert(mixed.length == 50 && mixed.forall(r => !r.isNullAt(0)))
+    assert(df.select("proto").agg(sum("proto")).collect().head.getLong(0) ==
+      (0 until 50).map(_ % 7).sum)
+  }
+
   test("graft-cdr propagates session hadoop conf to executor-side readers") {
     import graft.sources.cdr.SerializableHadoopConf
     // Round-trip: spark.hadoop.* session settings survive Java serialization
