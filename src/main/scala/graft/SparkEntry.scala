@@ -66,6 +66,7 @@ object SparkEntry {
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible
     "s04_ann_recall" -> (Similarity.s04AnnRecall _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
+    "m02_media_meta" -> (Multimodal.m02MediaMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -228,7 +228,10 @@ object Dedup {
     * least/greatest, one group-by. */
   def d08NeardupBySource(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    d02NgramJaccard(spark, dir)
+    // average the UNROUNDED jaccard: a mean of pre-rounded 4-decimal
+    // values can land exactly on a .00005 tie where the engines' rounding
+    // modes disagree (seen at sf0.1); full-precision means never do
+    ngramJaccardPairs(spark, dir)
       .join(broadcast(src.select(col("doc_id").as("doc_i"), col("source").as("src_i"))), "doc_i")
       .join(broadcast(src.select(col("doc_id").as("doc_j"), col("source").as("src_j"))), "doc_j")
       .select(least(col("src_i"), col("src_j")).as("src_a"),
@@ -268,7 +271,7 @@ object Dedup {
                     COUNT(*) AS shared
                   FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
                   GROUP BY 1, 2, 3, 4),
-            pr AS (SELECT doc_i, doc_j, round(shared / (ni + nj - shared), 4) AS jaccard
+            pr AS (SELECT doc_i, doc_j, shared / (ni + nj - shared) AS jaccard
                    FROM p WHERE shared / (ni + nj - shared) >= 0.2)
             SELECT least(si.source, sj.source) AS src_a,
               greatest(si.source, sj.source) AS src_b,

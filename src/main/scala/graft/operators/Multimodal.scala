@@ -64,6 +64,30 @@ object Multimodal {
       }
   }
 
+  /** m02: the decode pipeline under the oracle gate — metadata plus
+    * uniform frame-sample offsets (4 samples over n_frames). Because
+    * [[fakeDecode]] is deterministic byte arithmetic, DuckDB reproduces
+    * it exactly on the ASCII corpus (first/second payload byte =
+    * ascii of first/second char), which gates the REAL pipeline shape:
+    * case-class Encoder, repartition, mapPartitions decode. A real codec
+    * swaps into fakeDecode and this query keeps its plan; only the
+    * oracle (which exists to test the stub) would be retired. */
+  def m02MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val nf = col("n_frames")
+    decodePipeline(spark, dir).toDF()
+      .select(
+        col("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        nf.cast("long").as("n_frames"),
+        col("format"),
+        lit(0L).as("f0"),
+        expr("CAST((1 * n_frames) DIV 4 AS BIGINT)").as("f1"),
+        expr("CAST((2 * n_frames) DIV 4 AS BIGINT)").as("f2"),
+        expr("CAST((3 * n_frames) DIV 4 AS BIGINT)").as("f3"))
+      .orderBy("doc_id")
+  }
+
   /** One inference result; `batch_size` records the actual batch the row
     * was scored in (spec-observable). */
   case class InferenceResult(doc_id: Long, embedding: Array[Float], batch_size: Int)
@@ -102,5 +126,21 @@ object Multimodal {
          sha256(text) AS digest,
          'text/plain' AS mime
          FROM documents ORDER BY doc_id""",
+    "m02_media_meta" ->
+      """WITH m AS (SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             ascii(text) AS b0,
+             ascii(substr(text, 2, 1)) AS b1
+           FROM documents)
+         SELECT doc_id, n_bytes,
+           64 + (b0 % 64) * 16 AS width,
+           64 + (b1 % 64) * 16 AS height,
+           1 + n_bytes % 8 AS n_frames,
+           CASE WHEN b0 % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(0 AS BIGINT) AS f0,
+           (1 * (1 + n_bytes % 8)) // 4 AS f1,
+           (2 * (1 + n_bytes % 8)) // 4 AS f2,
+           (3 * (1 + n_bytes % 8)) // 4 AS f3
+         FROM m ORDER BY doc_id""",
   )
 }
