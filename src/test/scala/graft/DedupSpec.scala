@@ -91,6 +91,17 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("prefix-filtered jaccard join equals the full inverted index") {
+    import org.apache.spark.sql.functions._
+    val full = Dedup.d02NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPairsPrefix(spark, sf)
+      .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == pref, "PPJoin prefix filter changed the result set")
+    assert(full.nonEmpty)
+  }
+
   test("d08 source report accounts for every d02 pair, unordered keys sorted") {
     val rows = Dedup.d08NeardupBySource(spark, sf).collect()
     assert(rows.nonEmpty)
