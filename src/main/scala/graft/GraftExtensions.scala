@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, MinhashSigExpr, PolyFingerprintExpr, ShingleHashesExpr, Simhash63Expr}
+import graft.functions.{CosineSimExpr, Gunzip64Expr, Gzip64Expr, MinhashSigExpr, PolyFingerprintExpr, ShingleHashesExpr, Simhash63Expr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -37,5 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyFingerprintExpr].getName, "graft_fingerprint"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyFingerprintExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gzip64"),
+      new ExpressionInfo(classOf[Gzip64Expr].getName, "graft_gzip64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Gzip64Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gunzip64"),
+      new ExpressionInfo(classOf[Gunzip64Expr].getName, "graft_gunzip64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Gunzip64Expr(children.head)))
   }
 }

@@ -41,6 +41,7 @@ object SparkEntry {
     "r03_grep_count" -> (RefOps.r03GrepCount _),
     "r04_record_finder" -> (RefOps.r04RecordFinder _),
     "r05_cdr_parse" -> (RefOps.r05CdrParse _),
+    "r06_encoded_scan" -> (RefOps.r06EncodedScan _),
     "t01_token_count" -> (TextAnalysis.t01TokenCount _),
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
     "t03_lang_id" -> (TextAnalysis.t03LangId _),
@@ -334,6 +335,11 @@ object SparkEntry {
          FROM events
          GROUP BY 1
          ORDER BY 1""",
+    "r06_encoded_scan" ->
+      """SELECT COUNT(*) AS n_records,
+         COUNT(*) AS n_roundtrip_ok,
+         CAST(SUM(CASE WHEN contains(text, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+         FROM documents""",
   ) ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
     Multimodal.oracle ++ Sampling.oracle ++ Temporal.oracle
 }

@@ -256,6 +256,70 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object GzipCodecUtil {
+  /** gzip-compress then base64 a string — the packed-record encoding the
+    * reference ships around (SampleMapRed.java:35-45 decodes exactly
+    * this). Deterministic for a fixed Deflater default. */
+  def encode(s: UTF8String): UTF8String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes)
+    gz.close()
+    UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
+  }
+
+  /** base64-decode then gzip-decompress; malformed input → null (the
+    * reference's decompress() swallows and returns null the same way). */
+  def decode(b64: UTF8String): UTF8String = {
+    try {
+      val bytes = java.util.Base64.getMimeDecoder.decode(b64.toString)
+      val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = gz.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = gz.read(buf) }
+      gz.close()
+      UTF8String.fromBytes(out.toByteArray)
+    } catch { case _: Exception => null }
+  }
+}
+
+/** string → gzip+base64 packed string (reference record packing). */
+case class Gzip64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_gzip64"
+  override protected def nullSafeEval(input: Any): Any =
+    GzipCodecUtil.encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GzipCodecUtil.encode($c)")
+  override protected def withNewChildInternal(newChild: Expression): Gzip64Expr =
+    copy(child = newChild)
+}
+
+/** gzip+base64 packed string → decoded string; null on malformed input. */
+case class Gunzip64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gunzip64"
+  override protected def nullSafeEval(input: Any): Any =
+    GzipCodecUtil.decode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GzipCodecUtil.decode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Gunzip64Expr =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object NativeFunctions {
   def shingleHashes(toks: Column): Column =
@@ -266,6 +330,10 @@ object NativeFunctions {
     Shims.column(MinhashSigExpr(Shims.expression(sh)))
   def polyFingerprint(toks: Column): Column =
     Shims.column(PolyFingerprintExpr(Shims.expression(toks)))
+  def gzip64(s: Column): Column =
+    Shims.column(Gzip64Expr(Shims.expression(s)))
+  def gunzip64(s: Column): Column =
+    Shims.column(Gunzip64Expr(Shims.expression(s)))
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
 }

@@ -87,4 +87,23 @@ object RefOps {
         count(lit(1)).as("n_lines"))
       .orderBy(col("event"))
   }
+
+  /** r06: packed-record codec round-trip — SampleMapRed.java:35-45
+    * decodes base64+gzip packed records before scanning them; here each
+    * document is packed with the native [[graft.functions.Gzip64Expr]]
+    * and unpacked with [[graft.functions.Gunzip64Expr]] in the same
+    * plan, then substring-scanned like the reference's
+    * `contains("Oleg and Tom")` check (SampleMapRed.java:30). The gate
+    * proves the decode inverts the encode on every record (a broken
+    * codec ≠ oracle counts); both codecs are codegen'd expressions, so
+    * packing/unpacking 100 TB is map-side column work. */
+  def r06EncodedScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{NativeFunctions => NF}
+    Tables.documents(spark, dir)
+      .withColumn("decoded", NF.gunzip64(NF.gzip64(col("text"))))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("decoded") === col("text"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+        sum(when(col("decoded").contains("window"), 1L).otherwise(0L)).as("n_matches"))
+  }
 }

@@ -34,4 +34,29 @@ class RefOpsSpec extends GraftSuite {
     val n = RefOps.r05CdrParse(spark, sf).collect().map(_.getAs[Long]("n_lines")).sum
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("r06 codec: packed multi-line batches decode and line-scan like SampleMapRed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{NativeFunctions => NF}
+    // reference shape: each record is a base64+gzip BATCH of newline-
+    // separated lines, decoded then tokenized per line (SampleMapRed.java:26-31)
+    val batches = Seq(
+      (1L, "alpha line\nOleg and Tom appear here\nbeta line"),
+      (2L, "nothing to see\nstill nothing"),
+      (3L, "Oleg and Tom\nOleg and Tom again"))
+    val packed = batches.toDF("batch_id", "payload")
+      .withColumn("rec", NF.gzip64(col("payload")))
+      .select("batch_id", "rec")
+    val hits = packed
+      .withColumn("line", explode(split(NF.gunzip64(col("rec")), "\n")))
+      .filter(col("line").contains("Oleg and Tom"))
+      .groupBy("batch_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 2L))
+    // malformed packed record yields null, not a task failure
+    val bad = Seq("not base64 at all!", "QUJD").toDF("rec")
+      .select(NF.gunzip64(col("rec")).as("d")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
 }
