@@ -147,7 +147,7 @@ object Dedup {
           element_at(col("sig"), (j * lit(2) + lit(1)).cast("int")) * lit(P) +
             element_at(col("sig"), (j * lit(2) + lit(2)).cast("int")))))
       .toDF("doc_id", "band", "key")
-    val cand = bands.as("a").join(bands.as("b"),
+    val cand = bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -204,7 +204,7 @@ object Dedup {
       explode(array((0 to 3).map(b => struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a").join(bands.as("b"),
+    bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
