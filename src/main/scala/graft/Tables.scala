@@ -50,4 +50,10 @@ object Tables {
     case "events" => events(s, d)
     case other    => load(s, d, other)
   }
+
+  /** Register every table as a temp view — the SQL-first entry point:
+    * after this, `spark.sql` reaches the whole catalog (plus the
+    * graft_* native functions when GraftExtensions is active). */
+  def registerAll(s: SparkSession, d: String): Unit =
+    all.foreach(t => byName(s, d, t).createOrReplaceTempView(t))
 }

@@ -66,4 +66,17 @@ class RelationalSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join in plan:\n$plan")
   }
+
+  test("registerAll exposes the whole catalog to SQL with graft functions") {
+    Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT n_name, COUNT(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""").collect()
+    assert(r.nonEmpty && r.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+    val fp = spark.sql(
+      """SELECT graft_fingerprint(split(trim(text), '\\s+')) AS fp
+         FROM documents LIMIT 3""").collect()
+    assert(fp.length == 3 && fp.forall(!_.isNullAt(0)))
+  }
 }
