@@ -36,6 +36,7 @@ object SparkEntry {
     "q22_dormant_customers" -> (Relational.q22DormantCustomers _),
     "q23_funnel" -> (Relational.q23Funnel _),
     "q24_market_share" -> (Relational.q24MarketShare _),
+    "q25_disjunctive_revenue" -> (Relational.q25DisjunctiveRevenue _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -50,6 +51,7 @@ object SparkEntry {
     "t06_bigram_counts" -> (TextAnalysis.t06BigramCounts _),
     "t07_bm25_search" -> (TextAnalysis.t07Bm25Search _),
     "t08_cms_counts" -> (TextAnalysis.t08CmsCounts _),
+    "t09_lexical_diversity" -> (TextAnalysis.t09LexicalDiversity _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
@@ -62,6 +64,7 @@ object SparkEntry {
     "d06_simhash_pairs" -> (Dedup.d06SimhashPairs _),
     "d07_dup_clusters" -> (Dedup.d07DupClusters _),
     "d08_neardup_by_source" -> (Dedup.d08NeardupBySource _),
+    "d09_containment" -> (Dedup.d09Containment _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible
@@ -308,6 +311,13 @@ object SparkEntry {
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation n2 ON s_nationkey = n2.n_nationkey
          GROUP BY 1 ORDER BY 1""",
+    "q25_disjunctive_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_type = 'ECONOMY' AND l_quantity BETWEEN 1 AND 15 AND p_size <= 10)
+            OR (p_type = 'STANDARD' AND l_quantity BETWEEN 10 AND 25 AND p_size <= 20)
+            OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 35 AND p_size <= 30)""",
     "r01_record_count" ->
       Tables.all.map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_records FROM $t")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),

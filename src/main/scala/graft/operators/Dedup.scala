@@ -287,6 +287,37 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Shared-shingle counts per unordered doc pair (doc_i < doc_j) with
+    * both set sizes — the base relation for jaccard (d02) and
+    * containment (d09) scoring. */
+  private def sharedShingleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docShingles(spark, dir)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    ex.as("a").hint("SHUFFLE_HASH").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.n").as("ni"), col("b.n").as("nj"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** d09: shingle CONTAINMENT — the asymmetric near-dup relation
+    * C(A→B) = |A∩B| / |A|: a short doc pasted inside a long one scores
+    * high containment but low symmetric Jaccard, so d02/d03 miss it —
+    * the quote/concatenation contamination case. Same inverted-index
+    * candidate join as d02; each unordered pair is scored in BOTH
+    * directions and reported per direction over 0.4. */
+  def d09Containment(spark: SparkSession, dir: String): DataFrame = {
+    val base = sharedShingleCounts(spark, dir)
+    val fwd = base.select(col("doc_i").as("contained"), col("doc_j").as("container"),
+      (col("shared") / col("ni")).as("c"))
+    val bwd = base.select(col("doc_j").as("contained"), col("doc_i").as("container"),
+      (col("shared") / col("nj")).as("c"))
+    fwd.unionAll(bwd)
+      .filter(atLeast(col("c"), 0.4))
+      .select(col("contained"), col("container"), round(col("c"), 4).as("containment"))
+      .orderBy("contained", "container")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val sh = TS.shingleHashes(toks)
@@ -310,6 +341,19 @@ object Dedup {
             SELECT doc_i, doc_j, round(shared / (ni + nj - shared), 4) AS jaccard
             FROM p WHERE shared / (ni + nj - shared) >= 0.2
             ORDER BY doc_i, doc_j""",
+      "d09_containment" ->
+        s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM d),
+            p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.n AS ni, b.n AS nj,
+                    COUNT(*) AS shared
+                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+            dir AS (SELECT doc_i AS contained, doc_j AS container, shared / ni AS c FROM p
+                    UNION ALL
+                    SELECT doc_j, doc_i, shared / nj FROM p)
+            SELECT contained, container, round(c, 4) AS containment
+            FROM dir WHERE c >= 0.4
+            ORDER BY contained, container""",
       "d08_neardup_by_source" ->
         s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
             ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM d),

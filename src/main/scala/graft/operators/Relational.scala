@@ -348,6 +348,27 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** q25: TPC-H Q19 shape — disjunctive conjunctions (OR of AND blocks)
+    * across a broadcast part join. The predicate exercises what the
+    * optimizer must NOT break: the common `l_partkey = p_partkey` stays
+    * an equi-join key, per-branch conjuncts evaluate post-join, and the
+    * lineitem-only conjuncts (quantity bounds) are pushed to the fact
+    * scan as an OR-range filter. */
+  def q25DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val b1 = col("p_type") === "ECONOMY" && col("l_quantity") >= 1 && col("l_quantity") <= 15 &&
+      col("p_size") <= 10
+    val b2 = col("p_type") === "STANDARD" && col("l_quantity") >= 10 && col("l_quantity") <= 25 &&
+      col("p_size") <= 20
+    val b3 = col("p_type") === "LARGE" && col("l_quantity") >= 20 && col("l_quantity") <= 35 &&
+      col("p_size") <= 30
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** q22: TPC-H Q22 shape — scalar subquery threshold + anti join:
     * above-average-balance customers with no urgent orders, grouped by
     * nation. The AVG is a broadcast scalar; the anti join shuffles on

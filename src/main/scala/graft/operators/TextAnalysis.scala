@@ -166,6 +166,20 @@ object TextAnalysis {
       .orderBy("token")
   }
 
+  /** t09: lexical diversity per source — type-token ratio (distinct
+    * tokens / total tokens) and vocabulary size, the quick corpus-
+    * quality screen for TEMPLATED/low-diversity sources. Two partial-
+    * aggregable counts after one explode; at corpus scale the group
+    * count is |sources| and everything before the shuffle is map-side. */
+  def t09LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    docsWithTokens(spark, dir)
+      .select(col("source"), explode(col("toks")).as("token"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("vocab"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("ttr", round(col("vocab") / col("n_tokens"), 6))
+      .orderBy("source")
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
@@ -210,6 +224,13 @@ object TextAnalysis {
                 i -> $toks[i] || ' ' || $toks[i+1])) AS bigram
               FROM documents WHERE len($toks) >= 2)
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""",
+      "t09_lexical_diversity" ->
+        s"""SELECT source,
+            COUNT(DISTINCT token) AS vocab,
+            COUNT(*) AS n_tokens,
+            ROUND(COUNT(DISTINCT token) / COUNT(*), 6) AS ttr
+            FROM (SELECT source, unnest($toks) AS token FROM documents)
+            GROUP BY source ORDER BY source""",
       "t08_cms_counts" -> {
         import graft.functions.CmsSketch
         val aList = CmsSketch.A.mkString("[", ", ", "]")

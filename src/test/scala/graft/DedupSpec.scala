@@ -102,6 +102,22 @@ class DedupSpec extends GraftSuite {
     assert(full.nonEmpty)
   }
 
+  test("d09 containment bounds and catches every high-jaccard pair") {
+    val rows = Dedup.d09Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach(c => assert(c >= 0.4 && c <= 1.0))
+    // containment >= jaccard, so every d02 pair at >= 0.4 jaccard must
+    // appear in at least one direction
+    Dedup.d02NgramJaccard(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.4)
+      .foreach { r =>
+        val (i, j) = (r.getLong(0), r.getLong(1))
+        assert(rows.contains((i, j)) || rows.contains((j, i)),
+          s"high-jaccard pair ($i,$j) missing from containment")
+      }
+  }
+
   test("d08 source report accounts for every d02 pair, unordered keys sorted") {
     val rows = Dedup.d08NeardupBySource(spark, sf).collect()
     assert(rows.nonEmpty)
