@@ -16,11 +16,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Tables small enough (TPC-H dim ratios) to broadcast at any SF. */
-  val broadcastableDims: Set[String] = Set("region", "nation", "supplier")
+  /** Tables with CONSTANT cardinality (region 5, nation 25) — the only
+    * ones safe to broadcast-hint at any SF. customer/part/supplier grow
+    * linearly with SF and must be left to AQE's cost-based choice. */
+  val broadcastableDims: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact row count of a table from parquet FOOTER metadata only — a
+    * driver-side O(#files) pass (the same footer reads the scan planner
+    * performs), no Spark job, no data pages touched. For operators that
+    * need the corpus size at plan-build time (e.g. a sampling stride)
+    * without running an eager count() scan. */
+  def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def leaves(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
+      else Seq(st)
+    leaves(fs.getFileStatus(root))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -29,19 +29,29 @@ object VectorFunctions {
   def cosineDeclarative(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** 8-bit sign-LSH bucket: bit i is set when v[2i+1] > v[2i+33]
-    * (1-indexed), i.e. the sign of the projection onto the deterministic
-    * pseudo-hyperplane e_{2i+1} - e_{2i+33}. 256 buckets; an equi-join on
-    * the bucket id replaces the O(n²) cross join — the ANN scale path.
+  /** Sign-LSH bucket over `bits` deterministic pseudo-hyperplanes: bit i
+    * is set when v[2i+1] > v[2i+33] (1-indexed), i.e. the sign of the
+    * projection onto e_{2i+1} - e_{2i+33}. 2^bits buckets; an equi-join
+    * on the bucket id replaces the O(n²) cross join — the ANN scale path.
     *
-    * Reads up to element 47, via [[try_element_at]] so a shorter vector
+    * SIZING RULE: the number of buckets must grow with the corpus —
+    * with B buckets an n-row corpus pairs ~n/B rows per bucket, so for a
+    * target per-bucket candidate set c choose bits ≈ log2(n/c) (≈√n
+    * buckets balances bucket count against bucket size). The default 8
+    * bits is right for the 10³–10⁶ test range; at 100 TB (~10¹¹ vectors)
+    * use 20+ bits, which this encoding supports up to the vector
+    * dimension budget (bit i reads elements 2i+1 and 2i+33, so d-dim
+    * vectors support (d-33)/2+1 bits — 16 for the 64-dim testdata; wider
+    * vectors or a second hash family extend it).
+    *
+    * Out-of-range reads go through [[try_element_at]] so a shorter vector
     * yields NULL comparisons → bit 0, exactly DuckDB's out-of-bounds
     * `v[i] → NULL` behavior — instead of an ANSI
-    * ARRAY_INDEX_OUT_OF_BOUNDS crash. Vectors with < 47 dims thus
+    * ARRAY_INDEX_OUT_OF_BOUNDS crash. Vectors with too few dims thus
     * degrade to fewer effective hash bits rather than failing the query
     * or diverging from the oracle. */
-  def signBucket(v: Column): Column =
-    aggregate(sequence(lit(0), lit(7)), lit(0L),
+  def signBucket(v: Column, bits: Int = 8): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
       (acc, i) => acc + when(
         try_element_at(v, (i * lit(2) + lit(1)).cast("int")) >
           try_element_at(v, (i * lit(2) + lit(33)).cast("int")),
@@ -61,8 +71,8 @@ object VectorSql {
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
-  def signBucket(v: String): String =
-    s"""list_sum(list_transform(generate_series(0, 7),
+  def signBucket(v: String, bits: Int = 8): String =
+    s"""list_sum(list_transform(generate_series(0, ${bits - 1}),
         i -> CASE WHEN $v[CAST(i*2+1 AS INT)] > $v[CAST(i*2+33 AS INT)]
                   THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))"""
 }

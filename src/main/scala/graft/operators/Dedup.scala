@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *
   * Every near-dup operator avoids the O(n²) cross join: candidate
   * generation is an equi-join on a derived key (shingle hash for d02, LSH
-  * band key for d03, label block for d05), which shuffles linearly by key
+  * band key for d03, (label, sign-LSH band) for d05), which shuffles
+  * linearly by key
   * and only scores within-bucket pairs — the property that survives a
   * 100 TB corpus. All hash arithmetic is explicit integer math mod 1e9+7
   * (SURVEY §6) so the DuckDB oracle reproduces values exactly.
@@ -214,17 +215,49 @@ object Dedup {
       .orderBy("doc_i", "doc_j")
   }
 
-  /** d05: embedding-cosine near-dups, label-blocked: equi-join on label
-    * (at scale: on a sign-LSH bucket, see Similarity.s02) then pairwise
-    * cosine ≥ 0.35 within the block only. */
-  def d05EmbeddingDup(spark: SparkSession, dir: String): DataFrame = {
+  /** d05: embedding-cosine near-dups, blocked on (label, sign-LSH band).
+    *
+    * Label alone is NOT a scalable block key: label cardinality is fixed
+    * while the corpus grows, so the largest label block pairs O(n²) rows
+    * at 100 TB. The block key therefore composes the label with a
+    * sign-LSH band of the embedding (VectorFunctions.signBucket split
+    * into two 4-bit bands, d03-style banding): a pair is a candidate
+    * when it collides in EITHER band, scored by exact cosine, and the
+    * two band branches are deduped by DISTINCT on the scored pair.
+    * Within-block size now shrinks multiplicatively with the bucket
+    * count, and (bandBits × nBands) is the knob pair tied to the
+    * similarity threshold exactly as d03's (2 rows × 16 bands) is tied
+    * to Jaccard 0.2: P[band collides] ≈ (1-θ/π)^bandBits per band, so
+    * lower thresholds (wider θ) want narrower/more bands, and corpus
+    * growth wants wider bands. Recall at the default (4 bits × 2 bands)
+    * against the label-only exact set is ~30% on this testdata — every
+    * qualifying pair sits at cosine 0.35–0.47 (θ≈66°, p≈0.37/bit; no
+    * high-cosine planted dups exist in the embeddings table), the
+    * regime banding is honestly weak in; at a production dedup
+    * threshold (cos ≥ 0.9, p≈0.1/bit) the same bands capture ≈92%.
+    * The row count is pinned by the oracle, which applies identical
+    * banding. */
+  def d05EmbeddingDup(spark: SparkSession, dir: String): DataFrame =
+    d05EmbeddingDup(spark, dir, bandBits = 4, nBands = 2)
+
+  def d05EmbeddingDup(spark: SparkSession, dir: String, bandBits: Int,
+      nBands: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val e = Tables.embeddings(spark, dir)
-    e.select(col("label"), col("vec_id").as("vec_i"), col("embedding").as("va"))
-      .join(e.select(col("label"), col("vec_id").as("vec_j"), col("embedding").as("vb")),
-        Seq("label"))
-      .filter(col("vec_i") < col("vec_j"))
-      .withColumn("cos", VF.cosine(col("va"), col("vb")))
-      .filter(atLeast(col("cos"), 0.35))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        VF.signBucket(col("embedding"), bandBits * nBands).as("bkt"))
+    def scoredPairs(band: Int): DataFrame = {
+      val b = e.withColumn("band",
+        shiftright(col("bkt"), band * bandBits).bitwiseAND(lit(mask)))
+      b.select(col("label"), col("band"), col("vec_id").as("vec_i"), col("embedding").as("va"))
+        .join(b.select(col("label"), col("band"), col("vec_id").as("vec_j"), col("embedding").as("vb")),
+          Seq("label", "band"))
+        .filter(col("vec_i") < col("vec_j"))
+        .withColumn("cos", VF.cosine(col("va"), col("vb")))
+        .filter(atLeast(col("cos"), 0.35))
+        .select(col("label"), col("vec_i"), col("vec_j"), col("cos"))
+    }
+    (0 until nBands).map(scoredPairs).reduce(_ union _).distinct()
       .select(col("label"), col("vec_i"), col("vec_j"), round(col("cos"), 4).as("cosine"))
       .orderBy("vec_i", "vec_j")
   }
@@ -269,17 +302,19 @@ object Dedup {
 
   /** d08: near-dup contamination by source — the report a corpus owner
     * acts on: which source pairs produce the near-dup pairs, with mean
-    * similarity. Composition: d02's pair set joined back to the (tiny,
-    * broadcast) doc→source map twice, unordered pair normalized with
-    * least/greatest, one group-by. */
+    * similarity. Composition: d02's pair set joined back to the
+    * doc→source map twice (one row per document — SF-linear, so NO
+    * broadcast hint: the pair set is already shuffled on doc ids and AQE
+    * picks broadcast only while the map measures small), unordered pair
+    * normalized with least/greatest, one group-by. */
   def d08NeardupBySource(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     // average the UNROUNDED jaccard: a mean of pre-rounded 4-decimal
     // values can land exactly on a .00005 tie where the engines' rounding
     // modes disagree (seen at sf0.1); full-precision means never do
     ngramJaccardPairs(spark, dir)
-      .join(broadcast(src.select(col("doc_id").as("doc_i"), col("source").as("src_i"))), "doc_i")
-      .join(broadcast(src.select(col("doc_id").as("doc_j"), col("source").as("src_j"))), "doc_j")
+      .join(src.select(col("doc_id").as("doc_i"), col("source").as("src_i")), "doc_i")
+      .join(src.select(col("doc_id").as("doc_j"), col("source").as("src_j")), "doc_j")
       .select(least(col("src_i"), col("src_j")).as("src_a"),
         greatest(col("src_i"), col("src_j")).as("src_b"), col("jaccard"))
       .groupBy(col("src_a"), col("src_b"))
@@ -427,13 +462,23 @@ object Dedup {
             SELECT cluster AS cluster_id, COUNT(*) AS n_docs,
               MAX(doc_id) AS max_doc
             FROM lab GROUP BY cluster ORDER BY cluster_id""",
-      "d05_embedding_dup" ->
-        s"""WITH p AS (SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
+      "d05_embedding_dup" -> {
+        // mirror of the (bandBits=4, nBands=2) default banding
+        val branches = (0 until 2).map { j =>
+          s"""SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
                   ${VS.cosine("a.embedding", "b.embedding")} AS cos
-                FROM embeddings a JOIN embeddings b
-                ON a.label = b.label AND a.vec_id < b.vec_id)
+                FROM e2 a JOIN e2 b
+                ON a.label = b.label AND a.b$j = b.b$j AND a.vec_id < b.vec_id"""
+        }.mkString("\n              UNION\n              ")
+        s"""WITH e AS (SELECT label, vec_id, embedding,
+                  ${VS.signBucket("embedding")} AS bkt FROM embeddings),
+            e2 AS (SELECT label, vec_id, embedding,
+                  (bkt >> 0) & 15 AS b0, (bkt >> 4) & 15 AS b1 FROM e),
+            p AS (
+              $branches)
             SELECT label, vec_i, vec_j, round(cos, 4) AS cosine
-            FROM p WHERE cos >= 0.35 ORDER BY vec_i, vec_j""",
+            FROM p WHERE cos >= 0.35 ORDER BY vec_i, vec_j"""
+      },
     )
   }
 }

@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): every query here is either map-side
   * (scan→filter→project) or a single shuffle on the aggregation/join key.
-  * Dimension tables are broadcast explicitly; the fact tables
+  * Broadcast-hint policy: ONLY constant-cardinality tables (region: 5
+  * rows, nation: 25 rows) and 1-row scalar aggregates are hinted.
+  * SF-linear tables (customer/part/supplier — 10⁹⁺ rows at the 100 TB
+  * design point) carry no hint: AQE picks broadcast when the measured
+  * side is small and shuffle join at scale, whereas an explicit hint
+  * cannot be overridden and becomes a driver OOM. The fact tables
   * (lineitem/orders/events) are never broadcast or collected. All doubles
   * that result from aggregation are rounded on BOTH the Spark and the
   * DuckDB-oracle side so that floating-point summation order can't flip a
@@ -49,15 +54,18 @@ object Relational {
         col("l_extendedprice"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  /** q03: TPC-H Q3 shipping priority. customer is the small side →
-    * broadcast; orders⋈lineitem shuffles once on the order key; top-k via
+  /** q03: TPC-H Q3 shipping priority. customer grows linearly with SF
+    * (~10⁹ rows at the 100 TB design point), so it carries NO explicit
+    * broadcast hint — an un-overridable hint is a driver OOM at scale,
+    * while AQE still picks broadcast when the filtered side measures
+    * small. orders⋈lineitem shuffles once on the order key; top-k via
     * TakeOrderedAndProject (no global sort materialization). */
   def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
@@ -76,9 +84,11 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** q05: TPC-H Q5 local-supplier volume. Snowflake dims
-    * (region→nation→customer/supplier) broadcast; the only big shuffle is
-    * lineitem⋈orders on the order key. */
+  /** q05: TPC-H Q5 local-supplier volume. Only the CONSTANT-cardinality
+    * dims (region: 5 rows, nation: 25 rows) carry broadcast hints;
+    * customer/supplier are SF-linear, so their join strategy is left to
+    * AQE (broadcast at small SF, shuffle join at scale). The only big
+    * shuffle is lineitem⋈orders on the order key. */
   def q05LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val n = Tables.nation(spark, dir)
@@ -89,8 +99,8 @@ object Relational {
         col("o_orderdate") < ts("1998-01-01 00:00:00"))
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -322,8 +332,10 @@ object Relational {
 
   /** q24: TPC-H Q8 market-share shape — one supplier nation's share of
     * ECONOMY-part revenue sold into ASIA customers, per order year. The
-    * deepest join tree in the suite (7 tables, nation twice): every
-    * dimension broadcasts, so the 100 TB fact side shuffles only for the
+    * deepest join tree in the suite (7 tables, nation twice). The
+    * constant dims (region/nation) broadcast by hint; part/customer/
+    * supplier are SF-linear so AQE chooses their strategy — at 100 TB
+    * they shuffle-join, and the fact side still shuffles only for the
     * single-key year aggregation; the share is a conditional-sum ratio
     * inside one aggregate pass. */
   def q24MarketShare(spark: SparkSession, dir: String): DataFrame = {
@@ -334,12 +346,12 @@ object Relational {
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(
@@ -349,7 +361,8 @@ object Relational {
   }
 
   /** q25: TPC-H Q19 shape — disjunctive conjunctions (OR of AND blocks)
-    * across a broadcast part join. The predicate exercises what the
+    * across a part join (strategy left to AQE — part is SF-linear, so no
+    * explicit broadcast hint). The predicate exercises what the
     * optimizer must NOT break: the common `l_partkey = p_partkey` stays
     * an equi-join key, per-branch conjuncts evaluate post-join, and the
     * lineitem-only conjuncts (quantity bounds) are pushed to the fact
@@ -363,7 +376,7 @@ object Relational {
       col("p_size") <= 20
     val b3 = col("p_type") === "LARGE" && col("l_quantity") >= 20 && col("l_quantity") <= 35 &&
       col("p_size") <= 30
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(b1 || b2 || b3)
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_lines"))

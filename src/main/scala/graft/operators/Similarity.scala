@@ -21,6 +21,29 @@ object Similarity {
   /** Fixed query set: the first 8 vectors. */
   val NumQueries = 8
 
+  /** Default sign-LSH width for the ANN path (2^bits buckets). A KNOB,
+    * not a constant: per the sizing rule on
+    * [[graft.functions.VectorFunctions.signBucket]], bits must grow with
+    * the corpus (≈ log2(n/c) for a target per-bucket candidate set c) —
+    * a 100 TB corpus wants 20+.
+    *
+    * Measured on sf0.1 (AnnTune sweep; recall@3 vs exact / candidate
+    * rows out of 16k scored pairs): 8 bits no-probe 0.000/71,
+    * 8 bits probed 0.125/566, 10 bits probed 0.042/186, 12 bits probed
+    * 0.042/53. The absolute numbers are honest-low BY CONSTRUCTION of
+    * the audit: these queries' true top-3 sit at cosine ≈ 0.4 (θ≈66°),
+    * where each hyperplane disagrees with p≈θ/π≈0.37 and single-table
+    * LSH keeps P[all bits agree] ≈ 0.63^bits — s04 exists to surface
+    * exactly this, and the remediation knobs are fewer bits, more
+    * probes, or multiple hash tables. */
+  val AnnSignBits = 10
+
+  /** Multi-probe default: probe the query's own bucket plus every
+    * flip-1-bit neighbor bucket (bits+1 probes/query). Lifts recall at
+    * an UNCHANGED join shape — the corpus side is never replicated, the
+    * query side (tiny, broadcast) grows by ×(bits+1). */
+  val AnnMultiProbe = true
+
   /** Rank the (tiny, ≤ k·|queries|-row) top-k result — the heap operator
     * emits membership unordered; this window touches only survivors. */
   private def ranked(top: DataFrame, k: Int): DataFrame = {
@@ -53,13 +76,27 @@ object Similarity {
 
   /** s02: ANN — candidates restricted to the query's sign-LSH bucket
     * (equi-join on bucket id, linear shuffle), exact cosine + top-3
-    * within bucket only. Recall trades against the 256× scan reduction;
-    * more hyperplanes / multi-probe widen recall at the same join shape. */
-  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    * within bucket only. Recall trades against the 2^bits× scan
+    * reduction; `bits` and multi-probe are the tuning knobs — both leave
+    * the join shape (corpus never replicated, bucket equi-join, heap
+    * top-k) unchanged. With multi-probe the query side expands to the
+    * home bucket plus each flip-1-bit bucket; a corpus vector lives in
+    * exactly one bucket, so probe buckets never produce duplicate
+    * (query, neighbor) pairs and no DISTINCT is needed. */
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    s02AnnLsh(spark, dir, AnnSignBits, AnnMultiProbe)
+
+  def s02AnnLsh(spark: SparkSession, dir: String, bits: Int,
+      multiProbe: Boolean): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", VF.signBucket(col("embedding")))
-    val q = e.filter(col("vec_id") < NumQueries)
+      .withColumn("bucket", VF.signBucket(col("embedding"), bits))
+    val q0 = e.filter(col("vec_id") < NumQueries)
       .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val q = if (!multiProbe) q0 else
+      q0.withColumn("pi", explode(sequence(lit(0), lit(bits))))
+        .withColumn("bucket", when(col("pi") === 0, col("bucket"))
+          .otherwise(col("bucket").bitwiseXOR(pow(2.0, col("pi") - 1).cast("long"))))
+        .select(col("bucket"), col("query_id"), col("qv"))
     val scored = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -75,20 +112,30 @@ object Similarity {
     * At 100 TB: fit on a sample, broadcast the (tiny) centroid set, and
     * list assignment is one map-side pass — the probe join shuffles by
     * list id exactly like the LSH bucket join. Not DuckDB-expressible
-    * (KMeans), so rows-only in the gate; invariants are spec-pinned. */
-  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    * (KMeans), so rows-only in the gate; invariants are spec-pinned.
+    *
+    * `nLists` is a knob with the same sizing rule as the LSH bucket
+    * count: per-list size is n/nLists and the centroid table must stay
+    * broadcastable, so nLists ≈ √n balances the two (the classic IVF
+    * rule); 16 fits the test corpus, a 100 TB corpus wants 10⁵–10⁶. */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    s03AnnIvf(spark, dir, nLists = 16, nProbe = 2)
+
+  def s03AnnIvf(spark: SparkSession, dir: String, nLists: Int,
+      nProbe: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val nLists = 16
-    val nProbe = 2
     val maxFit = 4096
     val e = Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector(col("embedding")))
     // Fit the coarse quantizer on a bounded deterministic sample — at
     // 100 TB you never run KMeans over the full corpus; centroid quality
     // saturates at a few thousand points per list. Systematic vec_id
-    // stride keeps the sample (and hence the result) deterministic.
-    val n = e.count()
+    // stride keeps the sample (and hence the result) deterministic. The
+    // corpus size comes from parquet FOOTER metadata (driver-side, the
+    // same O(#files) pass the scan planner performs) — not a count() job
+    // that would scan the corpus before the operator's own action.
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
     val stride = math.max(1L, n / maxFit)
     val fitSample = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
     val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(5).fit(fitSample)
@@ -150,9 +197,13 @@ object Similarity {
                 FROM s),
           e3 AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 3),
           eb AS (SELECT vec_id, embedding,
-                  ${VS.signBucket("embedding")} AS bucket FROM embeddings),
-          qb AS (SELECT bucket, vec_id AS query_id, embedding AS qv
+                  ${VS.signBucket("embedding", AnnSignBits)} AS bucket FROM embeddings),
+          qb0 AS (SELECT bucket, vec_id AS query_id, embedding AS qv
                  FROM eb WHERE vec_id < $NumQueries),
+          qb AS (SELECT CASE WHEN g.i = 0 THEN qb0.bucket
+                   ELSE xor(qb0.bucket, CAST(1 AS BIGINT) << CAST(g.i - 1 AS INT))
+                   END AS bucket, query_id, qv
+                 FROM qb0 CROSS JOIN generate_series(0, $AnnSignBits) AS g(i)),
           sb AS (SELECT query_id, eb.vec_id AS neighbor_id,
                   ${VS.cosine("qv", "eb.embedding")} AS cos
                  FROM eb JOIN qb ON eb.bucket = qb.bucket AND eb.vec_id <> qb.query_id),
@@ -181,9 +232,13 @@ object Similarity {
           FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding,
-                  ${VS.signBucket("embedding")} AS bucket FROM embeddings),
-          q AS (SELECT bucket, vec_id AS query_id, embedding AS qv
+                  ${VS.signBucket("embedding", AnnSignBits)} AS bucket FROM embeddings),
+          q0 AS (SELECT bucket, vec_id AS query_id, embedding AS qv
                 FROM e WHERE vec_id < $NumQueries),
+          q AS (SELECT CASE WHEN g.i = 0 THEN q0.bucket
+                  ELSE xor(q0.bucket, CAST(1 AS BIGINT) << CAST(g.i - 1 AS INT))
+                  END AS bucket, query_id, qv
+                FROM q0 CROSS JOIN generate_series(0, $AnnSignBits) AS g(i)),
           s AS (SELECT query_id, e.vec_id AS neighbor_id,
                   ${VS.cosine("qv", "e.embedding")} AS cos
                 FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),

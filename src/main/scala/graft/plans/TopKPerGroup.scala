@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftshim.Shims
 
@@ -46,6 +46,10 @@ case class TopKPerGroupExec(groupKeys: Seq[Expression], ordering: Seq[SortOrder]
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
+    // Empty keys = GLOBAL top-k: ClusteredDistribution(Nil) is rejected
+    // by Spark's require; the correct demand is all surviving rows on
+    // one partition (≤ k·partitions rows after the partial pass — tiny).
+    else if (groupKeys.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupKeys, false, None))
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -44,6 +44,32 @@ class PlanAuditSpec extends GraftSuite {
       s"snowflake dims should broadcast:\n$s")
   }
 
+  test("no explicit broadcast hint targets an SF-linear table") {
+    // customer/part/supplier/documents grow linearly with scale factor
+    // (10⁹⁺ rows at the 100 TB design point): an explicit broadcast hint
+    // there is an un-overridable driver OOM. AQE may still CHOOSE
+    // broadcast at small SF — so this pins the LOGICAL hint, not the
+    // physical join. Constant dims (region 5 rows, nation 25 rows) and
+    // 1-row scalar aggregates remain the only legitimate hint targets.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val sfLinearCols = Set("c_custkey", "p_partkey", "s_suppkey",
+      "doc_id", "doc_i", "doc_j")
+    val audited = Seq(
+      "q03" -> Relational.q03ShippingPriority(spark, sf),
+      "q05" -> Relational.q05LocalSupplier(spark, sf),
+      "q24" -> Relational.q24MarketShare(spark, sf),
+      "q25" -> Relational.q25DisjunctiveRevenue(spark, sf),
+      "d08" -> Dedup.d08NeardupBySource(spark, sf))
+    for ((name, df) <- audited) {
+      val offenders = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+          h.child.output.map(_.name).filter(sfLinearCols)
+      }.flatten
+      assert(offenders.isEmpty,
+        s"$name explicitly broadcasts an SF-linear table (columns: ${offenders.mkString(",")})")
+    }
+  }
+
   test("q06: pure scan-agg has zero pre-agg shuffles") {
     val n = shuffles(Relational.q06ForecastRevenue(spark, sf))
     assert(n == 0, s"scalar agg over a scan should not shuffle (got $n)")

@@ -37,6 +37,25 @@ class WindowTopKRuleSpec extends GraftSuite {
     assert(got == expect, "rewrite changed the top-k result")
   }
 
+  test("GLOBAL row_number <= k (no partitionBy) rewrites and still runs") {
+    // empty partitionSpec: the final heap demands AllTuples, not the
+    // invalid ClusteredDistribution(Nil) — this shape used to throw at
+    // planning time
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val df = Tables.customer(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+      .select("rn", "c_custkey")
+    assert(countTopK(df) == 1, "expected the heap operator for global top-k")
+    val expect = Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(r => (-r._2, r._1)).take(7).zipWithIndex
+      .map { case (r, i) => (i + 1, r._1) }.toSet
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == expect, "global rewrite changed the top-k result")
+  }
+
   test("rank() (non-row_number) windows are left alone") {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
