@@ -65,25 +65,15 @@ object Dedup {
     * shingle frequency; heavy shingles are the skew risk at scale (AQE
     * skew-join; a stop-shingle frequency cap is the documented mitigation). */
   /** Unsorted near-dup pairs ≥ 0.2 — shared core of d02 (which adds the
-    * presentation round+sort) and d07 (which consumes the raw pair set). */
-  private def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ex = docShingles(spark, dir)
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
-    // SHUFFLE_HASH: the planner can't size a Generate's output so it
-    // falls back to sort-merge, paying two full sorts of the exploded
-    // index; hashing skips them (measured 2.1→1.2 s at sf0.1). The
-    // build side is one hash-partition slice of the index (~rows/
-    // shuffle.partitions — bounded by partition sizing at any scale);
-    // the join OUTPUT, not the build map, is the asymptotic cost, and
-    // that is what the LSH/prefix variants bound.
-    ex.as("a").hint("SHUFFLE_HASH").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
-        col("a.n").as("ni"), col("b.n").as("nj"))
-      .agg(count(lit(1)).as("shared"))
+    * presentation round+sort) and d07 (which consumes the raw pair set).
+    * Defined as the Jaccard projection over [[sharedShingleCounts]] so
+    * the inverted-index candidate join exists exactly ONCE (d09's
+    * containment scoring reads the same base relation — a hint or
+    * threshold change there cannot drift from this path). */
+  private def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    sharedShingleCounts(spark, dir)
       .withColumn("jaccard", col("shared") / (col("ni") + col("nj") - col("shared")))
       .filter(atLeast(col("jaccard"), 0.2))
-  }
 
   /** Prefix-filtered variant (PPJoin, Xiao et al.): under a global
     * shingle order (doc-frequency asc, hash asc), two sets with
@@ -269,18 +259,34 @@ object Dedup {
     * neighbors; rounds are whole-graph joins (distributed), the driver
     * only checks the converged count. Dup clusters have tiny diameter,
     * so this converges in a handful of rounds even at corpus scale;
-    * localCheckpoint truncates the growing lineage per round. Output:
-    * one row per cluster with its canonical (min) doc and size. */
-  def d07DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    * per-round checkpoints truncate the growing lineage. Output:
+    * one row per cluster with its canonical (min) doc and size.
+    *
+    * Checkpoint durability is a parameter: the default
+    * `localCheckpoint` stores round blocks on executors only — fast,
+    * but an executor loss mid-iteration kills the query. Connected
+    * components is the longest multi-stage job in this suite, exactly
+    * where lineage durability is worth paying for, so pass
+    * `checkpointDir = Some(reliableDir)` on a real cluster to write
+    * round snapshots through the reliable store instead (an executor
+    * loss then recomputes nothing — rounds restart from the snapshot). */
+  def d07DupClusters(spark: SparkSession, dir: String): DataFrame =
+    d07DupClusters(spark, dir, checkpointDir = None)
+
+  def d07DupClusters(spark: SparkSession, dir: String,
+      checkpointDir: Option[String]): DataFrame = {
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Materialize the (expensive) pair generation ONCE before the union —
     // the two union branches are otherwise separate subtrees and would
     // re-run the whole inverted-index join twice.
-    val pairs = ngramJaccardPairs(spark, dir)
-      .select(col("doc_i"), col("doc_j")).localCheckpoint()
+    val pairs = ckpt(ngramJaccardPairs(spark, dir)
+      .select(col("doc_i"), col("doc_j")))
     val edges = pairs.union(pairs.select(col("doc_j"), col("doc_i")))
       .toDF("src", "dst")
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")))
     var converged = false
     while (!converged) {
       val prop = labels.join(edges, col("doc_id") === col("src"))
@@ -288,10 +294,9 @@ object Dedup {
       // Carry the previous label through the propagation join so the
       // convergence check is a filter on the SAME materialized round —
       // not a second doc_id join+shuffle per iteration.
-      val next = labels.join(prop, col("doc_id") === col("dst"), "left")
+      val next = ckpt(labels.join(prop, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
       converged = next.filter(col("prev") =!= col("cluster")).isEmpty
       labels = next.select(col("doc_id"), col("cluster"))
     }
@@ -323,8 +328,17 @@ object Dedup {
   }
 
   /** Shared-shingle counts per unordered doc pair (doc_i < doc_j) with
-    * both set sizes — the base relation for jaccard (d02) and
-    * containment (d09) scoring. */
+    * both set sizes — the ONE inverted-index candidate join behind
+    * jaccard (d02/d07/d08 via [[ngramJaccardPairs]]) and containment
+    * (d09) scoring.
+    *
+    * SHUFFLE_HASH: the planner can't size a Generate's output so it
+    * falls back to sort-merge, paying two full sorts of the exploded
+    * index; hashing skips them (measured 2.1→1.2 s at sf0.1). The
+    * build side is one hash-partition slice of the index (~rows/
+    * shuffle.partitions — bounded by partition sizing at any scale);
+    * the join OUTPUT, not the build map, is the asymptotic cost, and
+    * that is what the LSH/prefix variants bound. */
   private def sharedShingleCounts(spark: SparkSession, dir: String): DataFrame = {
     val ex = docShingles(spark, dir)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))

@@ -60,13 +60,21 @@ object Temporal {
     * shares equal-or-adjacent buckets exactly once), equi-joins on
     * (user_id, bucket) — a linear shuffle — and verifies |Δt| exactly. */
   def a02BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    // FLOOR division (exact integer form: subtract the positive mod,
+    // then divide — no double rounding), NOT Spark's `div`, which
+    // truncates toward zero: for pre-1970 (negative-epoch) timestamps
+    // trunc-div shifts sec by +1 relative to the DuckDB oracle's `//`
+    // floor semantics and silently drops boundary pairs. Buckets floor
+    // the same way so every bucket spans exactly BandSec.
+    def floorDiv(a: String, b: Long): String = s"($a - pmod($a, $b)) div $b"
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("unix_micros(ts) div 1000000").as("sec"))
-    val a = ev.withColumn("bucket", expr(s"sec div $BandSec"))
+        expr(floorDiv("unix_micros(ts)", 1000000L)).as("sec"))
+    val a = ev.withColumn("bucket", expr(floorDiv("sec", BandSec)))
     val b = ev.withColumn("bucket",
-      explode(array(expr(s"sec div $BandSec - 1"), expr(s"sec div $BandSec"),
-        expr(s"sec div $BandSec + 1"))))
+      explode(array(expr(floorDiv("sec", BandSec) + " - 1"),
+        expr(floorDiv("sec", BandSec)),
+        expr(floorDiv("sec", BandSec) + " + 1"))))
     a.as("a").join(b.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.bucket") === col("b.bucket") &&
           col("a.event_id") < col("b.event_id"))

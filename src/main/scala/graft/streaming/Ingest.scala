@@ -17,6 +17,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * checkpointed, so ingest resumes exactly-once after failure. At
   * 100 TB the same two plans hold; parallelism comes from file count ×
   * `maxPartitionBytes`, not from hand-managed writer threads.
+  *
+  * An existing reference-produced corpus (gzip-batched SequenceFiles)
+  * reads directly via [[graft.sources.SeqFile.readSequenceFile]] — the
+  * day-one migration path that feeds this ingest without re-encoding.
   */
 object Ingest {
 

@@ -82,6 +82,20 @@ class DedupSpec extends GraftSuite {
     assert(got == truth, s"cluster structure mismatch: $got vs $truth")
   }
 
+  test("d07 with a reliable checkpoint dir matches the localCheckpoint result") {
+    // an executor loss mid-iteration kills the local-checkpoint path on a
+    // real cluster; the reliable mode must be result-identical
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_d07_ck").toString
+    val reliable = Dedup.d07DupClusters(spark, sf, Some(ckDir)).collect()
+      .map(c => (c.getAs[Long]("cluster_id"), c.getAs[Long]("n_docs"), c.getAs[Long]("max_doc")))
+    val local = Dedup.d07DupClusters(spark, sf).collect()
+      .map(c => (c.getAs[Long]("cluster_id"), c.getAs[Long]("n_docs"), c.getAs[Long]("max_doc")))
+    assert(reliable.sorted.toSeq == local.sorted.toSeq)
+    // snapshots actually went through the reliable store
+    assert(new java.io.File(ckDir).listFiles().nonEmpty,
+      "no checkpoint data written to the reliable dir")
+  }
+
   test("d05 embedding dups stay within label blocks and above threshold") {
     val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
     assert(rows.nonEmpty)
