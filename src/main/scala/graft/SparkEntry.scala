@@ -52,6 +52,8 @@ object SparkEntry {
     "t07_bm25_search" -> (TextAnalysis.t07Bm25Search _),
     "t08_cms_counts" -> (TextAnalysis.t08CmsCounts _),
     "t09_lexical_diversity" -> (TextAnalysis.t09LexicalDiversity _),
+    "t10_pii_scrub" -> (TextAnalysis.t10PiiScrub _),
+    "t11_repetition_filter" -> (TextAnalysis.t11RepetitionFilter _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),

@@ -180,6 +180,78 @@ object TextAnalysis {
       .withColumn("ttr", round(col("vocab") / col("n_tokens"), 6))
       .orderBy("source")
 
+  /** PII patterns for t10 — conservative regex subset valid in BOTH
+    * Java regex (Spark) and RE2 (DuckDB). */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val phoneRe = "\\+1-\\d{3}-\\d{4}"
+
+  /** t10: PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before a corpus ships. The synthetic corpus carries no
+    * natural PII, so (r05-style) the query first plants emails / IPv4s /
+    * phone numbers deterministically from doc_id — at varying per-doc
+    * multiplicities — then DETECTS them by regex, REDACTS them with
+    * typed placeholders, and proves the redacted text has zero residual
+    * matches. Everything is codegen'd string expressions over one scan:
+    * at 100 TB this is map-side work with a |sources|-row shuffle. */
+  def t10PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = concat(
+      col("text"),
+      when(pmod(id, lit(3)) === 0,
+        format_string(" contact user%d@example.com", pmod(id, lit(1000)))).otherwise(""),
+      when(pmod(id, lit(9)) === 0, lit(" escalate to admin@corp.example.org")).otherwise(""),
+      when(pmod(id, lit(2)) === 0,
+        format_string(" from 10.%d.%d.%d", pmod(id, lit(256)),
+          pmod(id * 7, lit(256)), pmod(id * 13, lit(256)))).otherwise(""),
+      when(pmod(id, lit(5)) === 0,
+        format_string(" call +1-555-0%03d", pmod(id, lit(1000)))).otherwise(""))
+    def hits(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(planted, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"), phoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("source"), planted.as("pt"), scrubbed.as("st"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(hits(col("pt"), emailRe)).as("n_emails"),
+        sum(hits(col("pt"), ipRe)).as("n_ips"),
+        sum(hits(col("pt"), phoneRe)).as("n_phones"),
+        sum(hits(col("st"), emailRe) + hits(col("st"), ipRe) +
+          hits(col("st"), phoneRe)).as("n_residual"))
+      .orderBy("source")
+  }
+
+  /** Flag threshold for t11: docs whose duplicate-trigram fraction
+    * exceeds this are repetition-contaminated (Gopher-style filter). */
+  val RepetitionThreshold = 0.2
+
+  /** t11: within-document repetition filter — fraction of duplicated
+    * 3-grams per doc (1 − distinct/total), the Gopher/MassiveText rule
+    * that catches boilerplate and degenerate generation loops that
+    * cross-document dedup (d02/d03) never sees. Map-side per-doc column
+    * math, one |sources|-row shuffle; the mean aggregates UNROUNDED
+    * fractions (rounding once at the edge — engine rounding ties
+    * otherwise flip the 4th decimal). */
+  def t11RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val total = (size(toks) - 2).cast("long")
+    val grams = transform(sequence(lit(1), size(toks) - lit(2)),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)),
+        element_at(toks, i + lit(2))))
+    val dupFrac = (total - size(array_distinct(grams)).cast("long")) /
+      total.cast("double")
+    docsWithTokens(spark, dir)
+      .filter(size(toks) >= 3)
+      .select(col("source"), dupFrac.as("dup_frac"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_frac") > RepetitionThreshold, 1L).otherwise(0L)).as("n_flagged"),
+        round(avg(col("dup_frac")), 4).as("avg_dup_frac"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
@@ -218,6 +290,44 @@ object TextAnalysis {
         s"""SELECT token, COUNT(*) AS doc_freq FROM (
               SELECT doc_id, unnest(list_distinct($toks)) AS token FROM documents)
             GROUP BY token ORDER BY doc_freq DESC, token LIMIT 25""",
+      "t10_pii_scrub" -> {
+        val planted =
+          s"""text
+             || CASE WHEN doc_id % 3 = 0
+                THEN printf(' contact user%d@example.com', doc_id % 1000) ELSE '' END
+             || CASE WHEN doc_id % 9 = 0
+                THEN ' escalate to admin@corp.example.org' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                THEN printf(' from 10.%d.%d.%d', doc_id % 256, (doc_id*7) % 256, (doc_id*13) % 256) ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN printf(' call +1-555-0%03d', doc_id % 1000) ELSE '' END"""
+        def hits(c: String, re: String) = s"len(regexp_extract_all($c, '$re'))"
+        val scrubbed =
+          s"""regexp_replace(regexp_replace(regexp_replace(pt,
+              '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+              '$phoneRe', '<PHONE>', 'g')"""
+        s"""WITH d AS (SELECT source, $planted AS pt FROM documents),
+            s AS (SELECT source, pt, $scrubbed AS st FROM d)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(${hits("pt", emailRe)}) AS BIGINT) AS n_emails,
+              CAST(SUM(${hits("pt", ipRe)}) AS BIGINT) AS n_ips,
+              CAST(SUM(${hits("pt", phoneRe)}) AS BIGINT) AS n_phones,
+              CAST(SUM(${hits("st", emailRe)} + ${hits("st", ipRe)}
+                + ${hits("st", phoneRe)}) AS BIGINT) AS n_residual
+            FROM s GROUP BY source ORDER BY source"""
+      },
+      "t11_repetition_filter" ->
+        s"""WITH g AS (
+              SELECT source,
+                len($toks) - 2 AS total,
+                len(list_distinct(list_transform(generate_series(1, len($toks) - 2),
+                  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))) AS dist
+              FROM documents WHERE len($toks) >= 3)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN (total - dist) / CAST(total AS DOUBLE) > $RepetitionThreshold
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+              round(AVG((total - dist) / CAST(total AS DOUBLE)), 4) AS avg_dup_frac
+            FROM g GROUP BY source ORDER BY source""",
       "t06_bigram_counts" ->
         s"""SELECT bigram, COUNT(*) AS n FROM (
               SELECT unnest(list_transform(generate_series(1, len($toks) - 1),

@@ -71,6 +71,42 @@ class TextAnalysisSpec extends GraftSuite {
     assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
   }
 
+  test("t10 PII scrub: detected counts match the planting rules, zero residual") {
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val rows = TextAnalysis.t10PiiScrub(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_residual") == 0L),
+      "redaction left PII behind")
+    // planting rules: email at id%3==0 plus a second at id%9==0,
+    // ip at id%2==0, phone at id%5==0
+    assert(rows.map(_.getAs[Long]("n_emails")).sum ==
+      ids.count(_ % 3 == 0) + ids.count(_ % 9 == 0))
+    assert(rows.map(_.getAs[Long]("n_ips")).sum == ids.count(_ % 2 == 0))
+    assert(rows.map(_.getAs[Long]("n_phones")).sum == ids.count(_ % 5 == 0))
+  }
+
+  test("t11 repetition fractions are valid and match a direct recompute") {
+    val rows = TextAnalysis.t11RepetitionFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("avg_dup_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+    }
+    // ground truth on the raw text
+    val bySource = Tables.documents(spark, sf).select("source", "text").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").trim.split("\\s+")
+        val grams = toks.sliding(3).map(_.mkString(" ")).toSeq
+        (r.getAs[String]("source"), 1.0 - grams.distinct.size.toDouble / grams.size)
+      }.groupBy(_._1)
+    rows.foreach { r =>
+      val fr = bySource(r.getAs[String]("source")).map(_._2)
+      assert(r.getAs[Long]("n_docs") == fr.length)
+      assert(math.abs(r.getAs[Double]("avg_dup_frac") - fr.sum / fr.length) < 1e-3)
+    }
+  }
+
   test("t04 fingerprints are stable and mostly distinct") {
     val fps = TextAnalysis.t04Fingerprint(spark, sf).collect()
       .map(_.getAs[Long]("fingerprint"))
