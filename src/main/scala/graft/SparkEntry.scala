@@ -73,6 +73,7 @@ object SparkEntry {
     "s04_ann_recall" -> (Similarity.s04AnnRecall _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
+    "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -353,5 +354,5 @@ object SparkEntry {
          CAST(SUM(CASE WHEN contains(text, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
          FROM documents""",
   ) ++ TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-    Multimodal.oracle ++ Sampling.oracle ++ Temporal.oracle
+    Multimodal.oracle ++ Sampling.oracle ++ Temporal.oracle ++ Pipelines.oracle
 }
