@@ -129,7 +129,11 @@ object Dedup {
     * candidates come from an equi-join on (band, band-key) over 16 bands
     * of 2 rows (P(candidate) = 1−(1−j²)^16: ≈99% at j=0.5, ≈1% at the
     * j≈0.025 background), then candidates are verified with exact Jaccard
-    * ≥ 0.2. Only candidate pairs are ever scored — never all pairs. */
+    * ≥ 0.2. Only candidate pairs are ever scored — never all pairs.
+    * (rows × bands) is the knob pair tied to the Jaccard threshold —
+    * the S-curve's midpoint sits at j ≈ (1/bands)^(1/rows), so a higher
+    * dedup threshold wants more rows per band and fewer bands; same
+    * trade as d05's (bandBits × nBands). */
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
     val bands = sh.withColumn("sig", graft.functions.NativeFunctions.minhashSig(col("sh")))

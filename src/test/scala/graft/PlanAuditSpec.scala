@@ -101,6 +101,27 @@ class PlanAuditSpec extends GraftSuite {
       s"banded join must be an equi-join on the bucket key:\n$s")
   }
 
+  test("t10/t11: text scrubbing and repetition are join-free single scans") {
+    // both must stay map-side column pipelines: one scan, the only
+    // shuffles are the |sources|-row aggregation and presentation sort
+    for ((name, df) <- Seq(
+        "t10" -> TextAnalysis.t10PiiScrub(spark, sf),
+        "t11" -> TextAnalysis.t11RepetitionFilter(spark, sf))) {
+      val s = planStr(df)
+      assert(!s.contains("Join"), s"$name must not join:\n$s")
+      assert(shuffles(df) <= 2, s"$name should shuffle only for agg + sort")
+    }
+  }
+
+  test("p03: the corpus pipeline is one scan pass with bounded shuffles") {
+    val df = graft.operators.Pipelines.p03CleanCorpus(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("Join"),
+      s"pipeline stages must fuse into one scan, not join:\n$s")
+    // dup-group window + distinct-expand agg + sort
+    assert(shuffles(df) <= 4, s"pipeline shuffle count regressed: ${shuffles(df)}")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     val conf = spark.conf
     val saved = Seq(
