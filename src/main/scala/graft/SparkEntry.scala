@@ -67,6 +67,7 @@ object SparkEntry {
     "d07_dup_clusters" -> (Dedup.d07DupClusters _),
     "d08_neardup_by_source" -> (Dedup.d08NeardupBySource _),
     "d09_containment" -> (Dedup.d09Containment _),
+    "d10_cross_split_leakage" -> ((s, d) => Dedup.d10CrossSplitLeakage(s, d)),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible

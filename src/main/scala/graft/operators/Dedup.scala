@@ -256,6 +256,47 @@ object Dedup {
       .orderBy("vec_i", "vec_j")
   }
 
+  /** d10: cross-split DECONTAMINATION — the train→eval leakage check
+    * every LLM data pipeline runs before trusting its eval numbers.
+    * Splits are assigned exactly as p02/p03 (fingerprint % 100), then a
+    * val/test document is flagged when ≥ 30% of its distinct 3-gram
+    * shingles also occur ANYWHERE in the train split: containment of
+    * the eval doc in the train corpus, which catches both verbatim dups
+    * that straddled the split boundary and partial copy-paste overlap.
+    *
+    * Scale shape: the train side collapses to DISTINCT shingle hashes
+    * (one shuffle, linear), the eval side explodes its shingles, and
+    * membership is a LEFT SEMI equi-join on the hash — per-shingle
+    * work, never doc×doc. At 100 TB this is the standard inverted-index
+    * decontamination sweep; a bloom/minhash prefilter is the documented
+    * cheapening knob when the train index outgrows a shuffle. */
+  def d10CrossSplitLeakage(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val withSplit = Tables.documents(spark, dir)
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("bucket",
+        pmod(graft.functions.NativeFunctions.polyFingerprint(col("toks")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
+    val trainShingles = withSplit.filter(col("split") === "train")
+      .select(explode(col("sh")).as("h")).distinct()
+    val evalDocs = withSplit.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("h"))
+    evalDocs.join(trainShingles, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"), col("split"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_leaked"))
+      .withColumn("contamination", col("n_leaked") / col("n_shingles").cast("double"))
+      .filter(atLeast(col("contamination"), threshold))
+      .select(col("doc_id"), col("split"), col("n_shingles"), col("n_leaked"),
+        round(col("contamination"), 4).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** d07: duplicate CLUSTERS — connected components over the d02 pair
     * graph, the step that turns pairwise near-dup hits into actionable
     * dedup groups. Iterative min-label propagation: each round every
@@ -378,6 +419,24 @@ object Dedup {
       s"list_min(list_transform(sh, s -> (s*$a + $b) % $P))"
     }.mkString("[", ",\n              ", "]")
     Map(
+      "d10_cross_split_leakage" ->
+        s"""WITH d AS (
+              SELECT doc_id,
+                CASE WHEN (${TS.polyFingerprint(toks)}) % 100 < 80 THEN 'train'
+                     WHEN (${TS.polyFingerprint(toks)}) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                $sh AS sh
+              FROM documents WHERE len($toks) >= 3),
+            tr AS (SELECT DISTINCT unnest(sh) AS h FROM d WHERE split = 'train'),
+            te AS (SELECT doc_id, split, len(sh) AS n_shingles, unnest(sh) AS h
+                   FROM d WHERE split <> 'train'),
+            lk AS (SELECT doc_id, split, n_shingles, COUNT(*) AS n_leaked
+                   FROM te WHERE h IN (SELECT h FROM tr)
+                   GROUP BY 1, 2, 3)
+            SELECT doc_id, split, n_shingles, n_leaked,
+              round(n_leaked / CAST(n_shingles AS DOUBLE), 4) AS contamination
+            FROM lk WHERE n_leaked / CAST(n_shingles AS DOUBLE) >= 0.3
+            ORDER BY doc_id""",
       "d01_exact_dedup" ->
         """SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS dup_group,

@@ -96,6 +96,22 @@ class DedupSpec extends GraftSuite {
       "no checkpoint data written to the reliable dir")
   }
 
+  test("d10 leakage: flagged eval docs genuinely share shingles with train") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val rows = Dedup.d10CrossSplitLeakage(spark, sf).collect()
+    assert(rows.nonEmpty, "planted dups should straddle the split boundary")
+    rows.foreach { r =>
+      assert(Set("val", "test").contains(r.getAs[String]("split")))
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Double]("contamination") >= 0.3 - 1e-9)
+    }
+    // zero-threshold run must cover every flagged doc and never report
+    // MORE leaked shingles than the doc has
+    val all = Dedup.d10CrossSplitLeakage(spark, sf, threshold = 0.0).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet
+      .subsetOf(all.map(_.getAs[Long]("doc_id")).toSet))
+  }
+
   test("d05 embedding dups stay within label blocks and above threshold") {
     val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
     assert(rows.nonEmpty)
