@@ -37,6 +37,7 @@ object SparkEntry {
     "q23_funnel" -> (Relational.q23Funnel _),
     "q24_market_share" -> (Relational.q24MarketShare _),
     "q25_disjunctive_revenue" -> (Relational.q25DisjunctiveRevenue _),
+    "q26_cheapest_supplier" -> (Relational.q26CheapestSupplier _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -322,6 +323,19 @@ object SparkEntry {
          WHERE (p_type = 'ECONOMY' AND l_quantity BETWEEN 1 AND 15 AND p_size <= 10)
             OR (p_type = 'STANDARD' AND l_quantity BETWEEN 10 AND 25 AND p_size <= 20)
             OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 35 AND p_size <= 30)""",
+    "q26_cheapest_supplier" ->
+      """WITH m AS (SELECT l_partkey AS mp_partkey, MIN(l_extendedprice) AS min_price
+                    FROM lineitem GROUP BY 1)
+         SELECT DISTINCT p_partkey, p_brand, ROUND(min_price, 2) AS min_price,
+           s_name, n_name
+         FROM lineitem
+         JOIN m ON l_partkey = mp_partkey AND l_extendedprice = min_price
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_type = 'ECONOMY' AND p_size <= 15
+         ORDER BY p_partkey, s_name
+         LIMIT 20""",
     "r01_record_count" ->
       Tables.all.map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n_records FROM $t")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),

@@ -400,4 +400,33 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** q26: TPC-H Q2 shape — CORRELATED MIN subquery: for each ECONOMY
+    * part, the supplier(s) that sold it at its minimum price. The
+    * correlated `price = (SELECT min(price) WHERE same part)` becomes a
+    * per-key aggregate joined back to the fact: both sides of that join
+    * hash-partition on l_partkey, so the agg and the min-match re-join
+    * co-partition with NO extra fact shuffle (exchange reuse). Part and
+    * supplier joins are AQE's choice (SF-linear — no hint); nation
+    * broadcasts. DISTINCT collapses equal-price duplicate line items. */
+  def q26CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+    val minP = l.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+      .withColumnRenamed("l_partkey", "mp_partkey")
+    l.join(minP, col("l_partkey") === col("mp_partkey") &&
+        col("l_extendedprice") === col("min_price"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("min_price"), 2).as("min_price"), col("s_name"), col("n_name"))
+      .distinct()
+      .orderBy(col("p_partkey"), col("s_name"))
+      .limit(20)
+  }
 }

@@ -60,11 +60,30 @@ class RelationalSpec extends GraftSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("broadcast hint survives in q03 plan") {
+  test("q03: AQE still picks broadcast for the filtered customer at small SF") {
+    // the explicit hint is gone (SF-linear table); the cost-based choice
+    // must keep the broadcast at this scale
     val plan = Relational.q03ShippingPriority(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join in plan:\n$plan")
+  }
+
+  test("q26: every returned supplier really sold the part at its min price") {
+    import org.apache.spark.sql.functions.{col, min => amin}
+    val truth = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey")).agg(amin(col("l_extendedprice")).as("mp"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Relational.q26CheapestSupplier(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      assert(math.abs(r.getAs[Double]("min_price") - truth(pk)) < 0.005 + 1e-9,
+        s"part $pk min price mismatch")
+    }
+    // output key (p_partkey, s_name) is unique — DISTINCT collapsed dups
+    assert(rows.map(r => (r.getAs[Long]("p_partkey"), r.getAs[String]("s_name")))
+      .distinct.length == rows.length)
   }
 
   test("registerAll exposes the whole catalog to SQL with graft functions") {
