@@ -24,10 +24,20 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query is recorded as None (absent from the ledger), NOT as
+    // its elapsed-until-crash wall time: a fast failure would otherwise be
+    // published as a flattering pass and pollute min/total/ratio math.
+    def timed(name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          None
+      }
     }
     // INTERLEAVED timing passes (all queries once, then all again, ×3),
     // per-query min. Back-to-back min-of-2 let a single transient
@@ -35,34 +45,57 @@ object Bench {
     // ran inside it (a 0.6 s query once recorded 16.8 s); interleaving
     // separates a query's samples by a full suite pass (~30 s), so the
     // min survives any noise window shorter than that.
-    val passes = Seq.fill(3)(queries.map { case (name, fn) => name -> timed(fn) })
-    val results = queries.map { case (name, _) =>
-      name -> passes.map(_.toMap.apply(name)).min
+    val passes = Seq.fill(3)(queries.map { case (name, fn) => name -> timed(name, fn) })
+    val samples = queries.map { case (name, _) =>
+      name -> passes.flatMap(_.toMap.apply(name))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = samples.collect { case (name, ss) if ss.nonEmpty => name -> ss.min }
+    val failed = samples.collect { case (name, ss) if ss.isEmpty => name }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Optional baseline ledger (scripts/bench_baseline.py): when present,
-    // also emit per-query graft/baseline ratios so "within 2x of
-    // baseline" is a versioned, reproducible comparison.
+    // also emit the suite-level graft/baseline ratio so "within 2x of
+    // baseline" is a versioned, reproducible comparison. Per-query ratios
+    // and full-precision samples go to bench_detail.json — the stdout
+    // line must stay small enough for the driver's bounded tail capture
+    // (the r4 line with 64 inline ratios overflowed it and parsed as null).
     val sfName = sfDir.reverse.takeWhile(_ != '/').reverse
     val ledger = Seq(".", "/root/repo")
       .map(d => new java.io.File(d, s"BASELINE_duckdb_$sfName.json"))
       .find(_.exists()).getOrElse(new java.io.File("/nonexistent"))
-    val ratioFields = if (!ledger.exists()) "" else {
+    var ratioFields = ""
+    var ratioDetail = ""
+    if (ledger.exists()) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(ledger)
       val base = root.get("queries")
       val ratios = results.flatMap { case (name, sec) =>
         Option(base.get(name)).map(b => name -> sec / b.asDouble())
       }
-      val rs = ratios.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
-        .mkString("{", ",", "}")
       val baseTotal = root.get("total").asDouble()
-      s""","baseline_engine":${root.get("engine")},"baseline_total":$baseTotal""" +
-        s""","total_vs_baseline":${f"${total / baseTotal}%.4f"},"vs_baseline":$rs"""
+      ratioFields = s""","baseline_engine":${root.get("engine")},"baseline_total":${f"$baseTotal%.1f"}""" +
+        s""","total_vs_baseline":${f"${total / baseTotal}%.4f"}"""
+      ratioDetail = ",\"vs_baseline\":" + ratios
+        .map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ratioFields}""")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // Full-precision per-pass samples + per-query baseline ratios, for
+    // humans; the driver only reads the one-line stdout summary.
+    val detail = {
+      val ss = samples.map { case (k, v) =>
+        s"\"" + k + "\":" + v.map(d => f"$d%.4f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"sf":"$sfDir","total":${f"$total%.3f"},"samples":$ss$ratioDetail$failedField}"""
+    }
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField$ratioFields}""")
     spark.stop()
   }
 }

@@ -223,16 +223,19 @@ object Dedup {
     * similarity threshold exactly as d03's (2 rows × 16 bands) is tied
     * to Jaccard 0.2: P[band collides] ≈ (1-θ/π)^bandBits per band, so
     * lower thresholds (wider θ) want narrower/more bands, and corpus
-    * growth wants wider bands. Recall at the default (4 bits × 2 bands)
-    * against the label-only exact set is ~30% on this testdata — every
-    * qualifying pair sits at cosine 0.35–0.47 (θ≈66°, p≈0.37/bit; no
-    * high-cosine planted dups exist in the embeddings table), the
-    * regime banding is honestly weak in; at a production dedup
-    * threshold (cos ≥ 0.9, p≈0.1/bit) the same bands capture ≈92%.
-    * The row count is pinned by the oracle, which applies identical
-    * banding. */
+    * growth wants wider bands. The DEFAULT (2 bits × 4 bands) is sized
+    * by that rule for the threshold this operator actually applies:
+    * at the cos ≥ 0.35 boundary (θ≈69.5°, p≈0.61/bit) a 2-bit band
+    * collides with P≈0.38, so 4 bands capture 1−(1−0.38)⁴ ≈ 85% of
+    * boundary pairs (and more above it). The earlier 4-bit × 2-band
+    * setting was sized for a production cos ≥ 0.9 regime (p≈0.1/bit,
+    * capture ≈92% THERE) and caught only ~26% at 0.35 — band knobs
+    * must follow the operator threshold, so a caller raising the
+    * threshold toward 0.9 should widen bands (e.g. back to 4×2) with
+    * the same total-bit budget. The row count is pinned by the oracle,
+    * which applies identical banding. */
   def d05EmbeddingDup(spark: SparkSession, dir: String): DataFrame =
-    d05EmbeddingDup(spark, dir, bandBits = 4, nBands = 2)
+    d05EmbeddingDup(spark, dir, bandBits = 2, nBands = 4)
 
   def d05EmbeddingDup(spark: SparkSession, dir: String, bandBits: Int,
       nBands: Int): DataFrame = {
@@ -314,26 +317,50 @@ object Dedup {
     * where lineage durability is worth paying for, so pass
     * `checkpointDir = Some(reliableDir)` on a real cluster to write
     * round snapshots through the reliable store instead (an executor
-    * loss then recomputes nothing — rounds restart from the snapshot). */
+    * loss then recomputes nothing — rounds restart from the snapshot).
+    *
+    * Reliable-mode housekeeping: `setCheckpointDir` is SESSION-GLOBAL,
+    * so each round checkpoints into its own subdir of `checkpointDir`,
+    * a round's subdir is deleted as soon as the NEXT round has
+    * materialized (Dataset.checkpoint is eager — nothing references the
+    * old snapshot afterwards), and the session's previous checkpoint
+    * dir is restored before returning (concurrent checkpointing jobs in
+    * the SAME session would still interleave dirs — don't share a
+    * session with another checkpointing job while this runs). Only the
+    * final round's and the pair/edge snapshots survive: they back the
+    * returned lazy DataFrame, so delete `checkpointDir` itself once the
+    * result is consumed. */
   def d07DupClusters(spark: SparkSession, dir: String): DataFrame =
     d07DupClusters(spark, dir, checkpointDir = None)
 
   def d07DupClusters(spark: SparkSession, dir: String,
       checkpointDir: Option[String]): DataFrame = {
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val sc = spark.sparkContext
+    val savedDir = sc.getCheckpointDir
+    def setDir(sub: String): Unit =
+      checkpointDir.foreach(d => sc.setCheckpointDir(d + "/" + sub))
+    def rmDir(sub: String): Unit = checkpointDir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d + "/" + sub)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Materialize the (expensive) pair generation ONCE before the union —
     // the two union branches are otherwise separate subtrees and would
     // re-run the whole inverted-index join twice.
+    setDir("static")
     val pairs = ckpt(ngramJaccardPairs(spark, dir)
       .select(col("doc_i"), col("doc_j")))
     val edges = pairs.union(pairs.select(col("doc_j"), col("doc_i")))
       .toDF("src", "dst")
+    setDir("round-0")
     var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")))
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
+      setDir(s"round-$round")
       val prop = labels.join(edges, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
       // Carry the previous label through the propagation join so the
@@ -344,6 +371,13 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
       converged = next.filter(col("prev") =!= col("cluster")).isEmpty
       labels = next.select(col("doc_id"), col("cluster"))
+      rmDir(s"round-${round - 1}") // superseded — `next` is materialized
+    }
+    // Undo the session-global redirect (restorable only when a dir was
+    // set before — SparkContext has no public unset, so a previously
+    // unset session is left pointing at the base checkpointDir).
+    checkpointDir.foreach { d =>
+      sc.setCheckpointDir(savedDir.getOrElse(d))
     }
     labels.groupBy(col("cluster").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
@@ -540,8 +574,8 @@ object Dedup {
               MAX(doc_id) AS max_doc
             FROM lab GROUP BY cluster ORDER BY cluster_id""",
       "d05_embedding_dup" -> {
-        // mirror of the (bandBits=4, nBands=2) default banding
-        val branches = (0 until 2).map { j =>
+        // mirror of the (bandBits=2, nBands=4) default banding
+        val branches = (0 until 4).map { j =>
           s"""SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
                   ${VS.cosine("a.embedding", "b.embedding")} AS cos
                 FROM e2 a JOIN e2 b
@@ -550,7 +584,8 @@ object Dedup {
         s"""WITH e AS (SELECT label, vec_id, embedding,
                   ${VS.signBucket("embedding")} AS bkt FROM embeddings),
             e2 AS (SELECT label, vec_id, embedding,
-                  (bkt >> 0) & 15 AS b0, (bkt >> 4) & 15 AS b1 FROM e),
+                  (bkt >> 0) & 3 AS b0, (bkt >> 2) & 3 AS b1,
+                  (bkt >> 4) & 3 AS b2, (bkt >> 6) & 3 AS b3 FROM e),
             p AS (
               $branches)
             SELECT label, vec_i, vec_j, round(cos, 4) AS cosine

@@ -30,13 +30,19 @@ object Similarity {
     * Measured on sf0.1 (AnnTune sweep; recall@3 vs exact / candidate
     * rows out of 16k scored pairs): 8 bits no-probe 0.000/71,
     * 8 bits probed 0.125/566, 10 bits probed 0.042/186, 12 bits probed
-    * 0.042/53. The absolute numbers are honest-low BY CONSTRUCTION of
-    * the audit: these queries' true top-3 sit at cosine ≈ 0.4 (θ≈66°),
-    * where each hyperplane disagrees with p≈θ/π≈0.37 and single-table
-    * LSH keeps P[all bits agree] ≈ 0.63^bits — s04 exists to surface
-    * exactly this, and the remediation knobs are fewer bits, more
-    * probes, or multiple hash tables. */
-  val AnnSignBits = 10
+    * 0.042/53. The default is the recall-BEST sweep point (8 bits +
+    * probe): recall is the metric an ANN deployment is graded on, and
+    * its candidate volume (566 of 16k scorable pairs, 3.5%) still keeps
+    * the 2^bits scan reduction that motivates the operator — a
+    * candidate-volume-first caller can pass bits=10|12 explicitly for
+    * 3× fewer candidates at 3× lower recall. The absolute numbers are
+    * honest-low BY CONSTRUCTION of the audit: these queries' true top-3
+    * sit at cosine ≈ 0.4 (θ≈66°), where each hyperplane disagrees with
+    * p≈θ/π≈0.37 and single-table LSH keeps P[all bits agree] ≈
+    * 0.63^bits — s04 exists to surface exactly this, and the
+    * remediation knobs are fewer bits, more probes, or multiple hash
+    * tables. */
+  val AnnSignBits = 8
 
   /** Multi-probe default: probe the query's own bucket plus every
     * flip-1-bit neighbor bucket (bits+1 probes/query). Lifts recall at

@@ -92,8 +92,15 @@ class DedupSpec extends GraftSuite {
       .map(c => (c.getAs[Long]("cluster_id"), c.getAs[Long]("n_docs"), c.getAs[Long]("max_doc")))
     assert(reliable.sorted.toSeq == local.sorted.toSeq)
     // snapshots actually went through the reliable store
-    assert(new java.io.File(ckDir).listFiles().nonEmpty,
+    val subdirs = new java.io.File(ckDir).listFiles()
+    assert(subdirs != null && subdirs.nonEmpty,
       "no checkpoint data written to the reliable dir")
+    // superseded round snapshots are deleted as rounds advance: only the
+    // static pair/edge snapshots and the FINAL round's dir may survive
+    // (repeated runs in a long-lived session must not accumulate rounds)
+    val roundDirs = subdirs.map(_.getName).filter(_.startsWith("round-"))
+    assert(roundDirs.length == 1,
+      s"superseded round checkpoints leaked: ${roundDirs.mkString(", ")}")
   }
 
   test("d10 leakage: flagged eval docs genuinely share shingles with train") {
