@@ -50,6 +50,17 @@ object AnnTune {
       println(f"ANNTUNE bits=$bits%2d multiProbe=$probe%-5s " +
         f"recall@3=${hits.toDouble / kExact}%.4f candidates=$cand")
     }
+
+    // multi-table sweep (s05): probed tables, recall 1-(1-p)^L vs xL index
+    for (tables <- Seq(1, 2, 4, 8)) {
+      val ann = Similarity.s05AnnMultiTable(spark, sfDir, Similarity.AnnSignBits, tables)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      val hits = exact.join(ann,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left_semi").count()
+      println(f"ANNTUNE tables=$tables%2d bits=${Similarity.AnnSignBits}%2d probed " +
+        f"recall@3=${hits.toDouble / kExact}%.4f")
+    }
     spark.stop()
   }
 }

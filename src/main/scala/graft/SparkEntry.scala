@@ -55,10 +55,12 @@ object SparkEntry {
     "t09_lexical_diversity" -> (TextAnalysis.t09LexicalDiversity _),
     "t10_pii_scrub" -> (TextAnalysis.t10PiiScrub _),
     "t11_repetition_filter" -> (TextAnalysis.t11RepetitionFilter _),
+    "t12_entropy_filter" -> (TextAnalysis.t12EntropyFilter _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
     "p02_hash_split" -> (Sampling.p02HashSplit _),
+    "p04_mixture_sample" -> (Sampling.p04MixtureSample _),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -69,10 +71,12 @@ object SparkEntry {
     "d08_neardup_by_source" -> (Dedup.d08NeardupBySource _),
     "d09_containment" -> (Dedup.d09Containment _),
     "d10_cross_split_leakage" -> ((s, d) => Dedup.d10CrossSplitLeakage(s, d)),
+    "d11_winnowed_dup" -> ((s, d) => Dedup.d11WinnowedDup(s, d)),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible
     "s04_ann_recall" -> (Similarity.s04AnnRecall _),
+    "s05_ann_multitable" -> ((s, d) => Similarity.s05AnnMultiTable(s, d)),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
     "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),

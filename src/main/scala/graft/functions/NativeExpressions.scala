@@ -321,6 +321,110 @@ case class Gunzip64Expr(child: Expression) extends UnaryExpression {
 }
 
 /** Column-API entry points for the native expressions. */
+object WinnowUtil {
+  private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Distinct winnowing fingerprints of a document — value-identical to
+    * the declarative chain
+    * `explode positions → conv(substring(md5(substr(text,i,w)),1,15),16,10)
+    * → MIN over (ROWS CURRENT..k-1 FOLLOWING) → full-window filter →
+    * DISTINCT` (and its DuckDB mirror in Dedup.oracle), computed in one
+    * compiled pass per doc:
+    *  - positions are CODEPOINT-aligned (a codepoint→byte-offset index
+    *    over the UTF-8 bytes), matching both engines' codepoint
+    *    `substr`/`length` semantics, and each window hash is MD5 over
+    *    the window's UTF-8 byte slice — exactly the bytes
+    *    `cast(substr(...) as binary)` hashes, with no per-window string
+    *    copies;
+    *  - the first 15 hex digits of the digest are the top 60 bits, i.e.
+    *    (first 8 digest bytes as unsigned big-endian) >>> 4 — no hex
+    *    string or conv() parse;
+    *  - sliding-window minima come from the standard monotonic deque
+    *    (O(m) total, not O(m·k)), over FULL k-windows only;
+    *  - DISTINCT via an insertion-ordered set.
+    * Docs shorter than w + k − 1 codepoints have no full window and
+    * yield an empty array (explode drops them), mirroring the
+    * declarative filter. NativeExprSpec pins set equality per doc. */
+  def fingerprints(text: UTF8String, w: Int, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    // codepoint -> byte offset index (UTF-8 lead bytes); offsets(nChars)
+    // = bytes.length sentinel so window byte-length lookups are uniform
+    var nChars = 0
+    var off = 0
+    while (off < bytes.length) {
+      val b = bytes(off) & 0xFF
+      off += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      nChars += 1
+    }
+    val m = nChars - w + 1 // number of w-char windows
+    if (m < k) return new GenericArrayData(Array.empty[Long])
+    val offsets = new Array[Int](nChars + 1)
+    var ci = 0
+    off = 0
+    while (off < bytes.length) {
+      offsets(ci) = off
+      val b = bytes(off) & 0xFF
+      off += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      ci += 1
+    }
+    offsets(nChars) = bytes.length
+    val md = tlMd5.get()
+    val hv = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      md.reset()
+      md.update(bytes, offsets(j), offsets(j + w) - offsets(j))
+      val d = md.digest()
+      hv(j) = (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+      j += 1
+    }
+    // sliding-window minimum over windows [j, j+k-1], j in 0..m-k,
+    // via monotonic deque of candidate indices
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // deque is deque[head until tail]
+    j = 0
+    while (j < m) {
+      while (tail > head && hv(deque(tail - 1)) >= hv(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      if (deque(head) <= j - k) head += 1
+      if (j >= k - 1) seen.add(hv(deque(head)))
+      j += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** string text → array<long> distinct winnowing fingerprints (w-char
+  * windows, k-window minima). */
+case class WinnowFpsExpr(child: Expression, w: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowUtil.fingerprints(input.asInstanceOf[UTF8String], w, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowUtil.fingerprints($c, $w, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
   def shingleHashes(toks: Column): Column =
     Shims.column(ShingleHashesExpr(Shims.expression(toks)))
@@ -336,4 +440,6 @@ object NativeFunctions {
     Shims.column(Gunzip64Expr(Shims.expression(s)))
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
+  def winnowFps(text: Column, w: Int, k: Int): Column =
+    Shims.column(WinnowFpsExpr(Shims.expression(text), w, k))
 }

@@ -56,6 +56,23 @@ object VectorFunctions {
         try_element_at(v, (i * lit(2) + lit(1)).cast("int")) >
           try_element_at(v, (i * lit(2) + lit(33)).cast("int")),
         pow(2.0, i).cast("long")).otherwise(lit(0L)))
+
+  /** Table-`t` member of a FAMILY of sign-LSH hashes for multi-table
+    * ANN ([[graft.operators.Similarity.s05AnnMultiTable]]): bit i
+    * compares v[(2i+7t) mod 64 + 1] with v[(2i+32+7t) mod 64 + 1], so
+    * each table reads a 7-rotated pattern of coordinate pairs and the
+    * per-bit agreement events are (near-)independent across tables —
+    * the property multi-table recall amplification needs. Table 0 with
+    * bits ≤ 16 reads exactly [[signBucket]]'s pairs (2i+1, 2i+33).
+    * The mod-64 wrap assumes the 64-dim testdata embedding; shorter
+    * vectors degrade per-bit to 0 via [[try_element_at]] exactly like
+    * [[signBucket]]. */
+  def signBucketT(v: Column, bits: Int, table: Int): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, i) => acc + when(
+        try_element_at(v, (pmod(i * lit(2) + lit(7 * table), lit(64)) + lit(1)).cast("int")) >
+          try_element_at(v, (pmod(i * lit(2) + lit(32 + 7 * table), lit(64)) + lit(1)).cast("int")),
+        pow(2.0, i).cast("long")).otherwise(lit(0L)))
 }
 
 /** DuckDB SQL fragments mirroring [[VectorFunctions]] expression-for-
@@ -74,5 +91,13 @@ object VectorSql {
   def signBucket(v: String, bits: Int = 8): String =
     s"""list_sum(list_transform(generate_series(0, ${bits - 1}),
         i -> CASE WHEN $v[CAST(i*2+1 AS INT)] > $v[CAST(i*2+33 AS INT)]
+                  THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))"""
+
+  /** Mirror of [[VectorFunctions.signBucketT]]; `t` is a SQL expression
+    * (column or literal) for the table index. */
+  def signBucketT(v: String, bits: Int, t: String): String =
+    s"""list_sum(list_transform(generate_series(0, ${bits - 1}),
+        i -> CASE WHEN $v[CAST((i*2 + 7*($t)) % 64 + 1 AS INT)]
+                     > $v[CAST((i*2 + 32 + 7*($t)) % 64 + 1 AS INT)]
                   THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))"""
 }

@@ -446,6 +446,76 @@ object Dedup {
       .orderBy("contained", "container")
   }
 
+  /** d11 winnowing parameters: window chars `WinnowW`, hash-window
+    * `WinnowK`. Guarantee (Schleimer–Wilkerson–Aiken, SIGMOD'03): any
+    * substring shared verbatim by two docs of length ≥ W + K − 1 (= 63
+    * chars, ~12 words here) produces at least one shared fingerprint —
+    * while only ~2/(K+1) of positions are retained. Measured on this
+    * corpus: exactly the planted near-dup pairs surface (24 pairs at
+    * sf0.01, 245 at sf0.1) and background pairs are ZERO at n_shared ≥ 2
+    * — long verbatim runs are a different (and cleaner) signal than
+    * d02's bag-of-shingles Jaccard. */
+  val WinnowW = 48
+  val WinnowK = 16
+  val WinnowMinShared = 2L
+
+  /** d11: EXACT-SUBSTRING near-dup pairs via winnowing fingerprints —
+    * the "verbatim copied span" detector (the ExactSubstr signal of
+    * Lee et al.'s dedup work, realized with MOSS-style winnowing so the
+    * index stays ~2/(K+1)-dense instead of per-position). Per doc: hash
+    * every W-char window (md5 → 60-bit int, engine-portable), keep each
+    * K-window's MINIMUM hash (one ordered window pass, partitioned by
+    * doc — bounded state at any doc length), DISTINCT per doc, then the
+    * same inverted-index equi-join shape as d02: pairs sharing ≥
+    * [[WinnowMinShared]] fingerprints. At 100 TB the index is linear in
+    * corpus size × 2/(K+1), the join shuffles by fingerprint, and a
+    * globally-hot fingerprint (boilerplate) is the same skew case as a
+    * stop-shingle — AQE skew-join plus a frequency cap are the
+    * mitigations. */
+  def d11WinnowedDup(spark: SparkSession, dir: String): DataFrame =
+    d11WinnowedDup(spark, dir, WinnowW, WinnowK, WinnowMinShared)
+
+  def d11WinnowedDup(spark: SparkSession, dir: String, w: Int, k: Int,
+      minShared: Long): DataFrame = {
+    // native codegen'd winnowing (md5 + deque minima + distinct in one
+    // compiled pass per doc): ~29 fingerprint rows/doc reach the explode
+    // instead of ~250 position rows/doc reaching a window sort — the
+    // per-doc selection never shuffles at all (measured 4.2→<1 s at
+    // sf0.1; the declarative window pipeline below is the spec-pinned
+    // value reference)
+    val sel = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.NativeFunctions.winnowFps(col("text"), w, k)).as("fp"))
+    sel.as("a").hint("SHUFFLE_HASH").join(sel.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_i", "doc_j")
+  }
+
+  /** Declarative winnowing selection — the value reference for
+    * [[graft.functions.WinnowUtil.fingerprints]] (NativeExprSpec pins
+    * per-doc set equality) and the shape the DuckDB d11 mirror runs. */
+  private[graft] def d11SelDeclarative(spark: SparkSession, dir: String,
+      w: Int, k: Int): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, k - 1)
+    val pos = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= w) // sequence(1, len-w+1) must ascend
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        explode(sequence(lit(1), length(col("text")) - w + 1)).as("i"))
+    val hashed = pos.select(col("doc_id"), col("i"), col("len"),
+      conv(substring(md5(col("text").substr(col("i"), lit(w))), 1, 15), 16, 10)
+        .cast("long").as("hv"))
+    hashed
+      .withColumn("fp", min(col("hv")).over(win))
+      // only FULL k-windows define fingerprints (docs shorter than
+      // w+k-1 contribute none — they cannot hold a guaranteed run)
+      .filter(col("i") <= col("len") - (w + k) + 2)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val sh = TS.shingleHashes(toks)
@@ -453,6 +523,29 @@ object Dedup {
       s"list_min(list_transform(sh, s -> (s*$a + $b) % $P))"
     }.mkString("[", ",\n              ", "]")
     Map(
+      "d11_winnowed_dup" ->
+        s"""WITH pos AS (
+              SELECT doc_id, len(text) AS l, text,
+                unnest(generate_series(1, len(text) - $WinnowW + 1)) AS i
+              FROM documents WHERE len(text) >= $WinnowW),
+            h AS (
+              SELECT doc_id, i, l,
+                CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), $WinnowW)), 1, 15))
+                  AS BIGINT) AS hv
+              FROM pos),
+            wmin AS (
+              SELECT doc_id, i, l,
+                MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND ${WinnowK - 1} FOLLOWING) AS fp
+              FROM h),
+            sel AS (SELECT DISTINCT doc_id, fp FROM wmin
+                    WHERE i <= l - ${WinnowW + WinnowK} + 2),
+            pairs AS (
+              SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_shared
+              FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_i, doc_j, n_shared FROM pairs
+            WHERE n_shared >= $WinnowMinShared ORDER BY doc_i, doc_j""",
       "d10_cross_split_leakage" ->
         s"""WITH d AS (
               SELECT doc_id,

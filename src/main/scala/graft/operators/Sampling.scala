@@ -39,6 +39,47 @@ object Sampling {
       .orderBy("lang", "split")
   }
 
+  /** p04: temperature-flattened mixture sample — the source-reweighting
+    * step of a training-data pipeline (the GPT-3/PaLM "mixture weights"
+    * shape): target T = ⌊20% of corpus⌋ documents drawn with per-source
+    * probability ∝ n_s^τ, τ = 0.5 (√-flattening: rare sources are
+    * upweighted relative to their share, big sources downweighted),
+    * realized as a DETERMINISTIC per-source ppm threshold on the
+    * document fingerprint — the same engine-portable uniform p01/p02
+    * key off, so membership is reproducible anywhere and sampling
+    * 100 TB stays a broadcast-join + map-side filter (the per-source
+    * count agg is the only shuffle, and it partial-aggregates).
+    *
+    * FP-determinism: the cross-source Σ√n_s is folded over a SORTED
+    * list (collect_list → sort_array → aggregate), because float
+    * addition is order-sensitive and a plain window SUM's order is
+    * engine-/partition-dependent; integer totals are exact and sqrt is
+    * IEEE-exact, so both engines floor identical doubles into identical
+    * ppm thresholds. Output is all-integer — no rounding boundary in
+    * the gate at all. */
+  def p04MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val docs = withFp(spark, dir).select(col("source"), col("fp"))
+    val thr = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .withColumn("w", sqrt(col("n_total").cast("double")))
+      .withColumn("w_sum",
+        aggregate(sort_array(collect_list(col("w")).over(wAll)), lit(0.0),
+          (acc, v) => acc + v))
+      .withColumn("t_target",
+        floor(lit(0.2) * sum(col("n_total")).over(wAll).cast("double")))
+      .withColumn("sample_ppm", least(lit(1000000L),
+        floor(col("t_target").cast("double") * col("w") / col("w_sum") /
+          col("n_total").cast("double") * lit(1000000.0)).cast("long")))
+      .select(col("source"), col("n_total"), col("sample_ppm"))
+    docs.join(broadcast(thr), Seq("source"))
+      .groupBy(col("source"), col("n_total"), col("sample_ppm"))
+      .agg(sum(when(pmod(col("fp"), lit(1000000L)) < col("sample_ppm"), 1L)
+        .otherwise(0L)).as("n_sampled"))
+      .select(col("source"), col("n_total"), col("sample_ppm"), col("n_sampled"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val fp = TS.polyFingerprint(TS.toks)
     Map(
@@ -53,6 +94,26 @@ object Sampling {
                  ELSE 'test' END AS split,
             COUNT(*) AS n_docs
             FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+      "p04_mixture_sample" ->
+        s"""WITH f AS (SELECT source, ($fp) AS fp FROM documents),
+            c AS (SELECT source, COUNT(*) AS n_total FROM f GROUP BY source),
+            g AS (SELECT source, n_total,
+                sqrt(CAST(n_total AS DOUBLE)) AS w,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_sort(list(sqrt(CAST(n_total AS DOUBLE))) OVER ())),
+                  (acc, v) -> acc + v) AS w_sum,
+                CAST(floor(0.2 * CAST(SUM(n_total) OVER () AS DOUBLE)) AS BIGINT)
+                  AS t_target
+              FROM c),
+            thr AS (SELECT source, n_total,
+                LEAST(1000000, CAST(floor(CAST(t_target AS DOUBLE) * w / w_sum
+                  / CAST(n_total AS DOUBLE) * 1000000.0) AS BIGINT)) AS sample_ppm
+              FROM g)
+            SELECT f.source, t.n_total, t.sample_ppm,
+              CAST(SUM(CASE WHEN (f.fp % 1000000) < t.sample_ppm
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+            FROM f JOIN thr t ON f.source = t.source
+            GROUP BY 1, 2, 3 ORDER BY 1""",
     )
   }
 }

@@ -252,6 +252,42 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Entropy flag threshold in bits/char: the sf0.01 corpus spans
+    * H ∈ [3.68, 4.23] with ~5% of docs under 3.9 — low-entropy docs are
+    * the repetitive/templated tail a Shannon filter (C4/Gopher-family
+    * quality rule) screens out. */
+  val EntropyThreshold = 3.9
+
+  /** t12: character-entropy quality filter — per-doc Shannon entropy
+    * H = log2(L) − Σ c·log2(c) / L over character counts (the algebraic
+    * form needs only two plain aggregates per doc: Σc and Σ c·log2 c —
+    * no per-doc normalization pass). Flags docs under
+    * [[EntropyThreshold]] bits/char and reports per-source counts +
+    * mean. Shape at 100 TB: explode chars → (doc, char) count →
+    * per-doc entropy → per-source rollup; every stage is a
+    * partial-aggregable groupBy (the (doc,char) key is the only wide
+    * shuffle and it combines map-side to ≤ |alphabet| rows per doc).
+    * The mean aggregates UNROUNDED doubles (t11's tie rule); the flag
+    * compares raw H so there is no rounding boundary in the gate. */
+  def t12EntropyFilter(spark: SparkSession, dir: String): DataFrame = {
+    val pos = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("source"),
+        col("text").substr(col("i"), lit(1)).as("ch"))
+    val cnt = pos.groupBy(col("doc_id"), col("source"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val ent = cnt.groupBy(col("doc_id"), col("source"))
+      .agg((log2(sum(col("c"))) -
+        sum(col("c") * log2(col("c"))) / sum(col("c"))).as("h"))
+    ent.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h") < EntropyThreshold, 1L).otherwise(0L)).as("n_low_entropy"),
+        round(avg(col("h")), 3).as("mean_entropy"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
@@ -328,6 +364,22 @@ object TextAnalysis {
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
               round(AVG((total - dist) / CAST(total AS DOUBLE)), 4) AS avg_dup_frac
             FROM g GROUP BY source ORDER BY source""",
+      "t12_entropy_filter" ->
+        s"""WITH pos AS (
+              SELECT doc_id, source,
+                unnest(list_transform(generate_series(1, len(text)),
+                  i -> substr(text, CAST(i AS INT), 1))) AS ch
+              FROM documents),
+            cnt AS (SELECT doc_id, source, ch, COUNT(*) AS c
+              FROM pos GROUP BY 1, 2, 3),
+            ent AS (SELECT doc_id, source,
+                log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS h
+              FROM cnt GROUP BY 1, 2)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN h < $EntropyThreshold THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_low_entropy,
+              round(AVG(h), 3) AS mean_entropy
+            FROM ent GROUP BY source ORDER BY source""",
       "t06_bigram_counts" ->
         s"""SELECT bigram, COUNT(*) AS n FROM (
               SELECT unnest(list_transform(generate_series(1, len($toks) - 1),

@@ -155,6 +155,48 @@ class DedupSpec extends GraftSuite {
       }
   }
 
+  test("d11 winnowing: reported pairs share real runs; long-run pairs are never missed") {
+    val w = Dedup.WinnowW; val k = Dedup.WinnowK
+    val reported = Dedup.d11WinnowedDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    assert(reported.nonEmpty, "no winnowed dup pairs found")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).sortBy(_._1)
+    // longest common substring via rolling DP rows
+    def lcs(a: String, b: String): Int = {
+      var prev = new Array[Int](b.length + 1)
+      var cur = new Array[Int](b.length + 1)
+      var best = 0
+      var i = 1
+      while (i <= a.length) {
+        var j = 1
+        while (j <= b.length) {
+          cur(j) = if (a.charAt(i - 1) == b.charAt(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t; java.util.Arrays.fill(cur, 0)
+        i += 1
+      }
+      best
+    }
+    // soundness: every reported pair genuinely shares >= one full w-char
+    // window (n_shared >= 2 implies >= 2 windows, but each is >= w chars)
+    reported.foreach { case (i, j) =>
+      val l = lcs(docs.find(_._1 == i).get._2, docs.find(_._1 == j).get._2)
+      assert(l >= w, s"pair ($i,$j) reported but LCS=$l < $w")
+    }
+    // completeness (the winnowing guarantee, with slack for the >= 2
+    // fingerprint threshold): any pair sharing a run of >= w + 2k chars
+    // has >= k+1 shared window hashes -> >= 2 winnowed fingerprints
+    for (ai <- docs.indices; bi <- ai + 1 until docs.length) {
+      val (di, ti) = docs(ai); val (dj, tj) = docs(bi)
+      if (lcs(ti, tj) >= w + 2 * k)
+        assert(reported.contains((di, dj)),
+          s"pair ($di,$dj) shares a >=${w + 2 * k}-char run but was not reported")
+    }
+  }
+
   test("d08 source report accounts for every d02 pair, unordered keys sorted") {
     val rows = Dedup.d08NeardupBySource(spark, sf).collect()
     assert(rows.nonEmpty)

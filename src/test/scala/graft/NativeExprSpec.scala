@@ -103,6 +103,48 @@ class NativeExprSpec extends GraftSuite {
     }
   }
 
+  test("native winnowing fingerprints equal the declarative window chain per doc") {
+    import graft.operators.Dedup
+    val w = Dedup.WinnowW; val k = Dedup.WinnowK
+    val native = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(NF.winnowFps(col("text"), w, k)).as("fp")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val decl = Dedup.d11SelDeclarative(spark, sf, w, k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(native.nonEmpty && native.keySet == decl.keySet,
+      s"doc coverage differs: ${native.keySet.size} vs ${decl.keySet.size}")
+    native.foreach { case (id, fps) =>
+      assert(fps == decl(id), s"doc $id: native winnow set != declarative")
+    }
+    // native must also be distinct per doc (no duplicate fp rows)
+    val dupCheck = Tables.documents(spark, sf)
+      .select(col("doc_id"), NF.winnowFps(col("text"), w, k).as("fps")).collect()
+    dupCheck.foreach { r =>
+      val s = r.getSeq[Long](1)
+      assert(s.length == s.distinct.length, s"doc ${r.getLong(0)} emitted dup fps")
+    }
+    // and on non-ASCII text (codepoint alignment): synthetic multibyte doc
+    import spark.implicits._
+    val txt = ("é漢🎯 abc déf ghi " * 8) + "tail"
+    val one = Seq((1L, txt)).toDF("doc_id", "text")
+    val nat = one.select(NF.winnowFps(col("text"), 8, 4).as("fps"))
+      .collect().head.getSeq[Long](0).toSet
+    val posDecl = one
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        explode(sequence(lit(1), length(col("text")) - 8 + 1)).as("i"))
+      .select(col("doc_id"), col("i"), col("len"),
+        conv(substring(md5(col("text").substr(col("i"), lit(8))), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+    val winD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)
+    val declNA = posDecl.withColumn("fp", min(col("hv")).over(winD))
+      .filter(col("i") <= col("len") - (8 + 4) + 2)
+      .select(col("fp")).collect().map(_.getLong(0)).toSet
+    assert(nat == declNA, "non-ASCII winnow divergence")
+  }
+
   test("extensions expose graft_cosine / graft_shingles in SQL") {
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
     val c = spark.sql(

@@ -113,6 +113,32 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("d11: winnowing candidates come from a fingerprint equi-join") {
+    val s = planStr(Dedup.d11WinnowedDup(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"winnowed pairs must come from an equi-join on the fingerprint:\n$s")
+    // per-doc selection is the native compiled expression — NO window
+    // shuffle/sort may appear before the fingerprint join
+    assert(s.contains("graft_winnow_fps"), s"expected the native winnow expr:\n$s")
+    assert(!s.contains("Window"), s"winnow selection must not plan a window:\n$s")
+  }
+
+  test("s05: multi-table candidates are an equi-join on (table, bucket)") {
+    val s = planStr(Similarity.s05AnnMultiTable(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"multi-table ANN must equi-join on (t, bucket), never cross-join:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"the probed query side must broadcast:\n$s")
+  }
+
+  test("t12: entropy is join-free with partial aggregation at every level") {
+    val df = TextAnalysis.t12EntropyFilter(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("Join"), s"t12 must not join:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      s"expected partial+final aggregate pairs:\n$s")
+  }
+
   test("p03: the corpus pipeline is one scan pass with bounded shuffles") {
     val df = graft.operators.Pipelines.p03CleanCorpus(spark, sf)
     val s = planStr(df)

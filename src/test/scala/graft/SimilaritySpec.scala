@@ -54,6 +54,28 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("s05 multi-table recall dominates single-table s02 and never beats exact") {
+    def top3Set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getAs[Long]("rk") <= 3L)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = top3Set(Similarity.s01KnnBrute(spark, sf))
+    val single = top3Set(Similarity.s02AnnLsh(spark, sf))
+    val multi = top3Set(Similarity.s05AnnMultiTable(spark, sf))
+    assert(multi.nonEmpty)
+    // recall amplification: L tables' candidate union can only grow the
+    // hit set — table 0 IS s02's hash, so s02-without-probe candidates
+    // are a subset; compare recall against the full (probed) s02
+    assert((multi & exact).size >= (single & exact).size,
+      s"multi-table recall ${(multi & exact).size} < single-table ${(single & exact).size}")
+    val exactTop1 = Similarity.s01KnnBrute(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    Similarity.s05AnnMultiTable(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .foreach(r => assert(
+        r.getAs[Double]("cosine") <= exactTop1(r.getAs[Long]("query_id")) + 1e-9))
+  }
+
   test("s03 IVF results are structurally valid and never beat exact top-1") {
     val exact = Similarity.s01KnnBrute(spark, sf).collect()
       .filter(_.getAs[Long]("rk") == 1L)

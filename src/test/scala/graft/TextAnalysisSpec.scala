@@ -71,6 +71,54 @@ class TextAnalysisSpec extends GraftSuite {
     assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
   }
 
+  test("t12 entropy: per-source stats match a direct Scala recompute") {
+    val rows = TextAnalysis.t12EntropyFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text"))
+    def entropy(t: String): Double = {
+      val counts = t.groupBy(identity).values.map(_.length.toDouble)
+      val l = t.length.toDouble
+      val log2 = (x: Double) => math.log(x) / math.log(2.0)
+      log2(l) - counts.map(c => c * log2(c)).sum / l
+    }
+    val bySource = docs.groupBy(_._1).view.mapValues(_.map(d => entropy(d._2)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val hs = bySource(src)
+      assert(r.getAs[Long]("n_docs") == hs.size)
+      assert(r.getAs[Long]("n_low_entropy") ==
+        hs.count(_ < TextAnalysis.EntropyThreshold))
+      assert(math.abs(r.getAs[Double]("mean_entropy") - hs.sum / hs.size) < 2e-3,
+        s"source $src mean entropy drifted")
+    }
+  }
+
+  test("p04 mixture: temperature flattening upweights rare sources, all-integer output") {
+    val rows = graft.operators.Sampling.p04MixtureSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == n)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("sample_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"))
+    }
+    // tau=0.5: sampling rate must be (weakly) monotone DECREASING in
+    // source size — the whole point of temperature flattening
+    val bySize = rows.sortBy(_.getAs[Long]("n_total"))
+    bySize.sliding(2).foreach {
+      case Array(small, big) =>
+        assert(small.getAs[Long]("sample_ppm") >= big.getAs[Long]("sample_ppm"),
+          s"rate not flattened: ${small} vs ${big}")
+      case _ =>
+    }
+    // realized sample lands near the 20% target (fingerprint uniformity)
+    val sampled = rows.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    assert(sampled > 0.08 * n && sampled < 0.40 * n,
+      s"sampled $sampled of $n — far from the 20% target")
+  }
+
   test("t10 PII scrub: detected counts match the planting rules, zero residual") {
     val ids = Tables.documents(spark, sf).select("doc_id").collect()
       .map(_.getLong(0))
