@@ -145,6 +145,60 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streaming LSH near-dedup candidates equal the batch d03 band collisions") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamNearDedup.candidates(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_cands").outputMode("append").start()
+    try {
+      // feed in three chunks so collisions must cross micro-batches
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("lsh_cands").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch reference: the SAME banding, self-joined
+      val P = graft.functions.TextFunctions.HashMod
+      val bands = Tables.documents(spark, sf)
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sig", graft.functions.NativeFunctions.minhashSig(
+          graft.functions.NativeFunctions.shingleHashes(col("toks"))))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(15)), j =>
+            element_at(col("sig"), (j * lit(2) + lit(1)).cast("int")) * lit(P) +
+              element_at(col("sig"), (j * lit(2) + lit(2)).cast("int")))))
+        .toDF("doc_id", "band", "key")
+      val batch = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.nonEmpty, "no streaming candidates")
+      assert(streamed == batch,
+        s"streaming candidates diverge from batch banding: " +
+          s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
+      // and the verified d03 pairs are all reachable from these candidates
+      val d03 = graft.operators.Dedup.d03MinhashLsh(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+      assert(d03.subsetOf(streamed), "a verified batch pair never surfaced online")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream ingest drains a directory of text files into parquet exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     def writeFile(name: String, lines: Seq[String]): Unit =
