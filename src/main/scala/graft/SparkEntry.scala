@@ -55,12 +55,12 @@ object SparkEntry {
     "t09_lexical_diversity" -> (TextAnalysis.t09LexicalDiversity _),
     "t10_pii_scrub" -> (TextAnalysis.t10PiiScrub _),
     "t11_repetition_filter" -> (TextAnalysis.t11RepetitionFilter _),
-    "t12_entropy_filter" -> (TextAnalysis.t12EntropyFilter _),
+    "t12_entropy_filter" -> ((s, d) => TextAnalysis.t12EntropyFilter(s, d)),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
     "p02_hash_split" -> (Sampling.p02HashSplit _),
-    "p04_mixture_sample" -> (Sampling.p04MixtureSample _),
+    "p04_mixture_sample" -> ((s, d) => Sampling.p04MixtureSample(s, d)),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),

@@ -57,7 +57,14 @@ object Sampling {
     * IEEE-exact, so both engines floor identical doubles into identical
     * ppm thresholds. Output is all-integer — no rounding boundary in
     * the gate at all. */
-  def p04MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+  def p04MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    p04MixtureSample(spark, dir, frac = 0.2)
+
+  /** `frac` scales the target sample size (T = ⌊frac·N⌋); τ stays the
+    * √-flattening because sqrt is IEEE-exact in both engines — a generic
+    * pow(n, τ) is the one place cross-engine float parity could crack,
+    * so other temperatures belong behind a rows-only gate. */
+  def p04MixtureSample(spark: SparkSession, dir: String, frac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy()
     val docs = withFp(spark, dir).select(col("source"), col("fp"))
@@ -67,7 +74,7 @@ object Sampling {
         aggregate(sort_array(collect_list(col("w")).over(wAll)), lit(0.0),
           (acc, v) => acc + v))
       .withColumn("t_target",
-        floor(lit(0.2) * sum(col("n_total")).over(wAll).cast("double")))
+        floor(lit(frac) * sum(col("n_total")).over(wAll).cast("double")))
       .withColumn("sample_ppm", least(lit(1000000L),
         floor(col("t_target").cast("double") * col("w") / col("w_sum") /
           col("n_total").cast("double") * lit(1000000.0)).cast("long")))

@@ -269,7 +269,11 @@ object TextAnalysis {
     * shuffle and it combines map-side to ≤ |alphabet| rows per doc).
     * The mean aggregates UNROUNDED doubles (t11's tie rule); the flag
     * compares raw H so there is no rounding boundary in the gate. */
-  def t12EntropyFilter(spark: SparkSession, dir: String): DataFrame = {
+  def t12EntropyFilter(spark: SparkSession, dir: String): DataFrame =
+    t12EntropyFilter(spark, dir, EntropyThreshold)
+
+  def t12EntropyFilter(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val pos = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1), length(col("text")))).as("i"),
@@ -283,7 +287,7 @@ object TextAnalysis {
         sum(col("c") * log2(col("c"))) / sum(col("c"))).as("h"))
     ent.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("h") < EntropyThreshold, 1L).otherwise(0L)).as("n_low_entropy"),
+        sum(when(col("h") < threshold, 1L).otherwise(0L)).as("n_low_entropy"),
         round(avg(col("h")), 3).as("mean_entropy"))
       .orderBy("source")
   }

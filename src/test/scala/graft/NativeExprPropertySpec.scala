@@ -57,4 +57,42 @@ class NativeExprPropertySpec extends GraftSuite {
       assert(n == d, s"row ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
     }
   }
+
+  test("winnow parity holds on random, periodic, and boundary-length ASCII texts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = 12; val k = 5
+    val alphabet = "ab cde.x" // tiny alphabet -> frequent hash ties
+    def txt(n: Int): String =
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (1 to 120).map { i =>
+      val t = rnd.nextInt(4) match {
+        case 0 => txt(rnd.nextInt(200))          // incl. below-window lengths
+        case 1 => txt(w + k - 2 + rnd.nextInt(3)) // straddle the full-window boundary
+        case 2 => { val u = txt(1 + rnd.nextInt(6)); u * (1 + rnd.nextInt(40)) } // periodic
+        case _ => txt(40) + txt(8) * 10           // long tail repetition
+      }
+      (i.toLong, t)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val native = df
+      .select(col("doc_id"), NF.winnowFps(col("text"), w, k).as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, k - 1)
+    val decl = df.filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        explode(sequence(lit(1), length(col("text")) - w + 1)).as("i"))
+      .select(col("doc_id"), col("i"), col("len"),
+        conv(substring(md5(col("text").substr(col("i"), lit(w))), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .withColumn("fp", min(col("hv")).over(win))
+      .filter(col("i") <= col("len") - (w + k) + 2)
+      .select(col("doc_id"), col("fp")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    docs.foreach { case (id, _) =>
+      assert(native.getOrElse(id, Set.empty) == decl.getOrElse(id, Set.empty),
+        s"doc $id winnow divergence")
+    }
+  }
 }
