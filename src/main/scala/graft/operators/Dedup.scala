@@ -134,14 +134,26 @@ object Dedup {
     * the S-curve's midpoint sits at j ≈ (1/bands)^(1/rows), so a higher
     * dedup threshold wants more rows per band and fewer bands; same
     * trade as d05's (bandBits × nBands). */
-  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val bands = sh.withColumn("sig", graft.functions.NativeFunctions.minhashSig(col("sh")))
+  /** (doc_id, band, key) MinHash-LSH index rows over a `doc_id`+`text`
+    * relation — the SINGLE source of the 16×2 banding arithmetic, shared
+    * by batch d03, the online [[graft.streaming.StreamNearDedup]], and
+    * the streaming spec's batch reference: a band-count or key-math
+    * change here changes all three together (the round-4
+    * single-sourcing rule for shared join shapes). */
+  private[graft] def minhashBandKeys(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
+      .withColumn("sig", graft.functions.NativeFunctions.minhashSig(col("sh")))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(15)), j =>
           element_at(col("sig"), (j * lit(2) + lit(1)).cast("int")) * lit(P) +
             element_at(col("sig"), (j * lit(2) + lit(2)).cast("int")))))
       .toDF("doc_id", "band", "key")
+
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val bands = minhashBandKeys(Tables.documents(spark, dir))
     val cand = bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

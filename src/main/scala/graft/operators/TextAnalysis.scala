@@ -267,14 +267,28 @@ object TextAnalysis {
     * per-doc entropy → per-source rollup; every stage is a
     * partial-aggregable groupBy (the (doc,char) key is the only wide
     * shuffle and it combines map-side to ≤ |alphabet| rows per doc).
-    * The mean aggregates UNROUNDED doubles (t11's tie rule); the flag
-    * compares raw H so there is no rounding boundary in the gate. */
+    *
+    * Float determinism: the per-doc Σ c·log2(c) is folded over the
+    * SORTED count list (collect_list → sort_array → ordered fold, ≤
+    * |alphabet| elements/doc — p04's rule), NOT a sum() whose
+    * accumulation order is partition/arrival dependent — so a doc's H
+    * is bit-stable across runs and the engines differ only by the ULP
+    * gap of their log2 implementations (ties among equal counts
+    * contribute identical terms, so sorting by count alone is
+    * order-complete). That residual gap is mitigated, not eliminated:
+    * the threshold flag and the round(mean, 3) are safe as long as no
+    * doc's H sits within ~1e-13 of the threshold and no source mean
+    * within ~1e-13 of a half-boundary (t07's ln-based BM25 runs the
+    * same risk class; measured spacing here is ≥ 1e-4). Empty docs are
+    * excluded on BOTH sides (Spark's sequence(1,0) would descend where
+    * DuckDB's generate_series(1,0) is empty). */
   def t12EntropyFilter(spark: SparkSession, dir: String): DataFrame =
     t12EntropyFilter(spark, dir, EntropyThreshold)
 
   def t12EntropyFilter(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     val pos = graft.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1) // sequence(1, len) must ascend
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1), length(col("text")))).as("i"),
         col("text"))
@@ -282,9 +296,10 @@ object TextAnalysis {
         col("text").substr(col("i"), lit(1)).as("ch"))
     val cnt = pos.groupBy(col("doc_id"), col("source"), col("ch"))
       .agg(count(lit(1)).as("c"))
+    val sumCLogC = aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+      (acc, c) => acc + c.cast("double") * log2(c))
     val ent = cnt.groupBy(col("doc_id"), col("source"))
-      .agg((log2(sum(col("c"))) -
-        sum(col("c") * log2(col("c"))) / sum(col("c"))).as("h"))
+      .agg((log2(sum(col("c"))) - sumCLogC / sum(col("c"))).as("h"))
     ent.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("h") < threshold, 1L).otherwise(0L)).as("n_low_entropy"),
@@ -373,11 +388,15 @@ object TextAnalysis {
               SELECT doc_id, source,
                 unnest(list_transform(generate_series(1, len(text)),
                   i -> substr(text, CAST(i AS INT), 1))) AS ch
-              FROM documents),
+              FROM documents WHERE len(text) >= 1),
             cnt AS (SELECT doc_id, source, ch, COUNT(*) AS c
               FROM pos GROUP BY 1, 2, 3),
             ent AS (SELECT doc_id, source,
-                log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS h
+                log2(SUM(c))
+                  - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_sort(list(c)),
+                        c -> CAST(c AS DOUBLE) * log2(c))),
+                      (acc, v) -> acc + v) / SUM(c) AS h
               FROM cnt GROUP BY 1, 2)
             SELECT source, COUNT(*) AS n_docs,
               CAST(SUM(CASE WHEN h < $EntropyThreshold THEN 1 ELSE 0 END) AS BIGINT)

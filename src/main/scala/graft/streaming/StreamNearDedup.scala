@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.functions.{NativeFunctions, TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
@@ -69,23 +68,14 @@ class LshBucketProcessor(maxBucket: Int)
   * multi-band collisions produce. */
 object StreamNearDedup {
 
-  private val P = TF.HashMod
-
   /** Candidate pairs from a stream of documents with `doc_id` + `text`
     * columns. Emits each (earlier, newcomer) bucket collision once per
-    * band; consumers dedupe via DISTINCT or an idempotent verify. */
+    * band; consumers dedupe via DISTINCT or an idempotent verify.
+    * Banding comes from [[graft.operators.Dedup.minhashBandKeys]] — the
+    * same code batch d03 runs, not a copy. */
   def candidates(docs: DataFrame, maxBucket: Int = 64): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
-    docs
-      .withColumn("toks", TF.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sig",
-        NativeFunctions.minhashSig(NativeFunctions.shingleHashes(col("toks"))))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(15)), j =>
-          element_at(col("sig"), (j * lit(2) + lit(1)).cast("int")) * lit(P) +
-            element_at(col("sig"), (j * lit(2) + lit(2)).cast("int")))))
-      .toDF("doc_id", "band", "key")
+    graft.operators.Dedup.minhashBandKeys(docs)
       .select(concat_ws(":", col("band"), col("key")).as("band_key"),
         col("doc_id"))
       .as[BandedDoc]

@@ -186,14 +186,19 @@ class DedupSpec extends GraftSuite {
       val l = lcs(docs.find(_._1 == i).get._2, docs.find(_._1 == j).get._2)
       assert(l >= w, s"pair ($i,$j) reported but LCS=$l < $w")
     }
-    // completeness (the winnowing guarantee, with slack for the >= 2
-    // fingerprint threshold): any pair sharing a run of >= w + 2k chars
-    // has >= k+1 shared window hashes -> >= 2 winnowed fingerprints
+    // completeness — the EXACT winnowing guarantee: a shared run of
+    // >= w + k - 1 chars contains a full k-window of shared hashes whose
+    // min is selected in both docs, so >= 1 shared fingerprint. (No such
+    // guarantee lifts to >= 2 DISTINCT fingerprints: a periodic run can
+    // collapse every selected min to one hash value — so the default
+    // minShared=2 operator is checked at minShared=1 here.)
+    val anyShared = Dedup.d11WinnowedDup(spark, sf, w, k, minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
     for (ai <- docs.indices; bi <- ai + 1 until docs.length) {
       val (di, ti) = docs(ai); val (dj, tj) = docs(bi)
-      if (lcs(ti, tj) >= w + 2 * k)
-        assert(reported.contains((di, dj)),
-          s"pair ($di,$dj) shares a >=${w + 2 * k}-char run but was not reported")
+      if (lcs(ti, tj) >= w + k - 1)
+        assert(anyShared.contains((di, dj)),
+          s"pair ($di,$dj) shares a >=${w + k - 1}-char run but has no shared fingerprint")
     }
   }
 

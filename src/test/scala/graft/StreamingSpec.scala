@@ -165,18 +165,9 @@ class StreamingSpec extends GraftSuite {
       }
       val streamed = spark.table("lsh_cands").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      // batch reference: the SAME banding, self-joined
-      val P = graft.functions.TextFunctions.HashMod
-      val bands = Tables.documents(spark, sf)
-        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("sig", graft.functions.NativeFunctions.minhashSig(
-          graft.functions.NativeFunctions.shingleHashes(col("toks"))))
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(15)), j =>
-            element_at(col("sig"), (j * lit(2) + lit(1)).cast("int")) * lit(P) +
-              element_at(col("sig"), (j * lit(2) + lit(2)).cast("int")))))
-        .toDF("doc_id", "band", "key")
+      // batch reference: d03's banding, via the SAME single-sourced helper
+      val bands = graft.operators.Dedup.minhashBandKeys(
+        Tables.documents(spark, sf))
       val batch = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
