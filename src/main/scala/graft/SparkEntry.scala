@@ -38,6 +38,7 @@ object SparkEntry {
     "q24_market_share" -> (Relational.q24MarketShare _),
     "q25_disjunctive_revenue" -> (Relational.q25DisjunctiveRevenue _),
     "q26_cheapest_supplier" -> (Relational.q26CheapestSupplier _),
+    "q27_moving_avg" -> (Relational.q27MovingAvg _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -259,6 +260,15 @@ object SparkEntry {
          FROM events
          GROUP BY 1, 2
          ORDER BY day, event_type""",
+    "q27_moving_avg" ->
+      """WITH d AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(value) AS day_value
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, ROUND(day_value, 2) AS day_value,
+           ROUND(AVG(day_value) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         FROM d ORDER BY event_type, day""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -429,4 +429,30 @@ object Relational {
       .orderBy(col("p_partkey"), col("s_name"))
       .limit(20)
   }
+
+  /** q27: SLIDING-FRAME window aggregate — trailing 7-observation moving
+    * average of daily event value per type (the monitoring/trend query
+    * class; q08 covers ranking windows, q17 lag, this covers frame
+    * aggregation). ROWS BETWEEN 6 PRECEDING AND CURRENT ROW is a
+    * row-count frame — trailing 7 OBSERVED days (identical in both
+    * engines); a calendar-day trailing week is the RANGE-frame swap-in.
+    * Shape at 100 TB: the daily pre-aggregation collapses the events
+    * fact to |types|×|days| rows BEFORE the window, so the window's
+    * per-partition sort is over day counts, not events; two shuffles
+    * total ((type, day) partial agg, then type for the frame). The
+    * frame average sums ≤ 7 doubles in day order on both engines —
+    * deterministic — and rounds at the edge (§6). */
+  def q27MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .withColumn("day", to_date(date_trunc("day", col("ts"))))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value")).as("day_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7", round(avg(col("day_value")).over(w), 4))
+      .select(col("event_type"), col("day"),
+        round(col("day_value"), 2).as("day_value"), col("ma7"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -86,6 +86,24 @@ class RelationalSpec extends GraftSuite {
       .distinct.length == rows.length)
   }
 
+  test("q27 moving average matches a direct trailing-7 recompute per type") {
+    val rows = Relational.q27MovingAvg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      // day_value is rounded for presentation; recompute ma7 from the
+      // rounded values only where rounding noise cannot flip the 4th
+      // decimal (tolerance covers it)
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1)
+          .map(_.getAs[Double]("day_value"))
+        val expect = frame.sum / frame.length
+        assert(math.abs(r.getAs[Double]("ma7") - expect) < 0.02,
+          s"ma7 drifted at row $i: ${r.getAs[Double]("ma7")} vs $expect")
+      }
+    }
+  }
+
   test("registerAll exposes the whole catalog to SQL with graft functions") {
     Tables.registerAll(spark, sf)
     val r = spark.sql(
