@@ -57,6 +57,7 @@ object SparkEntry {
     "t10_pii_scrub" -> (TextAnalysis.t10PiiScrub _),
     "t11_repetition_filter" -> (TextAnalysis.t11RepetitionFilter _),
     "t12_entropy_filter" -> ((s, d) => TextAnalysis.t12EntropyFilter(s, d)),
+    "t13_unigram_surprisal" -> ((s, d) => TextAnalysis.t13UnigramSurprisal(s, d)),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),

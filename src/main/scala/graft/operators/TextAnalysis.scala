@@ -307,6 +307,51 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Surprisal flag threshold in bits/token: the corpus sits at
+    * 4.88–5.76 with the 99th percentile ≈ 5.1 — docs above 5.05 are the
+    * unusual-vocabulary tail a CCNet-style LM filter quarantines. */
+  val SurprisalThreshold = 5.05
+
+  /** t13: unigram surprisal — the perplexity-proxy quality filter of the
+    * CCNet/CC-Net-family pipelines, with the corpus itself as the LM:
+    * per doc, −(1/n)·Σ log2 p(tok) = log2(N) − Σ m·log2(c) / n over
+    * corpus token counts c and per-doc multiplicities m. High surprisal
+    * = vocabulary unlike the corpus (noise, wrong language, garbled
+    * text); low = boilerplate. Shape at 100 TB: corpus token counts are
+    * one partial-aggregable shuffle; the count join shuffles by token
+    * (AQE broadcasts the vocab while it's small); the per-doc fold runs
+    * over the SORTED term list (t12's float-determinism rule — the
+    * per-doc term count is bounded by doc length, never corpus size).
+    * Σm and N are integers — exact; only log2's engine ULP gap remains,
+    * mitigated by threshold distance and edge rounding (§6). */
+  def t13UnigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    t13UnigramSurprisal(spark, dir, SurprisalThreshold)
+
+  def t13UnigramSurprisal(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val tok = graft.Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"), explode(TF.tokens(col("text"))).as("t"))
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n_corpus"))
+    val dt = tok.groupBy(col("doc_id"), col("source"), col("t"))
+      .agg(count(lit(1)).as("m"))
+    val termFold = aggregate(
+      sort_array(collect_list(col("m").cast("double") * log2(col("c")))),
+      lit(0.0), (acc, v) => acc + v)
+    val perDoc = dt.join(cnt, "t")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(termFold.as("s_sum"), sum(col("m")).as("n_toks"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"),
+        (log2(col("n_corpus")) - col("s_sum") / col("n_toks")).as("surprisal"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("surprisal") > threshold, 1L).otherwise(0L)).as("n_flagged"),
+        round(avg(col("surprisal")), 3).as("mean_surprisal"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
@@ -383,6 +428,26 @@ object TextAnalysis {
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
               round(AVG((total - dist) / CAST(total AS DOUBLE)), 4) AS avg_dup_frac
             FROM g GROUP BY source ORDER BY source""",
+      "t13_unigram_surprisal" ->
+        s"""WITH tok AS (
+              SELECT doc_id, source, unnest($toks) AS t
+              FROM documents WHERE len(trim(text)) > 0),
+            cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM cnt),
+            dt AS (SELECT doc_id, source, t, COUNT(*) AS m
+              FROM tok GROUP BY 1, 2, 3),
+            pd AS (SELECT d.doc_id, d.source,
+                log2((SELECT n_corpus FROM tot))
+                  - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_sort(list(CAST(d.m AS DOUBLE) * log2(c.c)))),
+                      (acc, v) -> acc + v)
+                    / CAST(SUM(d.m) AS BIGINT) AS surprisal
+              FROM dt d JOIN cnt c ON d.t = c.t GROUP BY 1, 2)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN surprisal > $SurprisalThreshold
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+              round(AVG(surprisal), 3) AS mean_surprisal
+            FROM pd GROUP BY source ORDER BY source""",
       "t12_entropy_filter" ->
         s"""WITH pos AS (
               SELECT doc_id, source,

@@ -94,6 +94,32 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("t13 surprisal: per-source stats match a direct Scala recompute") {
+    val rows = TextAnalysis.t13UnigramSurprisal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text"))
+      .filter(_._2.trim.nonEmpty)
+    val allToks = docs.flatMap(_._2.trim.split("\\s+"))
+    val corpus = allToks.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val n = allToks.length.toDouble
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    def surprisal(t: String): Double = {
+      val toks = t.trim.split("\\s+")
+      log2(n) - toks.map(tk => log2(corpus(tk))).sum / toks.length
+    }
+    val bySource = docs.groupBy(_._1).view.mapValues(_.map(d => surprisal(d._2)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ss = bySource(src)
+      assert(r.getAs[Long]("n_docs") == ss.size)
+      assert(r.getAs[Long]("n_flagged") ==
+        ss.count(_ > TextAnalysis.SurprisalThreshold))
+      assert(math.abs(r.getAs[Double]("mean_surprisal") - ss.sum / ss.size) < 2e-3,
+        s"source $src mean surprisal drifted")
+    }
+  }
+
   test("p04 mixture: temperature flattening upweights rare sources, all-integer output") {
     val rows = graft.operators.Sampling.p04MixtureSample(spark, sf).collect()
     assert(rows.nonEmpty)
