@@ -55,6 +55,8 @@ object PlanDump {
         "Character entropy: explode -> partial-aggregable (doc, char) counts (map-side combine caps rows at |alphabet| per doc) -> per-doc algebraic entropy -> per-source rollup; three partial/final aggregate pairs, no join."),
       ("p04_mixture_sample",
         "Temperature mixture sample: per-source count agg (one partial-agg shuffle), threshold table broadcast back, membership is a map-side pmod filter on the fingerprint — the 100 TB pass is a filtered scan."),
+      ("t13_unigram_surprisal",
+        "Unigram surprisal: corpus token counts (partial agg), count join by token (AQE broadcast while the vocab is small), per-doc sorted fold, source rollup — the corpus-as-LM perplexity proxy with no cross join and integer totals."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder
