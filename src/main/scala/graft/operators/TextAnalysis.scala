@@ -352,9 +352,147 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Gopher rule thresholds (Rae et al. 2021 §A1.1, MassiveText quality
+    * rules): word count ≥ [[GopherMinWords]], mean word length within
+    * [3, 10], symbol-to-word ratio ≤ 0.1, < 90% bulleted lines, ≤ 30%
+    * ellipsis-terminated lines, ≥ 80% words with an alphabetic char,
+    * ≥ 2 distinct stopwords present. Measured corpus spacing to every
+    * boundary is ≥ 1/|doc| (all ratios are small-denominator rationals),
+    * so flags are engine-stable. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+
+  /** t14: Gopher/MassiveText quality-rule bundle — the document-structure
+    * rules (bullets, ellipses, symbols) plus the word-level rules (count,
+    * mean length, alpha fraction, stopword presence) every LLM corpus
+    * pass applies before training. The synthetic corpus is single-line
+    * symbol-free prose, so (t10-precedent) the query first PLANTS
+    * structure deterministically from doc_id — 10-token lines, per-line
+    * bullet prefix with modulus 1+doc_id%4 (modulus 1 = the fully
+    * bulleted listicle the rule exists to catch), per-line ellipsis
+    * suffix with modulus 2+doc_id%4, and a trailing '#'-run line on
+    * every 7th doc — then MEASURES all seven rules for real on the
+    * rebuilt document. Shape at 100 TB: one scan, all column expressions
+    * (chunking/decoration is transform over sequence — codegen'd, no
+    * UDF), one |sources|-row shuffle. Ratios are int/int divisions and
+    * threshold literals identical in both engines (IEEE-identical flag
+    * decisions; no float accumulation anywhere). */
+  def t14GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val toks = col("toks")
+    val nChunks = floor((size(toks) + lit(9)) / lit(10.0)).cast("long")
+    val bmod = lit(1) + pmod(id, lit(4))
+    val emod = lit(2) + pmod(id, lit(4))
+    val nHash = when(pmod(id, lit(7)) === 0, lit(1) + pmod(id, lit(12)))
+      .otherwise(lit(0)).cast("int")
+    val lines0 = transform(sequence(lit(1L), nChunks), j =>
+      concat(
+        when(pmod(id + j, bmod) === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(toks, (j * lit(10) - lit(9)).cast("int"), lit(10)), " "),
+        when(pmod(id * 3 + j, emod) === 0, lit("...")).otherwise(lit(""))))
+    val linesCol = concat(lines0,
+      when(nHash > 0, array(array_join(array_repeat(lit("#"), nHash), " ")))
+        .otherwise(array().cast("array<string>")))
+    val structured = docsWithTokens(spark, dir)
+      .select(id, col("source"), linesCol.as("lines"))
+      .withColumn("ftext", array_join(col("lines"), "\n"))
+      .withColumn("words", split(trim(col("ftext")), "\\s+"))
+    val nWords = size(col("words")).cast("long")
+    val nLines = size(col("lines")).cast("long")
+    val symCount =
+      (length(col("ftext")) - length(regexp_replace(col("ftext"), "#", ""))).cast("long") +
+        size(regexp_extract_all(col("ftext"), lit("\\.\\.\\."), lit(0))).cast("long")
+    val meanWordLen =
+      aggregate(transform(col("words"), w => length(w).cast("long")), lit(0L),
+        (a, x) => a + x).cast("double") / nWords
+    val bulletFrac =
+      size(filter(col("lines"), l => l.startsWith("- "))).cast("double") / nLines
+    val ellFrac =
+      size(filter(col("lines"), l => l.endsWith("..."))).cast("double") / nLines
+    val alphaFrac =
+      size(filter(col("words"), w => w.rlike("[a-z]"))).cast("double") / nWords
+    val nStop = size(array_intersect(array_distinct(col("words")),
+      array(TF.stopwords.map(lit): _*)))
+    val flagged = structured.select(col("source"),
+      (nWords < GopherMinWords || nWords > GopherMaxWords).as("f_words"),
+      (meanWordLen < 3.0 || meanWordLen > 10.0).as("f_wordlen"),
+      (symCount.cast("double") / nWords > 0.1).as("f_symbol"),
+      (bulletFrac >= 0.9).as("f_bullet"),
+      (ellFrac > 0.3).as("f_ellipsis"),
+      (alphaFrac < 0.8).as("f_alpha"),
+      (nStop < 2).as("f_stopword"))
+    def cnt(c: String): Column = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt("f_words"), cnt("f_wordlen"), cnt("f_symbol"), cnt("f_bullet"),
+        cnt("f_ellipsis"), cnt("f_alpha"), cnt("f_stopword"),
+        sum(when(!col("f_words") && !col("f_wordlen") && !col("f_symbol") &&
+          !col("f_bullet") && !col("f_ellipsis") && !col("f_alpha") &&
+          !col("f_stopword"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
+      "t14_gopher_rules" ->
+        s"""WITH d AS (
+              SELECT doc_id, source, $toks AS toks FROM documents),
+            base AS (
+              SELECT doc_id, source, toks,
+                CAST(floor((len(toks) + 9) / 10.0) AS BIGINT) AS n_chunks,
+                1 + doc_id % 4 AS bmod, 2 + doc_id % 4 AS emod,
+                CAST(CASE WHEN doc_id % 7 = 0 THEN 1 + doc_id % 12 ELSE 0 END AS INT) AS n_hash
+              FROM d),
+            lined AS (
+              SELECT doc_id, source,
+                list_transform(generate_series(1, n_chunks), j ->
+                  (CASE WHEN (doc_id + j) % bmod = 0 THEN '- ' ELSE '' END)
+                  || array_to_string(toks[CAST(j*10-9 AS INT) : CAST(j*10 AS INT)], ' ')
+                  || (CASE WHEN (doc_id*3 + j) % emod = 0 THEN '...' ELSE '' END)) ||
+                (CASE WHEN n_hash > 0
+                  THEN [array_to_string(list_transform(generate_series(1, n_hash), x -> '#'), ' ')]
+                  ELSE [] END) AS lines
+              FROM base),
+            m AS (
+              SELECT doc_id, source, lines,
+                array_to_string(lines, chr(10)) AS ftext
+              FROM lined),
+            w AS (
+              SELECT doc_id, source, lines, ftext,
+                regexp_split_to_array(trim(ftext), '\\s+') AS words,
+                CAST(length(ftext) - length(regexp_replace(ftext, '#', '', 'g')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(ftext, '\\.\\.\\.')) AS BIGINT) AS sym_count
+              FROM m),
+            r AS (
+              SELECT source,
+                (len(words) < $GopherMinWords OR len(words) > $GopherMaxWords) AS f_words,
+                (list_sum(list_transform(words, x -> CAST(length(x) AS BIGINT)))
+                   / CAST(len(words) AS DOUBLE) < 3.0
+                 OR list_sum(list_transform(words, x -> CAST(length(x) AS BIGINT)))
+                   / CAST(len(words) AS DOUBLE) > 10.0) AS f_wordlen,
+                (sym_count / CAST(len(words) AS DOUBLE) > 0.1) AS f_symbol,
+                (len(list_filter(lines, l -> starts_with(l, '- ')))
+                   / CAST(len(lines) AS DOUBLE) >= 0.9) AS f_bullet,
+                (len(list_filter(lines, l -> ends_with(l, '...')))
+                   / CAST(len(lines) AS DOUBLE) > 0.3) AS f_ellipsis,
+                (len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                   / CAST(len(words) AS DOUBLE) < 0.8) AS f_alpha,
+                (len(list_intersect(list_distinct(words), ${TS.inList(TF.stopwords)})) < 2)
+                  AS f_stopword
+              FROM w)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_f_words,
+              CAST(SUM(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_f_wordlen,
+              CAST(SUM(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_f_symbol,
+              CAST(SUM(CASE WHEN f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_f_bullet,
+              CAST(SUM(CASE WHEN f_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_f_ellipsis,
+              CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_f_alpha,
+              CAST(SUM(CASE WHEN f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_f_stopword,
+              CAST(SUM(CASE WHEN NOT f_words AND NOT f_wordlen AND NOT f_symbol
+                AND NOT f_bullet AND NOT f_ellipsis AND NOT f_alpha
+                AND NOT f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM r GROUP BY source ORDER BY source""",
       "t01_token_count" ->
         s"""SELECT doc_id,
             len($toks) AS n_ws_tokens,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
+import graft.functions.{TextFunctions => TF}
 
 class TextAnalysisSpec extends GraftSuite {
 
@@ -118,6 +119,64 @@ class TextAnalysisSpec extends GraftSuite {
       assert(math.abs(r.getAs[Double]("mean_surprisal") - ss.sum / ss.size) < 2e-3,
         s"source $src mean surprisal drifted")
     }
+  }
+
+  test("t14 gopher rules: per-source flag counts match a direct Scala recompute") {
+    val rows = TextAnalysis.t14GopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+    // Mirror the query's deterministic structure-planting, then apply the
+    // seven Gopher rules over the rebuilt text in plain Scala.
+    def flags(id: Long, text: String): Seq[Boolean] = {
+      val toks = text.trim.split("\\s+")
+      val nChunks = ((toks.length + 9) / 10.0).floor.toLong
+      val bmod = 1 + id % 4
+      val emod = 2 + id % 4
+      val nHash = if (id % 7 == 0) (1 + id % 12).toInt else 0
+      val body = (1L to nChunks).map { j =>
+        (if ((id + j) % bmod == 0) "- " else "") +
+          toks.slice((j.toInt - 1) * 10, j.toInt * 10).mkString(" ") +
+          (if ((id * 3 + j) % emod == 0) "..." else "")
+      }
+      val lines = if (nHash > 0) body :+ Seq.fill(nHash)("#").mkString(" ") else body
+      val ftext = lines.mkString("\n")
+      val words = ftext.trim.split("\\s+")
+      val nW = words.length.toDouble
+      val nL = lines.length.toDouble
+      val sym = ftext.count(_ == '#') + "\\.\\.\\.".r.findAllIn(ftext).length
+      val meanLen = words.map(_.length.toLong).sum / nW
+      Seq(
+        words.length < TextAnalysis.GopherMinWords ||
+          words.length > TextAnalysis.GopherMaxWords,
+        meanLen < 3.0 || meanLen > 10.0,
+        sym / nW > 0.1,
+        lines.count(_.startsWith("- ")) / nL >= 0.9,
+        lines.count(_.endsWith("...")) / nL > 0.3,
+        words.count(_.exists(c => c >= 'a' && c <= 'z')) / nW < 0.8,
+        words.distinct.count(TF.stopwords.contains) < 2)
+    }
+    val expect = docs.groupBy(_._2).view.mapValues { ds =>
+      val fs = ds.map(d => flags(d._1, d._3))
+      (ds.size.toLong, (0 until 7).map(i => fs.count(_(i)).toLong),
+        fs.count(f => !f.exists(identity)).toLong)
+    }.toMap
+    val flagCols = Seq("n_f_words", "n_f_wordlen", "n_f_symbol", "n_f_bullet",
+      "n_f_ellipsis", "n_f_alpha", "n_f_stopword")
+    rows.foreach { r =>
+      val (nDocs, perFlag, nPass) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      flagCols.zip(perFlag).foreach { case (c, want) =>
+        assert(r.getAs[Long](c) == want, s"${r.getAs[String]("source")} $c")
+      }
+      assert(r.getAs[Long]("n_pass") == nPass)
+    }
+    // the corpus must actually exercise the rules: each structural flag
+    // fires somewhere, and some docs still pass
+    Seq("n_f_bullet", "n_f_ellipsis", "n_f_words").foreach { c =>
+      assert(rows.map(_.getAs[Long](c)).sum > 0, s"$c never fires")
+    }
+    assert(rows.map(_.getAs[Long]("n_pass")).sum > 0)
   }
 
   test("p04 mixture: temperature flattening upweights rare sources, all-integer output") {
