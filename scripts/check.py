@@ -16,6 +16,11 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+# Optional 3rd arg "--present": only check queries whose dump dir exists
+# (for single-query iteration with Verify's name filter).
+if "--present" in sys.argv:
+    import os
+    oracle = {k: v for k, v in oracle.items() if os.path.isdir(f"{OUT_DIR}/{k}")}
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)

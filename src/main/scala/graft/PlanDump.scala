@@ -57,6 +57,8 @@ object PlanDump {
         "Temperature mixture sample: per-source count agg (one partial-agg shuffle), threshold table broadcast back, membership is a map-side pmod filter on the fingerprint — the 100 TB pass is a filtered scan."),
       ("t13_unigram_surprisal",
         "Unigram surprisal: corpus token counts (partial agg), count join by token (AQE broadcast while the vocab is small), per-doc sorted fold, source rollup — the corpus-as-LM perplexity proxy with no cross join and integer totals."),
+      ("t15_hll_distinct",
+        "HyperLogLog cardinality: register build is a partial-aggregable max() capped at 256 rows per source per partition — the sketch shuffle carries |sources|*256 rows regardless of corpus size; the exact COUNT(DISTINCT) branch beside it is the test-SF accuracy reference the sketch replaces at 100 TB."),
       ("t14_gopher_rules",
         "Gopher rule bundle: all seven rules evaluate as projected column expressions over one document scan (structure planting and line/word measures are codegen'd array HOFs, no UDF, no explode), then a single partial/final aggregate pair — the only exchange carries |sources| rows."),
     ).map { case (name, note) => (name, note, name) }

@@ -59,6 +59,7 @@ object SparkEntry {
     "t12_entropy_filter" -> ((s, d) => TextAnalysis.t12EntropyFilter(s, d)),
     "t13_unigram_surprisal" -> ((s, d) => TextAnalysis.t13UnigramSurprisal(s, d)),
     "t14_gopher_rules" -> (TextAnalysis.t14GopherRules _),
+    "t15_hll_distinct" -> (TextAnalysis.t15HllDistinct _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),

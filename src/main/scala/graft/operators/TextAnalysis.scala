@@ -432,9 +432,129 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t15 HLL parameters: 2^8 = 256 registers (standard error
+    * 1.04/√m ≈ 6.5%); the 60-bit portable hash (d11's md5-prefix idiom)
+    * splits into an 8-bit register index and a 52-bit rank field. */
+  val HllBuckets = 256
+
+  /** α·m²·2^53 — the HLL bias constant times the register count squared,
+    * pre-scaled by 2^53 so the register sum Σ 2^(53−M_j) stays an exact
+    * BIGINT (order-independent, no float accumulation). Computed once
+    * here and interpolated into the oracle SQL as the same double
+    * literal, so the final estimate is one IEEE divide in both engines. */
+  val HllAlphaNumer: Double = {
+    val m = HllBuckets.toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m * 9007199254740992.0
+  }
+
+  /** Linear-counting lookup m·ln(m/V) for V = 1..m — HLL's small-range
+    * correction (raw estimate ≤ 2.5m with empty registers). Precomputed
+    * here and embedded as the SAME double literals in the oracle SQL, so
+    * neither engine evaluates ln() at query time (ln is the one libm
+    * call whose last ulp is not guaranteed to agree across engines). */
+  val HllLinearCount: IndexedSeq[Double] = {
+    val m = HllBuckets.toDouble
+    (1 to HllBuckets).map(v => m * math.log(m / v))
+  }
+
+  /** t15: HyperLogLog distinct-shingle count per source — the cardinality
+    * sketch every corpus-stats pass uses where exact COUNT(DISTINCT) is
+    * unaffordable (counting distinct word-3-grams is the shingle-space
+    * size that drives minhash dedup tuning). Registers come from the
+    * engine-portable md5-prefix hash (low 8 bits → register, remaining
+    * 52 bits → rank via `53 − bitlength`, Flajolet et al. 2007), so
+    * DuckDB computes the IDENTICAL sketch and the gate checks the
+    * estimate itself, not just shape. The register sum is kept as the
+    * exact integer Σ 2^(53−M_j) (fits BIGINT: ≤ 256·2^53 = 2^61) — the
+    * float ops are one α·m²·2^53 / S divide plus the [[HllLinearCount]]
+    * lookup on the small-range branch, IEEE-identical in both engines,
+    * reported ×1000-floored. Shape at 100 TB: registers are
+    * partial-aggregable max() rows capped at m per source per partition —
+    * the shuffle carries ≤ |sources|·256 rows regardless of corpus size.
+    * The exact countDistinct column exists purely as the accuracy
+    * reference at test SFs (it is the thing the sketch REPLACES at
+    * scale). */
+  def t15HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithTokens(spark, dir)
+      .filter(size(col("toks")) >= 3) // sequence(1, n-2) descends for n < 3
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("toks")) - lit(2)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("t"))
+    val v = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+    val hashed = sh.select(col("source"), col("t"),
+      pmod(v, lit(HllBuckets.toLong)).as("bucket"),
+      shiftright(v, 8).as("w"))
+    val rho = when(col("w") === 0L, lit(53))
+      .otherwise(lit(53) - length(bin(col("w")))).cast("int")
+    val regs = hashed.groupBy(col("source"), col("bucket"))
+      .agg(max(rho).as("m_reg"))
+    val hll = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(1L, 53 - m_reg)")).as("s_present"))
+      .select(col("source"),
+        (lit(HllBuckets.toLong) - col("n_present")).as("zero_regs"),
+        (col("s_present") +
+          (lit(HllBuckets.toLong) - col("n_present")) * lit(1L << 53)).as("hll_s"))
+    val exact = hashed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("t")).as("n_distinct_exact"))
+    val rawEst = lit(HllAlphaNumer) / col("hll_s").cast("double")
+    val est = when(col("zero_regs") > 0L && rawEst <= lit(2.5 * HllBuckets),
+      element_at(array(HllLinearCount.map(lit): _*), col("zero_regs").cast("int")))
+      .otherwise(rawEst)
+    exact.join(broadcast(hll), "source")
+      .select(col("source"), col("n_shingles"), col("n_distinct_exact"),
+        col("hll_s"), col("zero_regs"),
+        floor(est * lit(1000.0)).cast("long").as("hll_est_x1000"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
+      "t15_hll_distinct" ->
+        s"""WITH tok AS (
+              SELECT source, $toks AS toks FROM documents),
+            shg AS (
+              SELECT source,
+                unnest(list_transform(generate_series(1, len(toks) - 2),
+                  i -> array_to_string(toks[i : i + 2], ' '))) AS t
+              FROM tok),
+            h AS (
+              SELECT source, t,
+                CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS v
+              FROM shg),
+            b AS (
+              SELECT source, t, v % $HllBuckets AS bucket, v // $HllBuckets AS w
+              FROM h),
+            r AS (
+              SELECT source, bucket,
+                MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_reg
+              FROM b GROUP BY source, bucket),
+            s AS (
+              SELECT source, COUNT(*) AS n_present,
+                CAST(SUM(1::BIGINT << (53 - m_reg)) AS BIGINT) AS s_present
+              FROM r GROUP BY source),
+            e AS (
+              SELECT source, CAST($HllBuckets - n_present AS BIGINT) AS zero_regs,
+                s_present + ($HllBuckets - n_present) * (1::BIGINT << 53) AS s
+              FROM s),
+            x AS (
+              SELECT source, COUNT(*) AS n_shingles,
+                COUNT(DISTINCT t) AS n_distinct_exact
+              FROM b GROUP BY source),
+            est AS (
+              SELECT source,
+                CASE WHEN zero_regs > 0
+                       AND $HllAlphaNumer / CAST(s AS DOUBLE) <= ${2.5 * HllBuckets}
+                  THEN (${HllLinearCount.mkString("[", ", ", "]")})[CAST(zero_regs AS INT)]
+                  ELSE $HllAlphaNumer / CAST(s AS DOUBLE) END AS v_est,
+                zero_regs, s
+              FROM e)
+            SELECT x.source, x.n_shingles, x.n_distinct_exact,
+              est.s AS hll_s, est.zero_regs,
+              CAST(floor(est.v_est * 1000.0) AS BIGINT) AS hll_est_x1000
+            FROM x JOIN est USING (source) ORDER BY source""",
       "t14_gopher_rules" ->
         s"""WITH d AS (
               SELECT doc_id, source, $toks AS toks FROM documents),

@@ -179,6 +179,47 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rows.map(_.getAs[Long]("n_pass")).sum > 0)
   }
 
+  test("t15 HLL: registers and estimate match a direct Scala recompute, error within theory") {
+    val rows = TextAnalysis.t15HllDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = TextAnalysis.HllBuckets
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = synchronized {
+      md.reset()
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_))
+          .mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text"))
+    val shingles = docs.flatMap { case (src, text) =>
+      val toks = text.trim.split("\\s+")
+      (0 to toks.length - 3).map(i => src -> toks.slice(i, i + 3).mkString(" "))
+    }
+    shingles.groupBy(_._1).foreach { case (src, ss) =>
+      val regs = Array.fill(m)(0)
+      ss.foreach { case (_, s) =>
+        val v = hash60(s)
+        val b = (v % m).toInt
+        val w = v >>> 8
+        val rho = if (w == 0) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(b)) regs(b) = rho
+      }
+      val bigS = regs.map(r => 1L << (53 - r)).sum
+      val zeros = regs.count(_ == 0)
+      val raw = TextAnalysis.HllAlphaNumer / bigS.toDouble
+      val est = if (zeros > 0 && raw <= 2.5 * m)
+        TextAnalysis.HllLinearCount(zeros - 1) else raw
+      val row = rows.find(_.getAs[String]("source") == src).get
+      assert(row.getAs[Long]("hll_s") == bigS, s"$src register sum")
+      assert(row.getAs[Long]("zero_regs") == zeros.toLong)
+      assert(row.getAs[Long]("hll_est_x1000") == math.floor(est * 1000.0).toLong)
+      val exact = row.getAs[Long]("n_distinct_exact").toDouble
+      assert(math.abs(est / exact - 1.0) < 0.25,
+        s"$src estimate $est vs exact $exact outside 25%")
+    }
+  }
+
   test("p04 mixture: temperature flattening upweights rare sources, all-integer output") {
     val rows = graft.operators.Sampling.p04MixtureSample(spark, sf).collect()
     assert(rows.nonEmpty)
