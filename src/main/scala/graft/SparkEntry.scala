@@ -39,6 +39,9 @@ object SparkEntry {
     "q25_disjunctive_revenue" -> (Relational.q25DisjunctiveRevenue _),
     "q26_cheapest_supplier" -> (Relational.q26CheapestSupplier _),
     "q27_moving_avg" -> (Relational.q27MovingAvg _),
+    "q28_cube" -> (Relational.q28Cube _),
+    "q29_pivot" -> (Relational.q29Pivot _),
+    "q30_set_ops" -> (Relational.q30SetOps _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -60,11 +63,13 @@ object SparkEntry {
     "t13_unigram_surprisal" -> ((s, d) => TextAnalysis.t13UnigramSurprisal(s, d)),
     "t14_gopher_rules" -> (TextAnalysis.t14GopherRules _),
     "t15_hll_distinct" -> (TextAnalysis.t15HllDistinct _),
+    "t16_tfidf_keywords" -> (TextAnalysis.t16TfidfKeywords _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
     "p02_hash_split" -> (Sampling.p02HashSplit _),
     "p04_mixture_sample" -> ((s, d) => Sampling.p04MixtureSample(s, d)),
+    "p05_pack_chunks" -> (Sampling.p05PackChunks _),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -272,6 +277,38 @@ object SparkEntry {
            ROUND(AVG(day_value) OVER (PARTITION BY event_type ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
          FROM d ORDER BY event_type, day""",
+    "q28_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+           AS INTEGER) AS gid,
+         COALESCE(o_orderstatus, 'ALL') AS status,
+         COALESCE(o_orderpriority, 'ALL') AS priority,
+         COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY gid, status, priority""",
+    "q29_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) FILTER (event_type = 'click') AS n_click,
+         COUNT(*) FILTER (event_type = 'error') AS n_error,
+         COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+         COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+         COUNT(*) FILTER (event_type = 'view') AS n_view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q30_set_ops" ->
+      """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+         y98 AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+         SELECT 'both' AS segment, COUNT(*) AS n_customers
+           FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)
+         UNION ALL
+         SELECT 'only_1997', COUNT(*)
+           FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)
+         UNION ALL
+         SELECT 'only_1998', COUNT(*)
+           FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97)
+         ORDER BY segment""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

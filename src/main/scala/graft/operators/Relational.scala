@@ -455,4 +455,69 @@ object Relational {
         round(col("day_value"), 2).as("day_value"), col("ma7"))
       .orderBy("event_type", "day")
   }
+
+  /** q28: CUBE multi-dimensional aggregate — all 2² grouping sets of
+    * (o_orderstatus, o_orderpriority) in one pass (the OLAP subtotal
+    * report q14's ROLLUP only covers hierarchically). Shape at 100 TB:
+    * Spark's Expand operator replicates each input row once per grouping
+    * set BETWEEN the partial and final agg, so the fact is still read
+    * once and the shuffle carries ≤ |sets|·|groups| partial rows, not
+    * 4× the fact. `gid` is the standard grouping_id bitmask; NULL group
+    * cells are labelled 'ALL' (o_orderstatus/o_orderpriority are
+    * non-nullable in TPC-H, so the label is unambiguous). */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg( // grouping() only resolves inside the grouping-sets Aggregate
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+
+  /** q29: PIVOT — long→wide reshaping of the events stream into one row
+    * per day with a column per event type (the dashboard/export query
+    * class). The value list is given EXPLICITLY, which keeps the plan a
+    * single scan + one (day)-keyed shuffle with map-side partial
+    * pivot-aggregation; an implicit pivot would need an eager distinct
+    * scan to discover the columns — a second full pass at 100 TB.
+    * Missing (day, type) cells coalesce to 0 so both engines agree. */
+  def q29Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .withColumn("day", to_date(date_trunc("day", col("ts"))))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("day")
+  }
+
+  /** q30: set operations — year-over-year customer retention via
+    * INTERSECT / EXCEPT over the 1997 and 1998 buyer sets. Each set op
+    * plans as distinct + left-semi/anti join co-partitioned on
+    * o_custkey, so the three branches are one fact scan each plus one
+    * key shuffle — no row explosion at any scale — and AQE reuses the
+    * year-filtered exchanges across branches. Output is the 3-segment
+    * retention report (integer counts — no float boundary). */
+  def q30SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(year: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts(s"$year-01-01 00:00:00") &&
+        col("o_orderdate") < ts(s"${year + 1}-01-01 00:00:00"))
+      .select(col("o_custkey")).distinct()
+    val y97 = buyers(1997)
+    val y98 = buyers(1998)
+    def seg(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_customers"))
+        .select(lit(name).as("segment"), col("n_customers"))
+    seg("both", y97.intersect(y98))
+      .unionAll(seg("only_1997", y97.except(y98)))
+      .unionAll(seg("only_1998", y98.except(y97)))
+      .orderBy("segment")
+  }
 }

@@ -87,9 +87,66 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Context-window budget for [[p05PackChunks]] — tokens per packed
+    * training sequence. 512 keeps multiple chunks per source at test SFs;
+    * production LLM pipelines use 2048–8192 with the identical plan. */
+  val PackBudget = 512L
+
+  /** p05: sequence-packing layout — the "concatenate-and-chop" packing
+    * every LLM pretraining pipeline runs last: documents are laid out in
+    * a deterministic order (doc_id within source shard), token offsets
+    * accumulate, and the stream is chopped into fixed
+    * [[PackBudget]]-token context windows; a document belongs to the
+    * chunk its first token lands in (docs may span boundaries — that is
+    * the standard GPT-style packing semantics). Output audits the
+    * layout: docs and tokens starting per (source, chunk).
+    *
+    * Shape at 100 TB: packing is per-SOURCE-shard (the window partitions
+    * by source), so the running sum is a per-shard window over rows
+    * already co-located by the one source shuffle — there is no global
+    * cumsum barrier; shards pack independently and in parallel, exactly
+    * like per-file packing in a real pipeline (a global layout would
+    * instead do the classic two-pass prefix-sum: per-partition subtotals
+    * → broadcast offsets). All outputs are integers — no float boundary
+    * anywhere. */
+  def p05PackChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk", floor(col("start_off") / lit(PackBudget.toDouble)))
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "chunk")
+  }
+
   val oracle: Map[String, String] = {
     val fp = TS.polyFingerprint(TS.toks)
     Map(
+      "p05_pack_chunks" ->
+        s"""WITH d AS (
+              SELECT source, doc_id,
+                CAST(len(${TS.toks}) AS BIGINT) AS n_tok
+              FROM documents WHERE len(trim(text)) > 0),
+            o AS (
+              SELECT source, doc_id, n_tok,
+                COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS start_off
+              FROM d)
+            SELECT source,
+              CAST(FLOOR(start_off / ${PackBudget}.0) AS BIGINT) AS chunk,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
       "p01_stratified_sample" ->
         s"""SELECT lang, COUNT(*) AS n_total,
             CAST(SUM(CASE WHEN ($fp) % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled

@@ -509,9 +509,49 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t16: TF-IDF keyword extraction — the classic distinctive-term score
+    * tf·log2(N/df), the screen every corpus-exploration pass runs to see
+    * WHAT a source contains (and the weighting BM25/t07 generalizes).
+    * Reported: the corpus-wide top-20 (doc, term) cells by score — the
+    * most document-specific vocabulary in the corpus. Shape at 100 TB:
+    * explode → (doc, term) partial-agg shuffle for tf, a term-keyed
+    * partial-agg shuffle for df (both combine map-side), then tf⋈df on
+    * term — AQE broadcasts the df side while the vocabulary is small —
+    * and the corpus doc count joins as a broadcast scalar; the top-20 is
+    * TakeOrdered (per-partition heap), never a full sort. Score uses
+    * log2 on integer ratios only (t13's engine-parity precedent), ties
+    * broken totally by (doc_id, term). */
+  def t16TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df, "t")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          (log2(col("n_docs")) - log2(col("df"))), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+      .limit(20)
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
+      "t16_tfidf_keywords" ->
+        s"""WITH tok AS (
+              SELECT doc_id, unnest($toks) AS t
+              FROM documents WHERE len(trim(text)) > 0),
+            tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok)
+            SELECT tf.doc_id, tf.t AS term, tf.tf, df.df,
+              ROUND(tf.tf * (log2(n.n_docs) - log2(df.df)), 4) AS tfidf
+            FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+            ORDER BY tfidf DESC, tf.doc_id, term
+            LIMIT 20""",
       "t15_hll_distinct" ->
         s"""WITH tok AS (
               SELECT source, $toks AS toks FROM documents),

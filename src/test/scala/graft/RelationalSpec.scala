@@ -104,6 +104,45 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("q28 cube: every grouping set is internally consistent with the total") {
+    val rows = Relational.q28Cube(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    assert(byGid.keySet == Set(0, 1, 2, 3), s"missing grouping sets: ${byGid.keySet}")
+    // each grouping set partitions the fact — its counts sum to the total
+    byGid.foreach { case (gid, rs) =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum == total,
+        s"grouping set $gid does not partition orders")
+    }
+    val grand = byGid(3)
+    assert(grand.length == 1 &&
+      grand.head.getAs[String]("status") == "ALL" &&
+      grand.head.getAs[String]("priority") == "ALL")
+  }
+
+  test("q29 pivot: wide counts add back up to the events table") {
+    val rows = Relational.q29Pivot(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+    val total = rows.map(r => cols.map(c => r.getAs[Long](c)).sum).sum
+    assert(total == Tables.events(spark, sf).count(),
+      "pivoted counts lost or duplicated events")
+    // days come out ordered and unique
+    val days = rows.map(_.getAs[java.sql.Date]("day").toString)
+    assert(days.sameElements(days.sorted) && days.distinct.length == days.length)
+  }
+
+  test("q30 set ops: segments partition each year's buyer set") {
+    val rows = Relational.q30SetOps(spark, sf).collect()
+      .map(r => r.getAs[String]("segment") -> r.getAs[Long]("n_customers")).toMap
+    assert(rows.keySet == Set("both", "only_1997", "only_1998"))
+    def buyers(y: Int) = Tables.orders(spark, sf)
+      .filter(s"o_orderdate >= '$y-01-01' and o_orderdate < '${y + 1}-01-01'")
+      .select("o_custkey").distinct().count()
+    assert(rows("both") + rows("only_1997") == buyers(1997))
+    assert(rows("both") + rows("only_1998") == buyers(1998))
+  }
+
   test("registerAll exposes the whole catalog to SQL with graft functions") {
     Tables.registerAll(spark, sf)
     val r = spark.sql(

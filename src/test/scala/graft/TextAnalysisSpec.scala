@@ -245,6 +245,52 @@ class TextAnalysisSpec extends GraftSuite {
       s"sampled $sampled of $n — far from the 20% target")
   }
 
+  test("t16 tf-idf: scores recompute from (tf, df, N) and come out ordered") {
+    val n = Tables.documents(spark, sf)
+      .filter("length(trim(text)) > 0").count().toDouble
+    val rows = TextAnalysis.t16TfidfKeywords(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (tf, df) = (r.getAs[Long]("tf"), r.getAs[Long]("df"))
+      assert(tf >= 1L && df >= 1L && df <= n.toLong)
+      val expect = tf * (math.log(n / df) / math.log(2.0))
+      assert(math.abs(r.getAs[Double]("tfidf") - expect) < 1e-3,
+        s"tfidf drifted for ${r.getAs[String]("term")}")
+    }
+    val scores = rows.map(_.getAs[Double]("tfidf"))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+  }
+
+  test("p05 packing: chunk layout conserves docs and tokens per source") {
+    import org.apache.spark.sql.functions.{col, length => slen, size => ssize, split, trim => strim, sum => ssum}
+    val truth = Tables.documents(spark, sf)
+      .filter(slen(strim(col("text"))) > 0)
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        ssum(ssize(split(strim(col("text")), "\\s+")).cast("long")).as("tok"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("tok"))).toMap
+    val rows = graft.operators.Sampling.p05PackChunks(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val (nDocs, nTok) = truth(src)
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == nDocs,
+        s"$src lost documents in packing")
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum == nTok,
+        s"$src lost tokens in packing")
+      val chunks = rs.map(_.getAs[Long]("chunk")).sorted
+      assert(chunks.head == 0L, s"$src does not start at chunk 0")
+      assert(chunks.distinct.length == chunks.length)
+      // doc ranges of consecutive chunks never interleave
+      val ordered = rs.sortBy(_.getAs[Long]("chunk"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"),
+            s"$src chunk doc ranges interleave")
+        case _ =>
+      }
+    }
+  }
+
   test("t10 PII scrub: detected counts match the planting rules, zero residual") {
     val ids = Tables.documents(spark, sf).select("doc_id").collect()
       .map(_.getLong(0))
