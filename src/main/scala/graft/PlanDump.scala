@@ -61,6 +61,16 @@ object PlanDump {
         "HyperLogLog cardinality: register build is a partial-aggregable max() capped at 256 rows per source per partition — the sketch shuffle carries |sources|*256 rows regardless of corpus size; the exact COUNT(DISTINCT) branch beside it is the test-SF accuracy reference the sketch replaces at 100 TB."),
       ("t14_gopher_rules",
         "Gopher rule bundle: all seven rules evaluate as projected column expressions over one document scan (structure planting and line/word measures are codegen'd array HOFs, no UDF, no explode), then a single partial/final aggregate pair — the only exchange carries |sources| rows."),
+      ("q28_cube",
+        "CUBE: one Expand between the partial and final HashAggregate — the fact is scanned once; the shuffle carries at most |sets|x|groups| partial rows."),
+      ("q29_pivot",
+        "Explicit-value-list pivot: single events scan, map-side partial pivot aggregate, ONE (day)-keyed exchange — no distinct-discovery pass, no join."),
+      ("q30_set_ops",
+        "INTERSECT/EXCEPT: each set op plans as distinct + left-semi/anti join co-partitioned on o_custkey; three year-filtered branches over the same scan, integer-only output."),
+      ("t16_tfidf_keywords",
+        "TF-IDF: tf and df are partial-agg shuffles, the tf-df term join is AQE-broadcast while the vocab is small, N joins as a broadcast scalar, and the top-20 is TakeOrderedAndProject (per-partition heap) — never a global sort."),
+      ("p05_pack_chunks",
+        "Sequence packing: per-source window cumsum (one source shuffle), chunk id by integer division, (source, chunk) aggregate reuses the source partitioning — join-free, no global cumsum barrier."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

@@ -148,6 +148,41 @@ class PlanAuditSpec extends GraftSuite {
     assert(shuffles(df) <= 4, s"pipeline shuffle count regressed: ${shuffles(df)}")
   }
 
+  test("q28: cube plans one Expand — the fact is scanned once, not per set") {
+    val df = Relational.q28Cube(spark, sf)
+    val s = planStr(df)
+    assert("Expand".r.findAllIn(s).size == 1,
+      s"cube must use a single Expand over one scan:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"cube agg lost its map-side partial:\n$s")
+  }
+
+  test("q29: explicit-list pivot is a single scan with one day shuffle") {
+    val df = Relational.q29Pivot(spark, sf)
+    assert(shuffles(df) <= 1, s"pivot shuffles regressed: ${shuffles(df)}")
+    val s = planStr(df)
+    assert(!s.contains("Join"),
+      s"explicit value list must not trigger a distinct-discovery join:\n$s")
+  }
+
+  test("t16: tf-idf joins are equi-joins; top-20 is a heap, not a full sort") {
+    val df = TextAnalysis.t16TfidfKeywords(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("CartesianProduct"),
+      s"tf-idf must never cross-join the term space:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered (per-partition heap), not global sort:\n$s")
+  }
+
+  test("p05: packing is join-free with one source shuffle for the window") {
+    val df = graft.operators.Sampling.p05PackChunks(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("Join"), s"packing must not join:\n$s")
+    // source-partitioned window + (source, chunk) agg reuses the same
+    // hash partitioning; only the presentation sort may add one more
+    assert(shuffles(df) <= 3, s"packing shuffle count regressed: ${shuffles(df)}")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     val conf = spark.conf
     val saved = Seq(
