@@ -42,6 +42,7 @@ object SparkEntry {
     "q28_cube" -> (Relational.q28Cube _),
     "q29_pivot" -> (Relational.q29Pivot _),
     "q30_set_ops" -> (Relational.q30SetOps _),
+    "q31_important_parts" -> (Relational.q31ImportantParts _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "d09_containment" -> (Dedup.d09Containment _),
     "d10_cross_split_leakage" -> ((s, d) => Dedup.d10CrossSplitLeakage(s, d)),
     "d11_winnowed_dup" -> ((s, d) => Dedup.d11WinnowedDup(s, d)),
+    "d12_semdedup" -> (Dedup.d12SemDedup _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible
@@ -309,6 +311,15 @@ object SparkEntry {
          SELECT 'only_1998', COUNT(*)
            FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97)
          ORDER BY segment""",
+    "q31_important_parts" ->
+      """WITH p AS (SELECT l_partkey,
+           SUM(l_extendedprice * (1 - l_discount)) AS rev
+           FROM lineitem GROUP BY 1),
+         m AS (SELECT AVG(rev) AS mean_rev FROM p)
+         SELECT l_partkey, ROUND(rev, 2) AS revenue,
+           ROUND(rev / mean_rev, 4) AS x_mean
+         FROM p, m WHERE rev > 1.3 * mean_rev
+         ORDER BY revenue DESC, l_partkey""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

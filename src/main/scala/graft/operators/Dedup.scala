@@ -528,6 +528,32 @@ object Dedup {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** d12: SemDeDup-style semantic dedup decision — turns d05's candidate
+    * pairs into the keep/drop report a corpus build actually consumes
+    * (Abbas et al. 2023: within a cluster, keep one representative of
+    * each near-duplicate set). The distributed-safe keep rule is
+    * "drop a vector iff it is cosine-near some LOWER-id vector": order
+    * by id is deterministic on every engine and the rule is a pure
+    * anti-join — the sequential greedy scan SemDeDup describes cannot
+    * be parallelized, and this monotone over-approximation (a dropped
+    * vector's witness may itself be dropped) is the standard
+    * distributed substitute — at worst it over-drops within a clique,
+    * never under-drops. Shape at 100 TB: d05's banded equi-join makes
+    * the pairs, then one |pairs|-sized distinct + a left join back to
+    * the corpus — all-integer output, no new join shape. */
+  def d12SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = d05EmbeddingDup(spark, dir)
+      .select(col("label"), col("vec_j").as("vec_id")).distinct()
+      .withColumn("is_drop", lit(1L))
+    Tables.embeddings(spark, dir).select(col("label"), col("vec_id"))
+      .join(dropped, Seq("label", "vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+      .orderBy("label")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val sh = TS.shingleHashes(toks)
@@ -678,24 +704,38 @@ object Dedup {
             SELECT cluster AS cluster_id, COUNT(*) AS n_docs,
               MAX(doc_id) AS max_doc
             FROM lab GROUP BY cluster ORDER BY cluster_id""",
-      "d05_embedding_dup" -> {
-        // mirror of the (bandBits=2, nBands=4) default banding
-        val branches = (0 until 4).map { j =>
-          s"""SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
-                  ${VS.cosine("a.embedding", "b.embedding")} AS cos
-                FROM e2 a JOIN e2 b
-                ON a.label = b.label AND a.b$j = b.b$j AND a.vec_id < b.vec_id"""
-        }.mkString("\n              UNION\n              ")
-        s"""WITH e AS (SELECT label, vec_id, embedding,
-                  ${VS.signBucket("embedding")} AS bkt FROM embeddings),
-            e2 AS (SELECT label, vec_id, embedding,
-                  (bkt >> 0) & 3 AS b0, (bkt >> 2) & 3 AS b1,
-                  (bkt >> 4) & 3 AS b2, (bkt >> 6) & 3 AS b3 FROM e),
-            p AS (
-              $branches)
-            SELECT label, vec_i, vec_j, round(cos, 4) AS cosine
-            FROM p WHERE cos >= 0.35 ORDER BY vec_i, vec_j"""
-      },
+      "d05_embedding_dup" -> d05Sql,
+      "d12_semdedup" ->
+        s"""WITH pairs AS ($d05Sql),
+            drops AS (SELECT DISTINCT label, vec_j AS vec_id FROM pairs)
+            SELECT e.label, COUNT(*) AS n_vecs,
+              CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+              CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1
+                ELSE 0 END) AS BIGINT) AS n_kept
+            FROM embeddings e LEFT JOIN drops d
+              ON e.label = d.label AND e.vec_id = d.vec_id
+            GROUP BY e.label ORDER BY e.label""",
     )
+  }
+
+  /** DuckDB mirror of d05's default (bandBits=2, nBands=4) banding —
+    * shared verbatim by the d05 gate and d12's pair source. */
+  private def d05Sql: String = {
+    val branches = (0 until 4).map { j =>
+      s"""SELECT a.label, a.vec_id AS vec_i, b.vec_id AS vec_j,
+              ${VS.cosine("a.embedding", "b.embedding")} AS cos
+            FROM e2 a JOIN e2 b
+            ON a.label = b.label AND a.b$j = b.b$j AND a.vec_id < b.vec_id"""
+    }.mkString("\n              UNION\n              ")
+    s"""WITH e AS (SELECT label, vec_id, embedding,
+              ${VS.signBucket("embedding")} AS bkt FROM embeddings),
+        e2 AS (SELECT label, vec_id, embedding,
+              (bkt >> 0) & 3 AS b0, (bkt >> 2) & 3 AS b1,
+              (bkt >> 4) & 3 AS b2, (bkt >> 6) & 3 AS b3 FROM e),
+        p AS (
+          $branches)
+        SELECT label, vec_i, vec_j, round(cos, 4) AS cosine
+        FROM p WHERE cos >= 0.35 ORDER BY vec_i, vec_j"""
   }
 }

@@ -498,6 +498,28 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
+    * aggregate: parts whose revenue exceeds 1.3× the mean per-part
+    * revenue ("important stock"; the mean-relative form is
+    * scale-invariant where Q11's fixed fraction is not). Two aggregates
+    * over the same grouped relation: the per-part agg shuffles once on
+    * l_partkey; the 1-row mean re-aggregates the ALREADY-GROUPED rows
+    * (|parts|, not |lineitem|) and joins back as a broadcast scalar, so
+    * the fact is scanned once at any scale. The closest group sits ≥0.2%
+    * from the threshold on this data — three orders of magnitude above
+    * cross-engine float-sum noise (q16 precedent). */
+  def q31ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val meanRev = perPart.agg(avg(col("rev")).as("mean_rev"))
+    perPart.crossJoin(broadcast(meanRev))
+      .filter(col("rev") > lit(1.3) * col("mean_rev"))
+      .select(col("l_partkey"), round(col("rev"), 2).as("revenue"),
+        round(col("rev") / col("mean_rev"), 4).as("x_mean"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
   /** q30: set operations — year-over-year customer retention via
     * INTERSECT / EXCEPT over the 1997 and 1998 buyer sets. Each set op
     * plans as distinct + left-semi/anti join co-partitioned on

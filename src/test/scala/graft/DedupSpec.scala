@@ -210,4 +210,24 @@ class DedupSpec extends GraftSuite {
       "per-source pair counts must partition the d02 pair set")
     rows.foreach(r => assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b")))
   }
+
+  test("d12 semdedup: drops are exactly the d05 higher-id pair members") {
+    val rows = Dedup.d12SemDedup(spark, sf).collect()
+    val perLabel = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    assert(rows.map(_.getAs[Int]("label")).toSet == perLabel.keySet,
+      "report must cover every label, dropped or not")
+    val expectDrops: Map[Int, Long] = Dedup.d05EmbeddingDup(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_j")))
+      .distinct.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      assert(r.getAs[Long]("n_vecs") == perLabel(l))
+      assert(r.getAs[Long]("n_dropped") == expectDrops.getOrElse(l, 0L),
+        s"label $l drop count diverged from the d05 pair set")
+      assert(r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_vecs") - r.getAs[Long]("n_dropped"))
+      assert(r.getAs[Long]("n_kept") >= 1L, s"label $l dropped everything")
+    }
+  }
 }

@@ -143,6 +143,21 @@ class RelationalSpec extends GraftSuite {
     assert(rows("both") + rows("only_1998") == buyers(1998))
   }
 
+  test("q31: every returned part genuinely exceeds 1.3x the mean part revenue") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val perPart = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(expr("sum(l_extendedprice * (1 - l_discount))").as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mean = perPart.values.sum / perPart.size
+    val rows = Relational.q31ImportantParts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val returned = rows.map(_.getAs[Long]("l_partkey")).toSet
+    val expect = perPart.filter(_._2 > 1.3 * mean).keySet
+    assert(returned == expect, "q31 group-threshold membership diverged")
+    rows.foreach(r => assert(r.getAs[Double]("x_mean") > 1.3))
+  }
+
   test("registerAll exposes the whole catalog to SQL with graft functions") {
     Tables.registerAll(spark, sf)
     val r = spark.sql(
