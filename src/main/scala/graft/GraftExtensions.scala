@@ -48,5 +48,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Gunzip64Expr].getName, "graft_gunzip64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Gunzip64Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFpsExpr].getName, "graft_winnow_fps"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // window sizes must be compile-time constants: they fix the
+        // deque bound the codegen emits
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_winnow_fps(text, w, k): w/k must be integer literals, got $other")
+          }
+        graft.functions.WinnowFpsExpr(children.head, lit(children(1)), lit(children(2)))
+      }))
   }
 }

@@ -169,5 +169,17 @@ class RelationalSpec extends GraftSuite {
       """SELECT graft_fingerprint(split(trim(text), '\\s+')) AS fp
          FROM documents LIMIT 3""").collect()
     assert(fp.length == 3 && fp.forall(!_.isNullAt(0)))
+    // winnowing fingerprints from SQL match the Column-API expression
+    val sqlFps = spark.sql(
+      """SELECT doc_id, graft_winnow_fps(text, 8, 4) AS fps
+         FROM documents ORDER BY doc_id LIMIT 5""").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val apiFps = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.NativeFunctions.winnowFps(
+          org.apache.spark.sql.functions.col("text"), 8, 4).as("fps"))
+      .orderBy("doc_id").limit(5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(sqlFps == apiFps, "SQL-registered winnowing diverged from Column API")
   }
 }
