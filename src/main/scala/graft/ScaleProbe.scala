@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-trend probe for the heavy document operators (SURVEY §5).
+  *
+  * The correctness gate runs at toy SFs, but the design target is 100 TB —
+  * so this tool MEASURES how the expensive shapes trend as the corpus
+  * grows: it materializes the sf0.1 documents table at 1×/2×/4×/8× and
+  * times the inverted-index joins, LSH banding, connected components, and
+  * corpus-LM aggregation at each size.
+  *
+  * Replication detail that makes the experiment honest: every token of
+  * replica i is prefixed with a distinct letter, so the portable token
+  * values (length, first char, last char — TextFunctions.tokenVal) of
+  * different replicas NEVER collide. Replicas are therefore disjoint in
+  * shingle/band space: the corpus is genuinely N× larger with the same
+  * per-replica duplicate structure, and a linear-shaped operator should
+  * time ~N×. Naive replication (identical text) would instead make every
+  * doc an N-way exact duplicate — candidate pairs would grow N², which
+  * measures the pathology of the synthetic input, not the operator.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe [baseSfDir] [workDir] [scales]"
+  * Emits one JSON line per scale: {"scale":N,"docs":M,"queries":{...}}.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val scales = (if (args.length > 2) args(2) else "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val queries = Seq("d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
+      "d07_dup_clusters", "t13_unigram_surprisal", "t05_top_tokens")
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, baseDir)
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+
+    scales.foreach { n =>
+      val dir = s"$workDir/scale$n"
+      val replicas = (0 until n).map { i =>
+        val ch = ('a' + i).toChar.toString
+        base.select(
+          (col("doc_id") + lit(i * maxId)).as("doc_id"),
+          // letter prefix per token: replica token values are disjoint
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            t => concat(lit(ch), t)), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      replicas.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+
+      // warmup pass at the smallest materialized scale, then min-of-2
+      val times = queries.map { q =>
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        q -> runs.min
+      }
+      val qJson = times.map { case (q, s) => s""""$q":${f"$s%.2f"}""" }
+        .mkString(",")
+      println(s"""SCALEPROBE {"scale":$n,"docs":$docs,"queries":{$qJson}}""")
+    }
+    spark.stop()
+  }
+}
