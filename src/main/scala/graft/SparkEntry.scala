@@ -65,6 +65,7 @@ object SparkEntry {
     "t14_gopher_rules" -> (TextAnalysis.t14GopherRules _),
     "t15_hll_distinct" -> (TextAnalysis.t15HllDistinct _),
     "t16_tfidf_keywords" -> (TextAnalysis.t16TfidfKeywords _),
+    "t17_hashed_classifier" -> (TextAnalysis.t17HashedClassifier _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),

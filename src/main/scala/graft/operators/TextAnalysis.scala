@@ -537,9 +537,67 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Hashed-classifier mixing constants (t17): an LCG step over the
+    * portable token value. Any fixed (A, B) gives a deterministic
+    * pseudo-weight stream; these are the Knuth MMIX multiplier mod 2^31
+    * and an odd offset. */
+  val ClfA = 1812433253L
+  val ClfB = 2545602959L
+
+  /** t17: hashed linear-classifier scoring — the "model-based quality
+    * filter" slot of the CCNet/GPT-3-family pipelines (a fasttext-style
+    * linear model over hashed bag-of-words features), expressed as pure
+    * column arithmetic so model inference runs INSIDE whole-stage
+    * codegen: no UDF, no model server, no per-row JNI. The weight of a
+    * token is a deterministic hash w(t) = (val(t)·A + B) mod P, the doc
+    * logit is mean(w)/P − 0.5 ∈ [−0.5, 0.5) — a stand-in weight vector
+    * with the exact execution shape of a trained one (swap the hash for
+    * a broadcast Map lookup expression to deploy real weights; the plan
+    * does not change). Engine parity: the aggregation core Σ w(t) is
+    * ALL-INTEGER (exact in any order — no sorted-fold needed, unlike
+    * t12/t13's float folds); the only float ops are one divide and
+    * subtract per doc, identical in both engines, and the flag compares
+    * those identical doubles to 0. Shape at 100 TB: explode → one
+    * partial-aggregable (doc) shuffle → per-source rollup. */
+  def t17HashedClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val w = (TF.tokenVal(col("t")) * lit(ClfA) + lit(ClfB)) % lit(TF.HashMod)
+    val perDoc = graft.Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"), explode(TF.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(w).as("w_sum"), count(lit(1)).as("n_toks"))
+      .select(col("doc_id"), col("source"),
+        (col("w_sum").cast("double") / col("n_toks").cast("double") /
+          lit(TF.HashMod.toDouble) - lit(0.5)).as("logit"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0.0, 1L).otherwise(0L)).as("n_flagged"),
+        round(avg(col("logit")), 4).as("mean_logit"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
+      "t17_hashed_classifier" ->
+        s"""WITH tok AS (
+              SELECT doc_id, source, unnest($toks) AS t
+              FROM documents WHERE len(trim(text)) > 0),
+            d AS (
+              SELECT doc_id, source,
+                SUM((${TS.tokenVal("t")}*$ClfA + $ClfB) % ${TF.HashMod}) AS w_sum,
+                COUNT(*) AS n_toks
+              FROM tok GROUP BY 1, 2),
+            s AS (
+              SELECT source,
+                CAST(w_sum AS DOUBLE) / CAST(n_toks AS DOUBLE)
+                  / ${TF.HashMod}.0 - 0.5 AS logit
+              FROM d)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged,
+              ROUND(AVG(logit), 4) AS mean_logit
+            FROM s GROUP BY source ORDER BY source""",
       "t16_tfidf_keywords" ->
         s"""WITH tok AS (
               SELECT doc_id, unnest($toks) AS t

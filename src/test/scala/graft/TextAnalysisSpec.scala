@@ -291,6 +291,24 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("t17 hashed classifier: logits are mean-centered and flags match sign") {
+    val rows = TextAnalysis.t17HashedClassifier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf)
+      .filter("length(trim(text)) > 0").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      // pseudo-weights are uniform on [-0.5, 0.5): per-source means must
+      // hover near 0 (a wide miss means the hash mixing is broken)
+      assert(math.abs(r.getAs[Double]("mean_logit")) < 0.2,
+        s"${r.getAs[String]("source")} mean logit far from center")
+    }
+    // and the flag fraction is sane overall, not degenerate 0%/100%
+    val flagged = rows.map(_.getAs[Long]("n_flagged")).sum.toDouble / nDocs
+    assert(flagged > 0.05 && flagged < 0.95, s"degenerate flag rate $flagged")
+  }
+
   test("t10 PII scrub: detected counts match the planting rules, zero residual") {
     val ids = Tables.documents(spark, sf).select("doc_id").collect()
       .map(_.getLong(0))
