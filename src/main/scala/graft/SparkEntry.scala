@@ -43,6 +43,7 @@ object SparkEntry {
     "q29_pivot" -> (Relational.q29Pivot _),
     "q30_set_ops" -> (Relational.q30SetOps _),
     "q31_important_parts" -> (Relational.q31ImportantParts _),
+    "q32_range_window" -> (Relational.q32RangeWindow _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -321,6 +322,20 @@ object SparkEntry {
            ROUND(rev / mean_rev, 4) AS x_mean
          FROM p, m WHERE rev > 1.3 * mean_rev
          ORDER BY revenue DESC, l_partkey""",
+    "q32_range_window" ->
+      """WITH d AS (
+           SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+               CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS day_num,
+             SUM(value) AS day_value, COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day_num, ROUND(day_value, 2) AS day_value,
+           ROUND(SUM(day_value) OVER w, 2) AS wk_value,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS wk_events
+         FROM d
+         WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day_num""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -498,6 +498,32 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q32: RANGE-frame window — trailing 7 CALENDAR days (q27's ROWS
+    * frame counts observations; this one counts days, so gaps in the
+    * event stream shrink the frame's row count instead of stretching
+    * its time span — the semantics monitoring dashboards usually mean
+    * by "trailing week"). The order key is the integer day number, so
+    * RANGE BETWEEN 6 PRECEDING is engine-portable (no interval-type
+    * divergence). Same scale shape as q27: daily pre-aggregation
+    * collapses events BEFORE the window; the frame sums ≤ 7 doubles in
+    * day order on both engines. */
+  def q32RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .withColumn("day_num", datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date")))
+      .groupBy(col("event_type"), col("day_num"))
+      .agg(sum(col("value")).as("day_value"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("wk_value", round(sum(col("day_value")).over(w), 2))
+      .withColumn("wk_events", sum(col("n_events")).over(w))
+      .select(col("event_type"), col("day_num").cast("int").as("day_num"),
+        round(col("day_value"), 2).as("day_value"),
+        col("wk_value"), col("wk_events"))
+      .orderBy("event_type", "day_num")
+  }
+
   /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
     * aggregate: parts whose revenue exceeds 1.3× the mean per-part
     * revenue ("important stock"; the mean-relative form is

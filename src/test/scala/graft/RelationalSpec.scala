@@ -143,6 +143,25 @@ class RelationalSpec extends GraftSuite {
     assert(rows("both") + rows("only_1998") == buyers(1998))
   }
 
+  test("q32 range window sums exactly the trailing-7-calendar-day frame") {
+    val rows = Relational.q32RangeWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byDay = rs.map(r => r.getAs[Int]("day_num") -> r).toMap
+      rs.foreach { r =>
+        val d = r.getAs[Int]("day_num")
+        val frame = (d - 6 to d).flatMap(byDay.get)
+        val expect = frame.map(_.getAs[Double]("day_value")).sum
+        assert(math.abs(r.getAs[Double]("wk_value") - expect) < 0.05,
+          s"day $d frame sum drifted")
+        assert(frame.length >= 1 && frame.length <= 7)
+        // every frame day contributed at least one event
+        assert(r.getAs[Long]("wk_events") >= frame.length,
+          "weekly event count below one event per frame day")
+      }
+    }
+  }
+
   test("q31: every returned part genuinely exceeds 1.3x the mean part revenue") {
     import org.apache.spark.sql.functions.{col, expr}
     val perPart = Tables.lineitem(spark, sf)
