@@ -71,6 +71,14 @@ object PlanDump {
         "TF-IDF: tf and df are partial-agg shuffles, the tf-df term join is AQE-broadcast while the vocab is small, N joins as a broadcast scalar, and the top-20 is TakeOrderedAndProject (per-partition heap) — never a global sort."),
       ("p05_pack_chunks",
         "Sequence packing: per-source window cumsum (one source shuffle), chunk id by integer division, (source, chunk) aggregate reuses the source partitioning — join-free, no global cumsum barrier."),
+      ("q31_important_parts",
+        "Q11 shape: per-part partial agg (one fact shuffle), the scalar mean re-aggregates the |parts| grouped rows — not the fact — and joins back as a broadcast; the filter runs post-agg on grouped rows."),
+      ("q32_range_window",
+        "Calendar RANGE frame: daily pre-aggregation collapses events to |types|x|days| rows BEFORE the window; the frame sort runs over day counts on an integer order key."),
+      ("t17_hashed_classifier",
+        "Hashed-classifier inference as columnar arithmetic: explode -> ALL-INTEGER partial-aggregable (doc) weight sum -> one edge divide -> per-source rollup; no UDF, no join, whole plan inside codegen."),
+      ("d12_semdedup",
+        "SemDeDup decision: d05's banded equi-join pairs -> distinct drop set -> left join back to the corpus; the keep rule is an anti-join-shaped aggregate, no new join geometry."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

@@ -85,6 +85,7 @@ object SparkEntry {
     "d10_cross_split_leakage" -> ((s, d) => Dedup.d10CrossSplitLeakage(s, d)),
     "d11_winnowed_dup" -> ((s, d) => Dedup.d11WinnowedDup(s, d)),
     "d12_semdedup" -> (Dedup.d12SemDedup _),
+    "a03_asof_forward" -> (Temporal.a03AsofForward _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible

@@ -51,6 +51,36 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** a03: FORWARD as-of join — each view matched to the next purchase
+    * (purchase.ts >= view.ts) by the same user: time-to-conversion, the
+    * mirror of a01's latest-prior-state enrichment. Same single-shuffle
+    * union-and-carry formulation, with the window frame flipped to
+    * [current, unbounded following] and first() instead of last(); views
+    * with no later purchase keep NULLs (left-join semantics). The DuckDB
+    * mirror reduces forward-ASOF to the engine's backward ASOF by
+    * negating the epoch column (max(−t) = min(t)). */
+  def a03AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // side 0 = view, 1 = purchase: at an equal timestamp the view sorts
+    // first, so the forward frame still sees the same-instant purchase
+    // (inclusive >=, matching the negated-ASOF oracle).
+    val tagged = ev.filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("purchase_us",
+        first(when(col("side") === 1, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("user_id"), col("event_id"),
+        col("ts_us").as("view_us"), col("purchase_us"),
+        (col("purchase_us") - col("ts_us")).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Band width for a02, seconds. */
   val BandSec = 300L
 
@@ -97,6 +127,18 @@ object Temporal {
           FROM p ASOF LEFT JOIN v
             ON p.user_id = v.user_id AND p.ts >= v.ts
           ORDER BY p.user_id, p.event_id""",
+    "a03_asof_forward" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS view_us,
+                    -epoch_us(ts) AS neg_us
+                    FROM events WHERE event_type = 'view'),
+          p AS (SELECT user_id, epoch_us(ts) AS purchase_us,
+                -epoch_us(ts) AS neg_us
+                FROM events WHERE event_type = 'purchase')
+          SELECT v.user_id, v.event_id, v.view_us,
+            p.purchase_us, p.purchase_us - v.view_us AS gap_us
+          FROM v ASOF LEFT JOIN p
+            ON v.user_id = p.user_id AND v.neg_us >= p.neg_us
+          ORDER BY v.user_id, v.event_id""",
     "a02_band_join" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                  epoch_us(ts) // 1000000 AS sec FROM events)

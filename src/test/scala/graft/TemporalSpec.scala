@@ -31,6 +31,28 @@ class TemporalSpec extends GraftSuite {
     }
   }
 
+  test("a03 forward as-of equals the correlated min-next-purchase per view") {
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("vus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("puid"), unix_micros(col("ts")).as("pus"))
+    // reference: plain join + min aggregation (quadratic; test-scale only)
+    val expect = v.join(p, col("user_id") === col("puid") && col("pus") >= col("vus"), "left")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(min(col("pus")).as("purchase_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val got = Temporal.a03AsofForward(spark, sf).collect()
+    assert(got.nonEmpty && got.length == expect.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val pUs = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(expect(k) == pUs, s"view $k: asof=$pUs expected=${expect(k)}")
+      if (pUs.isDefined) assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+    }
+  }
+
   test("a02 banded equi-join equals the naive range join") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("event_type"),
