@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** A document arriving at the packer: its source shard and token count. */
+case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
+
+/** The packer's decision: which context-window chunk the doc's first
+  * token lands in, and at which running offset it starts. */
+case class PackedDoc(source: String, doc_id: Long, chunk: Long, start_off: Long)
+
+/** Per-shard packer state: tokens consumed so far. */
+case class PackState(total_tokens: Long)
+
+/** Online GPT-style sequence packing ([[graft.operators.Sampling.p05PackChunks]]
+  * at ingest): each source shard keeps one running token offset in
+  * RocksDB state, and every arriving document is assigned the chunk its
+  * first token lands in — concatenate-and-chop, decided AS DATA ARRIVES
+  * instead of in a batch layout pass. With in-order arrival (doc_id
+  * order per shard) the assignment is IDENTICAL to the batch operator —
+  * the spec pins that parity across micro-batch boundaries, which is
+  * the property that lets a pipeline switch between batch re-packs and
+  * streaming appends without re-tokenizing history.
+  *
+  * Scale notes: state is ONE row (a single long) per shard — the
+  * smallest possible keyed state; per-shard arrival order is the same
+  * assumption the batch layout makes (shards are independent, so
+  * cross-shard arrival order is free). Processing-time mode: packing
+  * has no event-time semantics and needs no watermark or timers. */
+class PackProcessor(budget: Long)
+    extends StatefulProcessor[String, PackDoc, PackedDoc] {
+
+  @transient private var fill: ValueState[PackState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    fill = getHandle.getValueState("fill", Encoders.product[PackState], TTLConfig.NONE)
+
+  override def handleInputRows(source: String, rows: Iterator[PackDoc],
+      tv: TimerValues): Iterator[PackedDoc] = {
+    // deterministic within a micro-batch regardless of task ordering
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    var total = if (fill.exists()) fill.get().total_tokens else 0L
+    val out = sorted.map { d =>
+      val assigned = PackedDoc(source, d.doc_id, total / budget, total)
+      total += d.n_tokens
+      assigned
+    }
+    fill.update(PackState(total))
+    out.iterator
+  }
+}
+
+object StreamPack {
+  /** Pack a stream of (source, doc_id, n_tokens) rows into
+    * `budget`-token chunks, one running layout per source shard. */
+  def pack(docs: Dataset[PackDoc],
+      budget: Long = graft.operators.Sampling.PackBudget): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new PackProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -145,6 +145,57 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streaming packer matches the batch p05 layout across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .as[graft.streaming.PackDoc].collect().sortBy(d => (d.source, d.doc_id))
+    val input = MemoryStream[graft.streaming.PackDoc]
+    val q = graft.streaming.StreamPack.pack(input.toDS())
+      .writeStream.format("memory").queryName("packed").outputMode("append").start()
+    try {
+      // in-order arrival split across THREE micro-batches: state must
+      // carry each shard's running offset over the batch boundary
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("packed").as[graft.streaming.PackedDoc]
+        .collect().map(p => (p.source, p.doc_id) -> p.chunk).toMap
+      val batch = graft.operators.Sampling.p05PackChunks(spark, sf).collect()
+      // batch reports per-chunk doc ranges; expand to per-doc via the
+      // same cumulative layout for an exact assignment comparison
+      var offsets = Map.empty[String, Long]
+      val expected = docs.map { d =>
+        val off = offsets.getOrElse(d.source, 0L)
+        offsets += d.source -> (off + d.n_tokens)
+        (d.source, d.doc_id) -> off / graft.operators.Sampling.PackBudget
+      }.toMap
+      assert(streamed == expected, "streaming layout diverged from the cumsum layout")
+      // and the batch operator's chunk doc-counts match the streamed layout
+      val streamedCounts = streamed.groupBy { case ((src, _), chunk) => (src, chunk) }
+        .map { case (k, v) => k -> v.size.toLong }
+      val batchCounts = batch.map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("chunk")) -> r.getAs[Long]("n_docs")).toMap
+      assert(streamedCounts == batchCounts, "chunk occupancy diverged from batch p05")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming LSH near-dedup candidates equal the batch d03 band collisions") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
