@@ -93,6 +93,7 @@ object SparkEntry {
     "s05_ann_multitable" -> ((s, d) => Similarity.s05AnnMultiTable(s, d)),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
+    "m03_binary_dedup" -> (Multimodal.m03BinaryDedup _),
     "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),
   )
 

@@ -119,7 +119,48 @@ object Multimodal {
       }
   }
 
+  /** m03: payload-level exact dedup — duplicate detection on the opaque
+    * BYTES of a media column via content digest, the first dedup pass of
+    * any image/audio dataset build (d01 is its text-mode sibling over
+    * NORMALIZED tokens; this one hashes raw bytes, so one flipped bit is
+    * a different asset). Output is the one-row corpus audit — asset
+    * count, unique/duplicated digest counts, duplicate copies, and the
+    * bytes a dedup pass would reclaim ("0 duplicates" is itself the
+    * answer at SFs with no byte-exact dup). Shape at 100 TB: digests are
+    * computed map-side next to the payload scan, the groupBy key is the
+    * digest (uniform — never skewed), and the second aggregate folds
+    * |unique digests| rows to one. */
+  def m03BinaryDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    val perDigest = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(bin, 256).as("digest"),
+        length(bin).cast("long").as("n_bytes"))
+      .groupBy(col("digest"), col("n_bytes"))
+      .agg(count(lit(1)).as("n_copies"))
+    // corpus-level audit row (always populated — small SFs may hold no
+    // byte-exact dup at all, and "0 duplicates" is itself the answer)
+    perDigest.agg(
+      sum(col("n_copies")).as("n_assets"),
+      count(lit(1)).as("n_unique_digests"),
+      sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_digests"),
+      sum(when(col("n_copies") > 1, col("n_copies")).otherwise(0L)).as("n_dup_copies"),
+      sum((col("n_copies") - 1) * col("n_bytes")).as("reclaimable_bytes"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "m03_binary_dedup" ->
+      """WITH h AS (SELECT sha256(text) AS digest,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             COUNT(*) AS n_copies
+           FROM documents GROUP BY 1, 2)
+         SELECT CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+           COUNT(*) AS n_unique_digests,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_digests,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END) AS BIGINT)
+             AS n_dup_copies,
+           CAST(SUM((n_copies - 1) * n_bytes) AS BIGINT) AS reclaimable_bytes
+         FROM h""",
     "m01_binary_meta" ->
       """SELECT doc_id,
          octet_length(encode(text)) AS n_bytes,

@@ -35,4 +35,21 @@ class MultimodalSpec extends GraftSuite {
       assert(m.format == "png" || m.format == "jpeg")
     }
   }
+
+  test("m03 payload dedup audit is internally consistent with the corpus") {
+    val r = graft.operators.Multimodal.m03BinaryDedup(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val total = Tables.documents(spark, sf).count()
+    assert(row.getAs[Long]("n_assets") == total)
+    val unique = row.getAs[Long]("n_unique_digests")
+    val dupDigests = row.getAs[Long]("n_dup_digests")
+    val dupCopies = row.getAs[Long]("n_dup_copies")
+    assert(unique <= total && dupDigests <= unique)
+    // every duplicated digest contributes >= 2 copies; unique ones 1 each
+    assert(dupCopies >= 2 * dupDigests)
+    assert(total - unique == dupCopies - dupDigests,
+      "copy accounting does not balance")
+    assert(row.getAs[Long]("reclaimable_bytes") >= 0L)
+  }
 }
