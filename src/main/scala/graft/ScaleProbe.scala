@@ -30,13 +30,17 @@ object ScaleProbe {
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val scales = (if (args.length > 2) args(2) else "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
+    // optional: shuffle partition count — the knob DEPLOY.md says to grow
+    // with the data; pass a larger value to verify that claim at 8×
+    val shufflePartitions = if (args.length > 3) args(3) else "32"
     val queries = Seq("d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
-      "d07_dup_clusters", "t13_unigram_surprisal", "t05_top_tokens")
+      "d07_dup_clusters", "t13_unigram_surprisal", "t05_top_tokens",
+      "s01_knn_brute", "s02_ann_lsh")
 
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",
@@ -62,6 +66,18 @@ object ScaleProbe {
       replicas.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+
+      // embeddings: id-shifted copies (vectors unchanged — the fixed
+      // query set probes N×-bigger buckets, which is exactly the linear
+      // growth the s01/s02 join shapes are supposed to absorb; replica 0
+      // keeps the original ids so the query set itself is unchanged)
+      val baseEmb = Tables.embeddings(spark, baseDir)
+      val maxVec = baseEmb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      (0 until n).map(i => baseEmb.select(
+          (col("vec_id") + lit(i * maxVec)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
       // warmup pass at the smallest materialized scale, then min-of-2
       val times = queries.map { q =>
