@@ -183,6 +183,24 @@ class PlanAuditSpec extends GraftSuite {
     assert(shuffles(df) <= 3, s"packing shuffle count regressed: ${shuffles(df)}")
   }
 
+  test("a03: forward as-of is one shuffle + window — no range join") {
+    val df = Temporal.a03AsofForward(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"forward as-of must not plan a range join:\n$s")
+    assert(s.contains("Window"), s"expected the carry window:\n$s")
+    // user_id shuffle + presentation sort
+    assert(shuffles(df) <= 2, s"as-of shuffle count regressed: ${shuffles(df)}")
+  }
+
+  test("m03: payload dedup audit is two partial-aggregable levels, join-free") {
+    val df = Multimodal.m03BinaryDedup(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("Join"), s"digest audit must not join:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 3,
+      s"expected partial+final pairs on both aggregate levels:\n$s")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     val conf = spark.conf
     val saved = Seq(
