@@ -91,6 +91,7 @@ object SparkEntry {
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible
     "s04_ann_recall" -> (Similarity.s04AnnRecall _),
     "s05_ann_multitable" -> ((s, d) => Similarity.s05AnnMultiTable(s, d)),
+    "s06_range_search" -> (Similarity.s06RangeSearch _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
     "m03_binary_dedup" -> (Multimodal.m03BinaryDedup _),

@@ -247,7 +247,43 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Cosine threshold for [[s06RangeSearch]]. On this corpus the nearest
+    * non-hit sits ~0.01 below the line (checked in DuckDB before the
+    * predicate was pinned) — far beyond cross-engine float noise. */
+  val RangeTau = 0.3
+
+  /** s06: RANGE similarity search — every corpus vector within cosine ≥
+    * τ of each query, the "all similar enough" retrieval/contamination
+    * form that top-k cannot express (k-NN bounds the COUNT; range search
+    * bounds the QUALITY — a query with no near content returns nothing
+    * instead of k strangers). Brute scan per query at test SF; at scale
+    * the s02 sign-LSH bucket join generates the candidates and this
+    * exact filter verifies, same as the dedup family. The threshold
+    * filter wears the d05-style coalesce guard so constraint propagation
+    * cannot re-inline the cosine below the join. */
+  def s06RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+      .filter(coalesce(col("cos") >= RangeTau, lit(false)))
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "s06_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < $NumQueries)
+          SELECT query_id, e.vec_id AS neighbor_id,
+            round(${VS.cosine("qv", "e.embedding")}, 4) AS cosine
+          FROM embeddings e, q
+          WHERE e.vec_id <> query_id
+            AND ${VS.cosine("qv", "e.embedding")} >= $RangeTau
+          ORDER BY query_id, neighbor_id""",
     "s04_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < $NumQueries),

@@ -102,4 +102,21 @@ class SimilaritySpec extends GraftSuite {
         assert(r.getAs[Double]("cosine") <= exact(q) + 1e-9)
       }
   }
+
+  test("s06 range search returns every above-threshold pair s01 knows about") {
+    val range = Similarity.s06RangeSearch(spark, sf).collect()
+    range.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= Similarity.RangeTau - 1e-9)
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id"))
+    }
+    // every s01 top-5 neighbor scoring above tau must appear in the range set
+    val rangeSet = range.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    Similarity.s01KnnBrute(spark, sf).collect()
+      .filter(_.getAs[Double]("cosine") >= Similarity.RangeTau + 1e-4)
+      .foreach { r =>
+        val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        assert(rangeSet.contains(k), s"range search missed known neighbor $k")
+      }
+  }
 }
