@@ -67,6 +67,7 @@ object SparkEntry {
     "t15_hll_distinct" -> (TextAnalysis.t15HllDistinct _),
     "t16_tfidf_keywords" -> (TextAnalysis.t16TfidfKeywords _),
     "t17_hashed_classifier" -> (TextAnalysis.t17HashedClassifier _),
+    "t18_url_filter" -> (TextAnalysis.t18UrlFilter _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),

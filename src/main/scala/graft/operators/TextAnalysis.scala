@@ -537,6 +537,47 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Domain pool for t18's deterministic URL planting: three content
+    * hosts and two list-blocked ones (the RefinedWeb/CCNet "URL
+    * filtering" stage needs both classes present to have anything to
+    * filter). */
+  val UrlDomains: Seq[String] =
+    Seq("news.example", "wiki.example", "blog.example",
+      "spam-mill.example", "adfarm.example")
+  val UrlBlocklist: Seq[String] = Seq("spam-mill.example", "adfarm.example")
+
+  /** t18: URL extraction + domain blocklist filter — the FIRST stage of
+    * the RefinedWeb/CCNet-family web pipelines (cheap URL-level triage
+    * before any text is tokenized). The synthetic corpus carries no
+    * URLs, so (t10/t14 precedent) each doc PLANTS one deterministically
+    * from doc_id — subdomain and domain both rotate so the
+    * registered-domain normalization (strip subdomains, keep the last
+    * two labels) is exercised for real — then the query extracts the
+    * host with the same regex a production pass uses, normalizes, and
+    * applies the blocklist. Output: per registered domain, doc count
+    * and the keep/drop decision. Shape at 100 TB: extraction and
+    * normalization are per-row regex column ops (codegen), the
+    * blocklist is a literal IN-list (a broadcast join once it is a
+    * table), one |domains|-group aggregate. */
+  def t18UrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sub = element_at(array(Seq("www", "m", "cdn").map(lit): _*),
+      (pmod(id, lit(3)) + 1).cast("int"))
+    val dom = element_at(array(UrlDomains.map(lit): _*),
+      (pmod(id, lit(UrlDomains.size)) + 1).cast("int"))
+    val planted = concat(col("text"),
+      format_string(" https://%s.%s/p/%d", sub, dom, id))
+    val host = regexp_extract(planted, "https://([a-z0-9.-]+)/", 1)
+    val regDomain = regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1)
+    Tables.documents(spark, dir)
+      .select(regDomain.as("domain"))
+      .withColumn("blocked",
+        when(col("domain").isin(UrlBlocklist: _*), 1L).otherwise(0L))
+      .groupBy(col("domain"), col("blocked"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("domain")
+  }
+
   /** Hashed-classifier mixing constants (t17): an LCG step over the
     * portable token value. Any fixed (A, B) gives a deterministic
     * pseudo-weight stream; these are the Knuth MMIX multiplier mod 2^31
@@ -579,6 +620,26 @@ object TextAnalysis {
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
+      "t18_url_filter" -> {
+        val doms = UrlDomains.map(d => s"'$d'").mkString(", ")
+        val blocked = UrlBlocklist.map(d => s"'$d'").mkString(", ")
+        s"""WITH planted AS (
+              SELECT doc_id, text || ' https://' ||
+                (['www', 'm', 'cdn'])[CAST(doc_id % 3 + 1 AS INT)] || '.' ||
+                ([$doms])[CAST(doc_id % ${UrlDomains.size} + 1 AS INT)] ||
+                '/p/' || CAST(doc_id AS VARCHAR) AS pt
+              FROM documents),
+            ext AS (
+              SELECT regexp_extract(
+                  regexp_extract(pt, 'https://([a-z0-9.-]+)/', 1),
+                  '([a-z0-9-]+\\.[a-z]+)$$', 1) AS domain
+              FROM planted)
+            SELECT domain,
+              CASE WHEN domain IN ($blocked) THEN CAST(1 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS blocked,
+              COUNT(*) AS n_docs
+            FROM ext GROUP BY 1, 2 ORDER BY domain"""
+      },
       "t17_hashed_classifier" ->
         s"""WITH tok AS (
               SELECT doc_id, source, unnest($toks) AS t

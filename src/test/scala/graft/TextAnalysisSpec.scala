@@ -309,6 +309,27 @@ class TextAnalysisSpec extends GraftSuite {
     assert(flagged > 0.05 && flagged < 0.95, s"degenerate flag rate $flagged")
   }
 
+  test("t18 url filter: domain partition matches planting, blocklist exact") {
+    val rows = TextAnalysis.t18UrlFilter(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "every doc must resolve to exactly one registered domain")
+    assert(rows.map(_.getAs[String]("domain")).toSet ==
+      TextAnalysis.UrlDomains.toSet,
+      "subdomain stripping must recover exactly the planted domain pool")
+    rows.foreach { r =>
+      val expectBlocked =
+        TextAnalysis.UrlBlocklist.contains(r.getAs[String]("domain"))
+      assert((r.getAs[Long]("blocked") == 1L) == expectBlocked,
+        s"${r.getAs[String]("domain")} blocklist decision wrong")
+    }
+    // the planting rotation distributes docs near-evenly over 5 domains
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= total / UrlSkewTolerance,
+      s"planting rotation skewed: ${counts.toSeq}")
+  }
+  private val UrlSkewTolerance = 4L
+
   test("t10 PII scrub: detected counts match the planting rules, zero residual") {
     val ids = Tables.documents(spark, sf).select("doc_id").collect()
       .map(_.getLong(0))
