@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowFpsExpr].getName, "graft_winnow_fps"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            s"graft_winnow_fps(text, w, k) takes 3 arguments, got ${children.length}")
         // window sizes must be compile-time constants: they fix the
         // deque bound the codegen emits
         def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

@@ -51,6 +51,7 @@ object ScaleProbe {
 
     val base = Tables.documents(spark, baseDir)
     val maxId = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    var warmed = false
 
     scales.foreach { n =>
       val dir = s"$workDir/scale$n"
@@ -79,7 +80,13 @@ object ScaleProbe {
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-      // warmup pass at the smallest materialized scale, then min-of-2
+      // one untimed warmup pass before the first measured scale so JIT/
+      // codegen/first-touch cost doesn't land in (only) the 1× cells —
+      // without this the 8×/1× ratios understate growth
+      if (!warmed) {
+        queries.foreach(q => SparkEntry.queries(q)(spark, dir).count())
+        warmed = true
+      }
       val times = queries.map { q =>
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

@@ -247,9 +247,11 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  /** Cosine threshold for [[s06RangeSearch]]. On this corpus the nearest
-    * non-hit sits ~0.01 below the line (checked in DuckDB before the
-    * predicate was pinned) — far beyond cross-engine float noise. */
+  /** Cosine threshold for [[s06RangeSearch]]. Measured margin at sf0.01:
+    * the nearest pair on either side of the line sits 0.0012 away
+    * (next: 0.0023, 0.0028) — thin, but still ~10¹² × cross-engine
+    * float noise; anyone retuning τ should re-measure the gap first
+    * (q31 precedent). */
   val RangeTau = 0.3
 
   /** s06: RANGE similarity search — every corpus vector within cosine ≥

@@ -522,12 +522,16 @@ object TextAnalysis {
     * log2 on integer ratios only (t13's engine-parity precedent), ties
     * broken totally by (doc_id, term). */
   def t16TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val tok = graft.Tables.documents(spark, dir)
+    val nonEmpty = graft.Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
+    val tok = nonEmpty
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // count the filtered docs WITHOUT re-exploding: trimmed non-empty
+    // text always yields >= 1 token, so this equals countDistinct(doc_id)
+    // over tok but costs a plain scan instead of a second tokenize pass
+    val nDocs = nonEmpty.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "t")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
@@ -596,23 +600,39 @@ object TextAnalysis {
     * a broadcast Map lookup expression to deploy real weights; the plan
     * does not change). Engine parity: the aggregation core Σ w(t) is
     * ALL-INTEGER (exact in any order — no sorted-fold needed, unlike
-    * t12/t13's float folds); the only float ops are one divide and
-    * subtract per doc, identical in both engines, and the flag compares
-    * those identical doubles to 0. Shape at 100 TB: explode → one
-    * partial-aggregable (doc) shuffle → per-source rollup. */
+    * t12/t13's float folds), and the flag — doc mean weight above the
+    * CORPUS mean weight — is an integer cross-multiplication, so the
+    * keep/drop gate has no float boundary at all; the reported logit is
+    * the only float, one divide at the edge. Shape at 100 TB: explode →
+    * one partial-aggregable (doc) shuffle → a 1-row corpus total
+    * broadcast back → per-source rollup. */
   def t17HashedClassifier(spark: SparkSession, dir: String): DataFrame = {
     val w = (TF.tokenVal(col("t")) * lit(ClfA) + lit(ClfB)) % lit(TF.HashMod)
-    val perDoc = graft.Tables.documents(spark, dir)
+    val tok = graft.Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"), explode(TF.tokens(col("text"))).as("t"))
+    val perDoc = tok
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(w).as("w_sum"), count(lit(1)).as("n_toks"))
+    // corpus totals: the flag compares each doc's MEAN weight to the
+    // corpus mean weight by integer cross-multiplication — exact in any
+    // order, no float boundary. (The small fixed vocabulary makes the
+    // corpus mean a biased constant, so an absolute threshold like
+    // logit > 0 would flag ~94% of docs — a degenerate signal.)
+    // Overflow bound: w_sum·N < (n_toks·P)·N needs N·n_toks·P < 2^63 —
+    // holds through ~10^4 corpus tokens per doc at 10^8 corpus tokens;
+    // the 100 TB deployment swaps in DECIMAL(38) for the cross-multiply.
+    val tot = perDoc.agg(sum(col("w_sum")).as("tot_w"),
+      sum(col("n_toks")).as("tot_n"))
+    perDoc.crossJoin(broadcast(tot))
       .select(col("doc_id"), col("source"),
         (col("w_sum").cast("double") / col("n_toks").cast("double") /
-          lit(TF.HashMod.toDouble) - lit(0.5)).as("logit"))
-    perDoc.groupBy(col("source"))
+          lit(TF.HashMod.toDouble) - lit(0.5)).as("logit"),
+        (col("w_sum") * col("tot_n") > col("tot_w") * col("n_toks"))
+          .as("above_mean"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("logit") > 0.0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("above_mean"), 1L).otherwise(0L)).as("n_flagged"),
         round(avg(col("logit")), 4).as("mean_logit"))
       .orderBy("source")
   }
@@ -646,16 +666,21 @@ object TextAnalysis {
               FROM documents WHERE len(trim(text)) > 0),
             d AS (
               SELECT doc_id, source,
-                SUM((${TS.tokenVal("t")}*$ClfA + $ClfB) % ${TF.HashMod}) AS w_sum,
+                CAST(SUM((${TS.tokenVal("t")}*$ClfA + $ClfB) % ${TF.HashMod})
+                  AS BIGINT) AS w_sum,
                 COUNT(*) AS n_toks
               FROM tok GROUP BY 1, 2),
+            tot AS (
+              SELECT CAST(SUM(w_sum) AS BIGINT) AS tot_w,
+                CAST(SUM(n_toks) AS BIGINT) AS tot_n FROM d),
             s AS (
               SELECT source,
                 CAST(w_sum AS DOUBLE) / CAST(n_toks AS DOUBLE)
-                  / ${TF.HashMod}.0 - 0.5 AS logit
-              FROM d)
+                  / ${TF.HashMod}.0 - 0.5 AS logit,
+                (w_sum * tot_n > tot_w * n_toks) AS above_mean
+              FROM d, tot)
             SELECT source, COUNT(*) AS n_docs,
-              CAST(SUM(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+              CAST(SUM(CASE WHEN above_mean THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_flagged,
               ROUND(AVG(logit), 4) AS mean_logit
             FROM s GROUP BY source ORDER BY source""",
@@ -665,7 +690,8 @@ object TextAnalysis {
               FROM documents WHERE len(trim(text)) > 0),
             tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
             df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
-            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok)
+            n AS (SELECT COUNT(*) AS n_docs FROM documents
+                  WHERE len(trim(text)) > 0)
             SELECT tf.doc_id, tf.t AS term, tf.tf, df.df,
               ROUND(tf.tf * (log2(n.n_docs) - log2(df.df)), 4) AS tfidf
             FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
