@@ -79,6 +79,10 @@ object PlanDump {
         "Hashed-classifier inference as columnar arithmetic: explode -> ALL-INTEGER partial-aggregable (doc) weight sum -> one edge divide -> per-source rollup; no UDF, no join, whole plan inside codegen."),
       ("d12_semdedup",
         "SemDeDup decision: d05's banded equi-join pairs -> distinct drop set -> left join back to the corpus; the keep rule is an anti-join-shaped aggregate, no new join geometry."),
+      ("s06_range_search",
+        "Range similarity search: broadcast query set against one corpus scan, coalesce-guarded threshold filter (constraint propagation cannot re-inline the cosine), no row explosion beyond hits."),
+      ("t18_url_filter",
+        "URL triage: planting, host extraction, and registered-domain normalization are one chain of codegen'd regex column ops over a single scan; blocklist is a literal IN-list; one |domains|-group aggregate."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

@@ -584,8 +584,8 @@ object TextAnalysis {
 
   /** Hashed-classifier mixing constants (t17): an LCG step over the
     * portable token value. Any fixed (A, B) gives a deterministic
-    * pseudo-weight stream; these are the Knuth MMIX multiplier mod 2^31
-    * and an odd offset. */
+    * pseudo-weight stream; A is the MT19937 seed-scrambling multiplier,
+    * B an odd offset. */
   val ClfA = 1812433253L
   val ClfB = 2545602959L
 
