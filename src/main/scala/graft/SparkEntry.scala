@@ -44,6 +44,7 @@ object SparkEntry {
     "q30_set_ops" -> (Relational.q30SetOps _),
     "q31_important_parts" -> (Relational.q31ImportantParts _),
     "q32_range_window" -> (Relational.q32RangeWindow _),
+    "q33_dominant_supplier" -> (Relational.q33DominantSupplier _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -340,6 +341,18 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY event_type ORDER BY day_num
            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_type, day_num""",
+    "q33_dominant_supplier" ->
+      """WITH sp AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+           FROM lineitem GROUP BY 1, 2),
+         p AS (SELECT l_partkey AS p_key, SUM(q) AS tq,
+           COUNT(*) AS n_suppliers FROM sp GROUP BY 1),
+         r AS (SELECT l_partkey, l_suppkey, q,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+             ORDER BY q DESC, l_suppkey) AS rn FROM sp)
+         SELECT l_partkey, l_suppkey AS top_suppkey, n_suppliers,
+           ROUND(q / tq, 4) AS share
+         FROM r JOIN p ON l_partkey = p_key
+         WHERE rn = 1 ORDER BY l_partkey""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -524,6 +524,33 @@ object Relational {
       .orderBy("event_type", "day_num")
   }
 
+  /** q33: TPC-H Q20-flavoured dominant-supplier report — for every part,
+    * the supplier shipping the largest quantity and its share of the
+    * part's total (threshold-free: a fixed share cut-off dilutes to an
+    * empty result as supplier count grows with SF, but argmax-per-group
+    * is meaningful at every scale). Deliberately WRITTEN in the
+    * `row_number() <= 1` window idiom: [[graft.plans.WindowTopKRule]]
+    * re-plans it onto the TopKPerGroup heap operator automatically
+    * (pinned in PlanAuditSpec), so the per-part argmax never full-sorts
+    * its group. Quantities are integer-valued doubles, so the per-
+    * supplier sums are EXACT in both engines (< 2^53) and the ordering
+    * cannot diverge; the share is one divide, rounded at the edge. */
+  def q33DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val p = sp.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("tq"), count(lit(1)).as("n_suppliers"))
+      .withColumnRenamed("l_partkey", "p_key")
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("q").desc, col("l_suppkey"))
+    sp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(p, col("l_partkey") === col("p_key"))
+      .select(col("l_partkey"), col("l_suppkey").as("top_suppkey"),
+        col("n_suppliers"), round(col("q") / col("tq"), 4).as("share"))
+      .orderBy("l_partkey")
+  }
+
   /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
     * aggregate: parts whose revenue exceeds 1.3× the mean per-part
     * revenue ("important stock"; the mean-relative form is

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, IntegerLiteral, LessThan, LessThanOrEqual, GreaterThan, GreaterThanOrEqual, RowNumber, SortOrder, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, GreaterThan, GreaterThanOrEqual, RowNumber, SortOrder, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * arbitrary — equally valid — k subset).
   *
   * Fires only on: a single row_number window expression, a `rn <= k` /
-  * `rn < k` (or reversed) conjunct-free filter directly above it, and
+  * `rn < k` / `rn = 1` (or reversed) conjunct-free filter directly
+  * above it, and
   * k ≤ [[WindowTopKRule.MaxK]] (heaps hold k rows per group in memory).
   * Idempotent: skips when the window child is already a same-keyed
   * TopKPerGroup with a no-larger k (the hand-written
@@ -35,11 +36,22 @@ object WindowTopKRule extends Rule[LogicalPlan] {
       case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rnAttr) => Some(k - 1)
       case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rnAttr) => Some(k)
       case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rnAttr) => Some(k - 1)
+      // rn = 1 is the argmax idiom: row_number is always >= 1, so the
+      // equality IS a top-1 filter (rn = k for k > 1 selects a middle
+      // rank and must keep the full sort)
+      case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rnAttr) => Some(1)
+      case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rnAttr) => Some(1)
       case _ => None
     }
 
+  // strips Projects AND Filters: predicate pushdown may slide a
+  // partition-key filter (e.g. join-inferred isnotnull) between the
+  // window and an already-placed heap across fixed-point iterations —
+  // without stripping it the guard re-wraps and double-heaps the plan.
+  // Stripping is safe here: the guard only ever SKIPS the rewrite.
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
     case Project(_, c) => stripProjects(c)
+    case Filter(_, c) => stripProjects(c)
     case other => other
   }
 

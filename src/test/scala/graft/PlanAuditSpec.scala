@@ -183,6 +183,19 @@ class PlanAuditSpec extends GraftSuite {
     assert(shuffles(df) <= 3, s"packing shuffle count regressed: ${shuffles(df)}")
   }
 
+  test("q33: the row_number argmax idiom is auto-rewritten onto the heap") {
+    val df = Relational.q33DominantSupplier(spark, sf)
+    val topk = df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t
+    }
+    assert(topk.size == 1,
+      "WindowTopKRule must re-plan q33's row_number()==1 window onto TopKPerGroup")
+    // the Window node survives to rank the ≤1-per-group survivor set —
+    // what matters is that the heap feeds it, so the sort is tiny
+    assert(planStr(df).contains("TopKPerGroup"),
+      "heap operator missing from the executed plan")
+  }
+
   test("a03: forward as-of is one shuffle + window — no range join") {
     val df = Temporal.a03AsofForward(spark, sf)
     val s = planStr(df)

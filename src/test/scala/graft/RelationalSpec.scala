@@ -162,6 +162,27 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("q33: the reported supplier really ships the most of each part") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val truth = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(expr("sum(l_quantity)").as("q"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val rows = Relational.q33DominantSupplier(spark, sf).collect()
+    assert(rows.length == truth.size, "one row per part")
+    rows.foreach { r =>
+      val grp = truth(r.getAs[Long]("l_partkey"))
+      val best = grp.map(_.getDouble(2)).max
+      val winners = grp.filter(_.getDouble(2) == best).map(_.getLong(1)).min
+      assert(r.getAs[Long]("top_suppkey") == winners,
+        s"part ${r.getAs[Long]("l_partkey")}: wrong argmax or tie-break")
+      assert(r.getAs[Long]("n_suppliers") == grp.length)
+      val share = best / grp.map(_.getDouble(2)).sum
+      assert(math.abs(r.getAs[Double]("share") - share) < 1e-3)
+    }
+  }
+
   test("q31: every returned part genuinely exceeds 1.3x the mean part revenue") {
     import org.apache.spark.sql.functions.{col, expr}
     val perPart = Tables.lineitem(spark, sf)

@@ -56,6 +56,25 @@ class WindowTopKRuleSpec extends GraftSuite {
     assert(got == expect, "global rewrite changed the top-k result")
   }
 
+  test("rn = 1 argmax idiom rewrites; rn = 2 (middle rank) does not") {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val argmax = Tables.customer(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(countTopK(argmax) == 1, "rn = 1 must rewrite to the heap")
+    val expect = Tables.customer(spark, sf).collect()
+      .groupBy(_.getAs[String]("c_mktsegment"))
+      .map { case (_, rs) =>
+        rs.maxBy(r => (r.getAs[Double]("c_acctbal"), -r.getAs[Long]("c_custkey")))
+          .getAs[Long]("c_custkey")
+      }.toSet
+    assert(argmax.collect().map(_.getAs[Long]("c_custkey")).toSet == expect,
+      "argmax rewrite changed the result")
+    val middle = Tables.customer(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 2)
+    assert(countTopK(middle) == 0, "rn = 2 selects a middle rank — no rewrite")
+  }
+
   test("rank() (non-row_number) windows are left alone") {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
