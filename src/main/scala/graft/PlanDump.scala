@@ -83,6 +83,8 @@ object PlanDump {
         "Range similarity search: broadcast query set against one corpus scan, coalesce-guarded threshold filter (constraint propagation cannot re-inline the cosine), no row explosion beyond hits."),
       ("t18_url_filter",
         "URL triage: planting, host extraction, and registered-domain normalization are one chain of codegen'd regex column ops over a single scan; blocklist is a literal IN-list; one |domains|-group aggregate."),
+      ("q33_dominant_supplier",
+        "Argmax-per-group written as row_number()=1: WindowTopKRule re-plans the window onto the TopKPerGroup partial/final heap pair, so only <=1 row per part per partition reaches the rank shuffle — the Window node survives merely to number the survivors."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder
