@@ -80,7 +80,7 @@ object PlanDump {
       ("d12_semdedup",
         "SemDeDup decision: d05's banded equi-join pairs -> distinct drop set -> left join back to the corpus; the keep rule is an anti-join-shaped aggregate, no new join geometry."),
       ("s06_range_search",
-        "Range similarity search: broadcast query set against one corpus scan, coalesce-guarded threshold filter (constraint propagation cannot re-inline the cosine), no row explosion beyond hits."),
+        "EXACT pruned range search: corpus assigned to inverted lists by argmax native-cosine against driver-fitted unit-centroid literals (spherical k-means on a bounded sample — no UDF, no MLlib job), per-query probe lists cut by the triangle-inequality bound dist(q,c) <= radius + sqrt(2-2*tau), candidates from a list_id equi-join against the broadcast surviving probes, exact coalesce-guarded cosine >= tau verify on candidates only — result-identical to the brute scan by the triangle inequality (spec-pinned)."),
       ("t18_url_filter",
         "URL triage: planting, host extraction, and registered-domain normalization are one chain of codegen'd regex column ops over a single scan; blocklist is a literal IN-list; one |domains|-group aggregate."),
       ("q33_dominant_supplier",

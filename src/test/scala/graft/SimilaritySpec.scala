@@ -119,4 +119,61 @@ class SimilaritySpec extends GraftSuite {
         assert(rangeSet.contains(k), s"range search missed known neighbor $k")
       }
   }
+
+  private def rangeTriples(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("cosine"))).toSet
+
+  test("s06 pruned plan is result-identical to the brute scan (exactness)") {
+    // The triangle-inequality prune must be invisible in the output —
+    // the guarantee that lets the pruned plan sit under the hash gate.
+    val pruned = rangeTriples(Similarity.s06RangeSearch(spark, sf))
+    val brute = rangeTriples(Similarity.s06RangeSearchBrute(spark, sf))
+    assert(pruned == brute,
+      s"pruned\\brute=${(pruned -- brute).take(5)} brute\\pruned=${(brute -- pruned).take(5)}")
+  }
+
+  test("s06 triangle bound prunes lists on clustered data, exactly") {
+    // The testdata embeddings are near-uniform on the 64-dim sphere
+    // (every list's covering radius ≈ 1.27): NO exact method can prune
+    // such data — the bound needs dist(q,c) > radius + sqrt(2-2tau),
+    // and uniform-sphere distances never reach it. Range search's real
+    // workload (contamination sweeps over corpora with near-dup
+    // structure) is CLUSTERED, so pruning is demonstrated on a planted
+    // clustered corpus; exactness is pinned both there and (above) on
+    // the uniform testdata where pruning degrades to zero gracefully.
+    val dir = java.nio.file.Files.createTempDirectory("s06spec").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 64L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(64)(j =>
+        (if (j == c) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.05f)
+      (i, v, s"l$c")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val nLists = Similarity.RangeLists
+    val probed = Similarity.s06Probes(spark, dir, 0.9, nLists).count()
+    val full = Similarity.NumQueries.toLong * nLists
+    assert(probed < full / 2,
+      s"tau=0.9 pruned under half: $probed of $full (query,list) pairs probed")
+    // pruned result on the clustered corpus == brute result (tau=0.9):
+    // queries sit in clusters 0-3, so each must still find its own
+    // cluster-mates through the pruned probe list
+    val pruned09 = rangeTriples(
+      Similarity.s06RangeSearchPruned(spark, dir, 0.9, nLists))
+    assert(pruned09.nonEmpty, "clustered corpus produced no range hits")
+    val brute09 = rangeTriples(Similarity.s06RangeSearchBrute(spark, dir))
+      .filter(_._3 >= 0.9005) // dodge the rounded-output boundary band
+    assert(brute09.subsetOf(pruned09),
+      s"pruning dropped true pairs: ${(brute09 -- pruned09).take(5)}")
+  }
+
+  test("s06 ANN variant is an exact-verified subset of the exact range set") {
+    val ann = rangeTriples(Similarity.s06RangeSearchAnn(spark, sf))
+    val exact = rangeTriples(Similarity.s06RangeSearchBrute(spark, sf))
+    assert(ann.subsetOf(exact),
+      s"ANN emitted non-range pairs: ${(ann -- exact).take(5)}")
+  }
 }
