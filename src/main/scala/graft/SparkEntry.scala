@@ -32,6 +32,7 @@ object SparkEntry {
     "q18_events_json" -> (Relational.q18EventsJson _),
     "q19_date_bucket_agg" -> (Relational.q19DateBucketAgg _),
     "q20_percentile_stats" -> (Relational.q20PercentileStats _),
+    "q20b_percentile_sketch" -> (Relational.q20bPercentileSketch _),
     "q21_exclusive_supplier" -> (Relational.q21ExclusiveSupplier _),
     "q22_dormant_customers" -> (Relational.q22DormantCustomers _),
     "q23_funnel" -> (Relational.q23Funnel _),
@@ -359,6 +360,13 @@ object SparkEntry {
          ROUND(quantile_cont(value, 0.95), 4) AS p95,
          ROUND(MIN(value), 2) AS min_v,
          ROUND(MAX(value), 2) AS max_v
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
+    "q20b_percentile_sketch" ->
+      """SELECT event_type, COUNT(*) AS n,
+         ROUND(quantile_disc(value, 0.5), 4) AS p50,
+         ROUND(quantile_disc(value, 0.95), 4) AS p95
          FROM events
          GROUP BY event_type
          ORDER BY event_type""",

@@ -274,9 +274,11 @@ object Relational {
 
   /** q20: exact percentile stats per group — Spark `percentile` and
     * DuckDB `quantile_cont` both use linear interpolation over the sorted
-    * group, so rounded values hash-match. Exact percentile sorts within
-    * the group; at 100 TB swap in approx_percentile (t-digest sketch,
-    * partial-aggregable) when ±ε is acceptable. */
+    * group, so rounded values hash-match. ORACLE-MIRROR ONLY as a scale
+    * design: exact `percentile` buffers every group value in ONE
+    * aggregation buffer (billions of doubles per event type at 100 TB —
+    * OOM, not slow); the engine's default at scale is [[
+    * q20bPercentileSketch]]'s bounded mergeable summary. */
   def q20PercentileStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
@@ -284,6 +286,32 @@ object Relational {
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         round(min(col("value")), 2).as("min_v"),
         round(max(col("value")), 2).as("max_v"))
+      .orderBy(col("event_type"))
+
+  /** Accuracy knob for [[q20bPercentileSketch]] — the Greenwald-Khanna
+    * summary guarantees rank error ≤ n/accuracy at O(accuracy·log n)
+    * buffer entries. At this setting the summary is LOSSLESS for groups
+    * up to ~5·10⁵ rows (rank error < 1), so the gate compares exact
+    * values against DuckDB's `quantile_disc`; a 100 TB deployment dials
+    * accuracy down (10³–10⁴) and accepts ±ε·n ranks for a buffer that
+    * never grows past ~accuracy entries — the trade q20's exact form
+    * cannot make at any setting. */
+  val SketchAccuracy = 1000000
+
+  /** q20b: percentile stats via the MERGEABLE SKETCH path — the form
+    * that survives 100 TB. `approx_percentile` is partial-aggregable
+    * (map-side summaries merge associatively through the shuffle), so
+    * per-executor memory is bounded by the accuracy knob instead of the
+    * group size. Hash-gated, not rows-only: both engines return the
+    * exact discrete quantile (the element at rank ⌈p·n⌉ — verified
+    * convention-identical on n∈{2,3,4,19,20} boundary cases and all
+    * sf0.1 groups) while the summary's rank error stays under one. */
+  def q20bPercentileSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr(s"approx_percentile(value, 0.5, $SketchAccuracy)"), 4).as("p50"),
+        round(expr(s"approx_percentile(value, 0.95, $SketchAccuracy)"), 4).as("p95"))
       .orderBy(col("event_type"))
 
   /** q21: TPC-H Q21 shape — EXISTS + NOT EXISTS self-joins on the fact:

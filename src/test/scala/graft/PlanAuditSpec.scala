@@ -75,6 +75,19 @@ class PlanAuditSpec extends GraftSuite {
     assert(n == 0, s"scalar agg over a scan should not shuffle (got $n)")
   }
 
+  test("q20b: percentile runs as a partial-aggregable sketch (q20 exact form is oracle-mirror only)") {
+    // The engine's percentile default at scale is q20b: approx_percentile
+    // summaries merge through the shuffle (partial + final aggregate
+    // pair), so executor memory is bounded by the accuracy knob. q20's
+    // exact `percentile` — one unbounded buffer holding every group
+    // value — exists to mirror DuckDB's quantile_cont, not to run at
+    // 100 TB.
+    val s = planStr(Relational.q20bPercentileSketch(spark, sf))
+    assert(s.contains("approx_percentile"), s"q20b must aggregate via the sketch:\n$s")
+    assert("(HashAggregate|ObjectHashAggregate|SortAggregate)".r.findAllIn(s).size >= 2,
+      s"expected partial+final aggregate pair around the shuffle:\n$s")
+  }
+
   test("s01: query set broadcasts; corpus is never shuffled for scoring") {
     val s = planStr(Similarity.s01KnnBrute(spark, sf))
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
