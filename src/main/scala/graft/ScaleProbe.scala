@@ -23,13 +23,28 @@ import org.apache.spark.sql.functions._
   *
   * Usage: sbt "runMain graft.ScaleProbe [baseSfDir] [workDir] [scales]"
   * Emits one JSON line per scale: {"scale":N,"docs":M,"queries":{...}}.
+  *
+  * `--skew` mode instead measures the STOP-SHINGLE cap: every replica
+  * gets the SAME un-prefixed boilerplate sentence appended to 10% of its
+  * docs, so the boilerplate shingles' df grows linearly with scale and
+  * their candidate join term grows QUADRATICALLY — the one shape the
+  * plain inverted index cannot absorb. It times d02 uncapped vs capped
+  * (cap = 4× the base corpus's max shingle df — far above every
+  * organic shingle, far below the planted hot ones) at each scale.
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val skew = rawArgs.contains("--skew")
+    val args = rawArgs.filterNot(_ == "--skew")
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val scales = (if (args.length > 2) args(2) else "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
+    // replica tokens are disambiguated by a single [a-z] prefix letter —
+    // past 26 the prefix leaves the letter range and replica token values
+    // would start colliding, silently voiding the disjointness argument
+    require(scales.forall(s => s >= 1 && s <= 26),
+      s"scales must be in [1, 26] (letter-prefix disjointness): $scales")
     // optional: shuffle partition count — the knob DEPLOY.md says to grow
     // with the data; pass a larger value to verify that claim at 8×
     val shufflePartitions = if (args.length > 3) args(3) else "32"
@@ -48,6 +63,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (skew) {
+      runSkew(spark, baseDir, workDir, scales)
+      spark.stop()
+      return
+    }
 
     val base = Tables.documents(spark, baseDir)
     val maxId = base.agg(max(col("doc_id"))).head().getLong(0) + 1
@@ -100,5 +121,57 @@ object ScaleProbe {
       println(s"""SCALEPROBE {"scale":$n,"docs":$docs,"queries":{$qJson}}""")
     }
     spark.stop()
+  }
+
+  /** Stop-shingle cap experiment — see the object doc. */
+  private def runSkew(spark: SparkSession, baseDir: String, workDir: String,
+      scales: Seq[Int]): Unit = {
+    import graft.functions.{TextFunctions => TF}
+    val boiler = "subscribe to our newsletter for weekly updates and " +
+      "follow us on every major social platform today"
+    val base = Tables.documents(spark, baseDir)
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // cap calibration: organic shingle df never grows with scale (replica
+    // tokens are letter-prefix disjoint), so 4× the BASE corpus max df
+    // cleanly separates organic from planted-hot at every scale
+    val baseMaxDf = base
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(graft.functions.NativeFunctions.shingleHashes(col("toks"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+    val cap = 4 * baseMaxDf
+    println(s"""SCALEPROBE-SKEW-CAP {"base_max_df":$baseMaxDf,"cap":$cap}""")
+    var warmed = false
+    scales.foreach { n =>
+      val dir = s"$workDir/skew$n"
+      val replicas = (0 until n).map { i =>
+        val ch = ('a' + i).toChar.toString
+        base.select(
+          (col("doc_id") + lit(i * maxId)).as("doc_id"),
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            t => concat(lit(ch), t)), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      replicas.reduce(_ unionAll _)
+        // the boilerplate is NOT letter-prefixed: its shingles are shared
+        // across replicas, so their df — and the uncapped join's hot
+        // term — grows with the scale
+        .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+      if (!warmed) { // JIT/codegen warmup outside the measured cells
+        graft.operators.Dedup.d02NgramJaccard(spark, dir, cap).count()
+        warmed = true
+      }
+      def best(f: => Long): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      val tCapped = best(graft.operators.Dedup.d02NgramJaccard(spark, dir, cap).count())
+      val tUncapped = best(graft.operators.Dedup.d02NgramJaccard(spark, dir).count())
+      println(f"""SCALEPROBE-SKEW {"scale":$n,"docs":$docs,""" +
+        f""""uncapped":$tUncapped%.2f,"capped":$tCapped%.2f}""")
+    }
   }
 }

@@ -62,8 +62,9 @@ object Dedup {
   /** d02: n-gram Jaccard near-dups via an inverted shingle index: explode
     * shingles → self-equi-join on the hash → shared-count per pair →
     * Jaccard = shared / (|A|+|B|−shared) ≥ 0.2. Linear in corpus size ×
-    * shingle frequency; heavy shingles are the skew risk at scale (AQE
-    * skew-join; a stop-shingle frequency cap is the documented mitigation). */
+    * shingle frequency; heavy shingles are the skew risk at scale — the
+    * `maxDf` stop-shingle cap ([[dfCapped]]) removes the quadratic
+    * hot-bucket term, AQE skew-join re-splits what remains. */
   /** Unsorted near-dup pairs ≥ 0.2 — shared core of d02 (which adds the
     * presentation round+sort) and d07 (which consumes the raw pair set).
     * Defined as the Jaccard projection over [[sharedShingleCounts]] so
@@ -71,7 +72,11 @@ object Dedup {
     * containment scoring reads the same base relation — a hint or
     * threshold change there cannot drift from this path). */
   private def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    sharedShingleCounts(spark, dir)
+    ngramJaccardPairs(spark, dir, NoDfCap)
+
+  private[graft] def ngramJaccardPairs(spark: SparkSession, dir: String,
+      maxDf: Long): DataFrame =
+    sharedShingleCounts(spark, dir, maxDf)
       .withColumn("jaccard", col("shared") / (col("ni") + col("nj") - col("shared")))
       .filter(atLeast(col("jaccard"), 0.2))
 
@@ -115,7 +120,14 @@ object Dedup {
   }
 
   def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(spark, dir)
+    d02NgramJaccard(spark, dir, NoDfCap)
+
+  /** `maxDf` is the [[dfCapped]] stop-shingle knob: the gate runs
+    * uncapped (oracle parity); a boilerplate-heavy 100 TB corpus sets a
+    * cap around a high df quantile of the index (ScaleProbe --skew
+    * measures the quadratic term it removes). */
+  def d02NgramJaccard(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
+    ngramJaccardPairs(spark, dir, maxDf)
       .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_i", "doc_j")
 
@@ -418,6 +430,29 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** No-cap sentinel for the stop-shingle knobs below. */
+  val NoDfCap: Long = Long.MaxValue
+
+  /** Drop index entries whose key's document frequency exceeds `maxDf` —
+    * the STOP-SHINGLE / hot-fingerprint cap, the real fix for Zipfian
+    * boilerplate skew (AQE skew-join only re-splits partitions; a
+    * df-10⁶ boilerplate shingle still emits ~10¹² candidate pairs —
+    * the cap removes the quadratic term at the source). A shingle with
+    * df > cap contributes ≤ 1/(cap choose 2) of any pair's Jaccard
+    * evidence per occurrence but cap² join rows, so capping trades a
+    * bounded recall sliver for the quadratic hot-bucket cost; capped
+    * results on a skew-free corpus are IDENTICAL (spec-pinned).
+    * One extra df aggregation over the index (linear, partial-agg);
+    * the hot-key list is tiny by construction (|keys with df > cap|)
+    * and broadcasts into a left-anti join. */
+  private def dfCapped(ex: DataFrame, key: String, maxDf: Long): DataFrame =
+    if (maxDf == NoDfCap) ex
+    else {
+      val hot = ex.groupBy(col(key)).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col(key))
+      ex.join(broadcast(hot), Seq(key), "left_anti")
+    }
+
   /** Shared-shingle counts per unordered doc pair (doc_i < doc_j) with
     * both set sizes — the ONE inverted-index candidate join behind
     * jaccard (d02/d07/d08 via [[ngramJaccardPairs]]) and containment
@@ -429,10 +464,13 @@ object Dedup {
     * build side is one hash-partition slice of the index (~rows/
     * shuffle.partitions — bounded by partition sizing at any scale);
     * the join OUTPUT, not the build map, is the asymptotic cost, and
-    * that is what the LSH/prefix variants bound. */
-  private def sharedShingleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val ex = docShingles(spark, dir)
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    * that is what the LSH/prefix variants and the [[dfCapped]]
+    * stop-shingle cap bound. */
+  private def sharedShingleCounts(spark: SparkSession, dir: String,
+      maxDf: Long = NoDfCap): DataFrame = {
+    val ex = dfCapped(docShingles(spark, dir)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h")),
+      "h", maxDf)
     ex.as("a").hint("SHUFFLE_HASH").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
@@ -482,22 +520,31 @@ object Dedup {
     * [[WinnowMinShared]] fingerprints. At 100 TB the index is linear in
     * corpus size × 2/(K+1), the join shuffles by fingerprint, and a
     * globally-hot fingerprint (boilerplate) is the same skew case as a
-    * stop-shingle — AQE skew-join plus a frequency cap are the
-    * mitigations. */
+    * stop-shingle — the `maxDf` overload caps it, AQE skew-join
+    * re-splits what remains. */
   def d11WinnowedDup(spark: SparkSession, dir: String): DataFrame =
     d11WinnowedDup(spark, dir, WinnowW, WinnowK, WinnowMinShared)
 
   def d11WinnowedDup(spark: SparkSession, dir: String, w: Int, k: Int,
-      minShared: Long): DataFrame = {
+      minShared: Long): DataFrame =
+    d11WinnowedDup(spark, dir, w, k, minShared, NoDfCap)
+
+  /** `maxDf` caps hot FINGERPRINTS ([[dfCapped]]): a boilerplate
+    * paragraph shared by df documents otherwise contributes df²/2
+    * candidate pairs per retained fingerprint — the same quadratic
+    * skew term as a stop-shingle, with the same fix. */
+  def d11WinnowedDup(spark: SparkSession, dir: String, w: Int, k: Int,
+      minShared: Long, maxDf: Long): DataFrame = {
     // native codegen'd winnowing (md5 + deque minima + distinct in one
     // compiled pass per doc): ~29 fingerprint rows/doc reach the explode
     // instead of ~250 position rows/doc reaching a window sort — the
     // per-doc selection never shuffles at all (measured 4.2→<1 s at
     // sf0.1; the declarative window pipeline below is the spec-pinned
     // value reference)
-    val sel = Tables.documents(spark, dir)
+    val sel = dfCapped(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(graft.functions.NativeFunctions.winnowFps(col("text"), w, k)).as("fp"))
+        explode(graft.functions.NativeFunctions.winnowFps(col("text"), w, k)).as("fp")),
+      "fp", maxDf)
     sel.as("a").hint("SHUFFLE_HASH").join(sel.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))

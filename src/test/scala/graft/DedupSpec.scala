@@ -211,6 +211,55 @@ class DedupSpec extends GraftSuite {
     rows.foreach(r => assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b")))
   }
 
+  test("df-capped index plans are result-identical when nothing is hot") {
+    // A finite cap forces the capping plan (df agg + anti-join) even
+    // when no key exceeds it — results must equal the uncapped path on
+    // this skew-free corpus, for both the shingle and fingerprint index.
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    val bigCap = 1000000L
+    assert(pairs(Dedup.d02NgramJaccard(spark, sf, bigCap)) ==
+      pairs(Dedup.d02NgramJaccard(spark, sf)))
+    assert(pairs(Dedup.d11WinnowedDup(spark, sf,
+        Dedup.WinnowW, Dedup.WinnowK, Dedup.WinnowMinShared, bigCap)) ==
+      pairs(Dedup.d11WinnowedDup(spark, sf)))
+  }
+
+  test("stop-shingle cap drops boilerplate hot buckets, keeps real dups") {
+    // Planted corpus: 40 unique docs + one true near-dup pair, ALL
+    // docs sharing one boilerplate sentence. Uncapped, the boilerplate
+    // shingles pair every doc with every other (O(n^2) candidates);
+    // with a cap below the boilerplate df the junk pairs vanish while
+    // the true dup pair (which shares plenty of sub-cap shingles)
+    // survives.
+    val dir = java.nio.file.Files.createTempDirectory("dfcap").toString
+    import spark.implicits._
+    // 20 boilerplate tokens vs 10-token bodies: boilerplate shingles
+    // dominate every pair's overlap (jaccard ≈ 0.43 > 0.2) until capped
+    val boiler = "subscribe to our newsletter for weekly updates and follow " +
+      "us on every major social platform to never miss another exciting story"
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def body(): String = Seq.fill(10)(words(rnd.nextInt(words.length))).mkString(" ")
+    val uniq = (0L until 40L).map(i => (i, s"${body()} doc$i marker$i $boiler"))
+    val dupBase = body() + " " + body()
+    val docs = uniq ++ Seq((100L, s"$dupBase $boiler"), (101L, s"$dupBase extra $boiler"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val uncapped = Dedup.d02NgramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    val capped = Dedup.d02NgramJaccard(spark, dir, 20L).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    assert(capped.contains((100L, 101L)), "cap lost the true near-dup pair")
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size,
+      s"boilerplate pairs survived the cap: ${capped.size} of ${uncapped.size}")
+  }
+
   test("d12 semdedup: drops are exactly the d05 higher-id pair members") {
     val rows = Dedup.d12SemDedup(spark, sf).collect()
     val perLabel = Tables.embeddings(spark, sf).groupBy("label").count()
