@@ -52,12 +52,17 @@ object Dedup {
   /** doc_id → distinct word-3-gram shingle hash set (docs with ≥3 tokens),
     * via the native codegen'd [[graft.functions.ShingleHashesExpr]] —
     * value-identical to the declarative TF.tokenVals→shingleHashesFromVals
-    * chain (NativeExprSpec proves it) but a compiled loop per row. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("toks", TF.tokens(col("text")))
+    * chain (NativeExprSpec proves it) but a compiled loop per row.
+    * Shared with the streaming verify stage
+    * ([[graft.streaming.StreamNearDedup.verified]]) so online and batch
+    * Jaccard are computed from the same shingle sets. */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", TF.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(Tables.documents(spark, dir))
 
   /** d02: n-gram Jaccard near-dups via an inverted shingle index: explode
     * shingles → self-equi-join on the hash → shared-count per pair →

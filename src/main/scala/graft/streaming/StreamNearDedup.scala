@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.time.Duration
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
@@ -7,8 +9,11 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
 /** One (band_key, doc) index entry of the streaming LSH index. */
 case class BandedDoc(band_key: String, doc_id: Long)
 
-/** A candidate near-dup pair (doc_i < doc_j), to be exact-verified
-  * downstream exactly like batch d03's candidates. */
+/** A bucket member with its insertion wall-clock time (for TTL expiry). */
+case class SeenEntry(doc_id: Long, ts: Long)
+
+/** A candidate near-dup pair (doc_i < doc_j), exact-verified by
+  * [[StreamNearDedup.verified]] exactly like batch d03's candidates. */
 case class NearDupCandidate(doc_i: Long, doc_j: Long)
 
 /** Per-bucket state: emits a candidate against every doc already in the
@@ -16,32 +21,54 @@ case class NearDupCandidate(doc_i: Long, doc_j: Long)
   * member list — the streaming analogue of the batch hot-bucket /
   * stop-shingle guard: a degenerate band key (boilerplate corpus) stops
   * accumulating state and stops emitting quadratic candidates past the
-  * cap instead of melting the state store. */
-class LshBucketProcessor(maxBucket: Int)
+  * cap instead of melting the state store.
+  *
+  * `ttlMs` (≤ 0 = keep forever) bounds state AGE the way
+  * [[StreamDedup]]'s watermark bounds its key set: entries older than
+  * the TTL stop producing candidates and are compacted out of the list
+  * on the next access — the (rate × ttl) state bound a 100 TB/day
+  * ingest needs; re-arrivals past the TTL re-index like new docs (the
+  * standard bounded-state trade). Expiry is wall-clock and applied
+  * EAGERLY per access (the list is capped at `maxBucket` entries, so
+  * the rewrite is O(maxBucket)); this deliberately avoids
+  * TimeMode.ProcessingTime — which makes the micro-batch engine run
+  * continuously to advance its clock even with no data — and keeps the
+  * operator drivable batch-by-batch (processAllAvailable, AvailableNow
+  * backfills). */
+class LshBucketProcessor(maxBucket: Int, ttlMs: Long)
     extends StatefulProcessor[String, BandedDoc, NearDupCandidate] {
 
-  @transient private var seen: ListState[Long] = _
+  @transient private var seen: ListState[SeenEntry] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    seen = getHandle.getListState[SeenEntry]("seen", Encoders.product[SeenEntry],
+      TTLConfig.NONE)
 
   override def handleInputRows(key: String, rows: Iterator[BandedDoc],
       tv: TimerValues): Iterator[NearDupCandidate] = {
-    val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val now = System.currentTimeMillis()
+    val all = scala.collection.mutable.ArrayBuffer.empty[SeenEntry]
     val it = seen.get()
-    while (it.hasNext) members += it.next()
+    while (it.hasNext) all += it.next()
+    val members = all.filter(e => ttlMs <= 0 || now - e.ts < ttlMs)
+    val expiredSome = members.length != all.length
+    val added = scala.collection.mutable.ArrayBuffer.empty[SeenEntry]
+    val ids = scala.collection.mutable.HashSet.empty[Long]
+    members.foreach(e => ids += e.doc_id)
     val out = Seq.newBuilder[NearDupCandidate]
     rows.foreach { r =>
-      if (!members.contains(r.doc_id)) {
-        members.foreach { m =>
+      if (!ids.contains(r.doc_id)) {
+        ids.foreach { m =>
           out += NearDupCandidate(math.min(m, r.doc_id), math.max(m, r.doc_id))
         }
-        if (members.length < maxBucket) {
-          members += r.doc_id
-          seen.appendValue(r.doc_id)
+        if (members.length + added.length < maxBucket) {
+          added += SeenEntry(r.doc_id, now)
+          ids += r.doc_id
         }
       }
     }
+    if (expiredSome) seen.put((members ++ added).toArray) // compact expired out
+    else added.foreach(seen.appendValue)
     out.result().iterator
   }
 }
@@ -60,27 +87,57 @@ class LshBucketProcessor(maxBucket: Int)
   * in the RocksDB state store.
   *
   * At 100 TB/day: state is the LSH INDEX (16 entries/doc — the classic
-  * multi-band cost), so production sets a TTL/compaction policy the
-  * same way [[StreamDedup]] bounds its exact-dup keys by watermark;
-  * candidates are a tiny stream that a downstream exact-Jaccard join
-  * (against the doc store) verifies — identical semantics to d03's
-  * verify stage, and idempotent under the duplicate candidates that
-  * multi-band collisions produce. */
+  * multi-band cost), bounded in AGE by the `ttl` knob and per-bucket by
+  * `maxBucket`; [[verified]] closes the loop IN-stream — candidates
+  * join the at-rest doc store and only exact-Jaccard-confirmed pairs
+  * (batch d03's own verify predicate) reach the sink. */
 object StreamNearDedup {
 
   /** Candidate pairs from a stream of documents with `doc_id` + `text`
     * columns. Emits each (earlier, newcomer) bucket collision once per
     * band; consumers dedupe via DISTINCT or an idempotent verify.
     * Banding comes from [[graft.operators.Dedup.minhashBandKeys]] — the
-    * same code batch d03 runs, not a copy. */
-  def candidates(docs: DataFrame, maxBucket: Int = 64): Dataset[NearDupCandidate] = {
+    * same code batch d03 runs, not a copy. With `ttl` set, bucket
+    * entries older than the duration stop producing candidates (see
+    * [[LshBucketProcessor]] for the expiry mechanics). */
+  def candidates(docs: DataFrame, maxBucket: Int = 64,
+      ttl: Option[Duration] = None): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     graft.operators.Dedup.minhashBandKeys(docs)
       .select(concat_ws(":", col("band"), col("key")).as("band_key"),
         col("doc_id"))
       .as[BandedDoc]
       .groupByKey(_.band_key)
-      .transformWithState(new LshBucketProcessor(maxBucket),
+      .transformWithState(
+        new LshBucketProcessor(maxBucket, ttl.map(_.toMillis).getOrElse(0L)),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** VERIFIED near-dup pairs, in-stream: [[candidates]] joined against
+    * the at-rest document store (a stream-static equi-join on each pair
+    * side) and kept only when exact shingle Jaccard ≥ `minJaccard` —
+    * batch d03's verify predicate over the SAME
+    * [[graft.operators.Dedup.shingleSets]] shingle sets, so a confirmed
+    * online pair is exactly a batch-confirmable pair (spec-pinned).
+    *
+    * Emission is exactly-once per pair modulo multi-band collisions
+    * WITHIN the arrival micro-batch (a pair's 16 band checks all fire
+    * in the batch where its later doc arrives): duplicates are
+    * value-identical rows, and dedup-decision sinks are idempotent by
+    * (doc_i, doc_j) — the same contract as batch d03's DISTINCT, paid
+    * per-batch instead of with unbounded pair state. At scale the
+    * static side is the compacted corpus table; the join shuffles the
+    * (tiny) candidate stream to it by doc id. */
+  def verified(docs: DataFrame, docStore: DataFrame,
+      minJaccard: Double = 0.2, maxBucket: Int = 64,
+      ttl: Option[Duration] = None): DataFrame = {
+    val sh = graft.operators.Dedup.shingleSets(docStore)
+    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    candidates(docs, maxBucket, ttl).toDF()
+      .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
+      .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
+      .withColumn("jaccard", inter / (size(col("sh_i")) + size(col("sh_j")) - inter))
+      .filter(coalesce(col("jaccard") >= minJaccard, lit(false)))
+      .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4).as("jaccard"))
   }
 }

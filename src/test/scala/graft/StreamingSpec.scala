@@ -241,6 +241,78 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("in-stream verified near-dup pairs equal batch d03 across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docStore = Tables.documents(spark, sf)
+    val docs = docStore.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamNearDedup.verified(input.toDF().toDF("doc_id", "text"), docStore)
+      .writeStream.format("memory").queryName("lsh_verified")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("lsh_verified").collect()
+        .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"),
+          r.getAs[Double]("jaccard"))).toSet
+      val batch = graft.operators.Dedup.d03MinhashLsh(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(streamed.nonEmpty, "no verified pairs surfaced in-stream")
+      assert(streamed == batch,
+        s"in-stream verified pairs diverge from batch d03: " +
+          s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("near-dedup TTL expires bucket entries: old docs stop producing candidates") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // two exact-duplicate texts ⇒ identical signatures ⇒ guaranteed
+    // band collision while the first entry is alive
+    val text = "the quick brown fox jumps over the lazy dog near the river bank"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamNearDedup.candidates(input.toDF().toDF("doc_id", "text"),
+        ttl = Some(java.time.Duration.ofSeconds(2)))
+      .writeStream.format("memory").queryName("lsh_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, text)); q.processAllAvailable()
+      input.addData((2L, text)); q.processAllAvailable() // doc 1 alive → pair
+      assert(spark.table("lsh_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+        "live entry should produce the (1,2) candidate")
+      Thread.sleep(3000) // let both entries expire
+      input.addData((3L, text)); q.processAllAvailable()
+      val after = spark.table("lsh_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((1L, 2L)),
+        s"expired entries must not produce candidates, got $after")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream ingest drains a directory of text files into parquet exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     def writeFile(name: String, lines: Seq[String]): Unit =
