@@ -597,44 +597,77 @@ object TextAnalysis {
     * token is a deterministic hash w(t) = (val(t)·A + B) mod P, the doc
     * logit is mean(w)/P − 0.5 ∈ [−0.5, 0.5) — a stand-in weight vector
     * with the exact execution shape of a trained one (swap the hash for
-    * a broadcast Map lookup expression to deploy real weights; the plan
-    * does not change). Engine parity: the aggregation core Σ w(t) is
-    * ALL-INTEGER (exact in any order — no sorted-fold needed, unlike
-    * t12/t13's float folds), and the flag — doc mean weight above the
-    * CORPUS mean weight — is an integer cross-multiplication, so the
-    * keep/drop gate has no float boundary at all; the reported logit is
-    * the only float, one divide at the edge. Shape at 100 TB: explode →
-    * one partial-aggregable (doc) shuffle → a 1-row corpus total
-    * broadcast back → per-source rollup. */
+    * a broadcast weight table to deploy real weights —
+    * [[t17WeightedClassifier]] — at an unchanged doc-shuffle shape).
+    * Engine parity: the aggregation core Σ w(t) is ALL-INTEGER (exact
+    * in any order — no sorted-fold needed, unlike t12/t13's float
+    * folds), and the flag — doc mean weight above the CORPUS mean
+    * weight — is a cross-multiplication carried in DECIMAL(38,0), so
+    * the keep/drop gate has no float boundary AND no silent Long wrap:
+    * products reach w_sum·tot_n ≤ (n·P)·N ≈ 10³⁴ at a 10-T-token
+    * corpus, past 2⁶³ (where Spark would wrap where DuckDB raises) but
+    * comfortably inside decimal-38 exactness; the DuckDB mirror
+    * cross-multiplies in HUGEINT (int128) for the same guarantee. The
+    * reported logit is the only float, one divide at the edge. Shape at
+    * 100 TB: explode → one partial-aggregable (doc) shuffle → a 1-row
+    * corpus total broadcast back → per-source rollup. */
   def t17HashedClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val w = (TF.tokenVal(col("t")) * lit(ClfA) + lit(ClfB)) % lit(TF.HashMod)
     val tok = graft.Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"), explode(TF.tokens(col("text"))).as("t"))
-    val perDoc = tok
+    val w = (TF.tokenVal(col("t")) * lit(ClfA) + lit(ClfB)) % lit(TF.HashMod)
+    classifierRollup(tok.withColumn("w", w))
+  }
+
+  /** Shared scoring tail of t17 and [[t17WeightedClassifier]]: per-doc
+    * integer weight sums, corpus totals broadcast back, decimal
+    * cross-multiplied above-mean flag, per-source rollup. */
+  private def classifierRollup(tokW: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perDoc = tokW
       .groupBy(col("doc_id"), col("source"))
-      .agg(sum(w).as("w_sum"), count(lit(1)).as("n_toks"))
+      .agg(sum(col("w")).as("w_sum"), count(lit(1)).as("n_toks"))
     // corpus totals: the flag compares each doc's MEAN weight to the
-    // corpus mean weight by integer cross-multiplication — exact in any
-    // order, no float boundary. (The small fixed vocabulary makes the
-    // corpus mean a biased constant, so an absolute threshold like
-    // logit > 0 would flag ~94% of docs — a degenerate signal.)
-    // Overflow bound: w_sum·N < (n_toks·P)·N needs N·n_toks·P < 2^63 —
-    // holds through ~10^4 corpus tokens per doc at 10^8 corpus tokens;
-    // the 100 TB deployment swaps in DECIMAL(38) for the cross-multiply.
+    // corpus mean weight by cross-multiplication — exact in any order.
+    // (The small fixed vocabulary makes the corpus mean a biased
+    // constant, so an absolute threshold like logit > 0 would flag ~94%
+    // of docs — a degenerate signal.)
     val tot = perDoc.agg(sum(col("w_sum")).as("tot_w"),
       sum(col("n_toks")).as("tot_n"))
     perDoc.crossJoin(broadcast(tot))
       .select(col("doc_id"), col("source"),
         (col("w_sum").cast("double") / col("n_toks").cast("double") /
           lit(TF.HashMod.toDouble) - lit(0.5)).as("logit"),
-        (col("w_sum") * col("tot_n") > col("tot_w") * col("n_toks"))
+        (dec(col("w_sum")) * dec(col("tot_n")) > dec(col("tot_w")) * dec(col("n_toks")))
           .as("above_mean"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("above_mean"), 1L).otherwise(0L)).as("n_flagged"),
         round(avg(col("logit")), 4).as("mean_logit"))
       .orderBy("source")
+  }
+
+  /** t17 DEPLOYMENT variant: score with a REAL weight table instead of
+    * the hash — `weights` is (t: string, w: long), one row per vocab
+    * token, broadcast-joined to the exploded token stream (left join:
+    * out-of-vocabulary tokens score 0, the linear-model convention).
+    * Weights are FIXED-POINT LONGS (quantized), preserving t17's
+    * all-integer exactness argument end to end — the standard trick for
+    * codegen'd inference, and what keeps the decimal above-mean flag
+    * exact. Plan shape is t17's with ONE added broadcast hash join on
+    * the token: same explode, same single doc shuffle, same scalar
+    * broadcast — spec-pinned, including value parity with t17 when
+    * weights := the hash values. At 100 TB the weight table is
+    * |vocab| rows (fasttext-style hashed vocabs keep it bounded) and
+    * stays a broadcast build side. */
+  def t17WeightedClassifier(spark: SparkSession, dir: String,
+      weights: DataFrame): DataFrame = {
+    val tok = graft.Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"), explode(TF.tokens(col("text"))).as("t"))
+    val tokW = tok.join(broadcast(weights), Seq("t"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0L)))
+    classifierRollup(tokW)
   }
 
   val oracle: Map[String, String] = {
@@ -677,7 +710,8 @@ object TextAnalysis {
               SELECT source,
                 CAST(w_sum AS DOUBLE) / CAST(n_toks AS DOUBLE)
                   / ${TF.HashMod}.0 - 0.5 AS logit,
-                (w_sum * tot_n > tot_w * n_toks) AS above_mean
+                (CAST(w_sum AS HUGEINT) * tot_n > CAST(tot_w AS HUGEINT) * n_toks)
+                  AS above_mean
               FROM d, tot)
             SELECT source, COUNT(*) AS n_docs,
               CAST(SUM(CASE WHEN above_mean THEN 1 ELSE 0 END) AS BIGINT)

@@ -309,6 +309,45 @@ class TextAnalysisSpec extends GraftSuite {
     assert(flagged > 0.05 && flagged < 0.95, s"degenerate flag rate $flagged")
   }
 
+  test("t17 weighted variant: broadcast weight join, value parity when weights := hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // weight table := the hash weights, computed through the SAME column
+    // expressions t17 uses (no hand-replicated hash math to drift), then
+    // collected into a small local table so the audited plan's only new
+    // node is the broadcast join itself
+    val wRows = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(TF.tokens(col("text"))).as("t")).distinct()
+      .select(col("t"), ((TF.tokenVal(col("t")) * lit(TextAnalysis.ClfA)
+        + lit(TextAnalysis.ClfB)) % lit(TF.HashMod)).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val weights = wRows.toDF("t", "w")
+    val base = TextAnalysis.t17HashedClassifier(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_flagged"), r.getAs[Double]("mean_logit"))).toSeq
+    val weighted = TextAnalysis.t17WeightedClassifier(spark, sf, weights)
+    val got = weighted.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_flagged"), r.getAs[Double]("mean_logit"))).toSeq
+    assert(got == base, s"weighted(hash) must equal t17: got=$got base=$base")
+    // plan shape: t17's pipeline plus exactly one broadcast hash join for
+    // the weight lookup; the doc aggregation stays partial-aggregable
+    weighted.collect()
+    val s = weighted.queryExecution.executedPlan.toString
+    // (the join shows once per perDoc consumer — totals branch + main
+    // branch — exactly like t17's own duplicated agg subtree)
+    assert("BroadcastHashJoin".r.findAllIn(s).nonEmpty,
+      s"weight lookup must be a broadcast hash join:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"weight join must not shuffle the token stream:\n$s")
+    // OOV tokens score 0: an empty weight table still covers every doc
+    val oov = TextAnalysis.t17WeightedClassifier(spark, sf,
+      Seq.empty[(String, Long)].toDF("t", "w")).collect()
+    assert(oov.map(_.getAs[Long]("n_docs")).sum ==
+      base.map(_._2).sum, "OOV-only scoring must not drop docs")
+  }
+
   test("t18 url filter: domain partition matches planting, blocklist exact") {
     val rows = TextAnalysis.t18UrlFilter(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
