@@ -95,6 +95,8 @@ object SparkEntry {
     "s04_ann_recall" -> (Similarity.s04AnnRecall _),
     "s05_ann_multitable" -> ((s, d) => Similarity.s05AnnMultiTable(s, d)),
     "s06_range_search" -> (Similarity.s06RangeSearch _),
+    "s07_ivf_recall" -> (Similarity.s07IvfRecall _), // rows-only: audits the KMeans-based s03
+
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
     "m03_binary_dedup" -> (Multimodal.m03BinaryDedup _),

@@ -251,6 +251,29 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** s07: IVF recall audit — recall@3 of the IVF path (s03) against the
+    * exact top-3 (s01), per query: the quantitative check the rows-only
+    * s03 gate cannot provide (KMeans is not DuckDB-expressible, so the
+    * gate pins only row shape — THIS operator pins quality, spec-pinned
+    * against a driver-side recomputation). Same tiny composition shape
+    * as s04: two gated operators joined on (query_id, neighbor_id).
+    * Expect mid recall here for the same honest reason s04 reports low
+    * single-table LSH recall: the corpus's true neighbors sit at wide
+    * angles, and nProbe=2 of 16 lists bounds how many survive — the
+    * remediation knob is nProbe (recall → 1 as nProbe → nLists). */
+  def s07IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s01KnnBrute(spark, dir).filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = s03AnnIvf(spark, dir)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(ivf,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("an")).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("k_exact"), 4))
+      .orderBy("query_id")
+  }
+
   /** Cosine threshold for [[s06RangeSearch]]. Measured margin at sf0.01:
     * the nearest pair on either side of the line sits 0.0012 away
     * (next: 0.0023, 0.0028) — thin, but still ~10¹² × cross-engine
