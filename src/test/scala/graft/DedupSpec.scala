@@ -211,6 +211,25 @@ class DedupSpec extends GraftSuite {
     rows.foreach(r => assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b")))
   }
 
+  test("connected components closes a 64-node path in O(log d) rounds") {
+    // Pure one-hop propagation needs ~63 rounds on a path; the pointer
+    // jump must close it logarithmically (log2(64)=6, plus slack for
+    // the final no-change confirmation round).
+    import spark.implicits._
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val (labels, rounds) = Dedup.connectedComponents(spark, pairs, None)
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L),
+      s"path graph must collapse to cluster 0: ${got.toSeq.sortBy(_._1).take(8)}")
+    assert(rounds <= 10, s"path-64 took $rounds rounds — pointer jump not effective")
+    // and a star graph (diameter 2) still closes in a couple of rounds
+    val star = (1L until 20L).map(i => (0L, i)).toDF("doc_i", "doc_j")
+    val (slabels, srounds) = Dedup.connectedComponents(spark, star, None)
+    assert(slabels.collect().forall(_.getAs[Long]("cluster") == 0L))
+    assert(srounds <= 3, s"star took $srounds rounds")
+  }
+
   test("df-capped index plans are result-identical when nothing is hot") {
     // A finite cap forces the capping plan (df agg + anti-join) even
     // when no key exceeds it — results must equal the uncapped path on
