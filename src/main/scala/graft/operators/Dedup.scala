@@ -615,13 +615,17 @@ object Dedup {
     * pairs into the keep/drop report a corpus build actually consumes
     * (Abbas et al. 2023: within a cluster, keep one representative of
     * each near-duplicate set). The distributed-safe keep rule is
-    * "drop a vector iff it is cosine-near some LOWER-id vector": order
-    * by id is deterministic on every engine and the rule is a pure
-    * anti-join — the sequential greedy scan SemDeDup describes cannot
-    * be parallelized, and this monotone over-approximation (a dropped
-    * vector's witness may itself be dropped) is the standard
-    * distributed substitute — at worst it over-drops within a clique,
-    * never under-drops. Shape at 100 TB: d05's banded equi-join makes
+    * "drop a vector iff it is cosine-near some LOWER-id vector AMONG
+    * d05's banded candidate pairs": order by id is deterministic on
+    * every engine and the rule is a pure anti-join — the sequential
+    * greedy scan SemDeDup describes cannot be parallelized, and this
+    * monotone over-approximation (a dropped vector's witness may
+    * itself be dropped) is the standard distributed substitute — at
+    * worst it over-drops within a clique, never under-drops. Recall
+    * inherits d05's banding: a near pair the bands miss keeps both
+    * members, so the drop set under-approximates the ideal
+    * all-pairs rule exactly as far as the band knobs allow
+    * (d05's S-curve sizing note is the lever). Shape at 100 TB: d05's banded equi-join makes
     * the pairs, then one |pairs|-sized distinct + a left join back to
     * the corpus — all-integer output, no new join shape. */
   def d12SemDedup(spark: SparkSession, dir: String): DataFrame = {

@@ -10,8 +10,10 @@ case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
   * token lands in, and at which running offset it starts. */
 case class PackedDoc(source: String, doc_id: Long, chunk: Long, start_off: Long)
 
-/** Per-shard packer state: tokens consumed so far. */
-case class PackState(total_tokens: Long)
+/** Per-shard packer state: tokens consumed so far, and the highest
+  * doc_id packed (to ENFORCE the in-order-arrival contract instead of
+  * silently diverging from the batch layout). */
+case class PackState(total_tokens: Long, last_doc_id: Long)
 
 /** Online GPT-style sequence packing ([[graft.operators.Sampling.p05PackChunks]]
   * at ingest): each source shard keeps one running token offset in
@@ -23,11 +25,14 @@ case class PackState(total_tokens: Long)
   * the property that lets a pipeline switch between batch re-packs and
   * streaming appends without re-tokenizing history.
   *
-  * Scale notes: state is ONE row (a single long) per shard — the
+  * Scale notes: state is ONE tiny row (two longs) per shard — the
   * smallest possible keyed state; per-shard arrival order is the same
   * assumption the batch layout makes (shards are independent, so
-  * cross-shard arrival order is free). Processing-time mode: packing
-  * has no event-time semantics and needs no watermark or timers. */
+  * cross-shard arrival order is free) — and it is ENFORCED, not
+  * assumed: a doc_id at or below the shard's high-water mark fails the
+  * batch loudly, because packing it would silently produce a layout no
+  * batch re-pack can reproduce. Processing-time mode: packing has no
+  * event-time semantics and needs no watermark or timers. */
 class PackProcessor(budget: Long)
     extends StatefulProcessor[String, PackDoc, PackedDoc] {
 
@@ -40,13 +45,21 @@ class PackProcessor(budget: Long)
       tv: TimerValues): Iterator[PackedDoc] = {
     // deterministic within a micro-batch regardless of task ordering
     val sorted = rows.toSeq.sortBy(_.doc_id)
-    var total = if (fill.exists()) fill.get().total_tokens else 0L
+    val st = if (fill.exists()) fill.get() else PackState(0L, Long.MinValue)
+    var total = st.total_tokens
+    sorted.headOption.filter(_.doc_id <= st.last_doc_id).foreach { d =>
+      throw new IllegalStateException(
+        s"out-of-order arrival on shard '$source': doc ${d.doc_id} after " +
+          s"high-water mark ${st.last_doc_id} — the streamed layout would " +
+          "diverge from the batch p05 layout")
+    }
     val out = sorted.map { d =>
       val assigned = PackedDoc(source, d.doc_id, total / budget, total)
       total += d.n_tokens
       assigned
     }
-    fill.update(PackState(total))
+    fill.update(PackState(total, sorted.lastOption.map(_.doc_id)
+      .getOrElse(st.last_doc_id)))
     out.iterator
   }
 }

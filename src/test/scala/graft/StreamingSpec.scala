@@ -145,6 +145,40 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streaming packer fails loudly on out-of-order arrival across batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[graft.streaming.PackDoc]
+    val q = graft.streaming.StreamPack.pack(input.toDS())
+      .writeStream.format("memory").queryName("packed_ooo").outputMode("append").start()
+    try {
+      input.addData(graft.streaming.PackDoc("s", 5L, 10L))
+      q.processAllAvailable()
+      // doc 3 arrives AFTER doc 5 on the same shard: packing it would
+      // silently produce a layout batch p05 can never reproduce — the
+      // in-order contract must be enforced, not assumed
+      input.addData(graft.streaming.PackDoc("s", 3L, 10L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("out-of-order arrival")) ||
+        e.toString.contains("out-of-order arrival"),
+        s"expected the high-water-mark rejection, got: ${e.getMessage}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming packer matches the batch p05 layout across micro-batches") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
