@@ -83,6 +83,8 @@ object PlanDump {
         "EXACT pruned range search: corpus assigned to inverted lists by argmax native-cosine against driver-fitted unit-centroid literals (spherical k-means on a bounded sample — no UDF, no MLlib job), per-query probe lists cut by the triangle-inequality bound dist(q,c) <= radius + sqrt(2-2*tau), candidates from a list_id equi-join against the broadcast surviving probes, exact coalesce-guarded cosine >= tau verify on candidates only — result-identical to the brute scan by the triangle inequality (spec-pinned)."),
       ("t18_url_filter",
         "URL triage: planting, host extraction, and registered-domain normalization are one chain of codegen'd regex column ops over a single scan; blocklist is a literal IN-list; one |domains|-group aggregate."),
+      ("q20b_percentile_sketch",
+        "Percentile via mergeable sketch: approx_percentile partial+final aggregate pair around one event_type shuffle — executor memory bounded by the accuracy knob; the exact-percentile q20 exists only as the quantile_cont oracle mirror."),
       ("q33_dominant_supplier",
         "Argmax-per-group written as row_number()=1: WindowTopKRule re-plans the window onto the TopKPerGroup partial/final heap pair, so only <=1 row per part per partition reaches the rank shuffle — the Window node survives merely to number the survivors."),
     ).map { case (name, note) => (name, note, name) }
