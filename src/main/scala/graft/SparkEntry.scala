@@ -70,12 +70,14 @@ object SparkEntry {
     "t16_tfidf_keywords" -> (TextAnalysis.t16TfidfKeywords _),
     "t17_hashed_classifier" -> (TextAnalysis.t17HashedClassifier _),
     "t18_url_filter" -> (TextAnalysis.t18UrlFilter _),
+    "t19_bigram_surprisal" -> ((s, d) => TextAnalysis.t19BigramSurprisal(s, d)),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
     "p02_hash_split" -> (Sampling.p02HashSplit _),
     "p04_mixture_sample" -> ((s, d) => Sampling.p04MixtureSample(s, d)),
     "p05_pack_chunks" -> (Sampling.p05PackChunks _),
+    "p06_token_budget_mix" -> ((s, d) => Sampling.p06TokenBudgetMix(s, d)),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),

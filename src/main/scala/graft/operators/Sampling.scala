@@ -87,6 +87,57 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Token budget for [[p06TokenBudgetMix]]: the target size of the
+    * assembled training mix, in tokens. 10k is ~37% of the sf0.01 corpus
+    * (every source samples) and ~3.7% of sf0.1; production budgets are
+    * trillions with the identical all-integer plan. */
+  val MixTokenBudget = 10000L
+
+  /** p06: token-BUDGET mixture — the "assemble a B-token training mix"
+    * step: every source gets an equal token share B/|S| (source-balanced
+    * rebalancing — p04 reweights by document COUNT with a temperature;
+    * this targets the budget in TOKENS, the unit training actually
+    * buys), realized as a deterministic per-source ppm threshold on the
+    * document fingerprint. A source with fewer tokens than its share
+    * clamps to keep-everything (rate 1e6 ppm) — the standard undersized-
+    * source behaviour (upsampling/epoch-repeat is a separate knob).
+    *
+    * ALL-INTEGER end to end: the rate is (share·1e6) div tok_total in
+    * BIGINT (no float anywhere — stricter than p04, whose √-weights
+    * need one sorted fold), so the gate has no rounding boundary at
+    * all. Shape at 100 TB: one partial-aggregable shuffle for
+    * per-source token totals, the |S|-row rate table broadcast back,
+    * membership a map-side fingerprint predicate — sampling the corpus
+    * is a filtered scan, like p01/p02/p04. */
+  def p06TokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    p06TokenBudgetMix(spark, dir, MixTokenBudget)
+
+  def p06TokenBudgetMix(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("source"),
+        graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
+        size(col("toks")).cast("long").as("n_tok"))
+    val rates = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
+      .withColumn("n_sources", count(lit(1)).over(wAll))
+      .withColumn("share", expr(s"${budget}L div n_sources"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(share * 1000000L) div tok_total")))
+      .select(col("source"), col("tok_total"), col("share"), col("rate_ppm"))
+    docs.join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("tok_total"), col("share"), col("rate_ppm"))
+      .agg(
+        sum(when(pmod(col("fp"), lit(1000000L)) < col("rate_ppm"), 1L)
+          .otherwise(0L)).as("n_docs_kept"),
+        sum(when(pmod(col("fp"), lit(1000000L)) < col("rate_ppm"), col("n_tok"))
+          .otherwise(0L)).as("tok_kept"))
+      .orderBy("source")
+  }
+
   /** Context-window budget for [[p05PackChunks]] — tokens per packed
     * training sequence. 512 keeps multiple chunks per source at test SFs;
     * production LLM pipelines use 2048–8192 with the identical plan. */
@@ -158,6 +209,26 @@ object Sampling {
                  ELSE 'test' END AS split,
             COUNT(*) AS n_docs
             FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+      "p06_token_budget_mix" ->
+        s"""WITH d AS (
+              SELECT source, ($fp) AS fp,
+                CAST(len(${TS.toks}) AS BIGINT) AS n_tok
+              FROM documents WHERE len(trim(text)) > 0),
+            t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_total
+              FROM d GROUP BY source),
+            r AS (SELECT source, tok_total,
+                $MixTokenBudget // (SELECT COUNT(*) FROM t) AS share,
+                LEAST(1000000,
+                  (($MixTokenBudget // (SELECT COUNT(*) FROM t)) * 1000000)
+                    // tok_total) AS rate_ppm
+              FROM t)
+            SELECT d.source, r.tok_total, r.share, r.rate_ppm,
+              CAST(SUM(CASE WHEN d.fp % 1000000 < r.rate_ppm
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+              CAST(SUM(CASE WHEN d.fp % 1000000 < r.rate_ppm
+                THEN d.n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+            FROM d JOIN r USING (source)
+            GROUP BY 1, 2, 3, 4 ORDER BY 1""",
       "p04_mixture_sample" ->
         s"""WITH f AS (SELECT source, ($fp) AS fp FROM documents),
             c AS (SELECT source, COUNT(*) AS n_total FROM f GROUP BY source),

@@ -582,6 +582,67 @@ object TextAnalysis {
       .orderBy("domain")
   }
 
+  /** Bigram-surprisal flag threshold in bits/bigram: the corpus sits at
+    * 4.7–5.6 across SFs with thin tails; 5.17 lands in a measured gap of
+    * ≥ 0.0047 at every test SF (flags 1/1/31 docs at sf0.001/0.01/0.1) —
+    * per-doc cross-engine drift is ULP-scale (~1e-12), far inside it. */
+  val BigramSurprisalThreshold = 5.17
+
+  /** t19: bigram-LM surprisal — the conditional-perplexity quality
+    * filter (the CCNet "LM perplexity" stage proper, one order up from
+    * t13's unigram proxy): train an add-one-smoothed bigram LM on the
+    * corpus itself and score each doc's mean −log2 p(w|u) =
+    * log2(c(u)+V) − log2(c(u,w)+1), bits per bigram. Repetitive
+    * boilerplate scores low; vocabulary-shifted or shuffled text scores
+    * high — and unlike t13 it is word-ORDER sensitive (a shuffled doc
+    * keeps its unigram surprisal but not its bigram surprisal).
+    *
+    * Shape at 100 TB: bigram and context counts are partial-aggregable
+    * shuffles on derived keys (the model "training" IS the aggregation);
+    * scoring joins the per-doc bigram multiset to the two count tables
+    * by equi-key (AQE broadcasts the model while it is small — a 100 TB
+    * corpus's bigram table shuffles, exactly like a real LM train).
+    * Engine parity: every log2 argument is an integer (counts + V,
+    * counts + 1), the per-doc fold runs over the SORTED term list
+    * (t12/t13's float-determinism rule), and flags sit
+    * [[BigramSurprisalThreshold]]-distant from every doc. */
+  def t19BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    t19BigramSurprisal(spark, dir, BigramSurprisalThreshold)
+
+  def t19BigramSurprisal(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val docs = docsWithTokens(spark, dir).filter(size(col("toks")) >= 2)
+    val bg = docs.select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(1), size(col("toks")) - lit(1)),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + lit(1))))).as("bg"))
+    val cBg = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_uw"))
+    // context count c(u) = Σ_w c(u,w), derived off the (tiny) bigram
+    // count table, not a second pass over the corpus.
+    val cU = cBg.groupBy(substring_index(col("bg"), " ", 1).as("u"))
+      .agg(sum(col("c_uw")).as("c_u"))
+    val vocab = docs.select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("vocab"))
+    val db = bg.groupBy(col("doc_id"), col("source"), col("bg"))
+      .agg(count(lit(1)).as("m"))
+    val termFold = aggregate(
+      sort_array(collect_list(col("m").cast("double")
+        * (log2(col("c_u") + col("vocab")) - log2(col("c_uw") + lit(1L))))),
+      lit(0.0), (acc, v) => acc + v)
+    val perDoc = db.join(cBg, "bg")
+      .join(cU, substring_index(col("bg"), " ", 1) === cU("u"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(termFold.as("s_sum"), sum(col("m")).as("n_bg"))
+      .select(col("doc_id"), col("source"),
+        (col("s_sum") / col("n_bg")).as("surprisal"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("surprisal") > threshold, 1L).otherwise(0L)).as("n_flagged"),
+        round(avg(col("surprisal")), 3).as("mean_bigram_surprisal"))
+      .orderBy("source")
+  }
+
   /** Hashed-classifier mixing constants (t17): an LCG step over the
     * portable token value. Any fixed (A, B) gives a deterministic
     * pseudo-weight stream; A is the MT19937 seed-scrambling multiplier,
@@ -924,6 +985,35 @@ object TextAnalysis {
               CAST(SUM(CASE WHEN surprisal > $SurprisalThreshold
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
               round(AVG(surprisal), 3) AS mean_surprisal
+            FROM pd GROUP BY source ORDER BY source""",
+      "t19_bigram_surprisal" ->
+        s"""WITH bg AS (
+              SELECT doc_id, source,
+                unnest(list_transform(generate_series(1, len($toks)-1),
+                  i -> $toks[i] || ' ' || $toks[i+1])) AS bg
+              FROM documents WHERE len($toks) >= 2),
+            cbg AS (SELECT bg, COUNT(*) AS c_uw FROM bg GROUP BY bg),
+            cu AS (SELECT split_part(bg, ' ', 1) AS u,
+                CAST(SUM(c_uw) AS BIGINT) AS c_u FROM cbg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT t) AS vocab FROM (
+                SELECT unnest($toks) AS t
+                FROM documents WHERE len($toks) >= 2)),
+            db AS (SELECT doc_id, source, bg, COUNT(*) AS m
+              FROM bg GROUP BY 1, 2, 3),
+            pd AS (SELECT d.doc_id, d.source,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_sort(list(CAST(d.m AS DOUBLE)
+                    * (log2(cu.c_u + (SELECT vocab FROM v))
+                      - log2(cb.c_uw + 1))))),
+                  (acc, x) -> acc + x)
+                  / CAST(SUM(d.m) AS BIGINT) AS surprisal
+              FROM db d JOIN cbg cb USING (bg)
+              JOIN cu ON split_part(d.bg, ' ', 1) = cu.u
+              GROUP BY 1, 2)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN surprisal > $BigramSurprisalThreshold
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+              round(AVG(surprisal), 3) AS mean_bigram_surprisal
             FROM pd GROUP BY source ORDER BY source""",
       "t12_entropy_filter" ->
         s"""WITH pos AS (

@@ -121,6 +121,53 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("t19 bigram surprisal: per-source stats match a direct Scala recompute") {
+    val rows = TextAnalysis.t19BigramSurprisal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text")
+        .trim.split("\\s+").toSeq)
+      .filter(_._2.length >= 2)
+    def bigrams(toks: Seq[String]) = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val cBg = docs.flatMap(d => bigrams(d._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val cU = cBg.toSeq.groupBy(_._1.split(" ", 2).head)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val vocab = docs.flatMap(_._2).distinct.length
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    def surprisal(toks: Seq[String]): Double = {
+      val bgs = bigrams(toks)
+      bgs.map { bg =>
+        val u = bg.split(" ", 2).head
+        log2(cU.getOrElse(u, 0) + vocab.toDouble) - log2(cBg.getOrElse(bg, 0) + 1.0)
+      }.sum / bgs.length
+    }
+    val bySource = docs.groupBy(_._1).view.mapValues(_.map(d => surprisal(d._2)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ss = bySource(src)
+      assert(r.getAs[Long]("n_docs") == ss.size)
+      assert(r.getAs[Long]("n_flagged") ==
+        ss.count(_ > TextAnalysis.BigramSurprisalThreshold))
+      assert(math.abs(r.getAs[Double]("mean_bigram_surprisal") - ss.sum / ss.size)
+        < 2e-3, s"source $src mean bigram surprisal drifted")
+    }
+    // order sensitivity — the property t13's unigram proxy lacks: a
+    // reversed token stream keeps every unigram but scrambles bigrams,
+    // so its corpus-LM surprisal must rise (unseen transitions hit the
+    // +1 smoothing floor).
+    // (per-doc it is only a strong tendency on this templated corpus —
+    // short docs can reverse onto other templates' common bigrams)
+    val sample = docs.filter(_._2.length >= 10).take(20)
+    val orig = sample.map(d => surprisal(d._2))
+    val rev = sample.map(d => surprisal(d._2.reverse))
+    val raised = orig.zip(rev).count { case (o, r) => r > o }
+    assert(raised > sample.length / 2,
+      s"reversed docs should tend to score higher: only $raised/${sample.length}")
+    assert(rev.sum / rev.length > orig.sum / orig.length,
+      "mean surprisal of reversed docs must exceed the originals'")
+  }
+
   test("t14 gopher rules: per-source flag counts match a direct Scala recompute") {
     val rows = TextAnalysis.t14GopherRules(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -177,6 +224,34 @@ class TextAnalysisSpec extends GraftSuite {
       assert(rows.map(_.getAs[Long](c)).sum > 0, s"$c never fires")
     }
     assert(rows.map(_.getAs[Long]("n_pass")).sum > 0)
+  }
+
+  test("p06 token-budget mix: shares, clamps, and realized tokens track the budget") {
+    import graft.operators.Sampling
+    val rows = Sampling.p06TokenBudgetMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = Sampling.MixTokenBudget
+    val share = budget / rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share") == share)
+      val ppm = r.getAs[Long]("rate_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      // the integer rate is exactly (share*1e6) div tok_total, clamped
+      assert(ppm == math.min(1000000L, share * 1000000L / r.getAs[Long]("tok_total")))
+      assert(r.getAs[Long]("tok_kept") <= r.getAs[Long]("tok_total"))
+    }
+    // an undersized source must clamp to keep-everything
+    val clamped = Sampling.p06TokenBudgetMix(spark, sf, budget = 100L * 1000 * 1000)
+      .collect()
+    clamped.foreach { r =>
+      assert(r.getAs[Long]("rate_ppm") == 1000000L)
+      assert(r.getAs[Long]("tok_kept") == r.getAs[Long]("tok_total"))
+    }
+    // realized mix lands near the budget (fingerprint uniformity; each
+    // source contributes ~share tokens, sampled at doc granularity)
+    val kept = rows.map(_.getAs[Long]("tok_kept")).sum.toDouble
+    assert(kept > 0.5 * budget && kept < 1.5 * budget,
+      s"kept $kept tokens against budget $budget")
   }
 
   test("t15 HLL: registers and estimate match a direct Scala recompute, error within theory") {
