@@ -87,6 +87,10 @@ object PlanDump {
         "Percentile via mergeable sketch: approx_percentile partial+final aggregate pair around one event_type shuffle — executor memory bounded by the accuracy knob; the exact-percentile q20 exists only as the quantile_cont oracle mirror."),
       ("q33_dominant_supplier",
         "Argmax-per-group written as row_number()=1: WindowTopKRule re-plans the window onto the TopKPerGroup partial/final heap pair, so only <=1 row per part per partition reaches the rank shuffle — the Window node survives merely to number the survivors."),
+      ("t19_bigram_surprisal",
+        "Bigram-LM perplexity: bigram and context counts are partial-aggregable shuffles on derived keys (the LM 'train' IS the aggregation, contexts derived off the count table, not a second corpus pass); scoring equi-joins the per-doc bigram multiset to the two count tables (AQE broadcasts the model while small), vocab joins as a broadcast scalar, per-doc sorted fold, source rollup — no cross join beyond the 1-row vocab broadcast."),
+      ("p06_token_budget_mix",
+        "Token-budget mix: one partial-aggregable shuffle for per-source token totals, the |S|-row all-integer rate table broadcast back, membership a map-side fingerprint pmod predicate — assembling a 100 TB mix is a filtered scan."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

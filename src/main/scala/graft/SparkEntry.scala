@@ -78,6 +78,7 @@ object SparkEntry {
     "p04_mixture_sample" -> ((s, d) => Sampling.p04MixtureSample(s, d)),
     "p05_pack_chunks" -> (Sampling.p05PackChunks _),
     "p06_token_budget_mix" -> ((s, d) => Sampling.p06TokenBudgetMix(s, d)),
+    "p07_epoch_shuffle" -> ((s, d) => Sampling.p07EpochShuffle(s, d)),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),

@@ -138,6 +138,63 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Shard count for [[p07EpochShuffle]] — files-per-epoch of the
+    * training order. 64 keeps shards multi-doc at test SFs; production
+    * sizes shards to ~256 MB like shuffle partitions. */
+  val ShuffleShards = 64
+
+  /** LCG mixing constants for the epoch key (glibc's multiplier; any
+    * fixed odd pair works — the key only needs to decorrelate doc_id
+    * order, not survive cryptanalysis). */
+  val EpochA = 1103515245L
+  val EpochB = 12345L
+
+  /** p07: epoch shuffle — the deterministic GLOBAL training-order
+    * shuffle every pretraining run does per epoch: each doc gets a
+    * pseudorandom-but-reproducible sort key from (doc_id, epoch), is
+    * range-assigned to a shard, and shards are written ordered by key.
+    * Changing `epoch` re-permutes the corpus; re-running the same epoch
+    * reproduces it bit-for-bit on any engine/cluster (no rand(), no
+    * partition-order dependence — the p01/p02 determinism rule applied
+    * to ordering). Output audits the layout: docs/tokens and the key
+    * range per shard.
+    *
+    * Shape at 100 TB: the key and shard are map-side integer column
+    * ops (all products stay under 2^63 — no overflow wrap on Spark, no
+    * BIGINT error on DuckDB); the real pipeline then repartitions by
+    * shard and sorts within shards — exactly one shuffle, the point of
+    * the op — while the audit here aggregates the same assignment
+    * partial-aggregably. */
+  def p07EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    p07EpochShuffle(spark, dir, epoch = 1L)
+
+  def p07EpochShuffle(spark: SparkSession, dir: String, epoch: Long,
+      shards: Int = ShuffleShards): DataFrame = {
+    val P = TF.HashMod
+    // epoch enters the MULTIPLIER, not an additive offset: key =
+    // doc_id·(A + epoch·B) mod P. P is prime, so any nonzero multiplier
+    // is invertible mod P and each epoch is a genuinely different
+    // permutation of the id space — an additive epoch term would only
+    // rotate one fixed order. (doc_id mod P)·m ≤ (P−1)² ≈ 1e18 < 2^63:
+    // no Long wrap on Spark, no BIGINT error on DuckDB.
+    val m = java.lang.Math.floorMod(EpochA + epoch * EpochB, P)
+    require(m != 0, s"degenerate epoch $epoch: multiplier is 0 mod $P")
+    val key = (pmod(col("doc_id"), lit(P)) * lit(m)) % lit(P)
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tok"),
+        key.as("key"))
+      // RANGE-binned shard ((key·shards) div P): concatenating shards in
+      // shard order replays the full key-permuted corpus order — a
+      // pmod-hashed shard would balance but lose the global ordering.
+      .withColumn("shard", expr(s"(key * ${shards}L) div ${P}L"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy("shard")
+  }
+
   /** Context-window budget for [[p05PackChunks]] — tokens per packed
     * training sequence. 512 keeps multiple chunks per source at test SFs;
     * production LLM pipelines use 2048–8192 with the identical plan. */
@@ -209,6 +266,18 @@ object Sampling {
                  ELSE 'test' END AS split,
             COUNT(*) AS n_docs
             FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+      "p07_epoch_shuffle" ->
+        s"""WITH d AS (
+              SELECT doc_id,
+                CAST(len(${TS.toks}) AS BIGINT) AS n_tok,
+                ((doc_id % ${TF.HashMod}) * (($EpochA + 1 * $EpochB)
+                  % ${TF.HashMod})) % ${TF.HashMod} AS key
+              FROM documents WHERE len(trim(text)) > 0)
+            SELECT (key * $ShuffleShards) // ${TF.HashMod} AS shard,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              MIN(key) AS min_key, MAX(key) AS max_key
+            FROM d GROUP BY 1 ORDER BY 1""",
       "p06_token_budget_mix" ->
         s"""WITH d AS (
               SELECT source, ($fp) AS fp,

@@ -196,6 +196,26 @@ class PlanAuditSpec extends GraftSuite {
     assert(shuffles(df) <= 3, s"packing shuffle count regressed: ${shuffles(df)}")
   }
 
+  test("t19: bigram-LM scoring is equi-joins only; the sole nested loop is the 1-row vocab broadcast") {
+    val s = planStr(TextAnalysis.t19BigramSurprisal(spark, sf))
+    assert(!s.contains("CartesianProduct"),
+      s"t19 must never cartesian-join:\n$s")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size <= 1,
+      s"only the 1-row vocab scalar may nested-loop:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      s"count 'training' must partial-aggregate:\n$s")
+  }
+
+  test("p06: mix membership is a broadcast rate table + map-side predicate") {
+    val s = planStr(Sampling.p06TokenBudgetMix(spark, sf))
+    assert(s.contains("BroadcastHashJoin"),
+      s"the |S|-row rate table must broadcast back:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"p06 must not cross-join:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"the rate join must never shuffle the corpus:\n$s")
+  }
+
   test("q33: the row_number argmax idiom is auto-rewritten onto the heap") {
     val df = Relational.q33DominantSupplier(spark, sf)
     val topk = df.queryExecution.optimizedPlan.collect {

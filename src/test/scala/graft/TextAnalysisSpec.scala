@@ -254,6 +254,39 @@ class TextAnalysisSpec extends GraftSuite {
       s"kept $kept tokens against budget $budget")
   }
 
+  test("p07 epoch shuffle: reproducible, epoch re-permutes, shards range-ordered") {
+    import graft.operators.Sampling
+    val e1 = Sampling.p07EpochShuffle(spark, sf, epoch = 1L).collect()
+    val e1b = Sampling.p07EpochShuffle(spark, sf, epoch = 1L).collect()
+    assert(e1.map(_.toString).toSeq == e1b.map(_.toString).toSeq,
+      "same epoch must reproduce the identical layout")
+    // docs conserved across shards
+    val n = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text"))) > 0).count()
+    assert(e1.map(_.getAs[Long]("n_docs")).sum == n)
+    // range binning: consecutive shards' key ranges are disjoint and
+    // ascending — concatenating shards replays the permuted order
+    val rows = e1.sortBy(_.getAs[Long]("shard"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_key") < b.getAs[Long]("min_key"),
+          s"shard key ranges overlap: $a vs $b")
+      case _ =>
+    }
+    // a different epoch is a different permutation: the per-shard doc
+    // counts cannot all agree (the multiplier changes, not an offset)
+    val e2 = Sampling.p07EpochShuffle(spark, sf, epoch = 2L).collect()
+    val c1 = e1.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+    val c2 = e2.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+    assert(c1 != c2, "epoch 2 must re-permute the shard assignment")
+    // rough balance under the LCG key (no shard 10x over the mean)
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max <= 10 * (n / counts.length.max(1) + 1),
+      s"shard skew: max=${counts.max} over ${counts.length} shards of ~${n / counts.length.max(1)}")
+  }
+
   test("t15 HLL: registers and estimate match a direct Scala recompute, error within theory") {
     val rows = TextAnalysis.t15HllDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
