@@ -46,6 +46,7 @@ object SparkEntry {
     "q31_important_parts" -> (Relational.q31ImportantParts _),
     "q32_range_window" -> (Relational.q32RangeWindow _),
     "q33_dominant_supplier" -> (Relational.q33DominantSupplier _),
+    "q34_small_quantity_revenue" -> (Relational.q34SmallQuantityRevenue _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "t17_hashed_classifier" -> (TextAnalysis.t17HashedClassifier _),
     "t18_url_filter" -> (TextAnalysis.t18UrlFilter _),
     "t19_bigram_surprisal" -> ((s, d) => TextAnalysis.t19BigramSurprisal(s, d)),
+    "t20_line_dedup" -> (TextAnalysis.t20LineDedup _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
@@ -359,6 +361,17 @@ object SparkEntry {
            ROUND(q / tq, 4) AS share
          FROM r JOIN p ON l_partkey = p_key
          WHERE rn = 1 ORDER BY l_partkey""",
+    "q34_small_quantity_revenue" ->
+      """WITH sel AS (
+           SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             l_extendedprice
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#4'),
+         st AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sq,
+           COUNT(*) AS cnt FROM sel GROUP BY 1)
+         SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM sel JOIN st USING (l_partkey)
+         WHERE 5 * qty * cnt < sq""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -579,6 +579,33 @@ object Relational {
       .orderBy("l_partkey")
   }
 
+  /** q34: TPC-H Q17 shape — yearly revenue impact of small-quantity
+    * orders: for one brand's parts, sum the revenue of line items whose
+    * quantity is below 20% of that part's average ordered quantity
+    * (scaled /7 to a yearly figure, Q17's convention). The correlated
+    * per-part AVG subquery becomes a per-part aggregate joined back on
+    * l_partkey — co-partitioned with the fact shuffle, so AQE reuses
+    * the exchange; the brand join narrows the fact first (AQE
+    * broadcasts the filtered part side at small SF; no explicit hint —
+    * part is SF-linear). Engine parity: quantities are integer-valued,
+    * so the 20%-of-avg gate cross-multiplies in integers
+    * (5·qty·cnt < Σqty — no float boundary, t17 precedent); the only
+    * float is the final revenue sum, rounded at the edge. */
+  def q34SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+    val sel = Tables.lineitem(spark, dir)
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val st = sel.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
+      .withColumnRenamed("l_partkey", "st_key")
+    sel.join(st, col("l_partkey") === col("st_key"))
+      .filter(lit(5L) * col("qty") * col("cnt") < col("sq"))
+      .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+  }
+
   /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
     * aggregate: parts whose revenue exceeds 1.3× the mean per-part
     * revenue ("important stock"; the mean-relative form is

@@ -643,6 +643,64 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t20: a line occurring more than this many times corpus-wide is
+    * boilerplate and removed. CCNet drops lines duplicated a handful of
+    * times; the planted boilerplate sits at df ≈ N/3 and N/7, organic
+    * lines at 1–2, so the cap separates them by orders of magnitude at
+    * every SF. */
+  val LineDfCap = 4L
+
+  /** Boilerplate lines t20 plants (the corpus is synthetic prose with no
+    * natural nav/footer text — t10/t14/t18 precedent: plant
+    * deterministically from doc_id, then MEASURE for real). */
+  val BoilerplateLines: Seq[String] = Seq(
+    "subscribe to our newsletter for updates and exclusive daily offers",
+    "all rights reserved unauthorized reproduction of this page is prohibited")
+
+  /** t20: line-level deduplication — the CCNet paragraph/line dedup
+    * stage: hash every LINE of every document, count occurrences
+    * corpus-wide, and strip lines that repeat more than [[LineDfCap]]
+    * times (nav bars, cookie banners, footers — the boilerplate that
+    * survives doc-level dedup because every PAGE differs while its
+    * FURNITURE repeats). Documents are chunked into 10-token lines
+    * (t14's rule); docs with doc_id%3==0 get a planted subscription
+    * line and %7==0 a rights footer, then everything is measured for
+    * real. Output audits the pass per source: docs, lines, removed
+    * lines, affected docs — all integers.
+    *
+    * Shape at 100 TB: the line-frequency table is ONE partial-aggregable
+    * shuffle on the line (map-side combine collapses each partition's
+    * repeats); the removal decision joins lines to counts by equi-key —
+    * AQE broadcasts the hot tail if skewed, and the same maxDf-style cap
+    * logic as d02's inverted index applies if a pathological line
+    * dominates. Per-doc and per-source rollups partial-aggregate. */
+  def t20LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val toks = col("toks")
+    val nChunks = floor((size(toks) + lit(9)) / lit(10.0)).cast("long")
+    val lines0 = transform(sequence(lit(1L), nChunks), j =>
+      array_join(slice(toks, (j * lit(10) - lit(9)).cast("int"), lit(10)), " "))
+    val empty = array().cast("array<string>")
+    val linesCol = concat(
+      when(pmod(id, lit(3)) === 0, array(lit(BoilerplateLines(0)))).otherwise(empty),
+      lines0,
+      when(pmod(id, lit(7)) === 0, array(lit(BoilerplateLines(1)))).otherwise(empty))
+    val lines = docsWithTokens(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(id, col("source"), explode(linesCol).as("line"))
+    val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("c"))
+    val perDoc = lines.join(freq, "line")
+      .groupBy(id, col("source"))
+      .agg(count(lit(1)).as("lt"),
+        sum(when(col("c") > LineDfCap, 1L).otherwise(0L)).as("lr"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lt")).as("lines_total"),
+        sum(col("lr")).as("lines_removed"),
+        sum(when(col("lr") > 0, 1L).otherwise(0L)).as("docs_affected"))
+      .orderBy("source")
+  }
+
   /** Hashed-classifier mixing constants (t17): an LCG step over the
     * portable token value. Any fixed (A, B) gives a deterministic
     * pseudo-weight stream; A is the MT19937 seed-scrambling multiplier,
@@ -1014,6 +1072,32 @@ object TextAnalysis {
               CAST(SUM(CASE WHEN surprisal > $BigramSurprisalThreshold
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
               round(AVG(surprisal), 3) AS mean_bigram_surprisal
+            FROM pd GROUP BY source ORDER BY source""",
+      "t20_line_dedup" ->
+        s"""WITH d AS (
+              SELECT doc_id, source, $toks AS toks
+              FROM documents WHERE len(trim(text)) > 0),
+            l0 AS (
+              SELECT doc_id, source,
+                (CASE WHEN doc_id % 3 = 0
+                  THEN ['${BoilerplateLines(0)}'] ELSE [] END)
+                || list_transform(
+                     generate_series(1, CAST(floor((len(toks) + 9) / 10.0) AS BIGINT)),
+                     j -> array_to_string(
+                       toks[CAST(j*10-9 AS INT) : CAST(j*10 AS INT)], ' '))
+                || (CASE WHEN doc_id % 7 = 0
+                  THEN ['${BoilerplateLines(1)}'] ELSE [] END) AS lines
+              FROM d),
+            l AS (SELECT doc_id, source, unnest(lines) AS line FROM l0),
+            c AS (SELECT line, COUNT(*) AS c FROM l GROUP BY line),
+            pd AS (SELECT l.doc_id, l.source, COUNT(*) AS lt,
+                SUM(CASE WHEN c.c > $LineDfCap THEN 1 ELSE 0 END) AS lr
+              FROM l JOIN c USING (line) GROUP BY 1, 2)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(lt) AS BIGINT) AS lines_total,
+              CAST(SUM(lr) AS BIGINT) AS lines_removed,
+              CAST(SUM(CASE WHEN lr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_affected
             FROM pd GROUP BY source ORDER BY source""",
       "t12_entropy_filter" ->
         s"""WITH pos AS (

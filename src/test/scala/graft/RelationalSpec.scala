@@ -183,6 +183,26 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("q34: small-quantity revenue matches a direct recompute of the Q17 rule") {
+    import org.apache.spark.sql.functions.col
+    val partkeys = Tables.part(spark, sf)
+      .filter(col("p_brand") === "Brand#4")
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .filter(r => partkeys(r.getLong(0)))
+    val byPart = li.groupBy(_.getLong(0))
+    val expected = li.filter { r =>
+      val grp = byPart(r.getLong(0))
+      val sq = grp.map(_.getDouble(1).toLong).sum
+      5L * r.getDouble(1).toLong * grp.length < sq
+    }.map(_.getDouble(2)).sum / 7.0
+    val got = Relational.q34SmallQuantityRevenue(spark, sf).collect()
+    assert(got.length == 1)
+    assert(math.abs(got.head.getAs[Double]("avg_yearly") - expected) < 0.011,
+      s"got ${got.head} expected ~$expected")
+  }
+
   test("q31: every returned part genuinely exceeds 1.3x the mean part revenue") {
     import org.apache.spark.sql.functions.{col, expr}
     val perPart = Tables.lineitem(spark, sf)

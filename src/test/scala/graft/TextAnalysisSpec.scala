@@ -168,6 +168,42 @@ class TextAnalysisSpec extends GraftSuite {
       "mean surprisal of reversed docs must exceed the originals'")
   }
 
+  test("t20 line dedup: per-source counts match a direct Scala recompute") {
+    val rows = TextAnalysis.t20LineDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+      .filter(_._3.trim.nonEmpty)
+    def docLines(id: Long, text: String): Seq[String] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val chunks = toks.grouped(10).map(_.mkString(" ")).toSeq
+      (if (id % 3 == 0) Seq(TextAnalysis.BoilerplateLines(0)) else Nil) ++
+        chunks ++
+        (if (id % 7 == 0) Seq(TextAnalysis.BoilerplateLines(1)) else Nil)
+    }
+    val all = docs.flatMap(d => docLines(d._1, d._3))
+    val freq = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // the planted boilerplate is far past the cap; it must be removed
+    assert(TextAnalysis.BoilerplateLines.forall(b =>
+      freq(b) > TextAnalysis.LineDfCap))
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = bySource(src)
+      val perDoc = ds.map { d =>
+        val ls = docLines(d._1, d._3)
+        (ls.length.toLong, ls.count(l => freq(l) > TextAnalysis.LineDfCap).toLong)
+      }
+      assert(r.getAs[Long]("n_docs") == ds.length)
+      assert(r.getAs[Long]("lines_total") == perDoc.map(_._1).sum)
+      assert(r.getAs[Long]("lines_removed") == perDoc.map(_._2).sum,
+        s"source $src removed-line count diverged")
+      assert(r.getAs[Long]("docs_affected") == perDoc.count(_._2 > 0))
+    }
+  }
+
   test("t14 gopher rules: per-source flag counts match a direct Scala recompute") {
     val rows = TextAnalysis.t14GopherRules(spark, sf).collect()
     assert(rows.nonEmpty)
