@@ -701,6 +701,77 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t21: BPE vocabulary training — the first K merge rules of a
+    * byte-pair-encoding tokenizer trained on the corpus (Sennrich et
+    * al. 2016). BPE trains on the WORD-FREQUENCY table, not the running
+    * text, so the 100 TB-heavy step is exactly one partial-aggregable
+    * word-count shuffle; the merge loop then iterates on the bounded
+    * top-`topWords` vocabulary — driver math on a ≤4096-row digest, the
+    * s03 sample-fit precedent, NOT a driver loop over the corpus (the
+    * frequency tail it truncates is the same tail real BPE trainers
+    * cap). Deterministic end to end: pair-frequency ties break
+    * lexicographically, so the merge list reproduces on any
+    * engine/cluster/partitioning. Rows-only in the gate (an iterative
+    * argmax has no single-query SQL mirror); the textbook merge
+    * sequence and the invariants are spec-pinned. */
+  def t21BpeVocabTrain(spark: SparkSession, dir: String): DataFrame =
+    t21BpeVocabTrain(spark, dir, merges = 20, topWords = 4096)
+
+  def t21BpeVocabTrain(spark: SparkSession, dir: String, merges: Int,
+      topWords: Int): DataFrame = {
+    import spark.implicits._
+    val wc: Array[(String, Long)] = docsWithTokens(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topWords)
+      .as[(String, Long)].collect()
+    bpeMerges(wc, merges)
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The merge loop: words as end-marked symbol sequences; per round,
+    * count symbol pairs weighted by word frequency, take the most
+    * frequent (ties lexicographic), fuse it everywhere left-to-right.
+    * Stops early when no pair remains (fully merged vocabulary). */
+  private[graft] def bpeMerges(wc: Array[(String, Long)],
+      merges: Int): Seq[(Int, String, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (w.split("").filter(_.nonEmpty) :+ "</w>", c) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= merges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) rank = merges + 1
+      else {
+        val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, l + r, cnt))
+        words = words.map { case (syms, c) =>
+          val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              ns += l + r; i += 2
+            } else { ns += syms(i); i += 1 }
+          }
+          (ns.toArray, c)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Hashed-classifier mixing constants (t17): an LCG step over the
     * portable token value. Any fixed (A, B) gives a deterministic
     * pseudo-weight stream; A is the MT19937 seed-scrambling multiplier,

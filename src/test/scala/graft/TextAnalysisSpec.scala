@@ -204,6 +204,34 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("t21 BPE: textbook corpus yields the classic merge sequence; corpus run is deterministic") {
+    // Sennrich et al. 2016's worked example: {low:5, lower:2, newest:6,
+    // widest:3}. Hand-derived first five merges with lexicographic
+    // tie-breaks: (e,s)=9 → es, (es,t)=9 → est, (est,</w>)=9 → est</w>,
+    // (l,o)=7 → lo, (lo,w)=7 → low.
+    val toy = Array("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val got = TextAnalysis.bpeMerges(toy, merges = 5)
+    val expected = Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L))
+    assert(got == expected, s"merge sequence diverged: $got")
+    // real corpus: invariants + reproducibility
+    val a = TextAnalysis.t21BpeVocabTrain(spark, sf).collect()
+    val b = TextAnalysis.t21BpeVocabTrain(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "BPE training must be deterministic")
+    assert(a.length == 20)
+    a.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("merge_rank") == i + 1)
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("left") + r.getAs[String]("right"))
+      assert(r.getAs[Long]("pair_count") > 0L)
+    }
+  }
+
   test("t14 gopher rules: per-source flag counts match a direct Scala recompute") {
     val rows = TextAnalysis.t14GopherRules(spark, sf).collect()
     assert(rows.nonEmpty)
