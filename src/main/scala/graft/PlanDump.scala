@@ -91,6 +91,10 @@ object PlanDump {
         "Bigram-LM perplexity: bigram and context counts are partial-aggregable shuffles on derived keys (the LM 'train' IS the aggregation, contexts derived off the count table, not a second corpus pass); scoring equi-joins the per-doc bigram multiset to the two count tables (AQE broadcasts the model while small), vocab joins as a broadcast scalar, per-doc sorted fold, source rollup — no cross join beyond the 1-row vocab broadcast."),
       ("p06_token_budget_mix",
         "Token-budget mix: one partial-aggregable shuffle for per-source token totals, the |S|-row all-integer rate table broadcast back, membership a map-side fingerprint pmod predicate — assembling a 100 TB mix is a filtered scan."),
+      ("q34_small_quantity_revenue",
+        "Q17 correlated-avg shape: the per-part stats aggregate and the fact both shuffle on l_partkey (co-partitioned SMJ; the brand-narrowed fact is read twice — the canonical Q17 trade vs a materialization barrier); the 20%-of-avg gate is integer cross-multiplied, so the filter is exact in any engine."),
+      ("t20_line_dedup",
+        "Line-level dedup: ONE partial-aggregable line-frequency shuffle (map-side combine collapses per-partition repeats), removal decided by a line equi-join, then per-doc and per-source partial/final rollups — no cartesian anywhere, the d02 maxDf logic applies if one line dominates."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

@@ -50,7 +50,8 @@ object ScaleProbe {
     val shufflePartitions = if (args.length > 3) args(3) else "32"
     val queries = Seq("d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
       "d07_dup_clusters", "t13_unigram_surprisal", "t19_bigram_surprisal",
-      "t05_top_tokens", "s01_knn_brute", "s02_ann_lsh", "s06_range_search")
+      "t20_line_dedup", "t05_top_tokens", "s01_knn_brute", "s02_ann_lsh",
+      "s06_range_search")
 
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -584,10 +584,12 @@ object Relational {
     * quantity is below 20% of that part's average ordered quantity
     * (scaled /7 to a yearly figure, Q17's convention). The correlated
     * per-part AVG subquery becomes a per-part aggregate joined back on
-    * l_partkey — co-partitioned with the fact shuffle, so AQE reuses
-    * the exchange; the brand join narrows the fact first (AQE
-    * broadcasts the filtered part side at small SF; no explicit hint —
-    * part is SF-linear). Engine parity: quantities are integer-valued,
+    * l_partkey — both branches shuffle on the SAME key (co-partitioned
+    * SMJ; the narrowed fact is read twice, the canonical Q17 trade —
+    * materializing `sel` once would swap a scan for a write barrier);
+    * the brand join narrows the fact first (AQE broadcasts the filtered
+    * part side at small SF; no explicit hint — part is SF-linear).
+    * Engine parity: quantities are integer-valued,
     * so the 20%-of-avg gate cross-multiplies in integers
     * (5·qty·cnt < Σqty — no float boundary, t17 precedent); the only
     * float is the final revenue sum, rounded at the edge. */

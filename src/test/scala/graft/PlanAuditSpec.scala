@@ -216,6 +216,22 @@ class PlanAuditSpec extends GraftSuite {
       s"the rate join must never shuffle the corpus:\n$s")
   }
 
+  test("q34: the Q17 correlated-avg join is co-partitioned on the part key") {
+    val s = planStr(Relational.q34SmallQuantityRevenue(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"q34 must join by key only:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      s"per-part stats and the final sum must partial-aggregate:\n$s")
+  }
+
+  test("t20: line dedup is one frequency shuffle + an equi-join decision") {
+    val s = planStr(TextAnalysis.t20LineDedup(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"the removal decision must be an equi-join on the line:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 6,
+      s"line frequency, per-doc, and per-source levels must all partial-aggregate:\n$s")
+  }
+
   test("q33: the row_number argmax idiom is auto-rewritten onto the heap") {
     val df = Relational.q33DominantSupplier(spark, sf)
     val topk = df.queryExecution.optimizedPlan.collect {
