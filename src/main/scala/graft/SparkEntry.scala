@@ -364,7 +364,7 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY l_partkey""",
     "q34_small_quantity_revenue" ->
       """WITH sel AS (
-           SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+           SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty,
              l_extendedprice
            FROM lineitem JOIN part ON p_partkey = l_partkey
            WHERE p_brand = 'Brand#4'),

@@ -34,6 +34,16 @@ object TextFunctions {
     aggregate(transform(toks, tokenVal(_)), lit(0L),
       (acc, v) => (acc * lit(31L) + v) % lit(HashMod))
 
+  /** Number of n-token line chunks of a token array: ceil(len/n).
+    * Single source of the chunking arithmetic shared by t14 (Gopher
+    * line rules) and t20 (line dedup) — mirrored in [[TextSql]]. */
+  def chunkCount(toks: Column, n: Int): Column =
+    floor((size(toks) + lit(n - 1)) / lit(n.toDouble)).cast("long")
+
+  /** The j-th (1-based) n-token chunk of a token array, space-joined. */
+  def tokenChunk(toks: Column, j: Column, n: Int): Column =
+    array_join(slice(toks, (j * lit(n) - lit(n - 1)).cast("int"), lit(n)), " ")
+
   /** Per-token values of a token array, as longs. Materialize this as its
     * own column before building shingles: referencing the transform three
     * times inside the shingle lambda would re-evaluate the tokenization
@@ -109,4 +119,11 @@ object TextSql {
 
   def markerHits(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> list_contains(${inList(words)}, t)))"
+
+  /** Mirrors of [[TextFunctions.chunkCount]]/[[TextFunctions.tokenChunk]]. */
+  def chunkCount(toks: String, n: Int): String =
+    s"CAST(floor((len($toks) + ${n - 1}) / $n.0) AS BIGINT)"
+
+  def tokenChunk(toks: String, j: String, n: Int): String =
+    s"array_to_string($toks[CAST($j*$n-${n - 1} AS INT) : CAST($j*$n AS INT)], ' ')"
 }

@@ -598,7 +598,10 @@ object Relational {
       .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
     val sel = Tables.lineitem(spark, dir)
       .join(brandParts, col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+      // floor, not a bare cast: Spark's cast(long) truncates while
+      // DuckDB's CAST rounds — floor on BOTH sides keeps the integer
+      // gate mirror-exact even for non-integral quantities
+      .select(col("l_partkey"), floor(col("l_quantity")).cast("long").as("qty"),
         col("l_extendedprice"))
     val st = sel.groupBy(col("l_partkey"))
       .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))

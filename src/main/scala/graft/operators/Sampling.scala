@@ -122,11 +122,19 @@ object Sampling {
       .select(col("source"),
         graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
         size(col("toks")).cast("long").as("n_tok"))
+    // keep-all clamp FIRST, so the ppm product only forms when
+    // share < tok_total — then share·1e6 < tok_total·1e6, which fits
+    // Long for any source up to ~9.2e12 tokens (a 100 TB corpus split
+    // over a handful of sources; beyond that, shard the source). A
+    // plain least(1e6, share·1e6 div tok_total) would instead wrap
+    // share·1e6 negative at multi-trillion-token budgets and silently
+    // emit an empty mix.
     val rates = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
       .withColumn("n_sources", count(lit(1)).over(wAll))
       .withColumn("share", expr(s"${budget}L div n_sources"))
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("(share * 1000000L) div tok_total")))
+        when(col("share") >= col("tok_total"), lit(1000000L))
+          .otherwise(expr("(share * 1000000L) div tok_total")))
       .select(col("source"), col("tok_total"), col("share"), col("rate_ppm"))
     docs.join(broadcast(rates), Seq("source"))
       .groupBy(col("source"), col("tok_total"), col("share"), col("rate_ppm"))
@@ -287,9 +295,10 @@ object Sampling {
               FROM d GROUP BY source),
             r AS (SELECT source, tok_total,
                 $MixTokenBudget // (SELECT COUNT(*) FROM t) AS share,
-                LEAST(1000000,
-                  (($MixTokenBudget // (SELECT COUNT(*) FROM t)) * 1000000)
-                    // tok_total) AS rate_ppm
+                CASE WHEN $MixTokenBudget // (SELECT COUNT(*) FROM t)
+                    >= tok_total THEN 1000000
+                  ELSE (($MixTokenBudget // (SELECT COUNT(*) FROM t))
+                    * 1000000) // tok_total END AS rate_ppm
               FROM t)
             SELECT d.source, r.tok_total, r.share, r.rate_ppm,
               CAST(SUM(CASE WHEN d.fp % 1000000 < r.rate_ppm

@@ -380,7 +380,7 @@ object TextAnalysis {
   def t14GopherRules(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val toks = col("toks")
-    val nChunks = floor((size(toks) + lit(9)) / lit(10.0)).cast("long")
+    val nChunks = TF.chunkCount(toks, 10)
     val bmod = lit(1) + pmod(id, lit(4))
     val emod = lit(2) + pmod(id, lit(4))
     val nHash = when(pmod(id, lit(7)) === 0, lit(1) + pmod(id, lit(12)))
@@ -388,7 +388,7 @@ object TextAnalysis {
     val lines0 = transform(sequence(lit(1L), nChunks), j =>
       concat(
         when(pmod(id + j, bmod) === 0, lit("- ")).otherwise(lit("")),
-        array_join(slice(toks, (j * lit(10) - lit(9)).cast("int"), lit(10)), " "),
+        TF.tokenChunk(toks, j, 10),
         when(pmod(id * 3 + j, emod) === 0, lit("...")).otherwise(lit(""))))
     val linesCol = concat(lines0,
       when(nHash > 0, array(array_join(array_repeat(lit("#"), nHash), " ")))
@@ -677,9 +677,8 @@ object TextAnalysis {
   def t20LineDedup(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val toks = col("toks")
-    val nChunks = floor((size(toks) + lit(9)) / lit(10.0)).cast("long")
-    val lines0 = transform(sequence(lit(1L), nChunks), j =>
-      array_join(slice(toks, (j * lit(10) - lit(9)).cast("int"), lit(10)), " "))
+    val lines0 = transform(sequence(lit(1L), TF.chunkCount(toks, 10)),
+      j => TF.tokenChunk(toks, j, 10))
     val empty = array().cast("array<string>")
     val linesCol = concat(
       when(pmod(id, lit(3)) === 0, array(lit(BoilerplateLines(0)))).otherwise(empty),
@@ -737,8 +736,13 @@ object TextAnalysis {
     * Stops early when no pair remains (fully merged vocabulary). */
   private[graft] def bpeMerges(wc: Array[(String, Long)],
       merges: Int): Seq[(Int, String, String, String, Long)] = {
+    // split by CODE POINT, not by UTF-16 unit — String.split("") halves
+    // surrogate pairs, corrupting symbols for any non-BMP character
     var words: Array[(Array[String], Long)] =
-      wc.map { case (w, c) => (w.split("").filter(_.nonEmpty) :+ "</w>", c) }
+      wc.map { case (w, c) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+          :+ "</w>", c)
+      }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var rank = 1
@@ -969,7 +973,7 @@ object TextAnalysis {
               SELECT doc_id, source, $toks AS toks FROM documents),
             base AS (
               SELECT doc_id, source, toks,
-                CAST(floor((len(toks) + 9) / 10.0) AS BIGINT) AS n_chunks,
+                ${TS.chunkCount("toks", 10)} AS n_chunks,
                 1 + doc_id % 4 AS bmod, 2 + doc_id % 4 AS emod,
                 CAST(CASE WHEN doc_id % 7 = 0 THEN 1 + doc_id % 12 ELSE 0 END AS INT) AS n_hash
               FROM d),
@@ -977,7 +981,7 @@ object TextAnalysis {
               SELECT doc_id, source,
                 list_transform(generate_series(1, n_chunks), j ->
                   (CASE WHEN (doc_id + j) % bmod = 0 THEN '- ' ELSE '' END)
-                  || array_to_string(toks[CAST(j*10-9 AS INT) : CAST(j*10 AS INT)], ' ')
+                  || ${TS.tokenChunk("toks", "j", 10)}
                   || (CASE WHEN (doc_id*3 + j) % emod = 0 THEN '...' ELSE '' END)) ||
                 (CASE WHEN n_hash > 0
                   THEN [array_to_string(list_transform(generate_series(1, n_hash), x -> '#'), ' ')]
@@ -1153,9 +1157,8 @@ object TextAnalysis {
                 (CASE WHEN doc_id % 3 = 0
                   THEN ['${BoilerplateLines(0)}'] ELSE [] END)
                 || list_transform(
-                     generate_series(1, CAST(floor((len(toks) + 9) / 10.0) AS BIGINT)),
-                     j -> array_to_string(
-                       toks[CAST(j*10-9 AS INT) : CAST(j*10 AS INT)], ' '))
+                     generate_series(1, ${TS.chunkCount("toks", 10)}),
+                     j -> ${TS.tokenChunk("toks", "j", 10)})
                 || (CASE WHEN doc_id % 7 = 0
                   THEN ['${BoilerplateLines(1)}'] ELSE [] END) AS lines
               FROM d),

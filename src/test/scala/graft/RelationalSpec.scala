@@ -194,8 +194,8 @@ class RelationalSpec extends GraftSuite {
     val byPart = li.groupBy(_.getLong(0))
     val expected = li.filter { r =>
       val grp = byPart(r.getLong(0))
-      val sq = grp.map(_.getDouble(1).toLong).sum
-      5L * r.getDouble(1).toLong * grp.length < sq
+      val sq = grp.map(x => math.floor(x.getDouble(1)).toLong).sum
+      5L * math.floor(r.getDouble(1)).toLong * grp.length < sq
     }.map(_.getDouble(2)).sum / 7.0
     val got = Relational.q34SmallQuantityRevenue(spark, sf).collect()
     assert(got.length == 1)
