@@ -422,16 +422,22 @@ object Dedup {
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
       // Carry the previous label through the propagation join so the
       // convergence check is a filter on the SAME materialized round —
-      // not a second doc_id join+shuffle per iteration.
+      // not a second doc_id join+shuffle per iteration. PERSIST hop
+      // before the jump: the jump joins hop against its own projection,
+      // and without a cache both branches would recompute the |E|-sized
+      // propagation join — doubling every round and costing blob-shaped
+      // graphs (2-3 rounds) more than the jump saves them.
       val hop = labels.join(prop, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: adopt the (never larger) label of my label
       val ptr = hop.select(col("doc_id").as("p_id"), col("cluster").as("p_cluster"))
       val next = ckpt(hop.join(ptr, col("cluster") === col("p_id"), "left")
         .select(col("doc_id"), col("prev"),
           least(col("cluster"), coalesce(col("p_cluster"), col("cluster"))).as("cluster")))
       converged = next.filter(col("prev") =!= col("cluster")).isEmpty
+      hop.unpersist(blocking = false) // `next` is materialized by ckpt
       labels = next.select(col("doc_id"), col("cluster"))
       rmDir(s"round-${round - 1}") // superseded — `next` is materialized
     }

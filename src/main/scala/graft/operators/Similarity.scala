@@ -92,17 +92,23 @@ object Similarity {
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame =
     s02AnnLsh(spark, dir, AnnSignBits, AnnMultiProbe)
 
+  /** Flip-1-bit multi-probe expansion — THE probe arithmetic, single-
+    * sourced for s02/s05/[[s06RangeSearchAnn]]: each query row explodes
+    * to its home bucket (pi=0) plus every single-bit-flipped bucket.
+    * Expansion is on the (tiny, broadcast) query side only. */
+  private def multiProbed(q: DataFrame, bits: Int): DataFrame =
+    q.withColumn("pi", explode(sequence(lit(0), lit(bits))))
+      .withColumn("bucket", when(col("pi") === 0, col("bucket"))
+        .otherwise(col("bucket").bitwiseXOR(pow(2.0, col("pi") - 1).cast("long"))))
+      .drop("pi")
+
   def s02AnnLsh(spark: SparkSession, dir: String, bits: Int,
       multiProbe: Boolean): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", VF.signBucket(col("embedding"), bits))
     val q0 = e.filter(col("vec_id") < NumQueries)
       .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val q = if (!multiProbe) q0 else
-      q0.withColumn("pi", explode(sequence(lit(0), lit(bits))))
-        .withColumn("bucket", when(col("pi") === 0, col("bucket"))
-          .otherwise(col("bucket").bitwiseXOR(pow(2.0, col("pi") - 1).cast("long"))))
-        .select(col("bucket"), col("query_id"), col("qv"))
+    val q = if (!multiProbe) q0 else multiProbed(q0, bits)
     val scored = e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -217,10 +223,7 @@ object Similarity {
           VF.signBucketT(col("embedding"), bits, t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val q = indexed.filter(col("vec_id") < NumQueries)
-      .withColumn("pi", explode(sequence(lit(0), lit(bits))))
-      .withColumn("bucket", when(col("pi") === 0, col("bucket"))
-        .otherwise(col("bucket").bitwiseXOR(pow(2.0, col("pi") - 1).cast("long"))))
+    val q = multiProbed(indexed.filter(col("vec_id") < NumQueries), bits)
       .select(col("t"), col("bucket"), col("vec_id").as("query_id"),
         col("embedding").as("qv"))
     val scored = indexed.select(col("t"), col("bucket"),
@@ -238,10 +241,17 @@ object Similarity {
     * exact top-3 (s01), per query. The metric every ANN deployment
     * monitors; pure composition of the two gated operators, one tiny
     * join on (query_id, neighbor_id). */
-  def s04AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+  def s04AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAudit(spark, dir, s02AnnLsh(spark, dir))
+
+  /** Shared recall@3 audit core of s04/s07: exact top-3 (s01)
+    * LEFT-joined to an approximate neighbor set on the pair key — one
+    * definition of recall, two auditable ANN paths. */
+  private def recallAudit(spark: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
     val exact = s01KnnBrute(spark, dir).filter(col("rk") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val ann = s02AnnLsh(spark, dir)
+    val ann = approx
       .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
     exact.join(ann,
         col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
@@ -261,18 +271,8 @@ object Similarity {
     * single-table LSH recall: the corpus's true neighbors sit at wide
     * angles, and nProbe=2 of 16 lists bounds how many survive — the
     * remediation knob is nProbe (recall → 1 as nProbe → nLists). */
-  def s07IvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = s01KnnBrute(spark, dir).filter(col("rk") <= 3)
-      .select(col("query_id"), col("neighbor_id"))
-    val ivf = s03AnnIvf(spark, dir)
-      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-    exact.join(ivf,
-        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("k_exact"), count(col("an")).as("n_hit"))
-      .withColumn("recall", round(col("n_hit") / col("k_exact"), 4))
-      .orderBy("query_id")
-  }
+  def s07IvfRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAudit(spark, dir, s03AnnIvf(spark, dir))
 
   /** Cosine threshold for [[s06RangeSearch]]. Measured margin at sf0.01:
     * the nearest pair on either side of the line sits 0.0012 away
@@ -386,11 +386,19 @@ object Similarity {
       .map(_.map(_.toFloat))
     val cosines = array(cents.map(c =>
       VF.cosine(col("embedding"), typedLit(c))): _*)
+    // PERSIST the assignment: it feeds three plan branches (list stats,
+    // the probe set, and the member side of the candidate join) — an
+    // unpersisted subtree would re-scan the corpus and recompute the
+    // nLists cosines per branch, making the "assigned once, map-side"
+    // claim false and the pruned plan costlier than the brute scan it
+    // replaces. Spark evicts LRU under pressure; at 100 TB the index
+    // is a written table, not a cache.
     val assigned = e
       .withColumn("cosines", cosines)
       .withColumn("best_cos", array_max(col("cosines")))
       .withColumn("list_id",
         (array_position(col("cosines"), col("best_cos")) - 1).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = assigned.groupBy(col("list_id"))
       .agg(sqrt(greatest(lit(0.0),
         lit(2.0) - lit(2.0) * min(col("best_cos")))).as("radius"))
@@ -498,12 +506,9 @@ object Similarity {
       bits: Int = AnnSignBits): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", VF.signBucket(col("embedding"), bits))
-    val q0 = e.filter(col("vec_id") < NumQueries)
-      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val q = q0.withColumn("pi", explode(sequence(lit(0), lit(bits))))
-      .withColumn("bucket", when(col("pi") === 0, col("bucket"))
-        .otherwise(col("bucket").bitwiseXOR(pow(2.0, col("pi") - 1).cast("long"))))
-      .select(col("bucket"), col("query_id"), col("qv"))
+    val q = multiProbed(e.filter(col("vec_id") < NumQueries)
+      .select(col("bucket"), col("vec_id").as("query_id"),
+        col("embedding").as("qv")), bits)
     e.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       .join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))

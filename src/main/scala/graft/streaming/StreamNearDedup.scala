@@ -26,27 +26,36 @@ case class NearDupCandidate(doc_i: Long, doc_j: Long)
   * `ttlMs` (≤ 0 = keep forever) bounds state AGE the way
   * [[StreamDedup]]'s watermark bounds its key set: entries older than
   * the TTL stop producing candidates and are compacted out of the list
-  * on the next access — the (rate × ttl) state bound a 100 TB/day
-  * ingest needs; re-arrivals past the TTL re-index like new docs (the
-  * standard bounded-state trade). Expiry is wall-clock and applied
+  * on the next access; re-arrivals past the TTL re-index like new docs
+  * (the standard bounded-state trade). Expiry is wall-clock and applied
   * EAGERLY per access (the list is capped at `maxBucket` entries, so
-  * the rewrite is O(maxBucket)); this deliberately avoids
-  * TimeMode.ProcessingTime — which makes the micro-batch engine run
-  * continuously to advance its clock even with no data — and keeps the
-  * operator drivable batch-by-batch (processAllAvailable, AvailableNow
-  * backfills). */
-class LshBucketProcessor(maxBucket: Int, ttlMs: Long)
+  * the rewrite is O(maxBucket)) — this keeps the operator drivable
+  * batch-by-batch (processAllAvailable, AvailableNow backfills), but
+  * reclaims a COLD bucket's rows only when that band key is touched
+  * again. The full (rate × ttl) state bound therefore needs
+  * `nativeTtl` (see [[StreamNearDedup.candidates]]): with it, the
+  * state store itself expires rows via TTLConfig under
+  * TimeMode.ProcessingTime — the deployment mode — at the price of a
+  * micro-batch engine that runs continuously to advance its clock
+  * (which is why tests default to the manual path).
+  *
+  * `clock` is injectable so TTL specs can advance time deterministically
+  * instead of sleeping (local-mode executors share the JVM). */
+class LshBucketProcessor(maxBucket: Int, ttlMs: Long,
+    nativeTtl: Boolean = false,
+    clock: () => Long = () => System.currentTimeMillis())
     extends StatefulProcessor[String, BandedDoc, NearDupCandidate] {
 
   @transient private var seen: ListState[SeenEntry] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     seen = getHandle.getListState[SeenEntry]("seen", Encoders.product[SeenEntry],
-      TTLConfig.NONE)
+      if (nativeTtl && ttlMs > 0) TTLConfig(Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE)
 
   override def handleInputRows(key: String, rows: Iterator[BandedDoc],
       tv: TimerValues): Iterator[NearDupCandidate] = {
-    val now = System.currentTimeMillis()
+    val now = clock()
     val all = scala.collection.mutable.ArrayBuffer.empty[SeenEntry]
     val it = seen.get()
     while (it.hasNext) all += it.next()
@@ -98,10 +107,17 @@ object StreamNearDedup {
     * band; consumers dedupe via DISTINCT or an idempotent verify.
     * Banding comes from [[graft.operators.Dedup.minhashBandKeys]] — the
     * same code batch d03 runs, not a copy. With `ttl` set, bucket
-    * entries older than the duration stop producing candidates (see
-    * [[LshBucketProcessor]] for the expiry mechanics). */
+    * entries older than the duration stop producing candidates; set
+    * `nativeTtl = true` in deployment so the state store also RECLAIMS
+    * cold buckets' rows (TTLConfig + processing-time mode — the (rate ×
+    * ttl) state bound; the default manual mode only compacts a bucket
+    * when its band key is touched again, and exists because
+    * processing-time mode cannot be driven batch-by-batch in tests —
+    * see [[LshBucketProcessor]]). */
   def candidates(docs: DataFrame, maxBucket: Int = 64,
-      ttl: Option[Duration] = None): Dataset[NearDupCandidate] = {
+      ttl: Option[Duration] = None, nativeTtl: Boolean = false,
+      clock: () => Long = () => System.currentTimeMillis())
+      : Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     graft.operators.Dedup.minhashBandKeys(docs)
       .select(concat_ws(":", col("band"), col("key")).as("band_key"),
@@ -109,8 +125,11 @@ object StreamNearDedup {
       .as[BandedDoc]
       .groupByKey(_.band_key)
       .transformWithState(
-        new LshBucketProcessor(maxBucket, ttl.map(_.toMillis).getOrElse(0L)),
-        TimeMode.None(), OutputMode.Append())
+        new LshBucketProcessor(maxBucket, ttl.map(_.toMillis).getOrElse(0L),
+          nativeTtl, clock),
+        if (nativeTtl && ttl.isDefined) TimeMode.ProcessingTime()
+        else TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** VERIFIED near-dup pairs, in-stream: [[candidates]] joined against
@@ -127,7 +146,16 @@ object StreamNearDedup {
     * (doc_i, doc_j) — the same contract as batch d03's DISTINCT, paid
     * per-batch instead of with unbounded pair state. At scale the
     * static side is the compacted corpus table; the join shuffles the
-    * (tiny) candidate stream to it by doc id. */
+    * (tiny) candidate stream to it by doc id.
+    *
+    * ORDERING CONTRACT: the store must already contain a doc when its
+    * candidates are verified — candidates fire in the arrival batch and
+    * are emitted ONCE, and the inner join silently drops a pair whose
+    * doc the store has not yet ingested. Wire ingestion UPSTREAM of
+    * verification (the [[Ingest]] path appends the batch's docs before
+    * this join runs, e.g. in the same foreachBatch), or buffer
+    * candidates until the store catches up; a lagging store loses
+    * pairs, not just delays them. */
   def verified(docs: DataFrame, docStore: DataFrame,
       minJaccard: Double = 0.2, maxBucket: Int = 64,
       ttl: Option[Duration] = None): DataFrame = {

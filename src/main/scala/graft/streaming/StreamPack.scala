@@ -53,6 +53,17 @@ class PackProcessor(budget: Long)
           s"high-water mark ${st.last_doc_id} — the streamed layout would " +
           "diverge from the batch p05 layout")
     }
+    // the same contract WITHIN the batch: an at-least-once source that
+    // retries a doc into one micro-batch would otherwise pack it twice,
+    // shifting every later offset with no signal
+    sorted.iterator.zip(sorted.iterator.drop(1))
+      .find { case (a, b) => a.doc_id == b.doc_id }
+      .foreach { case (a, _) =>
+        throw new IllegalStateException(
+          s"duplicate doc ${a.doc_id} within one micro-batch on shard " +
+            s"'$source' — packing it twice would silently diverge from " +
+            "the batch p05 layout")
+      }
     val out = sorted.map { d =>
       val assigned = PackedDoc(source, d.doc_id, total / budget, total)
       total += d.n_tokens

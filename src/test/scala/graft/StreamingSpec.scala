@@ -5,6 +5,13 @@ import scala.collection.mutable
 import graft.streaming._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+/** Deterministic clock for TTL specs: a top-level object so the
+  * processor's clock closure captures only a static reference
+  * (serializable; executors share the JVM in local mode). */
+object TestClock {
+  val now = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class StreamingSpec extends GraftSuite {
 
   private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
@@ -179,6 +186,39 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streaming packer rejects a duplicate doc_id within one micro-batch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[graft.streaming.PackDoc]
+    val q = graft.streaming.StreamPack.pack(input.toDS())
+      .writeStream.format("memory").queryName("packed_dup").outputMode("append").start()
+    try {
+      // an at-least-once source retries doc 7 into the same batch:
+      // packing both copies would shift every later offset silently
+      input.addData(
+        graft.streaming.PackDoc("s", 7L, 10L),
+        graft.streaming.PackDoc("s", 7L, 10L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("duplicate doc")) ||
+        e.toString.contains("duplicate doc"),
+        s"expected the intra-batch duplicate rejection, got: ${e.getMessage}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming packer matches the batch p05 layout across micro-batches") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
@@ -319,20 +359,26 @@ class StreamingSpec extends GraftSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // two exact-duplicate texts ⇒ identical signatures ⇒ guaranteed
-    // band collision while the first entry is alive
+    // band collision while the first entry is alive. The processor's
+    // clock is injected (local-mode executors share the JVM), so expiry
+    // is driven deterministically instead of racing wall-clock sleeps
+    // against micro-batch scheduling.
     val text = "the quick brown fox jumps over the lazy dog near the river bank"
     val input = MemoryStream[(Long, String)]
+    TestClock.now.set(1000L)
     val q = StreamNearDedup.candidates(input.toDF().toDF("doc_id", "text"),
-        ttl = Some(java.time.Duration.ofSeconds(2)))
+        ttl = Some(java.time.Duration.ofSeconds(2)),
+        clock = () => TestClock.now.get())
       .writeStream.format("memory").queryName("lsh_ttl")
       .outputMode("append").start()
     try {
       input.addData((1L, text)); q.processAllAvailable()
-      input.addData((2L, text)); q.processAllAvailable() // doc 1 alive → pair
+      TestClock.now.set(2000L) // 1s later: doc 1 still alive
+      input.addData((2L, text)); q.processAllAvailable()
       assert(spark.table("lsh_ttl").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
         "live entry should produce the (1,2) candidate")
-      Thread.sleep(3000) // let both entries expire
+      TestClock.now.set(10000L) // far past both entries' 2s TTL
       input.addData((3L, text)); q.processAllAvailable()
       val after = spark.table("lsh_ttl").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
