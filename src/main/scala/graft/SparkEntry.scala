@@ -47,6 +47,7 @@ object SparkEntry {
     "q32_range_window" -> (Relational.q32RangeWindow _),
     "q33_dominant_supplier" -> (Relational.q33DominantSupplier _),
     "q34_small_quantity_revenue" -> (Relational.q34SmallQuantityRevenue _),
+    "q35_volume_shipping" -> (Relational.q35VolumeShipping _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -373,6 +374,21 @@ object SparkEntry {
          SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
          FROM sel JOIN st USING (l_partkey)
          WHERE 5 * qty * cnt < sq""",
+    "q35_volume_shipping" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON n1.n_nationkey = c_nationkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation n2 ON n2.n_nationkey = s_nationkey
+         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -611,6 +611,45 @@ object Relational {
       .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
   }
 
+  /** q35: TPC-H Q7 shape — bilateral trade volume: revenue shipped
+    * between a nation PAIR per year, both directions. The distinctive
+    * shape is one dimension table (nation) playing TWO roles — the
+    * supplier's nation and the customer's nation — with a disjunctive
+    * pair predicate across the roles. Plan: nation is
+    * constant-cardinality (25 rows) so BOTH role copies are broadcast
+    * per the hint policy; the `IN (A,B)` half of the pair predicate is
+    * applied at each role join, narrowing supplier/customer (and through
+    * them the fact rows) before the two fact-side shuffles
+    * (lineitem⋈orders on o_orderkey, then o_custkey to the customer
+    * side); the cross-role (A,B)|(B,A) disjunction is evaluated after
+    * both roles are attached, on already-narrowed rows. supplier and
+    * customer are SF-linear — no hint, AQE decides (q24 precedent).
+    * Year extraction keys the final 1-shuffle aggregation:
+    * (supp_nation, cust_nation, year) is ≤ 2·|years| groups. */
+  def q35VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
     * aggregate: parts whose revenue exceeds 1.3× the mean per-part
     * revenue ("important stock"; the mean-relative form is
