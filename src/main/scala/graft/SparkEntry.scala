@@ -95,6 +95,8 @@ object SparkEntry {
     "d10_cross_split_leakage" -> ((s, d) => Dedup.d10CrossSplitLeakage(s, d)),
     "d11_winnowed_dup" -> ((s, d) => Dedup.d11WinnowedDup(s, d)),
     "d12_semdedup" -> (Dedup.d12SemDedup _),
+    "d13_semantic_decontamination" ->
+      ((s, d) => Dedup.d13SemanticDecontamination(s, d)),
     "a03_asof_forward" -> (Temporal.a03AsofForward _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),

@@ -329,6 +329,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cosine threshold for [[d13SemanticDecontamination]] — d05's
+    * near-dup regime. Measured clearance of the eval×train cosine
+    * population at 0.35: ≥ 3.8e-5 at every test SF (sf0.001/0.01/0.1),
+    * ~10⁷ × cross-engine float drift (SURVEY §6 rule). */
+  val D13Tau = 0.35
+
+  /** Portable split bucket on an INTEGER id — the embedding-side
+    * analogue of p02's text-fingerprint split for rows that carry no
+    * text. md5-prefix idiom (t15/d11): both engines hash the decimal
+    * string of the id and take the top 60 bits, so assignment is
+    * engine-portable and purely map-side. */
+  private def idBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+
+  /** d13: SEMANTIC cross-split decontamination — d10's embedding-space
+    * sibling. d10 catches an eval document whose SHINGLES leak from the
+    * train split (verbatim/copy-paste overlap); this catches one whose
+    * MEANING does (paraphrase, translation, re-rendering — the leakage
+    * mode shingle decontamination provably misses). An eval-split
+    * vector is flagged when any train-split vector sits within cosine ≥
+    * τ, with the split assigned by the portable id-hash bucket
+    * ([[idBucket]], 80/10/10 as p02).
+    *
+    * Scale shape: this is EXACT range search with the eval split as the
+    * query set — precisely the "large query set" regime s06's docstring
+    * warns the brute scan dies on (eval is ~10% of the corpus, so brute
+    * is O(0.8n·0.1n) = O(n²)). The train split is assigned once to
+    * inverted lists (map-side, broadcast centroid literals), each eval
+    * vector keeps only the lists the triangle inequality cannot rule
+    * out, and the exact cosine ≥ τ verify runs on the surviving
+    * (list, query) members via the list_id equi-join. Unlike s06 the
+    * probe side is NOT broadcast — at scale it is corpus-sized, so both
+    * sides shuffle by list_id (AQE broadcasts it while small); nLists
+    * ≈ √n keys the shuffle, and pruning power — not exactness — rides
+    * the clustering quality (Similarity.rangeIndexOf's contract).
+    * Output is per-eval-id (count, max cosine): all-integer but the
+    * rounded max, no pair-level float ordering in the gate. */
+  def d13SemanticDecontamination(spark: SparkSession, dir: String,
+      tau: Double = D13Tau, nLists: Int = Similarity.RangeLists): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", idBucket(col("vec_id")))
+    val train = e.filter(col("bucket") < 80).select(col("vec_id"), col("embedding"))
+    val evalSplit = e.filter(col("bucket") >= 90).select(col("vec_id"), col("embedding"))
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val (assigned, stats, cents) = Similarity.rangeIndexOf(train, n, nLists)
+    val q = evalSplit
+      .withColumn("cosines", Similarity.centroidCosines(cents))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cosines"))
+    val probes = Similarity.trianglePrune(q, stats, tau)
+    assigned.select(col("list_id"), col("embedding").as("cv"))
+      .join(probes, Seq("list_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+      .filter(atLeast(col("cos"), tau))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_near"), round(max(col("cos")), 4).as("max_cos"))
+      .select(col("query_id").as("eval_id"), col("n_near"), col("max_cos"))
+      .orderBy("eval_id")
+  }
+
   /** d07: duplicate CLUSTERS — connected components over the d02 pair
     * graph, the step that turns pairwise near-dup hits into actionable
     * dedup groups. Iterative min-label propagation PLUS pointer
@@ -695,6 +756,29 @@ object Dedup {
               round(n_leaked / CAST(n_shingles AS DOUBLE), 4) AS contamination
             FROM lk WHERE n_leaked / CAST(n_shingles AS DOUBLE) >= 0.3
             ORDER BY doc_id""",
+      "d13_semantic_decontamination" ->
+        // brute eval×train cosine join: the oracle mirrors the SEMANTICS
+        // (exact range search), not the pruned plan — the Spark side is
+        // result-identical to brute by the triangle-bound argument
+        // (s06 precedent). Norms come from a per-vector CTE: sqrt(dot)
+        // then multiply is the same float op sequence as the inline
+        // cosine, just not recomputed per pair.
+        s"""WITH b AS (SELECT vec_id, embedding,
+              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 100 AS bucket
+              FROM embeddings),
+            tr AS (SELECT vec_id, embedding,
+                sqrt(${VS.dot("embedding", "embedding")}) AS nrm
+              FROM b WHERE bucket < 80),
+            ev AS (SELECT vec_id, embedding,
+                sqrt(${VS.dot("embedding", "embedding")}) AS nrm
+              FROM b WHERE bucket >= 90),
+            pairs AS (SELECT ev.vec_id AS eval_id,
+                ${VS.dot("ev.embedding", "tr.embedding")} / (ev.nrm * tr.nrm) AS cos
+              FROM ev, tr)
+            SELECT eval_id, COUNT(*) AS n_near, ROUND(MAX(cos), 4) AS max_cos
+            FROM pairs WHERE cos >= $D13Tau
+            GROUP BY eval_id ORDER BY eval_id""",
       "d01_exact_dedup" ->
         """SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS dup_group,

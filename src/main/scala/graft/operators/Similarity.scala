@@ -336,12 +336,24 @@ object Similarity {
   private val RangeSlack = 1e-5
 
   private def probesFrom(assigned: DataFrame, stats: DataFrame,
+      tau: Double): DataFrame =
+    trianglePrune(assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cosines")), stats, tau)
+
+  /** Triangle-inequality list pruning, factored so the query side can be
+    * EITHER index members (s06: queries ⊆ corpus, centroid cosines
+    * already on the row) or an external query set (d13: the eval split
+    * probing the train index — queries are NOT index members; callers
+    * attach `cosines` via [[centroidCosines]] first). Input columns:
+    * (query_id, qv, cosines); output: surviving (list_id, query_id, qv)
+    * probes. */
+  private[graft] def trianglePrune(qWithCos: DataFrame, stats: DataFrame,
       tau: Double): DataFrame = {
     // On unit vectors ‖u−v‖² = 2−2·cos(u,v), so cos ≥ τ ⟺ ‖u−v‖ ≤ R.
     val searchR = math.sqrt(2.0 - 2.0 * tau)
-    assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        posexplode(col("cosines")))
+    qWithCos
+      .select(col("query_id"), col("qv"), posexplode(col("cosines")))
       .withColumn("list_id", col("pos").cast("int"))
       .withColumn("qdist",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("col"))))
@@ -352,6 +364,12 @@ object Similarity {
       .filter(col("qdist") <= col("radius") + lit(searchR + RangeSlack))
       .select(col("list_id"), col("query_id"), col("qv"))
   }
+
+  /** Per-row array of cosines against the (bounded, ≤ nLists) centroid
+    * literals — the map-side assignment scan shared by the index build
+    * and external query sets. Native codegen'd cosine per centroid. */
+  private[graft] def centroidCosines(cents: Seq[Array[Float]]): Column =
+    array(cents.map(c => VF.cosine(col("embedding"), typedLit(c))): _*)
 
   /** Inverted-list index for exact pruned search. A spherical k-means
     * over a bounded deterministic sample (s03's stride rule, ≤ maxFit
@@ -373,9 +391,23 @@ object Similarity {
     * point serves as a list's centroid — only pruning power does. */
   private[graft] def rangeIndex(spark: SparkSession, dir: String,
       nLists: Int): (DataFrame, DataFrame) = {
-    val maxFit = 4096
     val e = Tables.embeddings(spark, dir)
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val (assigned, stats, _) = rangeIndexOf(e, n, nLists)
+    (assigned, stats)
+  }
+
+  /** [[rangeIndex]] over an arbitrary corpus frame (vec_id, embedding) —
+    * the generalization that lets d13 index only the TRAIN split. `n`
+    * is an upper bound on the corpus size used only to size the fit
+    * sample's stride (a parquet footer count of the underlying table is
+    * fine: a filtered corpus just fits on proportionally fewer sample
+    * points, and exactness never depends on the fit). Also returns the
+    * unit centroids so external query sets can compute their own probe
+    * cosines ([[centroidCosines]]). */
+  private[graft] def rangeIndexOf(e: DataFrame, n: Long,
+      nLists: Int): (DataFrame, DataFrame, Seq[Array[Float]]) = {
+    val maxFit = 4096
     val stride = math.max(1L, n / maxFit)
     val sample: Array[Array[Double]] = e
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -384,8 +416,7 @@ object Similarity {
       .map(unitOrE1)
     val cents = sphericalKMeans(sample, nLists, iters = 10)
       .map(_.map(_.toFloat))
-    val cosines = array(cents.map(c =>
-      VF.cosine(col("embedding"), typedLit(c))): _*)
+    val cosines = centroidCosines(cents)
     // PERSIST the assignment: it feeds three plan branches (list stats,
     // the probe set, and the member side of the candidate join) — an
     // unpersisted subtree would re-scan the corpus and recompute the
@@ -402,7 +433,7 @@ object Similarity {
     val stats = assigned.groupBy(col("list_id"))
       .agg(sqrt(greatest(lit(0.0),
         lit(2.0) - lit(2.0) * min(col("best_cos")))).as("radius"))
-    (assigned, stats)
+    (assigned, stats, cents)
   }
 
   private def unitOrE1(a: Array[Double]): Array[Double] = {

@@ -119,6 +119,36 @@ class DedupSpec extends GraftSuite {
       .subsetOf(all.map(_.getAs[Long]("doc_id")).toSet))
   }
 
+  test("d13 pruned semantic decontamination equals the brute cross join") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    // brute recomputation of the operator's semantics: every eval-split
+    // vector × every train-split vector, exact cosine, same split rule —
+    // the pruned inverted-list plan must be output-identical (s06's
+    // exactness contract, here under a corpus-sized query set).
+    val bucket = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+      16, 10).cast("long"), lit(100L))
+    val e = Tables.embeddings(spark, sf).withColumn("bucket", bucket)
+    val tr = e.filter(col("bucket") < 80)
+      .select(col("embedding").as("tv"))
+    val brute = e.filter(col("bucket") >= 90)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qv"))
+      .crossJoin(tr)
+      .withColumn("cos", VF.cosine(col("qv"), col("tv")))
+      .filter(coalesce(col("cos") >= Dedup.D13Tau, lit(false)))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_near"), round(max(col("cos")), 4).as("max_cos"))
+      .collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("n_near"),
+        r.getAs[Double]("max_cos"))).toSet
+    val pruned = Dedup.d13SemanticDecontamination(spark, sf).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("n_near"),
+        r.getAs[Double]("max_cos"))).toSet
+    assert(pruned.nonEmpty, "no semantic leakage found on testdata")
+    assert(pruned == brute,
+      s"pruned\\brute=${(pruned -- brute).take(5)} brute\\pruned=${(brute -- pruned).take(5)}")
+  }
+
   test("d05 embedding dups stay within label blocks and above threshold") {
     val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
     assert(rows.nonEmpty)
