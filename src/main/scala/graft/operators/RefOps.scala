@@ -19,13 +19,66 @@ import org.apache.spark.sql.functions._
 object RefOps {
 
   /** r01: per-source record counts — the reference's RecordCount job
-    * (RecordCount.java:33-88) generalized over every table. Each branch is
-    * a metadata-only parquet count at any scale. */
+    * (RecordCount.java:33-88) generalized over every table.
+    *
+    * Shipped plan: the METADATA path ([[r01RecordCountMeta]]) — parquet
+    * footers already carry the exact record count (it is what the scan
+    * planner and every engine's COUNT(*) fast path read), so counting
+    * never needs to touch a data page. The scan-count form is kept as
+    * [[r01RecordCountScan]] — the spec pins the two equal, and it is
+    * the form for sources whose footers an engine cannot trust
+    * (row-level deletes); this lake has none. */
   def r01RecordCount(spark: SparkSession, dir: String): DataFrame =
+    r01RecordCountMeta(spark, dir)
+
+  /** The naive form: one scan-agg job per table (10 jobs). Each is
+    * columnar-pruned to zero columns, but at any scale it still opens
+    * every row group, and at toy scale the 10 job floors dominate. */
+  private[graft] def r01RecordCountScan(spark: SparkSession, dir: String): DataFrame =
     Tables.all.map { t =>
       Tables.byName(spark, dir, t).agg(count(lit(1)).as("n_records"))
         .select(lit(t).as("tbl"), col("n_records"))
     }.reduce(_ unionAll _).orderBy(col("tbl"))
+
+  /** Metadata-only distributed count: list every table's leaf files
+    * driver-side (the same O(#files) listing the scan planner performs),
+    * then ONE job reads footers on executors — (table, file) pairs are
+    * the distributed unit, so a 100 TB lake with millions of files
+    * spreads footer I/O across the cluster instead of serializing it on
+    * the driver ([[Tables.parquetRowCount]] is the driver-side sibling
+    * for plan-build-time needs). One tiny shuffle (≤ #tables groups)
+    * sums per-file counts; no data page is ever opened. */
+  private[graft] def r01RecordCountMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val hconf = spark.sessionState.newHadoopConf()
+    val files: Seq[(String, String)] = Tables.all.flatMap { t =>
+      val root = new Path(s"$dir/$t.parquet")
+      val fs = root.getFileSystem(hconf)
+      def leaves(st: FileStatus): Seq[FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
+        else Seq(st)
+      leaves(fs.getFileStatus(root))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => (t, f.getPath.toString))
+    }
+    val bc = spark.sparkContext.broadcast(
+      new graft.sources.cdr.SerializableHadoopConf(hconf))
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = bc.value.value
+        it.map { case (t, p) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (t, r.getRecordCount) finally r.close()
+        }
+      }
+      .toDF("tbl", "n")
+      .groupBy(col("tbl")).agg(sum(col("n")).as("n_records"))
+      .orderBy(col("tbl"))
+  }
 
   /** r02: distributed grep — DistributedGrep.java:36's regex scan
     * (`Pattern.compile(...)` + map-only job) as a pushed filter + rlike.

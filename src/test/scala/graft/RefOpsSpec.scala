@@ -11,6 +11,13 @@ class RefOpsSpec extends GraftSuite {
       s"${r.getAs[String]("tbl")} empty"))
   }
 
+  test("r01 footer-metadata counts equal the scan counts exactly") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[Long]("n_records"))).toSet
+    assert(pairs(RefOps.r01RecordCountMeta(spark, sf)) ==
+      pairs(RefOps.r01RecordCountScan(spark, sf)))
+  }
+
   test("r03 per-pattern counts differ and the never-match pattern is zero") {
     val counts = RefOps.r03GrepCount(spark, sf).collect()
       .map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n_matches")).toMap
