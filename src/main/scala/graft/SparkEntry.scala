@@ -105,6 +105,8 @@ object SparkEntry {
     "s05_ann_multitable" -> ((s, d) => Similarity.s05AnnMultiTable(s, d)),
     "s06_range_search" -> (Similarity.s06RangeSearch _),
     "s07_ivf_recall" -> (Similarity.s07IvfRecall _), // rows-only: audits the KMeans-based s03
+    "s08_kcenter_coreset" -> // rows-only: iterative greedy fit not DuckDB-expressible
+      ((s, d) => Similarity.s08KcenterCoreset(s, d)),
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),

@@ -274,6 +274,66 @@ object Similarity {
   def s07IvfRecall(spark: SparkSession, dir: String): DataFrame =
     recallAudit(spark, dir, s03AnnIvf(spark, dir))
 
+  /** Coreset size for [[s08KcenterCoreset]] — a KNOB like s03's nLists:
+    * a real data-pruning run sizes k to its selection budget. */
+  val CoresetK = 16
+
+  /** s08: k-CENTER CORESET selection — the diversity-maximizing
+    * prototype subset a data-pruning pipeline keeps when it cannot
+    * afford (or does not want) the full corpus: greedy farthest-point
+    * traversal (Gonzalez' classic 2-approximation to the k-center
+    * dispersion objective) picks k maximally-spread exemplars, and
+    * every corpus vector is assigned to its nearest exemplar. Where
+    * d12/SemDeDup prunes REDUNDANCY (drop near-copies), this keeps
+    * COVERAGE (retain spread) — the two ends of the
+    * diversity-vs-density selection spectrum.
+    *
+    * Scale shape (s03/t21 sample-fit precedent): the greedy traversal
+    * is inherently sequential, so it runs driver-side on the bounded
+    * stride sample (≤ 4096 rows — the selection is a FIT, k·n sample
+    * dots in ~ms); the corpus-side assignment is one map-side scan
+    * against k broadcast centroid literals (native codegen'd cosine,
+    * argmax over k) feeding a ≤ k-group partial agg — no shuffle wider
+    * than k rows, never a pairwise join. Output per selected center:
+    * selection rank, the center's vec_id, members assigned, and the
+    * worst member cosine (per-center coverage quality). Rows-only (the
+    * iterative greedy fit is not DuckDB-expressible — s03 precedent);
+    * SimilaritySpec pins the greedy-sequence invariants and the
+    * assignment totals. */
+  def s08KcenterCoreset(spark: SparkSession, dir: String,
+      k: Int = CoresetK): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val stride = math.max(1L, n / 4096)
+    val sampleRows = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").select(col("vec_id"), col("embedding")).collect()
+    val ids = sampleRows.map(_.getLong(0))
+    val pts = sampleRows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      .map(unitOrE1)
+    val centers = farthestPoints(pts, k)
+    val cents = centers.map(i => pts(i).map(_.toFloat))
+    import spark.implicits._
+    val meta = centers.zipWithIndex
+      .map { case (si, rank) => (rank, ids(si)) }
+      .toDF("center_rank", "center_id")
+    val cosines = centroidCosines(cents)
+    val assigned = e.withColumn("cosines", cosines)
+      .withColumn("best_cos", array_max(col("cosines")))
+      .withColumn("center_rank",
+        (array_position(col("cosines"), col("best_cos")) - 1).cast("int"))
+      .groupBy(col("center_rank"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(min(col("best_cos")), 4).as("min_cos"))
+    // left from the center list: a center emptied by an exact-duplicate
+    // twin (ties assign to the FIRST max) must stay visible as 0, not
+    // silently shrink the report below k rows
+    broadcast(meta).join(assigned, Seq("center_rank"), "left")
+      .select(col("center_rank").cast("long").as("center_rank"),
+        col("center_id"), coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        col("min_cos"))
+      .orderBy("center_rank")
+  }
+
   /** Cosine threshold for [[s06RangeSearch]]. Measured margin at sf0.01:
     * the nearest pair on either side of the line sits 0.0012 away
     * (next: 0.0023, 0.0028) — thin, but still ~10¹² × cross-engine
@@ -442,6 +502,41 @@ object Similarity {
     else { val z = a.map(_ => 0.0); z(0) = 1.0; z } // degenerate: any unit point
   }
 
+  private def ddot(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < a.length) { d += a(j) * b(j); j += 1 }
+    d
+  }
+
+  /** Greedy farthest-point traversal (Gonzalez' k-center
+    * 2-approximation) on unit vectors: start from pts(0), repeatedly
+    * add the point whose max cosine to the chosen set is SMALLEST
+    * (= farthest on the sphere). Returns the chosen indices in
+    * selection order. Doubles as k-means++-style seeding
+    * ([[sphericalKMeans]]) and as the s08 coreset selector. O(n·k)
+    * driver math on the bounded sample. */
+  private[graft] def farthestPoints(pts: Array[Array[Double]], k: Int): Seq[Int] = {
+    require(pts.nonEmpty, "empty sample")
+    val sel = scala.collection.mutable.ArrayBuffer(0)
+    val maxCos = Array.fill(pts.length)(Double.NegativeInfinity)
+    while (sel.length < math.min(k, pts.length)) {
+      var i = 0
+      while (i < pts.length) {
+        val c = ddot(pts(i), pts(sel.last))
+        if (c > maxCos(i)) maxCos(i) = c
+        i += 1
+      }
+      var best = 0; var bestScore = Double.PositiveInfinity
+      i = 0
+      while (i < pts.length) {
+        if (maxCos(i) < bestScore) { bestScore = maxCos(i); best = i }
+        i += 1
+      }
+      sel += best
+    }
+    sel.toSeq
+  }
+
   /** Deterministic spherical k-means on unit vectors: greedy
     * farthest-point seeding (the deterministic k-means++ analogue —
     * stride seeding collapses onto the dominant mode and leaves mixed,
@@ -452,30 +547,7 @@ object Similarity {
       iters: Int): Seq[Array[Double]] = {
     require(pts.nonEmpty, "empty quantizer sample")
     val dim = pts(0).length
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var j = 0
-      while (j < dim) { d += a(j) * b(j); j += 1 }
-      d
-    }
-    // farthest-point seeds: each next seed minimizes its max cosine to
-    // the seeds chosen so far (= maximally far on the sphere)
-    val seeds = scala.collection.mutable.ArrayBuffer(pts(0))
-    val maxCos = Array.fill(pts.length)(Double.NegativeInfinity)
-    while (seeds.length < math.min(k, pts.length)) {
-      var i = 0
-      while (i < pts.length) {
-        val c = dot(pts(i), seeds.last)
-        if (c > maxCos(i)) maxCos(i) = c
-        i += 1
-      }
-      var best = 0; var bestScore = Double.PositiveInfinity
-      i = 0
-      while (i < pts.length) {
-        if (maxCos(i) < bestScore) { bestScore = maxCos(i); best = i }
-        i += 1
-      }
-      seeds += pts(best)
-    }
+    val seeds = farthestPoints(pts, k).map(pts)
     var cents = Array.tabulate(k)(i => seeds(i % seeds.length))
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))

@@ -121,6 +121,56 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("s08 coreset: greedy selection invariants and assignment totals") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val k = Similarity.CoresetK
+    val rows = Similarity.s08KcenterCoreset(spark, sf).collect()
+    assert(rows.length == k)
+    assert(rows.map(_.getAs[Long]("center_rank")).toSeq == (0L until k.toLong))
+    val centerIds = rows.map(_.getAs[Long]("center_id"))
+    assert(centerIds.distinct.length == k, "repeated center")
+    // every corpus vector lands on exactly one center
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum == corpus)
+    // independent recomputation of the greedy farthest-point sequence
+    // from the same stride sample (plain O(n·k) loops, no shared code):
+    // each selected point must have the minimal max-cosine to the
+    // already-selected set, i.e. be a genuine farthest point.
+    val stride = math.max(1L, corpus / 4096)
+    val sample = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val sel = centerIds.map(id => unit(sample(id)))
+    assert(sel.head.zip(unit(sample(sample.keys.min))).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 }, "seed is not the min-id sample")
+    for (i <- 1 until k) {
+      val chosen = sel(i)
+      val prior = sel.take(i)
+      def maxCosTo(p: Array[Double]) = prior.map(c => cos(p, c)).max
+      val chosenScore = maxCosTo(chosen)
+      sample.values.foreach { v =>
+        assert(maxCosTo(unit(v)) >= chosenScore - 1e-9,
+          s"step $i chose a non-farthest point")
+      }
+    }
+    // coverage is monotone: each later center's worst-member cosine is a
+    // per-center stat, but the SAMPLE's k-center radius must not grow as
+    // centers are added
+    val radii = (1 to k).map { i =>
+      val prior = sel.take(i)
+      sample.values.map(v => prior.map(c => cos(unit(v), c)).max).min
+    }
+    assert(radii.zip(radii.tail).forall { case (a, b) => b >= a - 1e-12 },
+      s"coverage cosine decreased: $radii")
+  }
+
   test("s06 range search returns every above-threshold pair s01 knows about") {
     val range = Similarity.s06RangeSearch(spark, sf).collect()
     range.foreach { r =>
