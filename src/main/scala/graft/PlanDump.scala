@@ -95,6 +95,14 @@ object PlanDump {
         "Q17 correlated-avg shape: the per-part stats aggregate and the fact both shuffle on l_partkey (co-partitioned SMJ; the brand-narrowed fact is read twice — the canonical Q17 trade vs a materialization barrier); the 20%-of-avg gate is integer cross-multiplied, so the filter is exact in any engine."),
       ("t20_line_dedup",
         "Line-level dedup: ONE partial-aggregable line-frequency shuffle (map-side combine collapses per-partition repeats), removal decided by a line equi-join, then per-doc and per-source partial/final rollups — no cartesian anywhere, the d02 maxDf logic applies if one line dominates."),
+      ("q35_volume_shipping",
+        "Q7 shape: nation in TWO roles, both broadcast by the constant-cardinality hint and pre-narrowed by the IN-half of the pair predicate; supplier/customer unhinted (AQE); the fact shuffles on l_orderkey to meet orders, and the final aggregate carries <= 2x|years| groups."),
+      ("d13_semantic_decontamination",
+        "Semantic decontamination: the eval split is a corpus-sized query set, so probes are NOT broadcast — the train-side inverted lists and surviving (list, query) probes meet in a list_id equi-join (AQE broadcasts while small, shuffles at scale); assignment and probe cosines are native codegen'd against driver-fitted centroid literals; exact cosine >= tau verify on candidates only, result-identical to the brute eval x train join (spec + hash gate)."),
+      ("r01_record_count",
+        "Metadata-only count: ONE job whose input is (table, file) pairs — executors read parquet FOOTERS (no data pages, no per-table scan jobs), one <=|tables|-group sum; the scan-count form exists only as the spec's equality baseline."),
+      ("s08_kcenter_coreset",
+        "k-center coreset: greedy farthest-point selection runs driver-side on the bounded stride sample (a FIT, like s03's quantizer); the corpus pass is one map-side argmax-cosine scan against k broadcast centroid literals feeding a <=k-group partial/final aggregate — no join wider than the k-row center table."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder
