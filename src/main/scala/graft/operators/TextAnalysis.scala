@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{TextFunctions => TF, TextSql => TS}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.C — text-analysis operators over the documents table.
@@ -776,6 +777,35 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** t22: vocabulary COVERAGE curve — for the top-k corpus tokens by
+    * occurrence count, the cumulative share of ALL token occurrences
+    * they cover: the Zipf-law statistic that sizes a tokenizer
+    * vocabulary (t21's budget question: "how many entries until X% of
+    * the stream is in-vocab?") and flags boilerplate-skewed corpora
+    * (a too-steep curve = a few tokens dominate). One explode +
+    * partial-aggregable token-count shuffle (same shape as t05, which
+    * counts DOC frequency — this is occurrence mass); the grand total
+    * re-aggregates the grouped rows (|vocab|, not |corpus| — q31's
+    * scalar precedent) and joins back broadcast; top-k selection is a
+    * TakeOrdered heap, and the cumulative sum runs on k rows. Share is
+    * reported in exact integer ppm (cum·10⁶ div total — Spark `div` ≡
+    * DuckDB `//`), so the gate has no float boundary at all. */
+  def t22TokenCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val counts = docsWithTokens(spark, dir)
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast("long").as("rank"), col("token"), col("cnt"),
+        expr("cum * 1000000 div total").as("cum_ppm"))
+      .orderBy("rank")
+  }
+
   /** Hashed-classifier mixing constants (t17): an LCG step over the
     * portable token value. Any fixed (A, B) gives a deterministic
     * pseudo-weight stream; A is the MT19937 seed-scrambling multiplier,
@@ -1061,6 +1091,17 @@ object TextAnalysis {
         s"""SELECT token, COUNT(*) AS doc_freq FROM (
               SELECT doc_id, unnest(list_distinct($toks)) AS token FROM documents)
             GROUP BY token ORDER BY doc_freq DESC, token LIMIT 25""",
+      "t22_token_coverage" ->
+        s"""WITH c AS (SELECT token, COUNT(*) AS cnt FROM (
+              SELECT unnest($toks) AS token FROM documents) GROUP BY token),
+            tot AS (SELECT SUM(cnt) AS total FROM c),
+            top AS (SELECT token, cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+              FROM c ORDER BY cnt DESC, token LIMIT 20)
+            SELECT rank, token, cnt,
+              CAST((SUM(cnt) OVER (ORDER BY rank)) * 1000000 // total
+                AS BIGINT) AS cum_ppm
+            FROM top, tot ORDER BY rank""",
       "t10_pii_scrub" -> {
         val planted =
           s"""text

@@ -38,6 +38,17 @@ class TextAnalysisSpec extends GraftSuite {
     assert(freqs.head <= Tables.documents(spark, sf).count())
   }
 
+  test("t22 coverage curve: counts descend, cum share monotone, <= 1e6 ppm") {
+    val rows = TextAnalysis.t22TokenCoverage(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    val ppm = rows.map(_.getAs[Long]("cum_ppm"))
+    assert(ppm.zip(ppm.tail).forall { case (a, b) => b >= a }, "cum share fell")
+    assert(ppm.last <= 1000000L && ppm.head > 0L)
+  }
+
   test("t06 bigram counts are positive and bigrams are two tokens") {
     val rows = TextAnalysis.t06BigramCounts(spark, sf).collect()
     assert(rows.length == 25)
