@@ -9,7 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * keep predicate pushdown and column pruning (parquet/orc) intact. */
 object FsIO {
 
-  val formats: Seq[String] = Seq("parquet", "csv", "json", "text")
+  val formats: Seq[String] = Seq("parquet", "orc", "csv", "json", "text")
+
+  /** Columnar compression codecs exercised by the round-trip spec — the
+    * at-rest compression choice the reference hard-wires to gzip
+    * (CompressedSequenceFile.java); columnar formats make it a write
+    * option, transparent on read. zstd is the 100 TB default (gzip-class
+    * ratio at snappy-class speed). */
+  val parquetCodecs: Seq[String] = Seq("snappy", "zstd", "gzip")
 
   def write(df: DataFrame, path: String, format: String,
       options: Map[String, String] = Map.empty): Unit =
