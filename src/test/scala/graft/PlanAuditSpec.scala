@@ -291,6 +291,30 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("d13: decontamination candidates come from the list_id equi-join") {
+    val s = planStr(Dedup.d13SemanticDecontamination(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"eval x train scoring must ride the inverted-list equi-join:\n$s")
+  }
+
+  test("q35: only the two nation roles are broadcast-hinted") {
+    val df = Relational.q35VolumeShipping(spark, sf)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 2, s"expected exactly the two nation-role hints, got ${hints.size}")
+    hints.foreach { h =>
+      assert(h.child.output.map(_.name).contains("n_nationkey"),
+        s"broadcast hint targets a non-constant table:\n$h")
+    }
+  }
+
+  test("r01: metadata count is one job over footers, not ten table scans") {
+    val s = planStr(RefOps.r01RecordCount(spark, sf))
+    assert(!s.contains("FileScan parquet"),
+      s"metadata count must not open a parquet data scan:\n$s")
+  }
+
   test("salted join equals the plain join and splits hot keys") {
     import spark.implicits._
     // heavy skew: one key holds 10k of 10.4k rows
