@@ -369,6 +369,22 @@ object Dedup {
     * rounded max, no pair-level float ordering in the gate. */
   def d13SemanticDecontamination(spark: SparkSession, dir: String,
       tau: Double = D13Tau, nLists: Int = Similarity.RangeLists): DataFrame = {
+    val (assigned, probes) = d13Index(spark, dir, tau, nLists)
+    assigned.select(col("list_id"), col("embedding").as("cv"))
+      .join(probes, Seq("list_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+      .filter(atLeast(col("cos"), tau))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_near"), round(max(col("cos")), 4).as("max_cos"))
+      .select(col("query_id").as("eval_id"), col("n_near"), col("max_cos"))
+      .orderBy("eval_id")
+  }
+
+  /** d13's (train-side inverted index, surviving eval probes) — exposed
+    * for the spec's pruning-effectiveness assertion (s06Probes
+    * precedent). */
+  private[graft] def d13Index(spark: SparkSession, dir: String, tau: Double,
+      nLists: Int): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", idBucket(col("vec_id")))
     val train = e.filter(col("bucket") < 80).select(col("vec_id"), col("embedding"))
@@ -379,15 +395,7 @@ object Dedup {
       .withColumn("cosines", Similarity.centroidCosines(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("cosines"))
-    val probes = Similarity.trianglePrune(q, stats, tau)
-    assigned.select(col("list_id"), col("embedding").as("cv"))
-      .join(probes, Seq("list_id"))
-      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
-      .filter(atLeast(col("cos"), tau))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_near"), round(max(col("cos")), 4).as("max_cos"))
-      .select(col("query_id").as("eval_id"), col("n_near"), col("max_cos"))
-      .orderBy("eval_id")
+    (assigned, Similarity.trianglePrune(q, stats, tau))
   }
 
   /** d07: duplicate CLUSTERS — connected components over the d02 pair

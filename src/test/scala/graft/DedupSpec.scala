@@ -149,6 +149,50 @@ class DedupSpec extends GraftSuite {
       s"pruned\\brute=${(pruned -- brute).take(5)} brute\\pruned=${(brute -- pruned).take(5)}")
   }
 
+  test("d13 triangle bound prunes train lists on clustered data, exactly") {
+    // The uniform testdata cannot prune (SimilaritySpec's s06 analysis);
+    // d13's workload — corpora with near-dup structure — is clustered,
+    // so pruning is demonstrated on a planted clustered corpus with a
+    // HIGH tau, and exactness is re-pinned there.
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    val dir = java.nio.file.Files.createTempDirectory("d13spec").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 256L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(64)(j =>
+        (if (j == c) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.05f)
+      (i, v, s"l$c")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val nLists = operators.Similarity.RangeLists
+    val tau = 0.9
+    val (_, probes) = Dedup.d13Index(spark, dir, tau, nLists)
+    val nEval = probes.select("query_id").distinct().count()
+    assert(nEval > 0, "planted corpus produced no eval split")
+    val probed = probes.count()
+    assert(probed < nEval * nLists / 2,
+      s"tau=$tau pruned under half: $probed of ${nEval * nLists} probes")
+    // exactness on the clustered corpus: pruned == brute at the same tau
+    val pruned = Dedup.d13SemanticDecontamination(spark, dir, tau, nLists)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucket = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+      16, 10).cast("long"), lit(100L))
+    val e = Tables.embeddings(spark, dir).withColumn("bucket", bucket)
+    val brute = e.filter(col("bucket") >= 90)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qv"))
+      .crossJoin(e.filter(col("bucket") < 80).select(col("embedding").as("tv")))
+      .withColumn("cos", VF.cosine(col("qv"), col("tv")))
+      .filter(coalesce(col("cos") >= tau, lit(false)))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_near"), round(max(col("cos")), 4).as("max_cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute,
+      s"pruned\\brute=${(pruned -- brute).take(5)} brute\\pruned=${(brute -- pruned).take(5)}")
+  }
+
   test("d05 embedding dups stay within label blocks and above threshold") {
     val rows = Dedup.d05EmbeddingDup(spark, sf).collect()
     assert(rows.nonEmpty)
