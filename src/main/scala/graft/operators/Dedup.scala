@@ -304,7 +304,17 @@ object Dedup {
     * cheapening knob when the train index outgrows a shuffle. */
   def d10CrossSplitLeakage(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
-    val withSplit = Tables.documents(spark, dir)
+    val withSplit = d10Prepared(Tables.documents(spark, dir))
+    d10Contamination(withSplit.filter(col("split") =!= "train"),
+      d10TrainIndex(withSplit), threshold)
+  }
+
+  /** d10's per-doc preparation from raw (doc_id, text) rows: tokenize,
+    * assign the p02 fingerprint split, shingle. Factored so the
+    * STREAMING twin ([[graft.streaming.StreamDecontam]]) runs the
+    * identical code on each arriving micro-batch. */
+  private[graft] def d10Prepared(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", TF.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("bucket",
@@ -314,12 +324,23 @@ object Dedup {
           .otherwise("test"))
       .select(col("doc_id"), col("split"),
         graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
-    val trainShingles = withSplit.filter(col("split") === "train")
+
+  /** The DISTINCT train-split shingle index ([[d10Prepared]] rows in,
+    * one `h` column out) — built once, reused by batch d10 and as the
+    * STATIC side of the streaming decontamination join. */
+  private[graft] def d10TrainIndex(withSplit: DataFrame): DataFrame =
+    withSplit.filter(col("split") === "train")
       .select(explode(col("sh")).as("h")).distinct()
-    val evalDocs = withSplit.filter(col("split") =!= "train")
+
+  /** The scoring tail shared by batch d10 and the streaming twin:
+    * explode eval shingles, left-semi the train index, per-doc
+    * containment ≥ threshold. */
+  private[graft] def d10Contamination(evalDocs: DataFrame,
+      trainShingles: DataFrame, threshold: Double): DataFrame =
+    evalDocs
       .select(col("doc_id"), col("split"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("h"))
-    evalDocs.join(trainShingles, Seq("h"), "left_semi")
+      .join(trainShingles, Seq("h"), "left_semi")
       .groupBy(col("doc_id"), col("split"), col("n_shingles"))
       .agg(count(lit(1)).as("n_leaked"))
       .withColumn("contamination", col("n_leaked") / col("n_shingles").cast("double"))
@@ -327,7 +348,6 @@ object Dedup {
       .select(col("doc_id"), col("split"), col("n_shingles"), col("n_leaked"),
         round(col("contamination"), 4).as("contamination"))
       .orderBy("doc_id")
-  }
 
   /** Cosine threshold for [[d13SemanticDecontamination]] — d05's
     * near-dup regime. Measured clearance of the eval×train cosine

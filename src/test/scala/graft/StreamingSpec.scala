@@ -270,6 +270,40 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streaming decontamination flags equal batch d10 across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docsDf = Tables.documents(spark, sf)
+    // the static at-rest train index — same builder batch d10 uses
+    val index = graft.operators.Dedup.d10TrainIndex(
+      graft.operators.Dedup.d10Prepared(docsDf)).cache()
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Double)]
+    val q = StreamDecontam.run(input.toDF().toDF("doc_id", "text"), index) { b =>
+      flagged ++= b.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("split"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_leaked"), r.getAs[Double]("contamination")))
+    }
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val batch = graft.operators.Dedup.d10CrossSplitLeakage(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+          r.getAs[Long]("n_shingles"), r.getAs[Long]("n_leaked"),
+          r.getAs[Double]("contamination"))).toSet
+      assert(flagged.nonEmpty, "stream flagged nothing")
+      assert(flagged.size == flagged.toSet.size, "a doc was flagged twice")
+      assert(flagged.toSet == batch,
+        s"online flags diverge from batch d10: extra=${(flagged.toSet -- batch).take(3)} " +
+          s"missing=${(batch -- flagged.toSet).take(3)}")
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("streaming LSH near-dedup candidates equal the batch d03 band collisions") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
