@@ -382,15 +382,16 @@ object SparkEntry {
     "q35_volume_shipping" ->
       """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+           AS BIGINT)) / 100.0, 2) AS revenue
          FROM lineitem
          JOIN orders ON o_orderkey = l_orderkey
          JOIN customer ON c_custkey = o_custkey
          JOIN nation n1 ON n1.n_nationkey = c_nationkey
          JOIN supplier ON s_suppkey = l_suppkey
          JOIN nation n2 ON n2.n_nationkey = s_nationkey
-         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-           AND n2.n_name IN ('NATION_1', 'NATION_2')
+         WHERE n1.n_name IN ('NATION_1', 'NATION_3')
+           AND n2.n_name IN ('NATION_1', 'NATION_3')
            AND n1.n_name <> n2.n_name
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""",
