@@ -30,20 +30,28 @@ object Tables {
     * need the corpus size at plan-build time (e.g. a sampling stride)
     * without running an eager count() scan. */
   def parquetRowCount(spark: SparkSession, dir: String, name: String): Long = {
-    import org.apache.hadoop.fs.{FileStatus, Path}
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(s"$dir/$name.parquet")
-    val fs = root.getFileSystem(conf)
-    def leaves(st: FileStatus): Seq[FileStatus] =
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
-      else Seq(st)
-    leaves(fs.getFileStatus(root))
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    leafParquetFiles(root.getFileSystem(conf), root)
       .map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum
+  }
+
+  /** Leaf `.parquet` data files under a table root — the ONE
+    * listing-and-filter rule shared by [[parquetRowCount]] and r01's
+    * distributed footer count, so a future listing fix (skipping
+    * `_temporary` dirs, following symlinks) lands in one place instead
+    * of silently diverging between the two counts. */
+  private[graft] def leafParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
+      else Seq(st)
+    leaves(fs.getFileStatus(root))
+      .filter(_.getPath.getName.endsWith(".parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

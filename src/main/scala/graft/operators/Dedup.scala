@@ -368,15 +368,16 @@ object Dedup {
     * sibling. d10 catches an eval document whose SHINGLES leak from the
     * train split (verbatim/copy-paste overlap); this catches one whose
     * MEANING does (paraphrase, translation, re-rendering — the leakage
-    * mode shingle decontamination provably misses). An eval-split
-    * vector is flagged when any train-split vector sits within cosine ≥
-    * τ, with the split assigned by the portable id-hash bucket
-    * ([[idBucket]], 80/10/10 as p02).
+    * mode shingle decontamination provably misses). A non-train vector
+    * (val OR test — `split <> 'train'`, exactly d10's screened set) is
+    * flagged when any train-split vector sits within cosine ≥ τ, with
+    * the split assigned by the portable id-hash bucket ([[idBucket]],
+    * 80/10/10 as p02).
     *
     * Scale shape: this is EXACT range search with the eval split as the
     * query set — precisely the "large query set" regime s06's docstring
-    * warns the brute scan dies on (eval is ~10% of the corpus, so brute
-    * is O(0.8n·0.1n) = O(n²)). The train split is assigned once to
+    * warns the brute scan dies on (val+test is ~20% of the corpus, so
+    * brute is O(0.8n·0.2n) = O(n²)). The train split is assigned once to
     * inverted lists (map-side, broadcast centroid literals), each eval
     * vector keeps only the lists the triangle inequality cannot rule
     * out, and the exact cosine ≥ τ verify runs on the surviving
@@ -406,9 +407,10 @@ object Dedup {
   private[graft] def d13Index(spark: SparkSession, dir: String, tau: Double,
       nLists: Int): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir)
+      .filter(Similarity.positiveNorm) // zero-norm: undefined cosine, see Similarity.positiveNorm
       .withColumn("bucket", idBucket(col("vec_id")))
     val train = e.filter(col("bucket") < 80).select(col("vec_id"), col("embedding"))
-    val evalSplit = e.filter(col("bucket") >= 90).select(col("vec_id"), col("embedding"))
+    val evalSplit = e.filter(col("bucket") >= 80).select(col("vec_id"), col("embedding"))
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
     val (assigned, stats, cents) = Similarity.rangeIndexOf(train, n, nLists)
     val q = evalSplit
@@ -794,13 +796,14 @@ object Dedup {
         s"""WITH b AS (SELECT vec_id, embedding,
               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
                 % 100 AS bucket
-              FROM embeddings),
+              FROM embeddings
+              WHERE ${VS.dot("embedding", "embedding")} > 0),
             tr AS (SELECT vec_id, embedding,
                 sqrt(${VS.dot("embedding", "embedding")}) AS nrm
               FROM b WHERE bucket < 80),
             ev AS (SELECT vec_id, embedding,
                 sqrt(${VS.dot("embedding", "embedding")}) AS nrm
-              FROM b WHERE bucket >= 90),
+              FROM b WHERE bucket >= 80),
             pairs AS (SELECT ev.vec_id AS eval_id,
                 ${VS.dot("ev.embedding", "tr.embedding")} / (ev.nrm * tr.nrm) AS cos
               FROM ev, tr)

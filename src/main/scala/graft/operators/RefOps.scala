@@ -50,16 +50,11 @@ object RefOps {
     * sums per-file counts; no data page is ever opened. */
   private[graft] def r01RecordCountMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.hadoop.fs.{FileStatus, Path}
+    import org.apache.hadoop.fs.Path
     val hconf = spark.sessionState.newHadoopConf()
     val files: Seq[(String, String)] = Tables.all.flatMap { t =>
       val root = new Path(s"$dir/$t.parquet")
-      val fs = root.getFileSystem(hconf)
-      def leaves(st: FileStatus): Seq[FileStatus] =
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
-        else Seq(st)
-      leaves(fs.getFileStatus(root))
-        .filter(_.getPath.getName.endsWith(".parquet"))
+      Tables.leafParquetFiles(root.getFileSystem(hconf), root)
         .map(f => (t, f.getPath.toString))
     }
     val bc = spark.sparkContext.broadcast(

@@ -353,9 +353,9 @@ object Similarity {
     *
     * Shipped plan: EXACT pruned search over an inverted-list index
     * ([[s06RangeSearchPruned]]) — result-identical to the brute scan
-    * (spec-pinned at test SF, and guaranteed by the triangle inequality,
-    * not by data luck), with per-query list pruning instead of a full
-    * corpus scan per query. An LSH candidate generator (the s02 bucket
+    * (spec-pinned at test SF, and guaranteed by the triangle inequality
+    * plus the [[positiveNorm]] zero-norm screen, not by data luck), with
+    * per-query list pruning instead of a full corpus scan per query. An LSH candidate generator (the s02 bucket
     * join) CANNOT back this operator: sign-LSH drops any τ-pair whose
     * bits disagree, so its result is a recall-limited subset — fine for
     * the top-k ANN family where approximation is declared, wrong for a
@@ -368,7 +368,7 @@ object Similarity {
     * baseline. O(corpus × queries): correct, but the shape that dies on
     * a large query set (contamination sweeps). */
   private[graft] def s06RangeSearchBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddings(spark, dir).filter(positiveNorm)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
@@ -451,11 +451,23 @@ object Similarity {
     * point serves as a list's centroid — only pruning power does. */
   private[graft] def rangeIndex(spark: SparkSession, dir: String,
       nLists: Int): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddings(spark, dir).filter(positiveNorm)
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
     val (assigned, stats, _) = rangeIndexOf(e, n, nLists)
     (assigned, stats)
   }
+
+  /** Zero-norm screen for the EXACT operators (s06/d13): cosine against
+    * the zero vector is NaN, and NaN compares GREATER than τ in both
+    * Spark and DuckDB — a brute scan would count every (query, 0⃗) pair
+    * while the metric index cannot see them (a NaN has no distance, so
+    * the triangle bound never protects its list). Excluding zero-norm
+    * vectors from BOTH sides (and from both the brute mirror and the
+    * oracle) keeps pruned ≡ brute a theorem rather than a data-luck
+    * fact; a zero embedding is an upstream encoder failure, not a
+    * similarity result. */
+  private[graft] val positiveNorm: Column =
+    VF.dot(col("embedding"), col("embedding")) > lit(0.0)
 
   /** [[rangeIndex]] over an arbitrary corpus frame (vec_id, embedding) —
     * the generalization that lets d13 index only the TRAIN split. `n`
@@ -518,6 +530,8 @@ object Similarity {
   private[graft] def farthestPoints(pts: Array[Array[Double]], k: Int): Seq[Int] = {
     require(pts.nonEmpty, "empty sample")
     val sel = scala.collection.mutable.ArrayBuffer(0)
+    val selected = Array.fill(pts.length)(false)
+    selected(0) = true
     val maxCos = Array.fill(pts.length)(Double.NegativeInfinity)
     while (sel.length < math.min(k, pts.length)) {
       var i = 0
@@ -526,13 +540,22 @@ object Similarity {
         if (c > maxCos(i)) maxCos(i) = c
         i += 1
       }
-      var best = 0; var bestScore = Double.PositiveInfinity
+      // argmin over UNSELECTED indices only: when every remaining point
+      // is an exact duplicate of a chosen one (all maxCos ≈ 1), an
+      // unrestricted argmin would settle on index 0 — already selected —
+      // and emit repeated indices. Restricting keeps the returned
+      // indices distinct (duplicate COORDINATES may still be chosen,
+      // last, which is honest: they are distinct sample rows).
+      var best = -1; var bestScore = Double.PositiveInfinity
       i = 0
       while (i < pts.length) {
-        if (maxCos(i) < bestScore) { bestScore = maxCos(i); best = i }
+        if (!selected(i) && maxCos(i) < bestScore) {
+          bestScore = maxCos(i); best = i
+        }
         i += 1
       }
       sel += best
+      selected(best) = true
     }
     sel.toSeq
   }
@@ -607,7 +630,7 @@ object Similarity {
     * same per-bit agreement curve s04 audits. */
   def s06RangeSearchAnn(spark: SparkSession, dir: String, tau: Double = RangeTau,
       bits: Int = AnnSignBits): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddings(spark, dir).filter(positiveNorm)
       .withColumn("bucket", VF.signBucket(col("embedding"), bits))
     val q = multiProbed(e.filter(col("vec_id") < NumQueries)
       .select(col("bucket"), col("vec_id").as("query_id"),
@@ -623,11 +646,15 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s06_range_search" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id < $NumQueries)
+      // zero-norm vectors excluded from both sides (undefined cosine;
+      // see positiveNorm) — mirrors the engine's screen exactly.
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+               WHERE ${VS.dot("embedding", "embedding")} > 0),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM nz WHERE vec_id < $NumQueries)
           SELECT query_id, e.vec_id AS neighbor_id,
             round(${VS.cosine("qv", "e.embedding")}, 4) AS cosine
-          FROM embeddings e, q
+          FROM nz e, q
           WHERE e.vec_id <> query_id
             AND ${VS.cosine("qv", "e.embedding")} >= $RangeTau
           ORDER BY query_id, neighbor_id""",

@@ -789,7 +789,10 @@ object TextAnalysis {
     * scalar precedent) and joins back broadcast; top-k selection is a
     * TakeOrdered heap, and the cumulative sum runs on k rows. Share is
     * reported in exact integer ppm (cum·10⁶ div total — Spark `div` ≡
-    * DuckDB `//`), so the gate has no float boundary at all. */
+    * DuckDB `//`), so the gate has no float boundary at all. The
+    * product is computed in decimal(38,0): DuckDB's windowed SUM is
+    * already HUGEINT, and a Long cum·10⁶ would wrap past ~9.2e12 total
+    * token occurrences — below the corpus scale this op targets. */
   def t22TokenCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val counts = docsWithTokens(spark, dir)
       .select(explode(col("toks")).as("token"))
@@ -802,7 +805,7 @@ object TextAnalysis {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(total))
       .select(col("rank").cast("long").as("rank"), col("token"), col("cnt"),
-        expr("cum * 1000000 div total").as("cum_ppm"))
+        expr("cast(cum as decimal(38,0)) * 1000000 div total").as("cum_ppm"))
       .orderBy("rank")
   }
 

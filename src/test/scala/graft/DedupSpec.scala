@@ -128,10 +128,12 @@ class DedupSpec extends GraftSuite {
     // exactness contract, here under a corpus-sized query set).
     val bucket = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
       16, 10).cast("long"), lit(100L))
-    val e = Tables.embeddings(spark, sf).withColumn("bucket", bucket)
+    val e = Tables.embeddings(spark, sf)
+      .filter(VF.dot(col("embedding"), col("embedding")) > 0)
+      .withColumn("bucket", bucket)
     val tr = e.filter(col("bucket") < 80)
       .select(col("embedding").as("tv"))
-    val brute = e.filter(col("bucket") >= 90)
+    val brute = e.filter(col("bucket") >= 80)
       .select(col("vec_id").as("eval_id"), col("embedding").as("qv"))
       .crossJoin(tr)
       .withColumn("cos", VF.cosine(col("qv"), col("tv")))
@@ -164,7 +166,7 @@ class DedupSpec extends GraftSuite {
       val v = Array.tabulate(64)(j =>
         (if (j == c) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.05f)
       (i, v, s"l$c")
-    }
+    } :+ ((256L, Array.fill(64)(0f), "zero")) // zero-norm: screened from both sides
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val nLists = operators.Similarity.RangeLists
@@ -180,8 +182,10 @@ class DedupSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val bucket = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
       16, 10).cast("long"), lit(100L))
-    val e = Tables.embeddings(spark, dir).withColumn("bucket", bucket)
-    val brute = e.filter(col("bucket") >= 90)
+    val e = Tables.embeddings(spark, dir)
+      .filter(VF.dot(col("embedding"), col("embedding")) > 0)
+      .withColumn("bucket", bucket)
+    val brute = e.filter(col("bucket") >= 80)
       .select(col("vec_id").as("eval_id"), col("embedding").as("qv"))
       .crossJoin(e.filter(col("bucket") < 80).select(col("embedding").as("tv")))
       .withColumn("cos", VF.cosine(col("qv"), col("tv")))

@@ -218,7 +218,7 @@ class SimilaritySpec extends GraftSuite {
       val v = Array.tabulate(64)(j =>
         (if (j == c) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.05f)
       (i, v, s"l$c")
-    }
+    } :+ ((64L, Array.fill(64)(0f), "zero")) // zero-norm: must be screened
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val nLists = Similarity.RangeLists
@@ -236,6 +236,13 @@ class SimilaritySpec extends GraftSuite {
       .filter(_._3 >= 0.9005) // dodge the rounded-output boundary band
     assert(brute09.subsetOf(pruned09),
       s"pruning dropped true pairs: ${(brute09 -- pruned09).take(5)}")
+    // the planted zero-norm vector (NaN cosine everywhere — NaN compares
+    // greater than tau, so an unscreened brute scan would count it
+    // against every query while no metric index could find it) must be
+    // excluded from BOTH plans, not just the pruned one
+    assert(!pruned09.exists(_._2 == 64L) && !rangeTriples(
+        Similarity.s06RangeSearchBrute(spark, dir)).exists(_._2 == 64L),
+      "zero-norm vector leaked into the range result")
   }
 
   test("s06 ANN variant is an exact-verified subset of the exact range set") {
@@ -243,5 +250,22 @@ class SimilaritySpec extends GraftSuite {
     val exact = rangeTriples(Similarity.s06RangeSearchBrute(spark, sf))
     assert(ann.subsetOf(exact),
       s"ANN emitted non-range pairs: ${(ann -- exact).take(5)}")
+  }
+
+  test("farthestPoints stays index-distinct on duplicate-heavy samples") {
+    // s08's stated workload is near-dup-heavy corpora: when the stride
+    // sample has fewer distinct directions than k, the greedy argmin
+    // must keep returning UNSELECTED indices (duplicates chosen last),
+    // never re-emit a chosen index — repeated center_ids would break
+    // the s08 output contract pinned above.
+    val base = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val pts = base ++ Array.fill(10)(base(0).clone)
+    val sel = Similarity.farthestPoints(pts, 8)
+    assert(sel.length == 8)
+    assert(sel.distinct.length == sel.length, s"repeated index in $sel")
+    // the three genuinely distinct directions are exhausted first
+    assert(sel.take(3).map(i => pts(i).indexOf(1.0)).toSet == Set(0, 1, 2),
+      s"distinct directions not selected first: ${sel.take(3).toList}")
   }
 }
