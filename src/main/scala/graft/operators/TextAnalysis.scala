@@ -809,6 +809,28 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** t23: token frequency SPECTRUM — the counts-of-counts statistic
+    * (for each occurrence count f, how many distinct token types occur
+    * exactly f times, and the occurrence mass they carry). This is the
+    * Good-Turing input (N₁/N estimates unseen-type mass — how much of
+    * the stream a tokenizer/LM will meet as NOVEL types), the Zipf-fit
+    * health check (a sane corpus has a long n_types tail at low f; a
+    * boilerplate-heavy one shows spikes at high f), and the companion
+    * to t22's top-k view (t22: who dominates; t23: the whole shape).
+    * Shape at 100 TB: the same explode + partial-agg token-count
+    * shuffle as t05/t22, then a SECOND shuffle over |vocab| rows keyed
+    * by count — vocabulary-sized, not corpus-sized. All-integer output
+    * (mass = f·n_types ≤ total occurrences, no overflow, no float
+    * boundary anywhere). */
+  def t23FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    docsWithTokens(spark, dir)
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+      .select(col("freq"), col("n_types"),
+        (col("freq") * col("n_types")).as("mass"))
+      .orderBy("freq")
+
   /** Hashed-classifier mixing constants (t17): an LCG step over the
     * portable token value. Any fixed (A, B) gives a deterministic
     * pseudo-weight stream; A is the MT19937 seed-scrambling multiplier,
@@ -1105,6 +1127,12 @@ object TextAnalysis {
               CAST((SUM(cnt) OVER (ORDER BY rank)) * 1000000 // total
                 AS BIGINT) AS cum_ppm
             FROM top, tot ORDER BY rank""",
+      "t23_freq_spectrum" ->
+        s"""WITH c AS (SELECT token, COUNT(*) AS cnt FROM (
+              SELECT unnest($toks) AS token FROM documents) GROUP BY token)
+            SELECT cnt AS freq, COUNT(*) AS n_types,
+              CAST(cnt * COUNT(*) AS BIGINT) AS mass
+            FROM c GROUP BY cnt ORDER BY freq""",
       "t10_pii_scrub" -> {
         val planted =
           s"""text

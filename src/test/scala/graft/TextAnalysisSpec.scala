@@ -49,6 +49,26 @@ class TextAnalysisSpec extends GraftSuite {
     assert(ppm.last <= 1000000L && ppm.head > 0L)
   }
 
+  test("t23 frequency spectrum conserves type and occurrence totals") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.t23FreqSpectrum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.sameElements(freqs.sorted) && freqs.head >= 1L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types") >= 1L)
+      assert(r.getAs[Long]("mass") ==
+        r.getAs[Long]("freq") * r.getAs[Long]("n_types"))
+    }
+    // conservation against an independent recompute: Σ n_types = |vocab|,
+    // Σ mass = total token occurrences
+    val tok = Tables.documents(spark, sf)
+      .select(explode(TF.tokens(col("text"))).as("t"))
+    assert(rows.map(_.getAs[Long]("n_types")).sum ==
+      tok.select(countDistinct(col("t"))).head().getLong(0))
+    assert(rows.map(_.getAs[Long]("mass")).sum == tok.count())
+  }
+
   test("t06 bigram counts are positive and bigrams are two tokens") {
     val rows = TextAnalysis.t06BigramCounts(spark, sf).collect()
     assert(rows.length == 25)
