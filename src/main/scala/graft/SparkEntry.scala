@@ -48,6 +48,7 @@ object SparkEntry {
     "q33_dominant_supplier" -> (Relational.q33DominantSupplier _),
     "q34_small_quantity_revenue" -> (Relational.q34SmallQuantityRevenue _),
     "q35_volume_shipping" -> (Relational.q35VolumeShipping _),
+    "q36_spend_deciles" -> (Relational.q36SpendDeciles _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -396,6 +397,18 @@ object SparkEntry {
            AND n1.n_name <> n2.n_name
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""",
+    "q36_spend_deciles" ->
+      """WITH sp AS (
+           SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1),
+         d AS (SELECT o_custkey, cents,
+           NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile FROM sp)
+         SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(cents) AS min_cents, MAX(cents) AS max_cents
+         FROM d GROUP BY decile ORDER BY decile""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

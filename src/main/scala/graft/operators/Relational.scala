@@ -656,6 +656,76 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** ANSI NTILE bucket from an exact 1-based global rank, all-integer:
+    * with n rows and k tiles the first (n mod k) tiles hold ceil(n/k)
+    * rows and the rest floor(n/k). Factored out so the spec can pin the
+    * formula against Spark's own `ntile` window on uneven splits (the
+    * gate SFs all divide evenly — the spec covers the n mod k ≠ 0 arm). */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    // non-negative integral division (Column `/` is double division;
+    // exact below 2^53, and rank/n are far below that at any scale —
+    // floor+cast keeps the arithmetic on the safe integer lattice)
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val q = idiv(n, lit(k.toLong))
+    val r = n % lit(k.toLong)
+    val big = q + lit(1L)
+    when(rank <= r * big, idiv(rank - lit(1L), big) + lit(1L))
+      .otherwise(lit(1L) + r +
+        idiv(rank - r * big - lit(1L), greatest(q, lit(1L))))
+  }
+
+  /** q36: exact global DECILE report of per-customer lifetime spend —
+    * rank-based NTILE(10) computed WITHOUT a single-partition window
+    * over the data. A bare `ntile(10) over (order by …)` plans as one
+    * window partition holding every row — the global-sort analogue of
+    * q20's buffer-exact percentile, an executor OOM at 100 TB. Shipped
+    * plan is two-phase distributed ranking (the TeraSort offset idiom,
+    * p05's per-shard cumsum applied to global order statistics):
+    * (1) range-repartition the per-customer aggregate on the sort key
+    * (cents desc, custkey) — Spark's range exchange samples boundaries,
+    * so slices are balanced regardless of spend skew — and take
+    * row_number per slice (window partitioned by slice id: parallelism
+    * = #slices, no global barrier); (2) per-slice counts (≤ #partitions
+    * rows, KB-sized at any scale) get an exclusive prefix-sum offset in
+    * a bounded driver-adjacent window and broadcast-join back; global
+    * rank = offset + local rank, exact because range slices are
+    * order-disjoint. Decile then follows from the rank by integer
+    * arithmetic (ntileFromRank) — no float boundary anywhere: spend is
+    * summed in integer cents (q35 money rule), output is counts and
+    * cent totals. Window input is the GROUPED per-customer relation
+    * (q27 precedent: the fact collapses before any window). */
+  def q36SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val parted = spend
+      .repartitionByRange(col("cents").desc, col("o_custkey").asc)
+      .withColumn("pid", spark_partition_id().cast("long"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+    val local = parted.withColumn("lrn", row_number().over(wLocal).cast("long"))
+    // per-slice counts: ≤ #partitions rows; the prefix window is over
+    // that bounded relation, not the data
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+    val total = offsets.agg(sum(col("cnt")).as("n_total"))
+    val ranked = local
+      .join(broadcast(offsets.select(col("pid").as("opid"), col("off"))),
+        col("pid") === col("opid"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("off") + col("lrn"))
+    ranked
+      .withColumn("decile", ntileFromRank(col("rank"), col("n_total"), 10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("decile")
+  }
+
   /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
     * aggregate: parts whose revenue exceeds 1.3× the mean per-part
     * revenue ("important stock"; the mean-relative form is

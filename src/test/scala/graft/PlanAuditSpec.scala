@@ -309,6 +309,14 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("q36: decile ranking range-partitions the data; no data-path ntile window") {
+    val s = planStr(Relational.q36SpendDeciles(spark, sf))
+    assert(s.toLowerCase.contains("rangepartitioning"),
+      s"two-phase ranking must range-repartition on the sort key:\n$s")
+    assert(!s.contains("ntile"),
+      s"the data path must not plan a global ntile window:\n$s")
+  }
+
   test("r01: metadata count is one job over footers, not ten table scans") {
     val s = planStr(RefOps.r01RecordCount(spark, sf))
     assert(!s.contains("FileScan parquet"),

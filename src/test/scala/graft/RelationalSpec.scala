@@ -203,6 +203,40 @@ class RelationalSpec extends GraftSuite {
       s"got ${got.head} expected ~$expected")
   }
 
+  test("q36: ntileFromRank matches Spark's ntile window on uneven splits") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the gate SFs all have customer counts divisible by 10 — this pins
+    // the n mod k ≠ 0 arm (first n%k tiles one row bigger) and the
+    // n < k degenerate arm against the engine's own ntile
+    for (n <- Seq(7, 13, 95, 100)) {
+      val df = spark.range(1, n + 1).toDF("rank")
+        .withColumn("want",
+          ntile(10).over(Window.orderBy(col("rank"))).cast("long"))
+        .withColumn("got",
+          Relational.ntileFromRank(col("rank"), lit(n.toLong), 10))
+      assert(df.filter(col("want") =!= col("got")).count() == 0,
+        s"ntileFromRank diverged from ntile at n=$n")
+    }
+  }
+
+  test("q36: two-phase distributed ranking equals the single-window plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val naive = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("cents").desc, col("o_custkey").asc)).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    val got = Relational.q36SpendDeciles(spark, sf)
+    assert(got.collect().toSeq.sortBy(_.getLong(0)) ==
+      naive.collect().toSeq.sortBy(_.getLong(0)))
+    assert(got.count() == 10)
+  }
+
   test("q31: every returned part genuinely exceeds 1.3x the mean part revenue") {
     import org.apache.spark.sql.functions.{col, expr}
     val perPart = Tables.lineitem(spark, sf)
