@@ -49,6 +49,7 @@ object SparkEntry {
     "q34_small_quantity_revenue" -> (Relational.q34SmallQuantityRevenue _),
     "q35_volume_shipping" -> (Relational.q35VolumeShipping _),
     "q36_spend_deciles" -> (Relational.q36SpendDeciles _),
+    "q37_table_profile" -> (Relational.q37TableProfile _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -409,6 +410,13 @@ object SparkEntry {
            CAST(SUM(cents) AS BIGINT) AS total_cents,
            MIN(cents) AS min_cents, MAX(cents) AS max_cents
          FROM d GROUP BY decile ORDER BY decile""",
+    "q37_table_profile" -> (Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .map(c => s"""SELECT '$c' AS col_name,
+           COUNT(*) - COUNT($c) AS n_nulls,
+           COUNT(DISTINCT $c) AS n_distinct, COUNT(*) AS n_rows
+           FROM orders""")
+      .mkString(" UNION ALL ") + " ORDER BY col_name"),
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -726,6 +726,34 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** q37: single-pass TABLE PROFILE — the ANALYZE-style data-quality
+    * report a pipeline runs before training: per column of orders,
+    * null count and exact distinct count, plus the row count. ONE scan
+    * of the table computes every statistic: Spark plans the multi-column
+    * distinct aggregate as a single pass through an Expand operator
+    * (each row fans out once per distinct-column, then partial-aggs
+    * collapse per column before the shuffle — the fan-out factor is
+    * #profiled columns, the scan count is 1; a per-column loop would be
+    * N scans of 100 TB). The wide 1-row aggregate is unpivoted with
+    * `stack` into the long-form report. All-integer output. At larger
+    * column counts or when exactness isn't needed, the swap-in is
+    * approx_count_distinct per column (q09 precedent: HLL partial-agg,
+    * no Expand) — the exact form is the oracle-matched default. */
+  def q37TableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n"),
+      countDistinct(col(c)).as(s"${c}__d")))
+    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', ${c}__n, ${c}__d").mkString(", ")
+    wide.select(
+        expr(s"stack(${cols.length}, $stackArgs)" +
+          " AS (col_name, n_nulls, n_distinct)"),
+        col("n_rows"))
+      .orderBy("col_name")
+  }
+
   /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
     * aggregate: parts whose revenue exceeds 1.3× the mean per-part
     * revenue ("important stock"; the mean-relative form is

@@ -317,6 +317,13 @@ class PlanAuditSpec extends GraftSuite {
       s"the data path must not plan a global ntile window:\n$s")
   }
 
+  test("q37: the whole profile reads the table exactly once") {
+    val s = planStr(Relational.q37TableProfile(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(s).length
+    assert(scans == 1,
+      s"profile must be one pass (Expand multi-distinct), found $scans scans:\n$s")
+  }
+
   test("r01: metadata count is one job over footers, not ten table scans") {
     val s = planStr(RefOps.r01RecordCount(spark, sf))
     assert(!s.contains("FileScan parquet"),

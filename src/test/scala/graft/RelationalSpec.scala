@@ -237,6 +237,20 @@ class RelationalSpec extends GraftSuite {
     assert(got.count() == 10)
   }
 
+  test("q37: profile statistics match direct per-column recomputes") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q37TableProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 6)
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    rows.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    assert(rows("o_custkey").getAs[Long]("n_distinct") ==
+      orders.select(countDistinct(col("o_custkey"))).head().getLong(0))
+    assert(rows("o_orderkey").getAs[Long]("n_distinct") == n)
+    rows.values.foreach(r => assert(r.getAs[Long]("n_nulls") == 0L))
+  }
+
   test("q31: every returned part genuinely exceeds 1.3x the mean part revenue") {
     import org.apache.spark.sql.functions.{col, expr}
     val perPart = Tables.lineitem(spark, sf)
