@@ -101,6 +101,7 @@ object SparkEntry {
     "d12_semdedup" -> (Dedup.d12SemDedup _),
     "d13_semantic_decontamination" ->
       ((s, d) => Dedup.d13SemanticDecontamination(s, d)),
+    "d14_minhash_calibration" -> (Dedup.d14MinhashCalibration _),
     "a03_asof_forward" -> (Temporal.a03AsofForward _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),

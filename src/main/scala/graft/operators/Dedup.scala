@@ -186,6 +186,45 @@ object Dedup {
       .orderBy("doc_i", "doc_j")
   }
 
+  /** d14: MinHash estimator CALIBRATION over d03's candidate pairs —
+    * the audit that tells you whether the sketch's banding knobs are
+    * sized to the corpus BEFORE a 100 TB dedup run commits to them
+    * (s04's recall-audit idea applied to the MinHash family). For every
+    * band-collision candidate (the raw LSH output, BEFORE the ≥ 0.2
+    * verify — false positives are exactly what's being measured), emit
+    * the estimator numerator (equal positions out of the 32-hash
+    * signature) next to the exact overlap (shared, union shingle
+    * counts): est = matches/32 vs true j = shared/union, reported as
+    * raw integers so the gate has no float boundary. Plan shape is
+    * d03's own: band-key equi-join candidates only (never all pairs),
+    * signatures map-side; the per-pair position compare is a bounded
+    * 32-element fold on candidate rows, not a corpus scan. */
+  def d14MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = docShingles(spark, dir).select(col("doc_id"), col("sh"),
+      graft.functions.NativeFunctions.minhashSig(col("sh")).as("sig"))
+    val bands = minhashBandKeys(Tables.documents(spark, dir))
+    val cand = bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    val est = aggregate(
+      zip_with(col("sig_i"), col("sig_j"),
+        (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val inter = size(array_intersect(col("sh_i"), col("sh_j"))).cast("long")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"),
+        col("sig").as("sig_i")), "doc_i")
+      .join(sigs.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"),
+        col("sig").as("sig_j")), "doc_j")
+      .select(col("doc_i"), col("doc_j"), est.as("est_matches"),
+        inter.as("shared"),
+        (size(col("sh_i")).cast("long") + size(col("sh_j")).cast("long")
+          - inter).as("uni"))
+      .orderBy("doc_i", "doc_j")
+  }
+
   /** 63-bit SimHash over per-token portable hashes: bit b is the sign of
     * Σ_tokens ±1 where the ±1 is universal-hash bit b of the token value.
     * (63 bits, not 64, to stay in non-negative BIGINT range in both
@@ -868,6 +907,24 @@ object Dedup {
                   FROM cand JOIN d x ON x.doc_id = cand.doc_i
                             JOIN d y ON y.doc_id = cand.doc_j)
             SELECT doc_i, doc_j, round(jac, 4) AS jaccard FROM v WHERE jac >= 0.2
+            ORDER BY doc_i, doc_j""",
+      "d14_minhash_calibration" ->
+        s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
+            sig AS (SELECT doc_id, sh, $sigSql AS sig FROM d),
+            bands AS (SELECT doc_id, j, sig[CAST(2*j+1 AS INT)]*$P + sig[CAST(2*j+2 AS INT)] AS key
+                      FROM sig, generate_series(0, 15) AS t(j)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+                     FROM bands a JOIN bands b
+                     ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT doc_i, doc_j,
+              CAST(list_sum(list_transform(generate_series(1, 32),
+                i -> CASE WHEN x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)]
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS est_matches,
+              CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS shared,
+              CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+                AS BIGINT) AS uni
+            FROM cand JOIN sig x ON x.doc_id = cand.doc_i
+                      JOIN sig y ON y.doc_id = cand.doc_j
             ORDER BY doc_i, doc_j""",
       "d04_simhash" ->
         s"""SELECT doc_id,

@@ -22,6 +22,34 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("d14 calibration rows cover d03's verified pairs with sane estimator bounds") {
+    val cal = Dedup.d14MinhashCalibration(spark, sf).collect()
+    assert(cal.nonEmpty)
+    cal.foreach { r =>
+      val (est, shared, uni) = (r.getAs[Long]("est_matches"),
+        r.getAs[Long]("shared"), r.getAs[Long]("uni"))
+      // a band collision means 2 consecutive signature positions agree
+      assert(est >= 2L && est <= 32L, s"estimator numerator out of range: $r")
+      assert(uni >= shared && shared >= 0L && uni >= 1L, s"overlap counts: $r")
+    }
+    // the raw candidate set must contain every pair d03 verifies
+    val candPairs = cal.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.d03MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(candPairs),
+      s"d03 verified pairs missing from d14 candidates: ${verified -- candPairs}")
+    // calibration sanity: the estimator should read higher on truly
+    // similar pairs than on band-collision false positives
+    val (hi, lo) = cal.partition(r =>
+      r.getAs[Long]("shared") * 2L >= r.getAs[Long]("uni")) // j >= 0.5
+    if (hi.nonEmpty && lo.nonEmpty) {
+      def meanEst(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Long]("est_matches")).sum.toDouble / rs.length
+      assert(meanEst(hi) > meanEst(lo),
+        "estimator not ordered with exact similarity")
+    }
+  }
+
   test("d03 LSH candidates are a (near-complete) subset of d02 pairs") {
     val exact = Dedup.d02NgramJaccard(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
