@@ -103,6 +103,12 @@ object PlanDump {
         "Metadata-only count: ONE job whose input is (table, file) pairs — executors read parquet FOOTERS (no data pages, no per-table scan jobs), one <=|tables|-group sum; the scan-count form exists only as the spec's equality baseline."),
       ("s08_kcenter_coreset",
         "k-center coreset: greedy farthest-point selection runs driver-side on the bounded stride sample (a FIT, like s03's quantizer); the corpus pass is one map-side argmax-cosine scan against k broadcast centroid literals feeding a <=k-group partial/final aggregate — no join wider than the k-row center table."),
+      ("q36_spend_deciles",
+        "Exact global NTILE without a single-partition window: the per-customer aggregate range-repartitions on the sort key (RangePartitioning in the exchange), row_number runs per slice, and the per-slice counts (<= #partitions rows) take a bounded prefix-sum offset that broadcast-joins back; decile is all-integer arithmetic on the exact rank."),
+      ("q37_table_profile",
+        "Single-pass profile: ONE FileScan feeds an Expand (fan-out = #distinct-profiled columns) whose partial aggregates collapse before the shuffle — six exact distinct counts + null counts + the row count in one pass, unpivoted by stack into the long-form report."),
+      ("d14_minhash_calibration",
+        "Estimator calibration: candidates come from d03's single-sourced band-key equi-join (SHUFFLE_HASH, never all-pairs); signatures are map-side native expressions, and the 32-position compare + exact-overlap arithmetic run only on candidate rows."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder
