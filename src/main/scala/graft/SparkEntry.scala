@@ -78,6 +78,7 @@ object SparkEntry {
     "t20_line_dedup" -> (TextAnalysis.t20LineDedup _),
     "t22_token_coverage" -> ((s, d) => TextAnalysis.t22TokenCoverage(s, d)),
     "t23_freq_spectrum" -> (TextAnalysis.t23FreqSpectrum _),
+    "t24_intradoc_dedup" -> (TextAnalysis.t24IntraDocDedup _),
     "t21_bpe_vocab_train" -> ((s, d) => TextAnalysis.t21BpeVocabTrain(s, d)), // rows-only: iterative argmax, no SQL mirror
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),

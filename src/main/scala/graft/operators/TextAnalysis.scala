@@ -831,6 +831,37 @@ object TextAnalysis {
         (col("freq") * col("n_types")).as("mass"))
       .orderBy("freq")
 
+  /** t24: INTRA-document line dedup — the RefinedWeb/CCNet step that
+    * precedes corpus-wide line dedup (t20): repeated lines WITHIN one
+    * page (scripted templates, chat transcripts, scraped pagination)
+    * inflate token counts and train the LM on loops. Where t20 needs a
+    * corpus-wide line-frequency shuffle, the within-doc decision is
+    * pure per-row ARRAY arithmetic: dup lines = len(lines) −
+    * len(distinct lines) — map-side, embarrassingly parallel, no
+    * corpus state; the only shuffle is the |sources|-group rollup.
+    * Lines are the shared 10-token chunking (t14/t20 single-sourced
+    * arithmetic); every 5th doc repeats its first line as a planted
+    * intra-doc dup (t10/t20 planting precedent). All-integer output. */
+  def t24IntraDocDedup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val lines0 = transform(sequence(lit(1L), TF.chunkCount(col("toks"), 10)),
+      j => TF.tokenChunk(col("toks"), j, 10))
+    val lines = concat(lines0,
+      when(pmod(id, lit(5)) === 0, slice(lines0, 1, 1))
+        .otherwise(array().cast("array<string>")))
+    docsWithTokens(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("lines", lines)
+      .select(col("source"), size(col("lines")).cast("long").as("lt"),
+        size(array_distinct(col("lines"))).cast("long").as("nd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lt")).as("lines_total"),
+        sum(col("lt") - col("nd")).as("dup_lines"),
+        sum(when(col("lt") > col("nd"), 1L).otherwise(0L)).as("docs_affected"))
+      .orderBy("source")
+  }
+
   /** Hashed-classifier mixing constants (t17): an LCG step over the
     * portable token value. Any fixed (A, B) gives a deterministic
     * pseudo-weight stream; A is the MT19937 seed-scrambling multiplier,
@@ -1127,6 +1158,27 @@ object TextAnalysis {
               CAST((SUM(cnt) OVER (ORDER BY rank)) * 1000000 // total
                 AS BIGINT) AS cum_ppm
             FROM top, tot ORDER BY rank""",
+      "t24_intradoc_dedup" ->
+        s"""WITH d AS (
+              SELECT doc_id, source, $toks AS toks
+              FROM documents WHERE len(trim(text)) > 0),
+            l0 AS (
+              SELECT doc_id, source,
+                list_transform(
+                  generate_series(1, ${TS.chunkCount("toks", 10)}),
+                  j -> ${TS.tokenChunk("toks", "j", 10)}) AS lines0
+              FROM d),
+            l AS (SELECT doc_id, source,
+                lines0 || (CASE WHEN doc_id % 5 = 0
+                  THEN lines0[1:1] ELSE [] END) AS lines
+              FROM l0)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(len(lines)) AS BIGINT) AS lines_total,
+              CAST(SUM(len(lines) - len(list_distinct(lines))) AS BIGINT)
+                AS dup_lines,
+              CAST(SUM(CASE WHEN len(lines) > len(list_distinct(lines))
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected
+            FROM l GROUP BY source ORDER BY source""",
       "t23_freq_spectrum" ->
         s"""WITH c AS (SELECT token, COUNT(*) AS cnt FROM (
               SELECT unnest($toks) AS token FROM documents) GROUP BY token)

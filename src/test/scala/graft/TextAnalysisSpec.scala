@@ -69,6 +69,31 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rows.map(_.getAs[Long]("mass")).sum == tok.count())
   }
 
+  test("t24 intra-doc dedup counts the planted repeats and plans join-free") {
+    import org.apache.spark.sql.functions._
+    val df = TextAnalysis.t24IntraDocDedup(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every 5th non-empty doc gets exactly one planted repeat, so the
+    // corpus-wide dup count is at least the planted-doc count (natural
+    // chunk repeats can only add)
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+    val planted = docs.filter(pmod(col("doc_id"), lit(5)) === 0).count()
+    val dupTotal = rows.map(_.getAs[Long]("dup_lines")).sum
+    val affected = rows.map(_.getAs[Long]("docs_affected")).sum
+    assert(dupTotal >= planted && planted > 0)
+    assert(affected >= planted)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_lines") <= r.getAs[Long]("lines_total"))
+      assert(r.getAs[Long]("docs_affected") <= r.getAs[Long]("n_docs"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // within-doc decision is per-row array arithmetic: no join anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"t24 must be join-free:\n$plan")
+  }
+
   test("t06 bigram counts are positive and bigrams are two tokens") {
     val rows = TextAnalysis.t06BigramCounts(spark, sf).collect()
     assert(rows.length == 25)
