@@ -50,6 +50,7 @@ object SparkEntry {
     "q35_volume_shipping" -> (Relational.q35VolumeShipping _),
     "q36_spend_deciles" -> (Relational.q36SpendDeciles _),
     "q37_table_profile" -> (Relational.q37TableProfile _),
+    "q38_incremental_rollup" -> (Relational.q38IncrementalRollup _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -419,6 +420,13 @@ object SparkEntry {
            COUNT(DISTINCT $c) AS n_distinct, COUNT(*) AS n_rows
            FROM orders""")
       .mkString(" UNION ALL ") + " ORDER BY col_name"),
+    "q38_incremental_rollup" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY event_type, day""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -754,6 +754,50 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Daily aggregate STATE of an events relation: (event_type, day) →
+    * count + value total in integer cents (q35 money rule: exact and
+    * order-independent, so states merge associatively with no float
+    * drift). This is the mergeable-summary contract behind
+    * [[q38IncrementalRollup]] — every statistic is a partial aggregate
+    * (counts and integer sums), so state ⊎ delta = recompute, exactly. */
+  def dailyState(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+
+  /** Merge an existing daily state with a batch of newly-arrived raw
+    * events: aggregate the delta to the same state schema, union, and
+    * re-sum per key. One shuffle over \|state\| + \|delta-days\| rows —
+    * the incremental-maintenance pattern that replaces rescanning
+    * history at 100 TB. Late arrivals are the POINT: delta events may
+    * touch days the state already covers, and the integer partial
+    * aggregates re-combine exactly. */
+  def mergeDailyState(state: DataFrame, deltaEvents: DataFrame): DataFrame =
+    state.unionByName(dailyState(deltaEvents))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"), sum(col("cents")).as("cents"))
+
+  /** q38: INCREMENTAL daily rollup — maintain, don't rescan. The gate
+    * splits events into an 80% "already aggregated" arrival slice and a
+    * 20% late-arrival delta (interleaved by event_id, so the delta hits
+    * days the state already holds), folds the delta into the stored
+    * state with [[mergeDailyState]], and must hash-match the oracle's
+    * one-shot GROUP BY over everything — the cross-engine proof that
+    * the state is a true mergeable summary. In production the state
+    * side is the stored rollup parquet (days × types rows, KBs), so
+    * each maintenance run costs one delta scan + one tiny shuffle
+    * instead of a 100 TB history rescan; the spec additionally folds
+    * three arrival chunks sequentially and in swapped order
+    * (associativity + commutativity of the merge). */
+  def q38IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val history = ev.filter(pmod(col("event_id"), lit(5)) =!= 0)
+    val delta = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+    mergeDailyState(dailyState(history), delta)
+      .orderBy("event_type", "day")
+  }
+
   /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
     * aggregate: parts whose revenue exceeds 1.3× the mean per-part
     * revenue ("important stock"; the mean-relative form is

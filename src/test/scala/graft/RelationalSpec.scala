@@ -251,6 +251,25 @@ class RelationalSpec extends GraftSuite {
     rows.values.foreach(r => assert(r.getAs[Long]("n_nulls") == 0L))
   }
 
+  test("q38: sequential and order-swapped state merges equal the one-shot rollup") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    def chunk(r: Int) = ev.filter(pmod(col("event_id"), lit(3)) === r)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "day").collect().toSeq
+    val oneShot = sorted(Relational.dailyState(ev))
+    // fold three arrival chunks sequentially: ((c0 + c1) + c2)
+    val seqFold = sorted(Relational.mergeDailyState(
+      Relational.mergeDailyState(Relational.dailyState(chunk(0)), chunk(1)),
+      chunk(2)))
+    assert(seqFold == oneShot, "sequential fold diverged from recompute")
+    // commuted arrival order: ((c2 + c0) + c1)
+    val swapped = sorted(Relational.mergeDailyState(
+      Relational.mergeDailyState(Relational.dailyState(chunk(2)), chunk(0)),
+      chunk(1)))
+    assert(swapped == oneShot, "merge is not arrival-order independent")
+  }
+
   test("q31: every returned part genuinely exceeds 1.3x the mean part revenue") {
     import org.apache.spark.sql.functions.{col, expr}
     val perPart = Tables.lineitem(spark, sf)
