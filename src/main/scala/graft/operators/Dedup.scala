@@ -158,24 +158,41 @@ object Dedup {
     * change here changes all three together (the round-4
     * single-sourcing rule for shared join shapes). */
   private[graft] def minhashBandKeys(docs: DataFrame): DataFrame =
+    bandKeysOfSigs(minhashSigs(docs))
+
+  /** (doc_id, sh, sig) MinHash signatures of a `doc_id`+`text` relation —
+    * the shared signature pass of d03 and d14. */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame =
     docs.withColumn("toks", TF.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
       .withColumn("sig", graft.functions.NativeFunctions.minhashSig(col("sh")))
-      .select(col("doc_id"),
+
+  /** The 16×2 band-key arithmetic over a precomputed signature relation
+    * (kept separate from [[minhashSigs]] so consumers that need the
+    * signature itself — d14 — derive keys from the SAME sig column). */
+  private[graft] def bandKeysOfSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(15)), j =>
           element_at(col("sig"), (j * lit(2) + lit(1)).cast("int")) * lit(P) +
             element_at(col("sig"), (j * lit(2) + lit(2)).cast("int")))))
       .toDF("doc_id", "band", "key")
 
-  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val bands = minhashBandKeys(Tables.documents(spark, dir))
-    val cand = bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
+  /** Distinct (doc_i < doc_j) candidate pairs from a band-key index —
+    * THE candidate equi-join of the MinHash family, existing exactly
+    * once (the round-4 single-sourcing rule): d03's verify and d14's
+    * calibration both consume it, so a hint or key-math change reaches
+    * every consumer together. */
+  private[graft] def minhashCandidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .distinct()
+
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val cand = minhashCandidatePairs(minhashBandKeys(Tables.documents(spark, dir)))
     val inter = size(array_intersect(col("sh_i"), col("sh_j")))
     cand
       .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
@@ -200,14 +217,14 @@ object Dedup {
     * signatures map-side; the per-pair position compare is a bounded
     * 32-element fold on candidate rows, not a corpus scan. */
   def d14MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = docShingles(spark, dir).select(col("doc_id"), col("sh"),
-      graft.functions.NativeFunctions.minhashSig(col("sh")).as("sig"))
-    val bands = minhashBandKeys(Tables.documents(spark, dir))
-    val cand = bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
+    // band keys derive from the SAME signature relation that is joined
+    // back per candidate — one signature definition. (The band join
+    // stays slim on purpose: carrying the 32-long sig through the
+    // 16-way band explode would widen the candidate shuffle 16×; the
+    // per-branch signature evaluation is the cheaper side of that
+    // trade, as in d03's shingle re-join.)
+    val sigs = minhashSigs(Tables.documents(spark, dir))
+    val cand = minhashCandidatePairs(bandKeysOfSigs(sigs))
     val est = aggregate(
       zip_with(col("sig_i"), col("sig_j"),
         (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),

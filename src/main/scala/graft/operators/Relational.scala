@@ -694,13 +694,28 @@ object Relational {
     * summed in integer cents (q35 money rule), output is counts and
     * cent totals. Window input is the GROUPED per-customer relation
     * (q27 precedent: the fact collapses before any window). */
-  def q36SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+  /** The ranked relation behind [[q36SpendDeciles]]. `snapshot = true`
+    * (the shipped path) materializes the slice assignment ONCE with a
+    * localCheckpoint: the offset branch and the rank branch are two
+    * consumers of the range shuffle, and without a shared
+    * materialization their agreement would ride on exchange reuse and
+    * on range-boundary sampling repeating — a silent wrong-ranks
+    * failure mode if either ever changes. With the snapshot, both
+    * branches read the SAME pid assignment by construction (on a real
+    * cluster prefer a reliable checkpoint dir — the d07 knob — since
+    * localCheckpoint blocks don't survive executor loss). The
+    * `snapshot = false` form exists for the plan audit, which pins the
+    * RangePartitioning exchange and that even the lineage-shared form
+    * deduplicates to ONE reused exchange. */
+  private[graft] def spendRanks(spark: SparkSession, dir: String,
+      snapshot: Boolean): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val parted = spend
+    val parted0 = spend
       .repartitionByRange(col("cents").desc, col("o_custkey").asc)
       .withColumn("pid", spark_partition_id().cast("long"))
+    val parted = if (snapshot) parted0.localCheckpoint() else parted0
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("cents").desc, col("o_custkey").asc)
     val local = parted.withColumn("lrn", row_number().over(wLocal).cast("long"))
@@ -711,12 +726,15 @@ object Relational {
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
     val total = offsets.agg(sum(col("cnt")).as("n_total"))
-    val ranked = local
+    local
       .join(broadcast(offsets.select(col("pid").as("opid"), col("off"))),
         col("pid") === col("opid"))
       .crossJoin(broadcast(total))
       .withColumn("rank", col("off") + col("lrn"))
-    ranked
+  }
+
+  def q36SpendDeciles(spark: SparkSession, dir: String): DataFrame =
+    spendRanks(spark, dir, snapshot = true)
       .withColumn("decile", ntileFromRank(col("rank"), col("n_total"), 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
@@ -724,7 +742,6 @@ object Relational {
         min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"))
       .orderBy("decile")
-  }
 
   /** q37: single-pass TABLE PROFILE — the ANALYZE-style data-quality
     * report a pipeline runs before training: per column of orders,

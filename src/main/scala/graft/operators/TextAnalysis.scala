@@ -844,14 +844,18 @@ object TextAnalysis {
     * intra-doc dup (t10/t20 planting precedent). All-integer output. */
   def t24IntraDocDedup(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val lines0 = transform(sequence(lit(1L), TF.chunkCount(col("toks"), 10)),
-      j => TF.tokenChunk(col("toks"), j, 10))
-    val lines = concat(lines0,
-      when(pmod(id, lit(5)) === 0, slice(lines0, 1, 1))
-        .otherwise(array().cast("array<string>")))
+    // lines0 is materialized as its own column BEFORE the plant: the
+    // chunk build is referenced twice below and an inline alias would
+    // re-evaluate the whole transform per reference (the tokenVals
+    // convention, TextFunctions.scala)
     docsWithTokens(spark, dir)
       .filter(length(trim(col("text"))) > 0)
-      .withColumn("lines", lines)
+      .withColumn("lines0",
+        transform(sequence(lit(1L), TF.chunkCount(col("toks"), 10)),
+          j => TF.tokenChunk(col("toks"), j, 10)))
+      .withColumn("lines", concat(col("lines0"),
+        when(pmod(id, lit(5)) === 0, slice(col("lines0"), 1, 1))
+          .otherwise(array().cast("array<string>"))))
       .select(col("source"), size(col("lines")).cast("long").as("lt"),
         size(array_distinct(col("lines"))).cast("long").as("nd"))
       .groupBy(col("source"))

@@ -310,9 +310,14 @@ class PlanAuditSpec extends GraftSuite {
   }
 
   test("q36: decile ranking range-partitions the data; no data-path ntile window") {
+    // the lineage-shared (no-snapshot) form shows the range exchange and
+    // must deduplicate its two consumers onto ONE reused materialization
+    val inner = planStr(Relational.spendRanks(spark, sf, snapshot = false))
+    assert(inner.toLowerCase.contains("rangepartitioning"),
+      s"two-phase ranking must range-repartition on the sort key:\n$inner")
+    assert(inner.contains("ReusedExchange"),
+      s"offset and rank branches must share one range shuffle:\n$inner")
     val s = planStr(Relational.q36SpendDeciles(spark, sf))
-    assert(s.toLowerCase.contains("rangepartitioning"),
-      s"two-phase ranking must range-repartition on the sort key:\n$s")
     assert(!s.contains("ntile"),
       s"the data path must not plan a global ntile window:\n$s")
   }
