@@ -44,6 +44,34 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream_rollup maintains batch-identical daily state across late arrivals") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("rollup_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rollup_ckpt").toString
+    def dayTs(day: Int, hour: Int): Timestamp =
+      new Timestamp(1700000000000L + day * 86400000L + hour * 3600000L)
+    val b1 = Seq((dayTs(0, 1), "click", 1.25), (dayTs(0, 2), "view", 2.50),
+      (dayTs(1, 1), "click", 3.00))
+    val b2 = Seq((dayTs(1, 2), "click", 4.75), (dayTs(2, 1), "view", 0.10))
+    // batch 3 is pure late arrival: it only touches days 0 and 1,
+    // which the state already covers
+    val b3 = Seq((dayTs(0, 3), "click", 9.99), (dayTs(1, 3), "view", 7.77))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamRollup.maintain(
+      input.toDF().toDF("ts", "event_type", "value"), stateDir, ckpt)
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = StreamRollup.readState(spark, stateDir)
+      .orderBy("event_type", "day").collect().toSeq
+    val want = graft.operators.Relational
+      .dailyState((b1 ++ b2 ++ b3).toDF("ts", "event_type", "value"))
+      .orderBy("event_type", "day").collect().toSeq
+    assert(got == want, s"stream state diverged from batch recompute:\n$got\n$want")
+    assert(got.nonEmpty && got.map(_.getAs[Long]("n_events")).sum == 7L)
+  }
+
   test("cms sketch aggregates incrementally over a stream (complete mode)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
