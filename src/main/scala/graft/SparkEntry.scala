@@ -51,6 +51,7 @@ object SparkEntry {
     "q36_spend_deciles" -> (Relational.q36SpendDeciles _),
     "q37_table_profile" -> (Relational.q37TableProfile _),
     "q38_incremental_rollup" -> (Relational.q38IncrementalRollup _),
+    "q39_snapshot_diff" -> (Relational.q39SnapshotDiff _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -427,6 +428,28 @@ object SparkEntry {
          FROM events
          GROUP BY 1, 2
          ORDER BY event_type, day""",
+    "q39_snapshot_diff" ->
+      """WITH v1 AS (
+           SELECT doc_id, source AS src1, md5(text) AS fp1
+           FROM documents WHERE doc_id % 7 <> 0),
+         v2 AS (
+           SELECT doc_id, source AS src2,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+                 ELSE text END) AS fp2
+           FROM documents WHERE doc_id % 11 <> 0),
+         d AS (
+           SELECT COALESCE(src1, src2) AS source,
+             CASE WHEN fp1 IS NULL THEN 'added'
+                  WHEN fp2 IS NULL THEN 'removed'
+                  WHEN fp1 <> fp2 THEN 'changed'
+                  ELSE 'same' END AS status
+           FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+         SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         FROM d GROUP BY source ORDER BY source""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -815,6 +815,42 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** q39: corpus SNAPSHOT DIFF — the dataset regression test every
+    * pipeline rerun needs at 100 TB: given two corpus versions, report
+    * per source how many docs were added, removed, changed, or kept.
+    * The two versions derive deterministically from the gate corpus
+    * (v1 drops doc_id ≡ 0 mod 7 — those appear as ADDED; v2 drops
+    * ≡ 0 mod 11 — REMOVED — and rewrites the text of ≡ 0 mod 13 —
+    * CHANGED). Plan: content identity is an md5 fingerprint computed
+    * map-side on each version, then ONE co-partitioned FULL OUTER join
+    * on doc_id (the only join type that sees adds and removes in a
+    * single pass — both sides shuffle once on the key, no second
+    * anti-join sweep) feeding conditional-count rollups per source.
+    * All-integer output. */
+  def q39SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("source").as("src1"), md5(col("text")).as("fp1"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .withColumn("text2",
+        when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source").as("src2"), md5(col("text2")).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
+      .orderBy("source")
+  }
+
   /** q31: TPC-H Q11 shape — filter GROUPS by their share of a global
     * aggregate: parts whose revenue exceeds 1.3× the mean per-part
     * revenue ("important stock"; the mean-relative form is

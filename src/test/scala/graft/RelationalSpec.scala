@@ -270,6 +270,31 @@ class RelationalSpec extends GraftSuite {
     assert(swapped == oneShot, "merge is not arrival-order independent")
   }
 
+  test("q39: diff statuses reconcile with the version membership rules") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q39SnapshotDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    // membership arithmetic: added = in v2 only, removed = in v1 only,
+    // changed = in both with doc_id % 13 == 0 (the text rewrite)
+    def inV1(id: Long) = id % 7 != 0
+    def inV2(id: Long) = id % 11 != 0
+    val wantAdded = ids.count(id => !inV1(id) && inV2(id))
+    val wantRemoved = ids.count(id => inV1(id) && !inV2(id))
+    val wantChanged = ids.count(id => inV1(id) && inV2(id) && id % 13 == 0)
+    val wantSame = ids.count(id => inV1(id) && inV2(id) && id % 13 != 0)
+    assert(rows.map(_.getAs[Long]("n_added")).sum == wantAdded)
+    assert(rows.map(_.getAs[Long]("n_removed")).sum == wantRemoved)
+    assert(rows.map(_.getAs[Long]("n_changed")).sum == wantChanged)
+    assert(rows.map(_.getAs[Long]("n_same")).sum == wantSame)
+    assert(wantAdded > 0 && wantRemoved > 0 && wantChanged > 0)
+    // one full-outer pass sees adds and removes together — no second sweep
+    val plan = Relational.q39SnapshotDiff(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"diff must plan a full outer join:\n$plan")
+  }
+
   test("q31: every returned part genuinely exceeds 1.3x the mean part revenue") {
     import org.apache.spark.sql.functions.{col, expr}
     val perPart = Tables.lineitem(spark, sf)
