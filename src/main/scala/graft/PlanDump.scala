@@ -109,6 +109,10 @@ object PlanDump {
         "Single-pass profile: ONE FileScan feeds an Expand (fan-out = #distinct-profiled columns) whose partial aggregates collapse before the shuffle — six exact distinct counts + null counts + the row count in one pass, unpivoted by stack into the long-form report."),
       ("d14_minhash_calibration",
         "Estimator calibration: candidates come from d03's single-sourced band-key equi-join (SHUFFLE_HASH, never all-pairs); signatures are map-side native expressions, and the 32-position compare + exact-overlap arithmetic run only on candidate rows."),
+      ("q38_incremental_rollup",
+        "Incremental rollup: the history side collapses to (type, day) partial aggregates before the union, so the merge shuffle carries state + delta-days rows — counts and integer-cent sums recombine exactly (no float drift), which is what lets maintenance replace a history rescan."),
+      ("q39_snapshot_diff",
+        "Snapshot diff: both versions fingerprint map-side, then ONE co-partitioned FULL OUTER sort-merge join on doc_id classifies added/removed/changed/same in a single pass — no second anti-join sweep — feeding a conditional-count rollup per source."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder
