@@ -61,17 +61,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events table carries a TIMESTAMP(NANOS) parquet column, which
-    * Spark has no native type for. Read it as a raw long (legacy conf) and
-    * truncate ns→µs with integer division — exactly what DuckDB/Arrow do
-    * when they downcast nanos to their microsecond timestamps, so the
-    * oracle sees identical values. (Integer `div`, not `/`: the ns epoch
-    * ~1.7e18 exceeds double's 53-bit mantissa.)
+  /** The events table's `ts` column has shipped in two physical forms
+    * across driver generations: TIMESTAMP(NANOS) (no native Spark type —
+    * read as a raw long via the legacy conf, truncated ns→µs with integer
+    * `div`, matching the Arrow/DuckDB nanos→micros downcast) and plain
+    * TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). Normalize both
+    * to session-local TIMESTAMP; every session here pins UTC, so the
+    * NTZ→LTZ cast is value-identical and the oracle sees the same
+    * instants either way. Dispatch on the *observed* schema so a future
+    * regeneration in either form keeps working.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
