@@ -16,6 +16,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Machine-state capture (r6 verdict: a run-wide ~1.45x inflation was
+    // unattributable because the bench recorded nothing about the box).
+    // Load average is sampled at start AND end so a contended run is
+    // visible in the artifact itself, not just in cross-round deltas.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    def envJson(loadEnd: Double): String = {
+      val rt = Runtime.getRuntime
+      s""""env":{"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},""" +
+        s""""cpus":${osBean.getAvailableProcessors},"heap_max_mb":${rt.maxMemory / 1048576},""" +
+        s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576}}"""
+    }
     // JIT/codegen warmup at the smallest SF so measured times reflect
     // steady-state execution, not whichever query runs first; sorted
     // order keeps run-to-run timings comparable.
@@ -85,17 +97,18 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     // Full-precision per-pass samples + per-query baseline ratios, for
     // humans; the driver only reads the one-line stdout summary.
+    val env = envJson(osBean.getSystemLoadAverage)
     val detail = {
       val ss = samples.map { case (k, v) =>
         s"\"" + k + "\":" + v.map(d => f"$d%.4f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","total":${f"$total%.3f"},"samples":$ss$ratioDetail$failedField}"""
+      s"""{"sf":"$sfDir","total":${f"$total%.3f"},$env,"samples":$ss$ratioDetail$failedField}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField$ratioFields}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",$env$failedField$ratioFields}""")
     spark.stop()
   }
 }

@@ -1,8 +1,11 @@
 // scratch: dump formatted plan for queries. sbt "runMain graft.ExplainQ d02_ngram_jaccard"
+// SPARK_GRAFT_SF_DIR picks the data (default sf0.01); the plan is printed
+// AFTER an execution so AQE's final physical choices are visible.
 package graft
 import org.apache.spark.sql.SparkSession
 object ExplainQ {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -16,7 +19,9 @@ object ExplainQ {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { n =>
       println(s"===== $n =====")
-      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").queryExecution.explainString(
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.count() // materialize so AQE finalizes the plan
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -73,13 +73,20 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // NTZ→LTZ is value-identical under the pinned-UTC sessions here.
+      // Any OTHER physical form must fail fast: e.g. a numeric ts without
+      // the nanos annotation would go through Spark's numeric→timestamp
+      // cast, which scales by SECONDS — silently wrong instants.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other; " +
+          "expected TIMESTAMP, TIMESTAMP_NTZ, or nanos-as-long")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -432,11 +432,22 @@ object Relational {
   /** q26: TPC-H Q2 shape — CORRELATED MIN subquery: for each ECONOMY
     * part, the supplier(s) that sold it at its minimum price. The
     * correlated `price = (SELECT min(price) WHERE same part)` becomes a
-    * per-key aggregate joined back to the fact: both sides of that join
-    * hash-partition on l_partkey, so the agg and the min-match re-join
-    * co-partition with NO extra fact shuffle (exchange reuse). Part and
-    * supplier joins are AQE's choice (SF-linear — no hint); nation
-    * broadcasts. DISTINCT collapses equal-price duplicate line items. */
+    * per-key aggregate joined back to the fact. The join-back keys on
+    * l_partkey ONLY, with the price match as a post-join filter: a
+    * composite (partkey, price) join key would hash-partition BOTH sides
+    * on a key the agg exchange doesn't produce, forcing a second fact
+    * shuffle at scale — keyed on partkey alone, the agg's exchange and
+    * the join's left requirement are the same hashpartitioning(l_partkey)
+    * and the fact shuffles ONCE (exchange reuse; q34 precedent). The
+    * inner join keeps the filter semantics identical. Part and supplier
+    * joins are AQE's choice (SF-linear — no hint); nation broadcasts.
+    * DISTINCT collapses equal-price duplicate line items.
+    *
+    * r7 note on the r6 bench regression (0.69→1.92 s, no code change):
+    * the AQE-final plan at sf0.01 AND sf0.1 broadcasts minP (hash join,
+    * never sort-merge) — the slowdown was run-environment inflation, not
+    * a plan flip (BENCH now records load/heap to attribute this). The
+    * executed plan is pinned hash-join-only by PlanAuditSpec. */
   def q26CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
@@ -445,8 +456,8 @@ object Relational {
     val minP = l.groupBy(col("l_partkey"))
       .agg(min(col("l_extendedprice")).as("min_price"))
       .withColumnRenamed("l_partkey", "mp_partkey")
-    l.join(minP, col("l_partkey") === col("mp_partkey") &&
-        col("l_extendedprice") === col("min_price"))
+    l.join(minP, col("l_partkey") === col("mp_partkey"))
+      .filter(col("l_extendedprice") === col("min_price"))
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
@@ -701,21 +712,34 @@ object Relational {
     * materialization their agreement would ride on exchange reuse and
     * on range-boundary sampling repeating — a silent wrong-ranks
     * failure mode if either ever changes. With the snapshot, both
-    * branches read the SAME pid assignment by construction (on a real
-    * cluster prefer a reliable checkpoint dir — the d07 knob — since
-    * localCheckpoint blocks don't survive executor loss). The
-    * `snapshot = false` form exists for the plan audit, which pins the
-    * RangePartitioning exchange and that even the lineage-shared form
-    * deduplicates to ONE reused exchange. */
+    * branches read the SAME pid assignment by construction. On a real
+    * cluster pass `checkpointDir` (the d07 knob): localCheckpoint blocks
+    * live in executor storage and die with an executor — the production
+    * form writes the snapshot to the reliable FS so the ranking survives
+    * executor loss instead of recomputing from (possibly re-sampled)
+    * lineage or failing. The `snapshot = false` form exists for the plan
+    * audit, which pins the RangePartitioning exchange and that even the
+    * lineage-shared form deduplicates to ONE reused exchange. */
   private[graft] def spendRanks(spark: SparkSession, dir: String,
-      snapshot: Boolean): DataFrame = {
+      snapshot: Boolean, checkpointDir: Option[String] = None): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
     val parted0 = spend
       .repartitionByRange(col("cents").desc, col("o_custkey").asc)
       .withColumn("pid", spark_partition_id().cast("long"))
-    val parted = if (snapshot) parted0.localCheckpoint() else parted0
+    // d07's dir discipline: redirect the session checkpoint dir for the
+    // one eager materialization, restore afterwards (restorable only when
+    // a dir was set before — SparkContext has no public unset).
+    val parted = (snapshot, checkpointDir) match {
+      case (false, _) => parted0
+      case (true, None) => parted0.localCheckpoint()
+      case (true, Some(d)) =>
+        val sc = spark.sparkContext
+        val saved = sc.getCheckpointDir
+        sc.setCheckpointDir(d + "/q36-ranks")
+        try parted0.checkpoint() finally sc.setCheckpointDir(saved.getOrElse(d))
+    }
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("cents").desc, col("o_custkey").asc)
     val local = parted.withColumn("lrn", row_number().over(wLocal).cast("long"))
@@ -734,7 +758,13 @@ object Relational {
   }
 
   def q36SpendDeciles(spark: SparkSession, dir: String): DataFrame =
-    spendRanks(spark, dir, snapshot = true)
+    q36SpendDeciles(spark, dir, checkpointDir = None)
+
+  /** `checkpointDir`-accepting form: reliable-FS snapshot of the slice
+    * assignment (survives executor loss; delete the dir once consumed). */
+  def q36SpendDeciles(spark: SparkSession, dir: String,
+      checkpointDir: Option[String]): DataFrame =
+    spendRanks(spark, dir, snapshot = true, checkpointDir)
       .withColumn("decile", ntileFromRank(col("rank"), col("n_total"), 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),

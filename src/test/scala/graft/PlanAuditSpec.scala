@@ -335,6 +335,33 @@ class PlanAuditSpec extends GraftSuite {
       s"metadata count must not open a parquet data scan:\n$s")
   }
 
+  test("q26: the min-price join-back is hash-joined; at-scale shape is co-partitioned on l_partkey") {
+    // default config: AQE must resolve every q26 join as a hash join
+    // (minP broadcasts at toy SF) — the r6 bench regression was traced to
+    // run-environment inflation, NOT a sort-merge flip; this pins that a
+    // real flip can never land silently
+    val s = planStr(Relational.q26CheapestSupplier(spark, sf))
+    assert(!s.contains("SortMergeJoin"),
+      s"q26's joins must stay hash joins at toy SF:\n$s")
+    // at-scale shape: with broadcast off, the join-back keys on l_partkey
+    // ONLY (the price match is a post-join filter), so the min-aggregate's
+    // exchange already satisfies the join's partitioning — no extra minP
+    // shuffle, and the fact never shuffles on a composite (partkey, price)
+    // key. Bounded: l-fact partkey, minP partial-agg, part, l_suppkey
+    // re-key, supplier, distinct = 6 (nation stays broadcast by hint).
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Relational.q26CheapestSupplier(spark, sf)
+      val n = shuffles(df)
+      assert(n <= 6, s"q26 at-scale shuffle count regressed to $n:\n${planStr(df)}")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("salted join equals the plain join and splits hot keys") {
     import spark.implicits._
     // heavy skew: one key holds 10k of 10.4k rows

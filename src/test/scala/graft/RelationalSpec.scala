@@ -237,6 +237,22 @@ class RelationalSpec extends GraftSuite {
     assert(got.count() == 10)
   }
 
+  test("q36: reliable-checkpoint path writes the snapshot to disk and matches") {
+    // the production knob (d07 precedent): the slice assignment goes to a
+    // reliable FS dir instead of executor-local storage, so the ranking
+    // survives executor loss — results must be identical to the default
+    val ckDir = java.nio.file.Files.createTempDirectory("q36-ck").toString
+    try {
+      val reliable = Relational.q36SpendDeciles(spark, sf, Some(ckDir)).collect()
+      val default = Relational.q36SpendDeciles(spark, sf).collect()
+      assert(reliable.toSeq.sortBy(_.getLong(0)) == default.toSeq.sortBy(_.getLong(0)))
+      val written = new java.io.File(ckDir, "q36-ranks").listFiles()
+      assert(written != null && written.nonEmpty,
+        "reliable path must materialize the snapshot under the checkpoint dir")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+  }
+
   test("q37: profile statistics match direct per-column recomputes") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q37TableProfile(spark, sf).collect()
