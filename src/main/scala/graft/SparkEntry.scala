@@ -82,6 +82,7 @@ object SparkEntry {
     "t23_freq_spectrum" -> (TextAnalysis.t23FreqSpectrum _),
     "t24_intradoc_dedup" -> (TextAnalysis.t24IntraDocDedup _),
     "t21_bpe_vocab_train" -> ((s, d) => TextAnalysis.t21BpeVocabTrain(s, d)), // rows-only: iterative argmax, no SQL mirror
+    "t25_bpe_tokenize" -> ((s, d) => TextAnalysis.t25BpeTokenize(s, d)), // rows-only: merge list is corpus-dependent, no static SQL mirror
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "d13_semantic_decontamination" ->
       ((s, d) => Dedup.d13SemanticDecontamination(s, d)),
     "d14_minhash_calibration" -> (Dedup.d14MinhashCalibration _),
+    "d15_paragraph_dedup" -> (Dedup.d15ParagraphDedup _),
     "a03_asof_forward" -> (Temporal.a03AsofForward _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),

@@ -468,7 +468,10 @@ object Dedup {
     val train = e.filter(col("bucket") < 80).select(col("vec_id"), col("embedding"))
     val evalSplit = e.filter(col("bucket") >= 80).select(col("vec_id"), col("embedding"))
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
-    val (assigned, stats, cents) = Similarity.rangeIndexOf(train, n, nLists)
+    // persisted under its own tag: the train-split index is a DIFFERENT
+    // corpus from s06's full-table index (Similarity.rangeIndexPersisted)
+    val (assigned, stats, cents) =
+      Similarity.rangeIndexPersisted(spark, dir, "d13", train, n, nLists)
     val q = evalSplit
       .withColumn("cosines", Similarity.centroidCosines(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -794,6 +797,74 @@ object Dedup {
       .orderBy("label")
   }
 
+  /** d15 chunking width: 50 tokens ≈ 5 of t20's 10-token lines — a
+    * paragraph, the granularity RefinedWeb/CCNet dedup actually operates
+    * at (t20 catches single repeated LINES, d02 whole near-dup DOCS;
+    * license blurbs / disclaimer paragraphs sit between the two). */
+  val ParagraphTokens = 50
+
+  /** Cross-doc boilerplate paragraphs d15 plants (t10/t20 precedent: the
+    * synthetic corpus has no natural shared paragraphs beyond its exact
+    * dups, so plant deterministically from doc_id, then MEASURE). */
+  val PlantedParagraphs: Seq[String] = Seq(
+    "this article is distributed under the terms of the creative commons " +
+      "attribution license which permits unrestricted use distribution and " +
+      "reproduction in any medium provided the original work is properly cited",
+    "the views and opinions expressed in this article are those of the " +
+      "authors and do not necessarily reflect the official policy or " +
+      "position of the publisher or its affiliates")
+
+  /** The (doc_id, source, fp) paragraph-fingerprint relation behind d15 —
+    * exposed so the spec recomputes the rollup from the same rows. */
+  private[graft] def d15ParagraphFps(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val paras0 = transform(
+      sequence(lit(1L), TF.chunkCount(col("toks"), ParagraphTokens)),
+      j => TF.tokenChunk(col("toks"), j, ParagraphTokens))
+    val empty = array().cast("array<string>")
+    val parasCol = concat(
+      when(pmod(id, lit(5)) === 0, array(lit(PlantedParagraphs(0)))).otherwise(empty),
+      paras0,
+      when(pmod(id, lit(11)) === 0, array(lit(PlantedParagraphs(1)))).otherwise(empty))
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(id, col("source"), explode(parasCol).as("para"))
+      .select(id, col("source"), md5(col("para")).as("fp"))
+  }
+
+  /** d15: PARAGRAPH-level near-dedup — strip paragraphs that repeat
+    * across documents, keeping the occurrence in the lowest doc_id (the
+    * canonical-pick rule d01 uses for whole docs). Documents chunk into
+    * [[ParagraphTokens]]-token paragraphs (t20's 10-token lines scaled
+    * up — the SAME chunking arithmetic, `TF.chunkCount`/`tokenChunk`);
+    * the fingerprint is portable md5 of the joined text. Removal rule:
+    * an occurrence is dropped iff its doc_id exceeds the fingerprint's
+    * minimum doc_id — nd == 1 paragraphs keep themselves for free, and
+    * exact-dup documents (which share EVERY paragraph) lose all copies
+    * but the canonical doc's. Per-source audit: docs, paragraphs,
+    * removed occurrences, affected docs — all integers.
+    *
+    * Shape at 100 TB: chunking + fingerprint are map-side; the
+    * canonical-doc table is ONE partial-aggregable min() shuffle on the
+    * 128-bit fp; the removal decision is an fp equi-join (AQE skew-join
+    * + the d02 maxDf cap idea cover a pathologically hot license blurb);
+    * the two rollups partial-aggregate. No window, no driver state. */
+  def d15ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val paras = d15ParagraphFps(spark, dir)
+    val canon = paras.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_doc"))
+    val perDoc = paras.join(canon, "fp")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("pt"),
+        sum(when(col("doc_id") > col("keep_doc"), 1L).otherwise(0L)).as("pr"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pt")).as("paras_total"),
+        sum(col("pr")).as("paras_removed"),
+        sum(when(col("pr") > 0, 1L).otherwise(0L)).as("docs_affected"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val sh = TS.shingleHashes(toks)
@@ -801,6 +872,31 @@ object Dedup {
       s"list_min(list_transform(sh, s -> (s*$a + $b) % $P))"
     }.mkString("[", ",\n              ", "]")
     Map(
+      "d15_paragraph_dedup" ->
+        s"""WITH d AS (
+              SELECT doc_id, source, $toks AS toks
+              FROM documents WHERE len(trim(text)) > 0),
+            p0 AS (
+              SELECT doc_id, source,
+                (CASE WHEN doc_id % 5 = 0
+                  THEN ['${PlantedParagraphs(0)}'] ELSE [] END)
+                || list_transform(
+                     generate_series(1, ${TS.chunkCount("toks", ParagraphTokens)}),
+                     j -> ${TS.tokenChunk("toks", "j", ParagraphTokens)})
+                || (CASE WHEN doc_id % 11 = 0
+                  THEN ['${PlantedParagraphs(1)}'] ELSE [] END) AS paras
+              FROM d),
+            p AS (SELECT doc_id, source, md5(unnest(paras)) AS fp FROM p0),
+            c AS (SELECT fp, MIN(doc_id) AS keep_doc FROM p GROUP BY fp),
+            pd AS (SELECT p.doc_id, p.source, COUNT(*) AS pt,
+                SUM(CASE WHEN p.doc_id > c.keep_doc THEN 1 ELSE 0 END) AS pr
+              FROM p JOIN c USING (fp) GROUP BY 1, 2)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(pt) AS BIGINT) AS paras_total,
+              CAST(SUM(pr) AS BIGINT) AS paras_removed,
+              CAST(SUM(CASE WHEN pr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_affected
+            FROM pd GROUP BY source ORDER BY source""",
       "d11_winnowed_dup" ->
         s"""WITH pos AS (
               SELECT doc_id, len(text) AS l, text,

@@ -135,32 +135,7 @@ object Similarity {
 
   def s03AnnIvf(spark: SparkSession, dir: String, nLists: Int,
       nProbe: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val maxFit = 4096
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("features", array_to_vector(col("embedding")))
-    // Fit the coarse quantizer on a bounded deterministic sample — at
-    // 100 TB you never run KMeans over the full corpus; centroid quality
-    // saturates at a few thousand points per list. Systematic vec_id
-    // stride keeps the sample (and hence the result) deterministic. The
-    // corpus size comes from parquet FOOTER metadata (driver-side, the
-    // same O(#files) pass the scan planner performs) — not a count() job
-    // that would scan the corpus before the operator's own action.
-    val n = Tables.parquetRowCount(spark, dir, "embeddings")
-    val stride = math.max(1L, n / maxFit)
-    // cached: KMeans re-scans its input per iteration — without this the
-    // full parquet is re-read 5× before the query proper starts
-    val fitSample = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .select(col("features")).cache()
-    val model = try new KMeans().setK(nLists).setSeed(42).setMaxIter(5)
-      .fit(fitSample) finally fitSample.unpersist(false)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
-    val centDf = spark.createDataFrame(
-      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat))
-      }).toDF("list_id", "centroid")
+    val (assigned, centDf) = s03Index(spark, dir, nLists)
     // probe lists: nprobe nearest centroids per query (tiny: queries x k)
     val sqDist = aggregate(
       zip_with(col("qv"), col("centroid"),
@@ -181,6 +156,128 @@ object Similarity {
       .withColumn("cos", VF.cosine(col("qv"), col("cv")))
     ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
       Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+  }
+
+  /** s03's PERSISTED index: (assigned corpus, centroid table). On first
+    * use for a (corpus dir, nLists, row count) key the coarse quantizer
+    * is fit — on a bounded deterministic sample (at 100 TB you never run
+    * KMeans over the full corpus; centroid quality saturates at a few
+    * thousand points per list; systematic vec_id stride keeps the sample
+    * and hence the result deterministic; corpus size from parquet FOOTER
+    * metadata, not an eager count() job) — the corpus is assigned once,
+    * and BOTH tables are written under the warehouse ([[ivfIndexPath]]).
+    * Every later invocation (s03, the s07 audit, repeated query batches)
+    * READS the index instead of refitting: that is what an IVF
+    * deployment at 100 TB does — the index is a table, not a per-query
+    * computation. The fit is seed-fixed and sample-deterministic, so
+    * index-served results are identical to fresh-fit results
+    * (spec-pinned). */
+  private[graft] def s03Index(spark: SparkSession, dir: String,
+      nLists: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val maxFit = 4096
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val path = ivfIndexPath(spark, dir, "s03", nLists, n)
+    if (!ivfExists(spark, path)) {
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("features", array_to_vector(col("embedding")))
+      val stride = math.max(1L, n / maxFit)
+      // cached: KMeans re-scans its input per iteration — without this
+      // the full parquet is re-read 5x before the index is even built
+      val fitSample = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("features")).cache()
+      val model = try new KMeans().setK(nLists).setSeed(42).setMaxIter(5)
+        .fit(fitSample) finally fitSample.unpersist(false)
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+      val centDf = spark.createDataFrame(
+        model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray.map(_.toFloat))
+        }).toDF("list_id", "centroid")
+      publishIndex(spark, path) { tmp =>
+        // clustered by list: members of a probed list are contiguous at
+        // rest — the layout a real IVF serves scans from
+        assigned.repartition(col("list_id")).write.parquet(tmp + "/assigned")
+        centDf.coalesce(1).write.parquet(tmp + "/centroids")
+      }
+    }
+    (spark.read.parquet(path + "/assigned"),
+      spark.read.parquet(path + "/centroids"))
+  }
+
+  // ───────────────────── persisted IVF index plumbing ──────────────────
+
+  /** Root for persisted IVF indexes, under the session warehouse. */
+  private def ivfRoot(spark: SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      .stripPrefix("file:") + "/graft_ivf"
+
+  /** Identity key of a persisted index: corpus dir, family tag, list
+    * count, and corpus ROW COUNT — a regenerated corpus with different
+    * cardinality can never be served a stale index; an equal-cardinality
+    * regeneration must drop the index explicitly ([[dropIvfIndex]]). */
+  private[graft] def ivfIndexPath(spark: SparkSession, dir: String,
+      tag: String, nLists: Int, n: Long): String =
+    s"${ivfRoot(spark)}/${tag}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_n${n}_k$nLists"
+
+  private def ivfExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Crash-safe publish (Compaction's rename-swap rule): tables are
+    * written under a fresh tmp dir and RENAMED into place, so readers
+    * only ever see a complete index. A concurrent builder that loses the
+    * rename race deletes its tmp and reads the winner — harmless, since
+    * the fit is deterministic and both indexes are identical. */
+  private def publishIndex(spark: SparkSession, path: String)
+      (write: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ivfRoot(spark)))
+    val tmp = new org.apache.hadoop.fs.Path(path + s".tmp-${System.nanoTime()}")
+    write(tmp.toString)
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path)))
+      fs.delete(tmp, true)
+  }
+
+  /** Drop one persisted index (test/regeneration hook). */
+  private[graft] def dropIvfIndex(spark: SparkSession, dir: String,
+      tag: String, nLists: Int, n: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ivfIndexPath(spark, dir, tag, nLists, n))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  /** Persist-or-serve wrapper around [[rangeIndexOf]] for the exact
+    * range-search family (s06 full corpus, d13 train split): first use
+    * fits + assigns + WRITES (assigned lists, list stats, unit
+    * centroids); later uses read the three tables. Serving is
+    * result-identical to fresh fit (deterministic stride sample +
+    * fixed-iteration spherical k-means; spec-pinned). */
+  private[graft] def rangeIndexPersisted(spark: SparkSession, dir: String,
+      tag: String, e: DataFrame, n: Long,
+      nLists: Int): (DataFrame, DataFrame, Seq[Array[Float]]) = {
+    val path = ivfIndexPath(spark, dir, tag, nLists, n)
+    if (!ivfExists(spark, path)) {
+      val (assigned, stats, cents) = rangeIndexOf(e, n, nLists)
+      val centDf = spark.createDataFrame(
+        cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("list_id", "centroid")
+      publishIndex(spark, path) { tmp =>
+        assigned.select(col("vec_id"), col("embedding"), col("cosines"),
+            col("best_cos"), col("list_id"))
+          .repartition(col("list_id")).write.parquet(tmp + "/assigned")
+        stats.coalesce(1).write.parquet(tmp + "/stats")
+        centDf.coalesce(1).write.parquet(tmp + "/centroids")
+      }
+      assigned.unpersist(false) // disk copy supersedes the build cache
+    }
+    val cents = spark.read.parquet(path + "/centroids")
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    (spark.read.parquet(path + "/assigned"),
+      spark.read.parquet(path + "/stats"), cents.toIndexedSeq)
   }
 
   /** Multi-table default: 4 independent sign-LSH tables. Like `bits`,
@@ -452,8 +549,10 @@ object Similarity {
   private[graft] def rangeIndex(spark: SparkSession, dir: String,
       nLists: Int): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, dir).filter(positiveNorm)
+      .select(col("vec_id"), col("embedding"))
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
-    val (assigned, stats, _) = rangeIndexOf(e, n, nLists)
+    val (assigned, stats, _) =
+      rangeIndexPersisted(spark, dir, "s06", e, n, nLists)
     (assigned, stats)
   }
 

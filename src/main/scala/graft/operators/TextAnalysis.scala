@@ -720,15 +720,24 @@ object TextAnalysis {
   def t21BpeVocabTrain(spark: SparkSession, dir: String, merges: Int,
       topWords: Int): DataFrame = {
     import spark.implicits._
-    val wc: Array[(String, Long)] = docsWithTokens(spark, dir)
+    bpeMerges(bpeWordCounts(spark, dir, topWords), merges)
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The bounded word-frequency digest BPE trains on (t21) and t25
+    * re-trains before applying: ONE partial-aggregable word-count
+    * shuffle, then a ≤`topWords`-row driver collect (s03 sample-fit
+    * precedent — never a corpus collect). */
+  private[graft] def bpeWordCounts(spark: SparkSession, dir: String,
+      topWords: Int): Array[(String, Long)] = {
+    import spark.implicits._
+    docsWithTokens(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(topWords)
       .as[(String, Long)].collect()
-    bpeMerges(wc, merges)
-      .toDF("merge_rank", "left", "right", "merged", "pair_count")
-      .orderBy("merge_rank")
   }
 
   /** The merge loop: words as end-marked symbol sequences; per round,
@@ -775,6 +784,85 @@ object TextAnalysis {
       }
     }
     out.toSeq
+  }
+
+  /** Separator for the string encoding of a BPE symbol sequence: every
+    * symbol is delimited by U+0001 on both sides ("⌁l⌁o⌁w⌁</w>⌁").
+    * U+0001 (rendered ⌁ below) never appears in whitespace-split tokens, and a literal
+    * "</w>" inside a token encodes as FOUR delimited codepoints — never
+    * confusable with the single end-marker symbol. */
+  private[graft] val BpeSep = "\u0001"
+
+  /** One word → its separator-encoded symbol string AFTER applying the
+    * merge `rules` in rank order. Pure column expressions end to end:
+    * the base split is one codepoint regex, and each merge rule is one
+    * `regexp_replace` whose pattern consumes `⌁l⌁r` and LOOKS AHEAD at
+    * (without consuming) the trailing separator — so the regex engine's
+    * left-to-right non-overlapping scan lands on exactly the fuse
+    * positions of the textbook left-to-right merge pass (the trailing
+    * separator stays available as the next match's leading separator;
+    * a consuming pattern would skip every second fuse in an adjacent
+    * run like [a,a,a,a]). Symbol-for-symbol agreement with the driver
+    * loop in [[bpeMerges]] is spec-pinned. */
+  private[graft] def bpeEncodeWord(word: Column,
+      rules: Seq[(String, String)]): Column = {
+    import java.util.regex.{Matcher, Pattern}
+    val base = concat(
+      regexp_replace(word, "(?s)(.)", BpeSep + "$1"),
+      lit(BpeSep + "</w>" + BpeSep))
+    rules.foldLeft(base) { case (c, (l, r)) =>
+      regexp_replace(c,
+        Pattern.quote(BpeSep + l + BpeSep + r) + "(?=" + Pattern.quote(BpeSep) + ")",
+        Matcher.quoteReplacement(BpeSep + l + r))
+    }
+  }
+
+  /** A whole token array → one encoded string (word encodings
+    * concatenated; the ⌁⌁ junctions can never match a merge pattern, so
+    * words fuse independently — one regex pass per rule per DOC instead
+    * of per word). Symbol count = #separators − #words, since each
+    * word's encoding carries (symbols + 1) separators. */
+  private[graft] def bpeEncodeDoc(toks: Column,
+      rules: Seq[(String, String)]): Column =
+    array_join(transform(toks, w => bpeEncodeWord(w, rules)), "")
+
+  /** t25: APPLY the trained tokenizer — t21 trains the merge list; this
+    * tokenizes the corpus with it, the step a training-data pipeline
+    * actually ends in (token ids/counts, not merge tables). Train on
+    * the bounded digest (one word-count shuffle + driver merge loop,
+    * t21 exactly), then BROADCAST the ≤`merges`-row rule list as
+    * literals folded into a column expression — application is purely
+    * map-side (no join, no state), and the only shuffle is the
+    * |sources|-row rollup. Reports the numbers that size a training
+    * run: BPE token count, words, UTF-8 bytes, and exact integer
+    * milli-bytes-per-token (bytes·1000 div tokens — the compression
+    * ratio that converts corpus bytes to token budget). Rows-only in
+    * the gate (the merge list is corpus-dependent, so no static SQL
+    * mirror exists); the application itself is spec-pinned
+    * symbol-for-symbol against the driver fuse loop, and the reported
+    * counts against an independent recomputation. */
+  def t25BpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    t25BpeTokenize(spark, dir, merges = 20, topWords = 4096)
+
+  def t25BpeTokenize(spark: SparkSession, dir: String, merges: Int,
+      topWords: Int): DataFrame = {
+    val rules = bpeMerges(bpeWordCounts(spark, dir, topWords), merges)
+      .map(m => (m._2, m._3))
+    val enc = docsWithTokens(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("enc", bpeEncodeDoc(col("toks"), rules))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_bpe",
+        (length(col("enc")) - length(translate(col("enc"), BpeSep, "")))
+          .cast("long") - col("n_words"))
+    enc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words_total"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        sum(octet_length(col("text")).cast("long")).as("bytes_total"))
+      .withColumn("milli_bytes_per_token",
+        expr("bytes_total * 1000 div bpe_tokens"))
+      .orderBy("source")
   }
 
   /** t22: vocabulary COVERAGE curve — for the top-k corpus tokens by

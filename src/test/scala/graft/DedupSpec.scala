@@ -385,6 +385,47 @@ class DedupSpec extends GraftSuite {
       s"boilerplate pairs survived the cap: ${capped.size} of ${uncapped.size}")
   }
 
+  test("d13: persisted train-split index serves results identical to fresh fit") {
+    import graft.operators.Similarity
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    Similarity.dropIvfIndex(spark, sf, "d13", Similarity.RangeLists, n)
+    val fresh = Dedup.d13SemanticDecontamination(spark, sf).collect()
+    val served = Dedup.d13SemanticDecontamination(spark, sf).collect()
+    assert(fresh.toSeq == served.toSeq,
+      "d13 index-served result diverged from fresh fit")
+  }
+
+  test("d15: paragraph dedup matches a driver recompute and strips the planted cross-doc paragraphs") {
+    val paras = Dedup.d15ParagraphFps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(paras.nonEmpty)
+    val keepDoc = paras.groupBy(_._3).map { case (fp, rs) => fp -> rs.map(_._1).min }
+    val perDoc = paras.groupBy(r => (r._1, r._2)).map { case ((id, src), rs) =>
+      (id, src, rs.length.toLong, rs.count(r => id > keepDoc(r._3)).toLong)
+    }.toSeq
+    val want = perDoc.groupBy(_._2).map { case (src, ds) =>
+      src -> (ds.size.toLong, ds.map(_._3).sum, ds.map(_._4).sum,
+        ds.count(_._4 > 0).toLong)
+    }
+    val got = Dedup.d15ParagraphDedup(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("paras_total"),
+          r.getAs[Long]("paras_removed"), r.getAs[Long]("docs_affected"))).toMap
+    assert(got == want, s"per-source audit diverged:\ngot  $got\nwant $want")
+    // the planted fixture: every %5 doc except the canonical (lowest) one
+    // must lose at least its planted license paragraph
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val plantedFp = md.digest(Dedup.PlantedParagraphs(0).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val plantedDocs = paras.collect { case (id, _, fp) if fp == plantedFp => id }.distinct
+    assert(plantedDocs.size > 1, "fixture needs >1 doc carrying the planted paragraph")
+    val canonical = plantedDocs.min
+    val removedByDoc = perDoc.map(d => (d._1, d._4)).toMap
+    plantedDocs.filter(_ != canonical).foreach { id =>
+      assert(removedByDoc(id) >= 1L, s"doc $id kept a planted duplicate paragraph")
+    }
+  }
+
   test("d12 semdedup: drops are exactly the d05 higher-id pair members") {
     val rows = Dedup.d12SemDedup(spark, sf).collect()
     val perLabel = Tables.embeddings(spark, sf).groupBy("label").count()

@@ -171,6 +171,28 @@ class SimilaritySpec extends GraftSuite {
       s"coverage cosine decreased: $radii")
   }
 
+  test("persisted IVF index: index-served results are identical to fresh fit") {
+    import graft.operators.Similarity
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    // s03 family: drop, build fresh, then serve from disk — identical
+    Similarity.dropIvfIndex(spark, sf, "s03", 16, n)
+    val fresh = Similarity.s03AnnIvf(spark, sf).collect()
+    val path = Similarity.ivfIndexPath(spark, sf, "s03", 16, n)
+    assert(new java.io.File(path, "assigned").exists(),
+      s"index not published under $path")
+    val served = Similarity.s03AnnIvf(spark, sf).collect()
+    assert(fresh.toSeq == served.toSeq, "s03 index-served result diverged from fresh fit")
+    // rebuild determinism: drop and refit must reproduce the same index result
+    Similarity.dropIvfIndex(spark, sf, "s03", 16, n)
+    val refit = Similarity.s03AnnIvf(spark, sf).collect()
+    assert(fresh.toSeq == refit.toSeq, "s03 refit diverged — fit is not deterministic")
+    // s06 range family
+    Similarity.dropIvfIndex(spark, sf, "s06", Similarity.RangeLists, n)
+    val f6 = Similarity.s06RangeSearch(spark, sf).collect()
+    val s6 = Similarity.s06RangeSearch(spark, sf).collect()
+    assert(f6.toSeq == s6.toSeq, "s06 index-served result diverged from fresh fit")
+  }
+
   test("s06 range search returns every above-threshold pair s01 knows about") {
     val range = Similarity.s06RangeSearch(spark, sf).collect()
     range.foreach { r =>

@@ -288,6 +288,99 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  /** Independent left-to-right BPE fuse (the textbook application pass),
+    * written fresh here so the spec does not share code with either the
+    * operator's column expression or bpeMerges' internal fuse. */
+  private def fuseLtr(word: String, rules: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] =
+      word.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))) :+ "</w>"
+    for ((l, r) <- rules) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  private def encodeWords(words: Seq[String],
+      rules: Seq[(String, String)]): Map[String, Seq[String]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    words.toDF("w")
+      .select(col("w"), TextAnalysis.bpeEncodeWord(col("w"), rules).as("enc"))
+      .collect()
+      .map { r =>
+        val syms = r.getString(1).split(TextAnalysis.BpeSep).filter(_.nonEmpty).toSeq
+        r.getString(0) -> syms
+      }.toMap
+  }
+
+  test("t25: column-expression merge application equals the driver fuse symbol-for-symbol") {
+    // textbook corpus incl. the self-overlap trap [a,a,a,...] where a
+    // separator-consuming replace would fuse every SECOND pair only
+    val toy = Array("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L,
+      "aaa" -> 2L, "aaaa" -> 1L, "aaaaa" -> 1L)
+    val rules = TextAnalysis.bpeMerges(toy, merges = 8).map(m => (m._2, m._3))
+    val got = encodeWords(toy.map(_._1).toSeq, rules)
+    for ((w, _) <- toy)
+      assert(got(w) == fuseLtr(w, rules), s"word '$w' fused differently")
+    // real corpus digest: every top word must agree too
+    val wc = TextAnalysis.bpeWordCounts(spark, sf, topWords = 4096)
+    val corpusRules = TextAnalysis.bpeMerges(wc, merges = 20).map(m => (m._2, m._3))
+    val gotCorpus = encodeWords(wc.map(_._1).toSeq, corpusRules)
+    for ((w, _) <- wc)
+      assert(gotCorpus(w) == fuseLtr(w, corpusRules), s"corpus word '$w' fused differently")
+  }
+
+  test("t25: applying the first k-1 merges reproduces merge k's trained pair count") {
+    // the t21-consistency pin: re-tokenizing the training digest with a
+    // rule prefix must reproduce the pair frequency each merge was
+    // trained on (incl. overlapping adjacencies, weighted by word freq)
+    val wc = TextAnalysis.bpeWordCounts(spark, sf, topWords = 4096)
+    val trained = TextAnalysis.bpeMerges(wc, merges = 20)
+    val rules = trained.map(m => (m._2, m._3))
+    for (k <- Seq(1, 5, 10, 20)) {
+      val (_, l, r, _, trainedCount) = trained(k - 1)
+      val enc = encodeWords(wc.map(_._1).toSeq, rules.take(k - 1))
+      val recount = wc.map { case (w, c) =>
+        val syms = enc(w)
+        c * syms.indices.dropRight(1).count(i => syms(i) == l && syms(i + 1) == r)
+      }.sum
+      assert(recount == trainedCount,
+        s"merge $k ($l,$r): recounted $recount vs trained $trainedCount")
+    }
+  }
+
+  test("t25: per-source token/byte report matches an independent recompute") {
+    import org.apache.spark.sql.functions._
+    val wc = TextAnalysis.bpeWordCounts(spark, sf, topWords = 4096)
+    val rules = TextAnalysis.bpeMerges(wc, merges = 20).map(m => (m._2, m._3))
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .select("source", "text", "toks").collect()
+    val bySource = docs.groupBy(_.getAs[String]("source"))
+    val rows = TextAnalysis.t25BpeTokenize(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == bySource.keySet)
+    for ((src, ds) <- bySource) {
+      val words = ds.map(_.getSeq[String](2).size.toLong).sum
+      val toks = ds.map(_.getSeq[String](2).map(w => fuseLtr(w, rules).length.toLong).sum).sum
+      val bytes = ds.map(_.getAs[String]("text").getBytes("UTF-8").length.toLong).sum
+      val r = rows(src)
+      assert(r.getAs[Long]("n_docs") == ds.length)
+      assert(r.getAs[Long]("words_total") == words, s"$src words diverged")
+      assert(r.getAs[Long]("bpe_tokens") == toks, s"$src BPE token count diverged")
+      assert(r.getAs[Long]("bytes_total") == bytes, s"$src bytes diverged")
+      assert(r.getAs[Long]("milli_bytes_per_token") == bytes * 1000 / toks)
+    }
+  }
+
   test("t14 gopher rules: per-source flag counts match a direct Scala recompute") {
     val rows = TextAnalysis.t14GopherRules(spark, sf).collect()
     assert(rows.nonEmpty)
