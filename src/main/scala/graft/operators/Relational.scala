@@ -821,7 +821,16 @@ object Relational {
     * touch days the state already covers, and the integer partial
     * aggregates re-combine exactly. */
   def mergeDailyState(state: DataFrame, deltaEvents: DataFrame): DataFrame =
-    state.unionByName(dailyState(deltaEvents))
+    mergeStates(state, dailyState(deltaEvents))
+
+  /** State ⊎ state — the associative/commutative core of
+    * [[mergeDailyState]], exposed for consumers that fold ALREADY
+    * AGGREGATED summaries (StreamRollup's dead-letter sentinel rides
+    * this so retention accounting uses the same one merge definition).
+    * NULL day is a legal key: groupBy treats it as one group, which is
+    * exactly how the sentinel row accumulates. */
+  def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("n_events")).as("n_events"), sum(col("cents")).as("cents"))
 

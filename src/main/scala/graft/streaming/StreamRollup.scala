@@ -52,16 +52,62 @@ object StreamRollup {
       case vs => spark.read.schema(stateSchema).parquet(s"$stateDir/v=${vs.max}")
     }
 
+  /** Dead-letter sentinel key: events arriving older than the retention
+    * bound are NOT merged into their (long-retired) day — they fold into
+    * this single (event_type = sentinel, day = NULL) state row via the
+    * same [[graft.operators.Relational.mergeStates]] definition, so the
+    * state itself carries the audit trail (how many events, how much
+    * value, were refused). A monitoring alert on this row is the
+    * production signal that an upstream producer is replaying history. */
+  val LateDroppedType = "_late_dropped"
+
   /** Start maintaining `stateDir` from a stream of raw events
-    * (`ts: timestamp`, `event_type: string`, `value: double`). */
+    * (`ts: timestamp`, `event_type: string`, `value: double`).
+    *
+    * `retentionDays`: unbounded by default (every late arrival folds into
+    * its day — correct for the mergeable state, and what the gate's q38
+    * twin verifies). At 100 TB/day production bounds it: an event whose
+    * day is older than `highWaterMark − retentionDays` is dead-lettered
+    * into the [[LateDroppedType]] sentinel row instead of reopening a
+    * retired day — otherwise a misbehaving producer replaying history
+    * forces every downstream consumer of the rollup to treat EVERY past
+    * day as forever-mutable. The high-water mark is the newest day seen
+    * in the stored state or the arriving batch (KB-sized aggregates —
+    * the two max() lookups cost nothing per micro-batch). */
   def maintain(events: DataFrame, stateDir: String, checkpointDir: String,
-      keepVersions: Int = 3): StreamingQuery =
+      keepVersions: Int = 3, retentionDays: Option[Int] = None): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
-        val next = graft.operators.Relational
-          .mergeDailyState(readState(spark, stateDir), batch)
+        val state = readState(spark, stateDir)
+        val R = graft.operators.Relational
+        val next = retentionDays match {
+          case None => R.mergeDailyState(state, batch)
+          case Some(r) =>
+            val dayCol = to_date(date_trunc("day", col("ts")))
+            val hwm = Seq(
+              state.agg(max(col("day"))).head().getAs[java.sql.Date](0),
+              batch.agg(max(dayCol)).head().getAs[java.sql.Date](0))
+              .filter(_ != null)
+            if (hwm.isEmpty) R.mergeDailyState(state, batch)
+            else {
+              val cutoff = java.sql.Date.valueOf(
+                hwm.map(_.toLocalDate).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+                  .minusDays(r.toLong))
+              val fresh = batch.filter(dayCol >= lit(cutoff))
+              // dead-letter summary of the refused events, state-shaped
+              val dropped = batch.filter(dayCol < lit(cutoff))
+                .agg(count(lit(1)).as("n_events"),
+                  sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+                .select(lit(LateDroppedType).as("event_type"),
+                  lit(null).cast("date").as("day"),
+                  col("n_events"), coalesce(col("cents"), lit(0L)).as("cents"))
+                .filter(col("n_events") > 0)
+              R.mergeStates(R.mergeDailyState(state, fresh), dropped)
+            }
+        }
         // same-version overwrite = idempotent on foreachBatch replay
         next.coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/v=$batchId")

@@ -383,6 +383,24 @@ class DedupSpec extends GraftSuite {
     assert(capped.subsetOf(uncapped))
     assert(capped.size < uncapped.size,
       s"boilerplate pairs survived the cap: ${capped.size} of ${uncapped.size}")
+    // the BOUNDED-FACTOR win, measured on the deterministic quantity wall
+    // time is a proxy for: the candidate join's row volume Σ df·(df−1)/2.
+    // The planted boilerplate pairs all 42 docs with each other uncapped;
+    // capping must collapse that quadratic term by ≥ 10×. (ScaleProbe
+    // --skew measures the same effect in seconds at 1×–16× scale.)
+    import org.apache.spark.sql.functions.{col, count => cnt, explode, lit => l2, size => sz, sum => sm}
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(sz(col("toks")) >= 3)
+      .select(explode(
+        graft.functions.NativeFunctions.shingleHashes(col("toks"))).as("h"))
+      .groupBy("h").agg(cnt(l2(1)).as("df"))
+    def volume(capDf: Long): Long = sh.filter(col("df") <= capDf)
+      .agg(sm(col("df") * (col("df") - 1))).head().getLong(0) / 2
+    val volUncapped = volume(Long.MaxValue)
+    val volCapped = volume(20L)
+    assert(volCapped * 10 <= volUncapped,
+      s"cap must shrink candidate volume >=10x: $volCapped vs $volUncapped")
   }
 
   test("d13: persisted train-split index serves results identical to fresh fit") {

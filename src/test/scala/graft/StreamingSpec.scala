@@ -72,6 +72,43 @@ class StreamingSpec extends GraftSuite {
     assert(got.nonEmpty && got.map(_.getAs[Long]("n_events")).sum == 7L)
   }
 
+  test("stream_rollup retention bound dead-letters too-late events into the sentinel row") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("rollup_ret_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rollup_ret_ckpt").toString
+    def dayTs(day: Int, hour: Int): Timestamp =
+      new Timestamp(1700000000000L + day * 86400000L + hour * 3600000L)
+    // batch 1 establishes days 10/11; batch 2 advances the high-water
+    // mark to day 12 AND carries one event from day 2 (far past the
+    // 7-day retention: 12 − 7 = day-5 cutoff) plus one in-window late
+    // arrival on day 10 that must still fold into its day
+    val b1 = Seq((dayTs(10, 1), "click", 1.00), (dayTs(11, 1), "view", 2.00))
+    val b2 = Seq((dayTs(12, 1), "click", 4.00), (dayTs(2, 1), "click", 8.88),
+      (dayTs(10, 2), "view", 0.50))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamRollup.maintain(
+      input.toDF().toDF("ts", "event_type", "value"), stateDir, ckpt,
+      retentionDays = Some(7))
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = StreamRollup.readState(spark, stateDir).collect()
+    val sentinel = got.filter(_.getAs[String]("event_type") == StreamRollup.LateDroppedType)
+    assert(sentinel.length == 1, s"expected one dead-letter row, got:\n${got.toSeq}")
+    assert(sentinel.head.isNullAt(sentinel.head.fieldIndex("day")))
+    assert(sentinel.head.getAs[Long]("n_events") == 1L)
+    assert(sentinel.head.getAs[Long]("cents") == 888L)
+    // every retained day ≥ cutoff, and the in-window events all folded
+    val days = got.filterNot(_.getAs[String]("event_type") == StreamRollup.LateDroppedType)
+    assert(days.forall(!_.isNullAt(1)))
+    val want = graft.operators.Relational
+      .dailyState((b1 ++ b2.filterNot(_._3 == 8.88)).toDF("ts", "event_type", "value"))
+      .orderBy("event_type", "day").collect().toSeq
+    assert(days.sortBy(r => (r.getString(0), r.getDate(1).toString)).toSeq == want,
+      s"retained state diverged:\n${days.toSeq}\n$want")
+  }
+
   test("cms sketch aggregates incrementally over a stream (complete mode)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
