@@ -146,6 +146,62 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Keep rates per quality tier (ppm), tier = #passed rules (0..3):
+    * full-quality docs keep everything, partial-quality docs are
+    * down-sampled hard, zero-rule docs drop — the DCLM/FineWeb-style
+    * "sample by quality bucket" recipe with knob-shaped rates. */
+  val QualityKeepPpm: IndexedSeq[Long] = IndexedSeq(0L, 100000L, 300000L, 1000000L)
+
+  /** p08: QUALITY-TIERED sampling — the stage between a quality
+    * classifier and the mixture: instead of a hard keep/drop filter
+    * (t14) or a source-balanced rate (p04/p06), each document's keep
+    * probability follows its QUALITY TIER (the DCLM/FineWeb recipe:
+    * high-quality buckets keep more, low-quality buckets are
+    * down-sampled, junk drops). Tier = number of passed integer rules
+    * (t14's Gopher family, cross-multiplied so no ratio ever exists):
+    * mean word length in [3,10] as 3·n_tok ≤ Σlen ≤ 10·n_tok, ≥80%
+    * alphabetic words as 5·n_alpha ≥ 4·n_tok, ≥2 distinct stopwords.
+    * Membership is the deterministic fingerprint-ppm predicate
+    * (p01/p02/p04/p06's portable key — reproducible on any engine, any
+    * cluster). ALL-INTEGER end to end: integer token sums are exact and
+    * order-independent, so unlike t02's float score there is no
+    * rounding boundary anywhere in the gate.
+    *
+    * Shape at 100 TB: every feature is a map-side column expression on
+    * the token array; the only shuffle is the ≤ |sources|·4-group
+    * rollup (partial-aggregable). Sampling the corpus stays a filtered
+    * scan — the tier CASE and the fp predicate push into it. */
+  def p08QualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("fp", graft.functions.NativeFunctions.polyFingerprint(col("toks")))
+    val nTok = size(col("toks")).cast("long")
+    val sumLen = aggregate(transform(col("toks"), w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(col("toks"), w => w.rlike("[a-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(col("toks")),
+      array(TF.stopwords.map(lit): _*))).cast("long")
+    val tier =
+      when(lit(3L) * nTok <= sumLen && sumLen <= lit(10L) * nTok, 1L).otherwise(0L) +
+      when(lit(5L) * nAlpha >= lit(4L) * nTok, 1L).otherwise(0L) +
+      when(nStop >= 2L, 1L).otherwise(0L)
+    val keepPpm =
+      when(col("tier") === 3, QualityKeepPpm(3))
+        .when(col("tier") === 2, QualityKeepPpm(2))
+        .when(col("tier") === 1, QualityKeepPpm(1))
+        .otherwise(QualityKeepPpm(0))
+    val kept = pmod(col("fp"), lit(1000000L)) < col("keep_ppm")
+    docs.select(col("source"), col("fp"), nTok.as("n_tok"), tier.as("tier"))
+      .withColumn("keep_ppm", keepPpm)
+      .groupBy(col("source"), col("tier"), col("keep_ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(when(kept, col("n_tok")).otherwise(0L)).as("tok_kept"))
+      .orderBy("source", "tier")
+  }
+
   /** Shard count for [[p07EpochShuffle]] — files-per-epoch of the
     * training order. 64 keeps shards multi-doc at test SFs; production
     * sizes shards to ~256 MB like shuffle partitions. */
@@ -307,6 +363,41 @@ object Sampling {
                 THEN d.n_tok ELSE 0 END) AS BIGINT) AS tok_kept
             FROM d JOIN r USING (source)
             GROUP BY 1, 2, 3, 4 ORDER BY 1""",
+      "p08_quality_sample" ->
+        s"""WITH d AS (
+              SELECT source, ($fp) AS fp, ${TS.toks} AS toks
+              FROM documents WHERE len(trim(text)) > 0),
+            f AS (
+              SELECT source, fp,
+                CAST(len(toks) AS BIGINT) AS n_tok,
+                CAST(list_reduce(list_prepend(0, list_transform(toks, w -> len(w))),
+                  (a, x) -> a + x) AS BIGINT) AS sum_len,
+                CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+                CAST(len(list_intersect(list_distinct(toks),
+                  ${TS.inList(TF.stopwords)})) AS BIGINT) AS n_stop
+              FROM d),
+            t AS (
+              SELECT source, fp, n_tok,
+                CAST(CASE WHEN 3*n_tok <= sum_len AND sum_len <= 10*n_tok
+                    THEN 1 ELSE 0 END
+                  + CASE WHEN 5*n_alpha >= 4*n_tok THEN 1 ELSE 0 END
+                  + CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS tier
+              FROM f),
+            k AS (
+              SELECT source, fp, n_tok, tier,
+                CAST(CASE tier WHEN 3 THEN ${QualityKeepPpm(3)}
+                  WHEN 2 THEN ${QualityKeepPpm(2)}
+                  WHEN 1 THEN ${QualityKeepPpm(1)}
+                  ELSE ${QualityKeepPpm(0)} END AS BIGINT) AS keep_ppm
+              FROM t)
+            SELECT source, tier, keep_ppm, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN fp % 1000000 < keep_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+              CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+              CAST(SUM(CASE WHEN fp % 1000000 < keep_ppm THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tok_kept
+            FROM k GROUP BY 1, 2, 3 ORDER BY 1, 2""",
       "p04_mixture_sample" ->
         s"""WITH f AS (SELECT source, ($fp) AS fp FROM documents),
             c AS (SELECT source, COUNT(*) AS n_total FROM f GROUP BY source),

@@ -743,6 +743,141 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** PQ knobs: 8 subspaces × 16 sub-centroids = 8 half-byte codes per
+    * vector — a 64-dim float32 embedding (256 B) compresses to 4 B of
+    * codes (64×), the memory arithmetic that lets a 100 TB vector corpus
+    * fit a serving tier. Production PQ uses m=16..64, k=256 (byte
+    * codes) with the identical plan. */
+  val PqSubspaces = 8
+  val PqCodebookSize = 16
+
+  /** Deterministic Lloyd's k-means (euclidean) on a bounded driver
+    * sample: strided seeding over the ordered sample, fixed iteration
+    * count, argmin ties to the lower index — reproducible on any
+    * engine/cluster (the t21/s03 determinism rule). O(n·k·d·iters)
+    * driver math on ≤4096 rows. */
+  private def lloydKMeans(pts: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val kk = math.min(k, n)
+    var cents = Array.tabulate(kk)(i => pts((i.toLong * n / kk).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](pts(0).length))
+      val cnts = new Array[Long](kk)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < kk) {
+          var d = 0.0; var t = 0
+          while (t < p.length) { val df = p(t) - cents(j)(t); d += df * df; t += 1 }
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        cnts(best) += 1
+        var t = 0; while (t < p.length) { sums(best)(t) += p(t); t += 1 }
+      }
+      cents = Array.tabulate(kk)(j =>
+        if (cnts(j) == 0) cents(j) else sums(j).map(_ / cnts(j)))
+    }
+    cents
+  }
+
+  /** PQ codebooks: per subspace, a k-means over the subvectors of the
+    * bounded stride sample (s03's fit discipline). Returns (codebooks
+    * [m][k][dsub], dsub). */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String, m: Int,
+      k: Int): (IndexedSeq[Array[Array[Double]]], Int) = {
+    val e = Tables.embeddings(spark, dir)
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val stride = math.max(1L, n / 4096)
+    val sample = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by $m subspaces")
+    val dsub = d / m
+    val books = (0 until m).map { mm =>
+      lloydKMeans(sample.map(_.slice(mm * dsub, (mm + 1) * dsub)), k, iters = 10)
+    }
+    (books, dsub)
+  }
+
+  /** Map-side PQ ENCODING column: per subspace, argmin squared distance
+    * to the broadcast sub-centroid literals; ties to the lower code
+    * (array_position returns the FIRST minimum). At 100 TB this is the
+    * one full corpus pass PQ ever does, and like the d11 winnow the
+    * production form is a native codegen'd expression — the HOF form
+    * here keeps the arithmetic declarative and engine-checkable. */
+  private[graft] def pqCodes(emb: Column,
+      books: IndexedSeq[Array[Array[Double]]], dsub: Int): Column =
+    array(books.indices.map { mm =>
+      val sub = slice(emb, mm * dsub + 1, dsub)
+      val dists = array(books(mm).map { c =>
+        aggregate(zip_with(sub, typedLit(c.toSeq),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, v) => a + v)
+      }.toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+
+  /** s09: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) — the memory-side
+    * scale path the LSH/IVF family doesn't cover: vectors compress to m
+    * sub-centroid codes (64× here), and query-to-vector distance is
+    * approximated ASYMMETRICALLY (ADC) — the query precomputes one m×k
+    * table of exact subspace distances, and each corpus vector costs m
+    * table LOOKUPS instead of d multiplies, on codes instead of floats.
+    * Top-3 per query by approximate distance, ties broken by id.
+    *
+    * Scale shape: codebooks fit on the bounded driver sample, the
+    * corpus is ENCODED in one map-side pass (the codes table is what a
+    * serving tier stores — 4 B/vector), the 8-query × m×k ADC tables
+    * broadcast as literals, and scoring is a map-side fold over codes
+    * feeding the TopKPerGroup heap: no shuffle wider than k·|queries|
+    * rows, no join at all. Rows-only in the gate (iterative k-means —
+    * s03 precedent); SimilaritySpec pins code validity, exact ADC
+    * reconstruction against a driver recompute, determinism, and the
+    * quantization-error bound vs true distances. */
+  def s09PqAnn(spark: SparkSession, dir: String): DataFrame =
+    s09PqAnn(spark, dir, PqSubspaces, PqCodebookSize)
+
+  def s09PqAnn(spark: SparkSession, dir: String, m: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val (books, dsub) = pqCodebooks(spark, dir, m, k)
+    val e = Tables.embeddings(spark, dir)
+    val queries: Array[(Long, Array[Double])] =
+      e.filter(col("vec_id") < NumQueries).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    // per-query ADC table: exact squared distance from the query's
+    // subvector to every sub-centroid — m×k doubles, driver math
+    val qTabs = queries.map { case (qid, qv) =>
+      val tab = (0 until m).map { mm =>
+        val qs = qv.slice(mm * dsub, (mm + 1) * dsub)
+        books(mm).map { c =>
+          var dd = 0.0; var t = 0
+          while (t < qs.length) { val df = qs(t) - c(t); dd += df * df; t += 1 }
+          dd
+        }.toSeq
+      }
+      (qid, tab)
+    }.toSeq.toDF("query_id", "qtab")
+    val encoded = e.select(col("vec_id").as("neighbor_id"),
+      pqCodes(col("embedding"), books, dsub).as("codes"))
+    val scored = encoded.crossJoin(broadcast(qTabs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("qtab"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (a, v) => a + v))
+    val top = graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("adc"), 6).asc, col("neighbor_id").asc), 3)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("adc"), 6).asc, col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), round(col("adc"), 4).as("adc_dist"))
+      .orderBy("query_id", "rk")
+  }
+
   val oracle: Map[String, String] = Map(
     "s06_range_search" ->
       // zero-norm vectors excluded from both sides (undefined cosine;

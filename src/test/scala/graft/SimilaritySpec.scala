@@ -171,6 +171,60 @@ class SimilaritySpec extends GraftSuite {
       s"coverage cosine decreased: $radii")
   }
 
+  test("s09 PQ: codes valid, ADC reconstructs exactly, quantization error bounded") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val m = Similarity.PqSubspaces
+    val k = Similarity.PqCodebookSize
+    val rows = Similarity.s09PqAnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val again = Similarity.s09PqAnn(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "PQ must be deterministic")
+    // per query exactly 3 ranked rows, never self
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    // driver recompute: encode every vector + ADC against every query —
+    // the reported (neighbor, distance) rows must reconstruct exactly
+    val (books, dsub) = Similarity.pqCodebooks(spark, sf, m, k)
+    val all = Tables.embeddings(spark, sf).orderBy("vec_id")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def code(v: Array[Double], mm: Int): Int =
+      books(mm).zipWithIndex
+        .map { case (c, j) => (sq(v.slice(mm * dsub, (mm + 1) * dsub), c), j) }
+        .minBy { case (d, j) => (d, j) }._2
+    val codes = all.map { case (id, v) => id -> (0 until m).map(code(v, _)) }.toMap
+    val queries = all.filter(_._1 < Similarity.NumQueries).toMap
+    def adc(q: Array[Double], id: Long): Double =
+      (0 until m).map { mm =>
+        sq(q.slice(mm * dsub, (mm + 1) * dsub), books(mm)(codes(id)(mm)))
+      }.sum
+    rows.foreach { r =>
+      val want = adc(queries(r.getLong(0)), r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("adc_dist") - want) < 1e-3,
+        s"ADC diverged for $r: want $want")
+    }
+    // quantization honesty: over the reported rows, the ADC estimate must
+    // track the TRUE distance within 50% mean relative error — the bound
+    // a 16-centroid/8-dim-subspace codebook comfortably meets, and the
+    // property that makes ADC ranking meaningful at all
+    val byId = all.toMap
+    val relErrs = rows.map { r =>
+      val t = sq(queries(r.getLong(0)), byId(r.getAs[Long]("neighbor_id")))
+      val a = r.getAs[Double]("adc_dist")
+      if (t > 0) math.abs(a - t) / t else 0.0
+    }
+    assert(relErrs.sum / relErrs.length < 0.5,
+      s"mean ADC relative error too high: ${relErrs.sum / relErrs.length}")
+  }
+
   test("persisted IVF index: index-served results are identical to fresh fit") {
     import graft.operators.Similarity
     val n = Tables.parquetRowCount(spark, sf, "embeddings")

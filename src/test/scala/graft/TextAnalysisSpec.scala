@@ -467,6 +467,49 @@ class TextAnalysisSpec extends GraftSuite {
       s"kept $kept tokens against budget $budget")
   }
 
+  test("p08 quality sample: tiers match a driver recompute; keep rates ride the tier") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val rows = Sampling.p08QualitySample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tier = r.getAs[Long]("tier")
+      assert(tier >= 0L && tier <= 3L)
+      assert(r.getAs[Long]("keep_ppm") == Sampling.QualityKeepPpm(tier.toInt))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tok_kept") <= r.getAs[Long]("tok_total"))
+      if (tier == 3L) assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"),
+        "tier-3 docs must all keep")
+      if (tier == 0L) assert(r.getAs[Long]("n_kept") == 0L, "tier-0 docs must drop")
+    }
+    // independent recompute of the tier assignment + kept counts
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("fp",
+        graft.functions.NativeFunctions.polyFingerprint(col("toks")))
+      .select("source", "toks", "fp").collect()
+    val stop = graft.functions.TextFunctions.stopwords.toSet
+    val want = docs.map { r =>
+      val toks = r.getSeq[String](1)
+      val n = toks.size.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      val nAlpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nStop = toks.distinct.count(stop).toLong
+      val tier = (if (3 * n <= sumLen && sumLen <= 10 * n) 1 else 0) +
+        (if (5 * nAlpha >= 4 * n) 1 else 0) + (if (nStop >= 2) 1 else 0)
+      val kept = r.getLong(2) % 1000000L < Sampling.QualityKeepPpm(tier)
+      ((r.getString(0), tier.toLong), (1L, if (kept) 1L else 0L, n, if (kept) n else 0L))
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).reduce((a, b) =>
+        (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    }
+    val got = rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("tier")) ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("tok_total"), r.getAs[Long]("tok_kept"))).toMap
+    assert(got == want, s"p08 audit diverged:\ngot  $got\nwant $want")
+  }
+
   test("p07 epoch shuffle: reproducible, epoch re-permutes, shards range-ordered") {
     import graft.operators.Sampling
     val e1 = Sampling.p07EpochShuffle(spark, sf, epoch = 1L).collect()
