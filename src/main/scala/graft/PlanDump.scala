@@ -113,6 +113,16 @@ object PlanDump {
         "Incremental rollup: the history side collapses to (type, day) partial aggregates before the union, so the merge shuffle carries state + delta-days rows — counts and integer-cent sums recombine exactly (no float drift), which is what lets maintenance replace a history rescan."),
       ("q39_snapshot_diff",
         "Snapshot diff: both versions fingerprint map-side, then ONE co-partitioned FULL OUTER sort-merge join on doc_id classifies added/removed/changed/same in a single pass — no second anti-join sweep — feeding a conditional-count rollup per source."),
+      ("q26_cheapest_supplier",
+        "Q2 correlated-MIN shape: the per-part min aggregate joins back on l_partkey ONLY (the price match is a post-join filter), so the aggregation exchange satisfies the join's partitioning at scale — no composite-key re-shuffle of the fact; dims are AQE's choice, nation broadcast by hint, hash joins everywhere (PlanAuditSpec pins no-SMJ + the bounded at-scale shuffle count)."),
+      ("d15_paragraph_dedup",
+        "Paragraph dedup: chunking and md5 fingerprints are map-side column ops; the canonical-doc table is one partial-aggregable min() shuffle on the fp; the removal decision is an fp equi-join (AQE-broadcast while small), then per-doc and per-source partial/final rollups — t20's plan shape at paragraph granularity."),
+      ("t25_bpe_tokenize",
+        "Tokenizer application: the trained merge rules fold into the projection as chained regexp_replace literals (broadcast-as-expression — no join, no state), symbol counts are length arithmetic, and the only exchange carries |sources| rollup rows; training cost is one word-count shuffle + a bounded driver digest, amortized across applications."),
+      ("p08_quality_sample",
+        "Quality-tiered sampling: all three integer rules and the tier CASE evaluate as codegen'd column expressions over one scan; membership is the fingerprint pmod predicate; one |sources|x4-group partial/final aggregate — sampling 100 TB by quality is a filtered scan."),
+      ("s09_pq_ann",
+        "PQ ANN: corpus encoded map-side against sub-centroid literals (argmin per subspace), per-query ADC tables broadcast (the plan's only join is that 8-row broadcast), approximate distance is a fold over code lookups, and top-3 rides the TopKPerGroup heap — no shuffle wider than k x |queries| rows."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

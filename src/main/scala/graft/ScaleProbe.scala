@@ -51,7 +51,8 @@ object ScaleProbe {
     val queries = Seq("d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
       "d07_dup_clusters", "t13_unigram_surprisal", "t19_bigram_surprisal",
       "t20_line_dedup", "t05_top_tokens", "s01_knn_brute", "s02_ann_lsh",
-      "s06_range_search")
+      "s06_range_search", "d15_paragraph_dedup", "t25_bpe_tokenize",
+      "s09_pq_ann")
 
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -362,6 +362,34 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("d15: paragraph dedup is an fp equi-join with partial aggregation everywhere") {
+    val df = Dedup.d15ParagraphDedup(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"the removal decision must ride the fp equi-join:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      s"canonical-min, per-doc, and per-source levels must partial-aggregate:\n$s")
+  }
+
+  test("t25/p08: tokenizer application and quality sampling are join-free map-side scans") {
+    for ((name, df) <- Seq(
+        "t25" -> TextAnalysis.t25BpeTokenize(spark, sf),
+        "p08" -> Sampling.p08QualitySample(spark, sf))) {
+      val s = planStr(df)
+      assert(!s.contains("Join"), s"$name must not join:\n$s")
+      assert(shuffles(df) <= 2, s"$name should shuffle only for the rollup + sort")
+    }
+  }
+
+  test("s09: PQ scoring joins nothing but the broadcast ADC tables") {
+    val s = planStr(Similarity.s09PqAnn(spark, sf))
+    assert(!s.contains("CartesianProduct"),
+      s"PQ must never cartesian-join the corpus:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"the only join may be the broadcast of the 8-row ADC table:\n$s")
+    assert(s.contains("TopKPerGroup"), s"top-3 must ride the heap operator:\n$s")
+  }
+
   test("salted join equals the plain join and splits hot keys") {
     import spark.implicits._
     // heavy skew: one key holds 10k of 10.4k rows
