@@ -92,6 +92,7 @@ object SparkEntry {
     "p06_token_budget_mix" -> ((s, d) => Sampling.p06TokenBudgetMix(s, d)),
     "p07_epoch_shuffle" -> ((s, d) => Sampling.p07EpochShuffle(s, d)),
     "p08_quality_sample" -> (Sampling.p08QualitySample _),
+    "p09_epoch_mix" -> ((s, d) => Sampling.p09EpochMix(s, d)),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "s08_kcenter_coreset" -> // rows-only: iterative greedy fit not DuckDB-expressible
       ((s, d) => Similarity.s08KcenterCoreset(s, d)),
     "s09_pq_ann" -> (Similarity.s09PqAnn _), // rows-only: iterative k-means fit (s03 precedent)
+    "s10_ivfpq_ann" -> (Similarity.s10IvfPqAnn _), // rows-only: k-means x2 (IVF + PQ codebooks)
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),

@@ -202,6 +202,69 @@ object Sampling {
       .orderBy("source", "tier")
   }
 
+  /** Epoch-repeat cap for [[p09EpochMix]] — the data-constrained-scaling
+    * bound (Muennighoff et al. 2023: value decays fast past ~4 repeats;
+    * beyond it, spend budget elsewhere). */
+  val MaxEpochs = 4L
+
+  /** p09: EPOCH-REPEAT mixture plan — the step between p06's one-pass
+    * budget mix and a real data-constrained training run: when a
+    * source's token count is SMALLER than its budget share, the recipe
+    * repeats it for multiple epochs (the LLaMA/data-constrained-scaling
+    * pattern) rather than silently under-filling the mix. Per source:
+    * full epochs = share div tokens (capped at [[MaxEpochs]] — past the
+    * cap the share is deliberately left unfilled), then ONE partial
+    * pass at rate (share mod tokens)·1e6 div tokens ppm realized by the
+    * deterministic fingerprint predicate (p01/p06 rule). Planned tokens
+    * = full·tokens + the partial pass's realized doc tokens —
+    * ALL-INTEGER end to end, so the plan is bit-reproducible and
+    * auditable before any data moves.
+    *
+    * Shape at 100 TB: one partial-aggregable per-source token shuffle,
+    * the |S|-row epoch/rate table broadcast back, membership of the
+    * partial pass a map-side fingerprint predicate — the plan costs a
+    * filtered scan, and the realized mix writes epochs as replay
+    * passes (p07's epoch shuffle orders each one). */
+  def p09EpochMix(spark: SparkSession, dir: String): DataFrame =
+    // 10x p06's one-pass budget: big enough that undersized sources hit
+    // the repeat (and at small SFs the cap) branch, small enough that
+    // large-SF sources exercise the partial-pass branch — the gate runs
+    // both arms across its SFs
+    p09EpochMix(spark, dir, MixTokenBudget * 10, MaxEpochs)
+
+  def p09EpochMix(spark: SparkSession, dir: String, budget: Long,
+      maxEpochs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("source"),
+        graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
+        size(col("toks")).cast("long").as("n_tok"))
+    val plan = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
+      .withColumn("n_sources", count(lit(1)).over(wAll))
+      .withColumn("share", expr(s"${budget}L div n_sources"))
+      .withColumn("full_epochs",
+        least(expr("share div tok_total"), lit(maxEpochs)))
+      // the partial pass exists only below the cap; share mod tok_total
+      //·1e6 stays in Long for the same range bound as p06 (the clamp
+      // guard there); at the cap the remainder is deliberately unfilled
+      .withColumn("partial_ppm",
+        when(col("full_epochs") >= maxEpochs, lit(0L))
+          .otherwise(expr("((share % tok_total) * 1000000L) div tok_total")))
+      .select(col("source"), col("tok_total"), col("share"),
+        col("full_epochs"), col("partial_ppm"))
+    docs.join(broadcast(plan), Seq("source"))
+      .groupBy(col("source"), col("tok_total"), col("share"),
+        col("full_epochs"), col("partial_ppm"))
+      .agg(sum(when(pmod(col("fp"), lit(1000000L)) < col("partial_ppm"),
+        col("n_tok")).otherwise(0L)).as("partial_tok"))
+      .withColumn("tok_planned",
+        col("full_epochs") * col("tok_total") + col("partial_tok"))
+      .orderBy("source")
+  }
+
   /** Shard count for [[p07EpochShuffle]] — files-per-epoch of the
     * training order. 64 keeps shards multi-doc at test SFs; production
     * sizes shards to ~256 MB like shuffle partitions. */
@@ -363,6 +426,31 @@ object Sampling {
                 THEN d.n_tok ELSE 0 END) AS BIGINT) AS tok_kept
             FROM d JOIN r USING (source)
             GROUP BY 1, 2, 3, 4 ORDER BY 1""",
+      "p09_epoch_mix" ->
+        s"""WITH d AS (
+              SELECT source, ($fp) AS fp,
+                CAST(len(${TS.toks}) AS BIGINT) AS n_tok
+              FROM documents WHERE len(trim(text)) > 0),
+            t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_total
+              FROM d GROUP BY source),
+            p AS (SELECT source, tok_total,
+                ${MixTokenBudget * 10} // (SELECT COUNT(*) FROM t) AS share
+              FROM t),
+            e AS (SELECT source, tok_total, share,
+                LEAST(share // tok_total, $MaxEpochs) AS full_epochs,
+                CASE WHEN LEAST(share // tok_total, $MaxEpochs) >= $MaxEpochs
+                  THEN 0
+                  ELSE ((share % tok_total) * 1000000) // tok_total
+                END AS partial_ppm
+              FROM p)
+            SELECT d.source, e.tok_total, e.share, e.full_epochs, e.partial_ppm,
+              CAST(SUM(CASE WHEN d.fp % 1000000 < e.partial_ppm
+                THEN d.n_tok ELSE 0 END) AS BIGINT) AS partial_tok,
+              CAST(e.full_epochs * e.tok_total
+                + SUM(CASE WHEN d.fp % 1000000 < e.partial_ppm
+                    THEN d.n_tok ELSE 0 END) AS BIGINT) AS tok_planned
+            FROM d JOIN e USING (source)
+            GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""",
       "p08_quality_sample" ->
         s"""WITH d AS (
               SELECT source, ($fp) AS fp, ${TS.toks} AS toks

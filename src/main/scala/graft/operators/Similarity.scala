@@ -136,26 +136,32 @@ object Similarity {
   def s03AnnIvf(spark: SparkSession, dir: String, nLists: Int,
       nProbe: Int): DataFrame = {
     val (assigned, centDf) = s03Index(spark, dir, nLists)
-    // probe lists: nprobe nearest centroids per query (tiny: queries x k)
+    val scored = assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .join(broadcast(ivfProbes(assigned, centDf, nProbe)), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+  }
+
+  /** Probe lists: nProbe nearest centroids per query (tiny: queries×k) —
+    * the candidate-list selection shared by s03 and the s10 IVF-PQ
+    * composition (single-sourcing rule: one probe definition). */
+  private[graft] def ivfProbes(assigned: DataFrame, centDf: DataFrame,
+      nProbe: Int): DataFrame = {
     val sqDist = aggregate(
       zip_with(col("qv"), col("centroid"),
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("list_id"))
-    val probes = assigned.filter(col("vec_id") < NumQueries)
+    assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(centDf))
       .withColumn("dist", sqDist)
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("list_id"), col("query_id"), col("qv"))
-    val scored = assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"))
-      .join(broadcast(probes), Seq("list_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
-    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
-      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
   /** s03's PERSISTED index: (assigned corpus, centroid table). On first
@@ -876,6 +882,67 @@ object Similarity {
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("neighbor_id"), round(col("adc"), 4).as("adc_dist"))
       .orderBy("query_id", "rk")
+  }
+
+  /** s10: IVF-PQ ANN — the FAISS-architecture composition of s03 and
+    * s09, the shape a production 100 TB vector service actually runs:
+    * the IVF coarse quantizer bounds WHICH vectors are touched (nProbe
+    * of nLists inverted lists), the PQ codes bound WHAT each touched
+    * vector costs (m table lookups on 4 B of codes instead of d float
+    * multiplies on 256 B), and a final EXACT rescore of the top
+    * `rescore` ADC candidates restores float precision where it matters
+    * (the standard shortlist-then-rescore pattern). With `rescore` ≥
+    * the probed-list population the result is IDENTICAL to s03
+    * (spec-pinned equality — ADC ordering only decides which candidates
+    * reach the exact pass); the default trades that guarantee for a
+    * bounded exact-scoring budget per query.
+    *
+    * Scale shape: both index sides are the PERSISTED tables (s03Index's
+    * lists + codebooks refit deterministically), candidates ride the
+    * same list_id equi-join as s03, ADC is a map-side fold, and BOTH
+    * top-k stages are heap operators — the exact pass touches ≤
+    * rescore×|queries| rows total. Rows-only (k-means, s03 precedent);
+    * specs pin the s03-equality limit, shortlist containment, and
+    * determinism. */
+  def s10IvfPqAnn(spark: SparkSession, dir: String): DataFrame =
+    s10IvfPqAnn(spark, dir, nLists = 16, nProbe = 2,
+      m = PqSubspaces, k = PqCodebookSize, rescore = 8)
+
+  def s10IvfPqAnn(spark: SparkSession, dir: String, nLists: Int, nProbe: Int,
+      m: Int, k: Int, rescore: Int): DataFrame = {
+    import spark.implicits._
+    val (assigned, centDf) = s03Index(spark, dir, nLists)
+    val (books, dsub) = pqCodebooks(spark, dir, m, k)
+    val probes = ivfProbes(assigned, centDf, nProbe)
+    val queries: Array[(Long, Array[Double])] =
+      Tables.embeddings(spark, dir).filter(col("vec_id") < NumQueries)
+        .orderBy("vec_id").select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val qTabs = queries.map { case (qid, qv) =>
+      val tab = (0 until m).map { mm =>
+        val qs = qv.slice(mm * dsub, (mm + 1) * dsub)
+        books(mm).map { c =>
+          var dd = 0.0; var t = 0
+          while (t < qs.length) { val df = qs(t) - c(t); dd += df * df; t += 1 }
+          dd
+        }.toSeq
+      }
+      (qid, tab)
+    }.toSeq.toDF("qt_id", "qtab")
+    val cand = assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"),
+        pqCodes(col("embedding"), books, dsub).as("codes"))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qTabs), col("query_id") === col("qt_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("qtab"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (a, v) => a + v))
+    val shortlist = graft.plans.TopK.perGroup(cand, Seq(col("query_id")),
+      Seq(round(col("adc"), 6).asc, col("neighbor_id").asc), rescore)
+    val exact = shortlist.withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    ranked(graft.plans.TopK.perGroup(exact, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
   val oracle: Map[String, String] = Map(

@@ -381,6 +381,16 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("s10: IVF-PQ candidates ride broadcast-only joins into two heap stages") {
+    val s = planStr(Similarity.s10IvfPqAnn(spark, sf))
+    assert(!s.contains("CartesianProduct"),
+      s"IVF-PQ must never cartesian-join the corpus:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"probes and ADC tables are the only joins and both broadcast:\n$s")
+    assert("TopKPerGroup".r.findAllIn(s).size >= 2,
+      s"shortlist AND exact rescore must both be heap stages:\n$s")
+  }
+
   test("s09: PQ scoring joins nothing but the broadcast ADC tables") {
     val s = planStr(Similarity.s09PqAnn(spark, sf))
     assert(!s.contains("CartesianProduct"),

@@ -225,6 +225,40 @@ class SimilaritySpec extends GraftSuite {
       s"mean ADC relative error too high: ${relErrs.sum / relErrs.length}")
   }
 
+  test("s10 IVF-PQ: equals s03 at full rescore; bounded rescore stays inside probed lists") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // the equality limit: rescore covering every probed member makes the
+    // ADC shortlist a no-op, so IVF-PQ must reproduce s03 EXACTLY
+    val full = Similarity.s10IvfPqAnn(spark, sf, 16, 2,
+      Similarity.PqSubspaces, Similarity.PqCodebookSize,
+      rescore = 1000000).collect()
+    val s03 = Similarity.s03AnnIvf(spark, sf).collect()
+    assert(full.map(_.toString).toSeq == s03.map(_.toString).toSeq,
+      "full-rescore IVF-PQ must equal s03")
+    // default (bounded rescore): deterministic, 3 per query, and every
+    // reported neighbor is a member of a probed list for its query
+    val d1 = Similarity.s10IvfPqAnn(spark, sf).collect()
+    val d2 = Similarity.s10IvfPqAnn(spark, sf).collect()
+    assert(d1.map(_.toString).toSeq == d2.map(_.toString).toSeq)
+    d1.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    // containment: every bounded-rescore neighbor must be a member of a
+    // list its query actually probed — recomputed from the index tables
+    val (assigned, centDf) = Similarity.s03Index(spark, sf, 16)
+    val probed = assigned.select(col("list_id"), col("vec_id"))
+      .join(Similarity.ivfProbes(assigned, centDf, nProbe = 2)
+        .select(col("list_id"), col("query_id")), Seq("list_id"))
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    d1.foreach { r =>
+      assert(probed.contains((r.getLong(0), r.getAs[Long]("neighbor_id"))),
+        s"neighbor outside the probed lists: $r")
+    }
+  }
+
   test("persisted IVF index: index-served results are identical to fresh fit") {
     import graft.operators.Similarity
     val n = Tables.parquetRowCount(spark, sf, "embeddings")

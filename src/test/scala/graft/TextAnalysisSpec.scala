@@ -510,6 +510,51 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got == want, s"p08 audit diverged:\ngot  $got\nwant $want")
   }
 
+  test("p09 epoch mix: repeat arithmetic exact, cap respected, both branches covered") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    def check(rows: Array[org.apache.spark.sql.Row], maxEpochs: Long): Unit =
+      rows.foreach { r =>
+        val full = r.getAs[Long]("full_epochs")
+        assert(full >= 0L && full <= maxEpochs)
+        if (full >= maxEpochs) assert(r.getAs[Long]("partial_ppm") == 0L,
+          "capped sources must not schedule a partial pass")
+        assert(r.getAs[Long]("tok_planned") ==
+          full * r.getAs[Long]("tok_total") + r.getAs[Long]("partial_tok"))
+        assert(r.getAs[Long]("partial_tok") <= r.getAs[Long]("tok_total"))
+      }
+    check(Sampling.p09EpochMix(spark, sf).collect(), Sampling.MaxEpochs)
+    // repeat branch: a budget far above the corpus caps every source
+    val capped = Sampling.p09EpochMix(spark, sf, budget = 1000L * 1000 * 1000,
+      maxEpochs = 4L).collect()
+    assert(capped.nonEmpty)
+    capped.foreach { r =>
+      assert(r.getAs[Long]("full_epochs") == 4L)
+      assert(r.getAs[Long]("tok_planned") == 4L * r.getAs[Long]("tok_total"))
+    }
+    check(capped, 4L)
+    // partial branch: a small budget leaves full_epochs = 0 and realizes
+    // the fingerprint-sampled pass; recompute one source driver-side
+    val partial = Sampling.p09EpochMix(spark, sf, budget = 1000L,
+      maxEpochs = 4L).collect()
+    check(partial, 4L)
+    assert(partial.forall(_.getAs[Long]("full_epochs") == 0L))
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("fp", graft.functions.NativeFunctions.polyFingerprint(col("toks")))
+      .select(col("source"), col("fp"), size(col("toks")).cast("long").as("n"))
+      .collect()
+    partial.foreach { r =>
+      val src = r.getAs[String]("source")
+      val want = docs.filter(_.getString(0) == src)
+        .filter(d => d.getLong(1) % 1000000L < r.getAs[Long]("partial_ppm"))
+        .map(_.getLong(2)).sum
+      assert(r.getAs[Long]("partial_tok") == want,
+        s"$src partial pass diverged: got ${r.getAs[Long]("partial_tok")} want $want")
+    }
+  }
+
   test("p07 epoch shuffle: reproducible, epoch re-permutes, shards range-ordered") {
     import graft.operators.Sampling
     val e1 = Sampling.p07EpochShuffle(spark, sf, epoch = 1L).collect()
