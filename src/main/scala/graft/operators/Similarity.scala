@@ -842,32 +842,78 @@ object Similarity {
     * s03 precedent); SimilaritySpec pins code validity, exact ADC
     * reconstruction against a driver recompute, determinism, and the
     * quantization-error bound vs true distances. */
+  /** Per-query ADC tables: exact squared distance from each query's
+    * subvectors to every sub-centroid — |queries|×m×k doubles of driver
+    * math, broadcast to the scan. Shared by s09 and s10. */
+  private[graft] def pqQueryTables(spark: SparkSession, dir: String,
+      books: IndexedSeq[Array[Array[Double]]], dsub: Int): DataFrame = {
+    import spark.implicits._
+    val m = books.length
+    Tables.embeddings(spark, dir).filter(col("vec_id") < NumQueries)
+      .orderBy("vec_id").select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val tab = (0 until m).map { mm =>
+          val qs = qv.slice(mm * dsub, (mm + 1) * dsub)
+          books(mm).map { c =>
+            var dd = 0.0; var t = 0
+            while (t < qs.length) { val df = qs(t) - c(t); dd += df * df; t += 1 }
+            dd
+          }.toSeq
+        }
+        (r.getLong(0), tab)
+      }.toSeq.toDF("query_id", "qtab")
+  }
+
+  /** s09's PERSISTED index: the encoded CODES table (vec_id, codes — the
+    * 4 B/vector relation a PQ serving tier stores) plus the codebooks,
+    * written once per (corpus, m, k) under the warehouse exactly like
+    * [[s03Index]]. Serving reads codes instead of re-fitting AND
+    * re-encoding the corpus — per-query-batch cost becomes the ADC fold
+    * over the codes table alone. Deterministic fit ⇒ index-served ≡
+    * fresh-build (the existing s09 determinism spec crosses the
+    * build/serve boundary). */
+  private[graft] def s09Index(spark: SparkSession, dir: String, m: Int,
+      k: Int): (DataFrame, IndexedSeq[Array[Array[Double]]], Int) = {
+    import spark.implicits._
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val path = ivfIndexPath(spark, dir, s"pq$m", k, n)
+    if (!ivfExists(spark, path)) {
+      val (books, dsub) = pqCodebooks(spark, dir, m, k)
+      val codes = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), pqCodes(col("embedding"), books, dsub).as("codes"))
+      publishIndex(spark, path) { tmp =>
+        codes.write.parquet(tmp + "/codes")
+        booksDf(spark, books).coalesce(1).write.parquet(tmp + "/books")
+      }
+    }
+    val books = booksFromPath(spark, path)
+    (spark.read.parquet(path + "/codes"), books, books.head.head.length)
+  }
+
+  private def booksDf(spark: SparkSession,
+      books: IndexedSeq[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (bk, mm) =>
+      bk.zipWithIndex.map { case (c, j) => (mm, j, c.toSeq) }
+    }.toDF("m", "j", "cent")
+  }
+
+  private def booksFromPath(spark: SparkSession,
+      path: String): IndexedSeq[Array[Array[Double]]] =
+    spark.read.parquet(path + "/books")
+      .orderBy("m", "j").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray)
+
   def s09PqAnn(spark: SparkSession, dir: String): DataFrame =
     s09PqAnn(spark, dir, PqSubspaces, PqCodebookSize)
 
   def s09PqAnn(spark: SparkSession, dir: String, m: Int, k: Int): DataFrame = {
-    import spark.implicits._
-    val (books, dsub) = pqCodebooks(spark, dir, m, k)
-    val e = Tables.embeddings(spark, dir)
-    val queries: Array[(Long, Array[Double])] =
-      e.filter(col("vec_id") < NumQueries).orderBy("vec_id")
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-    // per-query ADC table: exact squared distance from the query's
-    // subvector to every sub-centroid — m×k doubles, driver math
-    val qTabs = queries.map { case (qid, qv) =>
-      val tab = (0 until m).map { mm =>
-        val qs = qv.slice(mm * dsub, (mm + 1) * dsub)
-        books(mm).map { c =>
-          var dd = 0.0; var t = 0
-          while (t < qs.length) { val df = qs(t) - c(t); dd += df * df; t += 1 }
-          dd
-        }.toSeq
-      }
-      (qid, tab)
-    }.toSeq.toDF("query_id", "qtab")
-    val encoded = e.select(col("vec_id").as("neighbor_id"),
-      pqCodes(col("embedding"), books, dsub).as("codes"))
+    val (encoded0, books, dsub) = s09Index(spark, dir, m, k)
+    val qTabs = pqQueryTables(spark, dir, books, dsub)
+    val encoded = encoded0.select(col("vec_id").as("neighbor_id"), col("codes"))
     val scored = encoded.crossJoin(broadcast(qTabs))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc", aggregate(
@@ -908,30 +954,37 @@ object Similarity {
     s10IvfPqAnn(spark, dir, nLists = 16, nProbe = 2,
       m = PqSubspaces, k = PqCodebookSize, rescore = 8)
 
+  /** s10's PERSISTED combined index — the actual FAISS IVFPQ at-rest
+    * layout: ONE table carrying (vec_id, embedding, list_id, codes),
+    * clustered by list, plus the codebooks; built from [[s03Index]]'s
+    * assignment + one encode pass, then served forever. */
+  private[graft] def s10Index(spark: SparkSession, dir: String, nLists: Int,
+      m: Int, k: Int): (DataFrame, DataFrame, IndexedSeq[Array[Array[Double]]], Int) = {
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val path = ivfIndexPath(spark, dir, s"ivfpq${nLists}x$m", k, n)
+    val (assigned, centDf) = s03Index(spark, dir, nLists)
+    if (!ivfExists(spark, path)) {
+      val (books, dsub) = pqCodebooks(spark, dir, m, k)
+      val apq = assigned.withColumn("codes",
+        pqCodes(col("embedding"), books, dsub))
+      publishIndex(spark, path) { tmp =>
+        apq.repartition(col("list_id")).write.parquet(tmp + "/assigned")
+        booksDf(spark, books).coalesce(1).write.parquet(tmp + "/books")
+      }
+    }
+    val books = booksFromPath(spark, path)
+    (spark.read.parquet(path + "/assigned"), centDf, books,
+      books.head.head.length)
+  }
+
   def s10IvfPqAnn(spark: SparkSession, dir: String, nLists: Int, nProbe: Int,
       m: Int, k: Int, rescore: Int): DataFrame = {
-    import spark.implicits._
-    val (assigned, centDf) = s03Index(spark, dir, nLists)
-    val (books, dsub) = pqCodebooks(spark, dir, m, k)
-    val probes = ivfProbes(assigned, centDf, nProbe)
-    val queries: Array[(Long, Array[Double])] =
-      Tables.embeddings(spark, dir).filter(col("vec_id") < NumQueries)
-        .orderBy("vec_id").select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-    val qTabs = queries.map { case (qid, qv) =>
-      val tab = (0 until m).map { mm =>
-        val qs = qv.slice(mm * dsub, (mm + 1) * dsub)
-        books(mm).map { c =>
-          var dd = 0.0; var t = 0
-          while (t < qs.length) { val df = qs(t) - c(t); dd += df * df; t += 1 }
-          dd
-        }.toSeq
-      }
-      (qid, tab)
-    }.toSeq.toDF("qt_id", "qtab")
-    val cand = assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"),
-        pqCodes(col("embedding"), books, dsub).as("codes"))
+    val (apq, centDf, books, dsub) = s10Index(spark, dir, nLists, m, k)
+    val probes = ivfProbes(apq, centDf, nProbe)
+    val qTabs = pqQueryTables(spark, dir, books, dsub)
+      .withColumnRenamed("query_id", "qt_id")
+    val cand = apq.select(col("list_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("codes"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .join(broadcast(qTabs), col("query_id") === col("qt_id"))

@@ -176,6 +176,10 @@ class SimilaritySpec extends GraftSuite {
     import org.apache.spark.sql.functions.col
     val m = Similarity.PqSubspaces
     val k = Similarity.PqCodebookSize
+    // drop the persisted codes table so this run exercises build AND
+    // serve (the second call below reads the published index)
+    Similarity.dropIvfIndex(spark, sf, s"pq$m", k,
+      Tables.parquetRowCount(spark, sf, "embeddings"))
     val rows = Similarity.s09PqAnn(spark, sf).collect()
     assert(rows.nonEmpty)
     val again = Similarity.s09PqAnn(spark, sf).collect()
@@ -228,6 +232,11 @@ class SimilaritySpec extends GraftSuite {
   test("s10 IVF-PQ: equals s03 at full rescore; bounded rescore stays inside probed lists") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.col
+    // build from scratch: drop the combined index so the run covers the
+    // publish path before the serve path
+    Similarity.dropIvfIndex(spark, sf, s"ivfpq16x${Similarity.PqSubspaces}",
+      Similarity.PqCodebookSize,
+      Tables.parquetRowCount(spark, sf, "embeddings"))
     // the equality limit: rescore covering every probed member makes the
     // ADC shortlist a no-op, so IVF-PQ must reproduce s03 EXACTLY
     val full = Similarity.s10IvfPqAnn(spark, sf, 16, 2,
