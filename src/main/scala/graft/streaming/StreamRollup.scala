@@ -28,11 +28,13 @@ object StreamRollup {
     StructField("n_events", LongType),
     StructField("cents", LongType)))
 
-  private def fs(spark: SparkSession, dir: String) =
+  private[streaming] def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def committedVersions(spark: SparkSession, dir: String): Seq[Long] = {
+  /** `v=<batchId>` subdirs with a parquet _SUCCESS marker — the one
+    * committed-version rule shared with [[StreamVecIndex]]. */
+  private[streaming] def committedVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, dir)
     if (!f.exists(p)) Seq.empty

@@ -109,6 +109,46 @@ class StreamingSpec extends GraftSuite {
       s"retained state diverged:\n${days.toSeq}\n$want")
   }
 
+  test("stream_vecindex assigns arriving vectors to the same lists as the batch index") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val indexDir = java.nio.file.Files.createTempDirectory("vecidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vecidx_ckpt").toString
+    // frozen quantizer = the batch index's centroids (the production
+    // split: quantizer retrains offline, assignments stream against it)
+    val (assigned, centDf) = graft.operators.Similarity.s03Index(spark, sf, 16)
+    val cents = centDf.orderBy("list_id").collect()
+      .map(_.getSeq[Float](1).toArray).toIndexedSeq
+    // stream 9 corpus vectors (id-shifted — "new" arrivals with known
+    // batch-side assignments) across 3 micro-batches
+    val src = Tables.embeddings(spark, sf).orderBy("vec_id")
+      .select(col("vec_id"), col("embedding")).limit(9).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamVecIndex.maintain(
+      input.toDF().toDF("vec_id", "embedding").withColumn("vec_id", col("vec_id") + 100000L),
+      cents, indexDir, ckpt)
+    try {
+      src.grouped(3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = StreamVecIndex.readIndex(spark, indexDir).collect()
+      .map(r => (r.getLong(0) - 100000L, r.getAs[Int]("list_id"))).toMap
+    assert(streamed.size == 9)
+    // batch parity: the SAME vectors sit in the persisted batch index —
+    // streamed assignment must agree list-for-list
+    val batchLists = assigned.filter(col("vec_id") < 9)
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("list_id")).toMap
+    src.foreach { case (id, _) =>
+      assert(streamed(id) == batchLists(id),
+        s"vector $id streamed into list ${streamed(id)} but batch index has ${batchLists(id)}")
+    }
+    // stats audit: totals conserved
+    val stats = StreamVecIndex.indexStats(spark, indexDir).collect()
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum == 9L)
+  }
+
   test("cms sketch aggregates incrementally over a stream (complete mode)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
