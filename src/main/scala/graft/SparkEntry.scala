@@ -125,6 +125,7 @@ object SparkEntry {
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
     "m03_binary_dedup" -> (Multimodal.m03BinaryDedup _),
+    "m04_phash_neardup" -> (Multimodal.m04PhashNeardup _),
     "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),
   )
 

@@ -147,7 +147,118 @@ object Multimodal {
       sum((col("n_copies") - 1) * col("n_bytes")).as("reclaimable_bytes"))
   }
 
+  /** m04's difference-hash geometry: 64 evenly-spaced samples → 63
+    * greater-than bits (fits a signed 64-bit int exactly), banded 7×9
+    * for candidate generation. By pigeonhole, any pair within hamming ≤
+    * [[PhashMaxHamming]] = 6 shares at least one of the 7 exact bands —
+    * candidate generation is EXACT for the verify threshold, never a
+    * recall gamble (d06's guarantee restated for this bit budget). */
+  val PhashBits = 63
+  val PhashBands = 7
+  val PhashBandBits = 9
+  val PhashMaxHamming = 6
+
+  /** The dHash bit arithmetic as SQL text, shared verbatim by the Spark
+    * expression (`divOp = "div"`) and the DuckDB mirror (`"//"`) so the
+    * two engines cannot drift: bit i compares the byte sampled at
+    * position 1 + (i+1)·(n−1)/64 against position 1 + i·(n−1)/64. This
+    * is the classic image dHash applied to the byte stream — the decode
+    * stub is exactly where a real codec's resized-luminance grid drops
+    * in ([[fakeDecode]] contract), and the banding/verify plumbing is
+    * codec-independent. */
+  private def phashTerms(divOp: String): String = {
+    def c(j: Int) =
+      s"ascii(substring(text, CAST(1 + ($j * (length(text) - 1)) $divOp 64 AS INT), 1))"
+    (0 until PhashBits).map { i =>
+      s"(CASE WHEN ${c(i + 1)} > ${c(i)} THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+  }
+
+  /** m04's corpus: the documents plus DETERMINISTICALLY PLANTED near-dup
+    * variants (t10/d15 precedent — the synthetic corpus has no natural
+    * byte-near-dups at small SFs, so plant from doc_id, then MEASURE):
+    * every %17 doc of length ≥ 65 re-appears under doc_id + 1000000 with
+    * ONE character substituted — a same-length edit that flips at most a
+    * couple of sampled bytes, the byte-level analogue of a re-encoded
+    * asset. */
+  private[graft] def m04Corpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 65)
+      .select(col("doc_id"), col("text"))
+    val variants = base
+      .filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("~"),
+          expr("substring(text, 12)")).as("text"))
+    base.unionByName(variants)
+  }
+
+  /** m04: PERCEPTUAL-hash near-dup pairs over binary payloads — the
+    * near-duplicate pass an image/audio dataset build runs after m03's
+    * exact-digest pass (re-encoded/re-sampled assets share structure,
+    * not bytes). Difference hash over 64 evenly-spaced payload samples
+    * (63 bits), candidates from a 7×9-bit band equi-join — EXACT for
+    * the hamming ≤ 6 verify by pigeonhole — and bit_count(XOR) verify
+    * on candidate rows only. Fully oracle-gated: the hash arithmetic is
+    * one SQL text evaluated by both engines ([[phashTerms]]).
+    *
+    * Shape at 100 TB: the fingerprint is one map-side pass (production
+    * swaps the 126 sampled-ascii calls for a native expression — d11's
+    * winnow precedent), the band index explodes ×7, candidates ride the
+    * band equi-join exactly like d06/d03 (AQE skew-join + the maxDf cap
+    * idea cover a degenerate constant-payload corpus), and the 1-word
+    * XOR verify touches candidates only. */
+  def m04PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = m04Corpus(spark, dir)
+      .select(col("doc_id"), expr(phashTerms("div")).as("fp"))
+    val bands = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until PhashBands).map(b =>
+        shiftright(col("fp"), b * PhashBandBits)
+          .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)))
+      .toDF("doc_id", "fp", "band", "key")
+    bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.fp").as("fp_i"), col("b.fp").as("fp_j"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_i").bitwiseXOR(col("fp_j"))).cast("long"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("doc_i"), col("doc_j"), col("hamming"))
+      .orderBy("doc_i", "doc_j")
+  }
+
   val oracle: Map[String, String] = Map(
+    "m04_phash_neardup" -> {
+      val bandTerms = (0 until PhashBands)
+        .map(b => s"(fp >> ${b * PhashBandBits}) & ${(1L << PhashBandBits) - 1}")
+        .mkString("[", ", ", "]")
+      s"""WITH base AS (
+            SELECT doc_id, text FROM documents WHERE length(text) >= 65),
+          corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+              substring(text, 1, 10) || '~' || substring(text, 12) AS text
+            FROM base WHERE doc_id % 17 = 0),
+          f AS (
+            SELECT doc_id, CAST(${phashTerms("//")} AS BIGINT) AS fp
+            FROM corpus),
+          bands AS (
+            SELECT doc_id, fp, unnest(generate_series(0, ${PhashBands - 1})) AS band,
+              unnest($bandTerms) AS key
+            FROM f),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+              a.fp AS fp_i, b.fp AS fp_j
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_i, doc_j,
+            CAST(bit_count(xor(fp_i, fp_j)) AS BIGINT) AS hamming
+          FROM cand
+          WHERE bit_count(xor(fp_i, fp_j)) <= $PhashMaxHamming
+          ORDER BY doc_i, doc_j""" },
     "m03_binary_dedup" ->
       """WITH h AS (SELECT sha256(text) AS digest,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -36,6 +36,46 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("m04 phash: planted variants detected, hashes match recompute, banding is complete") {
+    val pairs = Multimodal.m04PhashNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) -> r.getAs[Long]("hamming"))
+      .toMap
+    // driver recompute of the 63-bit dHash over the same planted corpus
+    val corpus = Multimodal.m04Corpus(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def fp(text: String): Long = {
+      val n = text.length
+      def c(j: Int): Int = text.charAt(1 + (j * (n - 1)) / 64 - 1).toInt
+      (0 until 63).map(i => if (c(i + 1) > c(i)) 1L << i else 0L).sum
+    }
+    val fps = corpus.map { case (id, t) => id -> fp(t) }.toMap
+    // every planted (base, variant) pair must be reported: a same-length
+    // single-char edit flips <= 4 bits (<= 2 affected sample indices x 2
+    // adjacent difference bits), inside the hamming <= 6 guarantee
+    val planted = corpus.collect {
+      case (id, _) if id % 17 == 0 && id < 1000000 && fps.contains(id + 1000000) => id
+    }
+    assert(planted.nonEmpty, "fixture must plant at least one variant")
+    planted.foreach { id =>
+      assert(pairs.contains((id, id + 1000000)),
+        s"planted near-dup pair ($id, ${id + 1000000}) missed")
+    }
+    // reported hammings reconstruct exactly
+    pairs.foreach { case ((i, j), h) =>
+      assert(java.lang.Long.bitCount(fps(i) ^ fps(j)).toLong == h,
+        s"hamming mismatch for ($i, $j)")
+    }
+    // completeness: the 7x9 banding is EXACT for hamming <= 6 — a brute
+    // driver sweep must find nothing the operator missed
+    val ids = corpus.map(_._1)
+    for (a <- ids.indices; b <- (a + 1) until ids.length) {
+      val (i, j) = (math.min(ids(a), ids(b)), math.max(ids(a), ids(b)))
+      val h = java.lang.Long.bitCount(fps(ids(a)) ^ fps(ids(b)))
+      if (h <= Multimodal.PhashMaxHamming)
+        assert(pairs.contains((i, j)), s"brute pair ($i, $j) at hamming $h missed")
+    }
+  }
+
   test("m03 payload dedup audit is internally consistent with the corpus") {
     val r = graft.operators.Multimodal.m03BinaryDedup(spark, sf).collect()
     assert(r.length == 1)

@@ -391,6 +391,12 @@ class PlanAuditSpec extends GraftSuite {
       s"shortlist AND exact rescore must both be heap stages:\n$s")
   }
 
+  test("m04: phash candidates ride the band equi-join, never a cross join") {
+    val s = planStr(Multimodal.m04PhashNeardup(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from the (band, key) equi-join:\n$s")
+  }
+
   test("s09: PQ scoring joins nothing but the broadcast ADC tables") {
     val s = planStr(Similarity.s09PqAnn(spark, sf))
     assert(!s.contains("CartesianProduct"),
