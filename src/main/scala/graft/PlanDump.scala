@@ -123,6 +123,10 @@ object PlanDump {
         "Quality-tiered sampling: all three integer rules and the tier CASE evaluate as codegen'd column expressions over one scan; membership is the fingerprint pmod predicate; one |sources|x4-group partial/final aggregate — sampling 100 TB by quality is a filtered scan."),
       ("s09_pq_ann",
         "PQ ANN: corpus encoded map-side against sub-centroid literals (argmin per subspace), per-query ADC tables broadcast (the plan's only join is that 8-row broadcast), approximate distance is a fold over code lookups, and top-3 rides the TopKPerGroup heap — no shuffle wider than k x |queries| rows."),
+      ("m04_phash_neardup",
+        "Perceptual-hash near-dup: the 63-bit byte-stream dHash evaluates as one codegen'd expression chain (the shared SQL text both engines run), bands explode x7, candidates come from the SHUFFLE_HASH (band, key) equi-join — exact for hamming <= 6 by pigeonhole — and the 1-word XOR verify touches candidate rows only."),
+      ("q40_big_orders",
+        "Q18 large-volume shape: the quantity rollup is the fact's one l_orderkey shuffle and the join-back keys on that same column, so the aggregate's partitioning satisfies the join (no composite-key re-shuffle — the q26 lesson applied from the start); orders/customer joins are AQE's choice; top-20 is TakeOrderedAndProject."),
       ("s10_ivfpq_ann",
         "IVF-PQ: the persisted IVF lists bound the touched vectors (list_id equi-join against broadcast probes — s03's own candidate join), PQ codes + broadcast ADC tables bound the per-vector cost, and the two TopKPerGroup heap stages (ADC shortlist, exact rescore) are the only wide operators; rescore >= probed population degenerates to exactly s03 (spec-pinned)."),
     ).map { case (name, note) => (name, note, name) }

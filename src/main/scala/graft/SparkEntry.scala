@@ -52,6 +52,7 @@ object SparkEntry {
     "q37_table_profile" -> (Relational.q37TableProfile _),
     "q38_incremental_rollup" -> (Relational.q38IncrementalRollup _),
     "q39_snapshot_diff" -> (Relational.q39SnapshotDiff _),
+    "q40_big_orders" -> (Relational.q40BigOrders _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -457,6 +458,18 @@ object SparkEntry {
            CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
            CAST(SUM(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
          FROM d GROUP BY source ORDER BY source""",
+    "q40_big_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate,
+         ROUND(o_totalprice, 2) AS o_totalprice,
+         CAST(sum_qty AS BIGINT) AS sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1
+               HAVING SUM(l_quantity) > 300) b
+           ON o_orderkey = b.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

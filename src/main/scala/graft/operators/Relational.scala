@@ -854,6 +854,33 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** q40: TPC-H Q18 shape — LARGE-VOLUME orders: customers whose single
+    * orders exceed 300 total units (the group-filtered IN-subquery-on-
+    * the-fact pattern; q11 filters groups by their own aggregate, this
+    * JOINS the qualifying group keys back through two dimensions). Plan
+    * at 100 TB: the quantity rollup is the fact's one shuffle on
+    * l_orderkey, and the join-back keys on that same single column —
+    * the aggregate's partitioning satisfies the join (q26's re-key
+    * lesson applied from the start); orders/customer are SF-linear (no
+    * hint, AQE chooses); top-20 is TakeOrdered. Quantities are integral
+    * doubles (sums exact below 2^53), so the >300 gate and the BIGINT
+    * cast sit on no float boundary. */
+  def q40BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("sum_qty").cast("long").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** q39: corpus SNAPSHOT DIFF — the dataset regression test every
     * pipeline rerun needs at 100 TB: given two corpus versions, report
     * per source how many docs were added, removed, changed, or kept.

@@ -253,6 +253,23 @@ class RelationalSpec extends GraftSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
   }
 
+  test("q40: every reported order's quantity sum verifies against lineitem") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q40BigOrders(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sums = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      assert(sums(ok) > 300.0, s"order $ok below the volume gate")
+      assert(r.getAs[Long]("sum_qty") == sums(ok).toLong)
+    }
+    // descending by price, deterministic tiebreak
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)), "not price-descending")
+  }
+
   test("q37: profile statistics match direct per-column recomputes") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q37TableProfile(spark, sf).collect()
