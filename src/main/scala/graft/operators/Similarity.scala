@@ -377,6 +377,17 @@ object Similarity {
   def s07IvfRecall(spark: SparkSession, dir: String): DataFrame =
     recallAudit(spark, dir, s03AnnIvf(spark, dir))
 
+  /** s11: PQ recall audit — recall@3 of the compressed-domain ranking
+    * (s09's ADC top-3, ASCENDING approximate distance) against the exact
+    * cosine top-3, completing the per-path audit symmetry (LSH→s04,
+    * IVF→s07, PQ→this): the number a serving tier watches to size
+    * (m, k) — more subspaces/centroids push ADC ranking toward the
+    * float ranking; the two metrics (cosine vs euclid-on-raw) also
+    * diverge where vector norms vary, which is honest signal, not
+    * noise. Same tiny composition as s04/s07; rows-only (k-means). */
+  def s11PqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAudit(spark, dir, s09PqAnn(spark, dir))
+
   /** Coreset size for [[s08KcenterCoreset]] — a KNOB like s03's nLists:
     * a real data-pruning run sizes k to its selection budget. */
   val CoresetK = 16

@@ -121,6 +121,24 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("s11 PQ recall audit matches a driver-side recomputation") {
+    def top3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getAs[Long]("rk") <= 3L)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = top3(Similarity.s01KnnBrute(spark, sf))
+    val pq = top3(Similarity.s09PqAnn(spark, sf))
+    val rows = Similarity.s11PqRecall(spark, sf).collect()
+    assert(rows.length == Similarity.NumQueries)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("k_exact") == 3)
+      val expectHits = exact.filter(_._1 == q).count(pq.contains)
+      assert(r.getAs[Long]("n_hit") == expectHits,
+        s"query $q: audit says ${r.getAs[Long]("n_hit")} hits, recompute says $expectHits")
+      assert(math.abs(r.getAs[Double]("recall") - expectHits / 3.0) < 1e-3)
+    }
+  }
+
   test("s08 coreset: greedy selection invariants and assignment totals") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val k = Similarity.CoresetK
