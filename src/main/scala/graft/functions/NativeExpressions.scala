@@ -425,6 +425,86 @@ case class WinnowFpsExpr(child: Expression, w: Int, k: Int)
     copy(child = newChild)
 }
 
+object PhashUtil {
+  /** 63-bit difference hash over 64 evenly-spaced codepoint samples —
+    * value-identical to the 126-call declarative SQL in
+    * [[graft.operators.Multimodal.phashTerms]] (and its DuckDB mirror):
+    * bit i compares the codepoint sampled at codepoint index
+    * (i+1)·(n−1)/64 against index i·(n−1)/64 (0-based; the SQL's
+    * `1 + j·(n−1) div 64` is the same position 1-based). Codepoint
+    * semantics match both engines' `substring`+`ascii` builtins; the
+    * all-ASCII corpus takes a direct byte-index fast path. Empty text →
+    * 0 (SQL: ascii('') = 0 on every comparison). */
+  def dhash63(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var nChars = 0
+    var off = 0
+    var ascii = true
+    while (off < bytes.length) {
+      val b = bytes(off) & 0xFF
+      if (b < 0x80) off += 1
+      else { ascii = false; off += (if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4) }
+      nChars += 1
+    }
+    if (nChars == 0) return 0L
+    val samples = new Array[Int](64)
+    if (ascii) {
+      var j = 0
+      while (j < 64) {
+        samples(j) = bytes(((j.toLong * (nChars - 1)) / 64).toInt) & 0xFF
+        j += 1
+      }
+    } else {
+      val offsets = new Array[Int](nChars)
+      var ci = 0
+      off = 0
+      while (off < bytes.length) {
+        offsets(ci) = off
+        val b = bytes(off) & 0xFF
+        off += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+        ci += 1
+      }
+      var j = 0
+      while (j < 64) {
+        val o = offsets(((j.toLong * (nChars - 1)) / 64).toInt)
+        val b = bytes(o) & 0xFF
+        samples(j) =
+          if (b < 0x80) b
+          else if (b < 0xE0) ((b & 0x1F) << 6) | (bytes(o + 1) & 0x3F)
+          else if (b < 0xF0)
+            ((b & 0x0F) << 12) | ((bytes(o + 1) & 0x3F) << 6) | (bytes(o + 2) & 0x3F)
+          else
+            ((b & 0x07) << 18) | ((bytes(o + 1) & 0x3F) << 12) |
+              ((bytes(o + 2) & 0x3F) << 6) | (bytes(o + 3) & 0x3F)
+        j += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 63) {
+      if (samples(i + 1) > samples(i)) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+}
+
+/** string text → 63-bit perceptual difference hash as long. */
+case class Phash63Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash"
+  override protected def nullSafeEval(input: Any): Any =
+    PhashUtil.dhash63(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PhashUtil.dhash63($c)")
+  override protected def withNewChildInternal(newChild: Expression): Phash63Expr =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
   def shingleHashes(toks: Column): Column =
     Shims.column(ShingleHashesExpr(Shims.expression(toks)))
@@ -442,4 +522,6 @@ object NativeFunctions {
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
   def winnowFps(text: Column, w: Int, k: Int): Column =
     Shims.column(WinnowFpsExpr(Shims.expression(text), w, k))
+  def phash63(text: Column): Column =
+    Shims.column(Phash63Expr(Shims.expression(text)))
 }

@@ -166,7 +166,7 @@ object Multimodal {
     * stub is exactly where a real codec's resized-luminance grid drops
     * in ([[fakeDecode]] contract), and the banding/verify plumbing is
     * codec-independent. */
-  private def phashTerms(divOp: String): String = {
+  private[graft] def phashTerms(divOp: String): String = {
     def c(j: Int) =
       s"ascii(substring(text, CAST(1 + ($j * (length(text) - 1)) $divOp 64 AS INT), 1))"
     (0 until PhashBits).map { i =>
@@ -177,17 +177,23 @@ object Multimodal {
   /** m04's corpus: the documents plus DETERMINISTICALLY PLANTED near-dup
     * variants (t10/d15 precedent — the synthetic corpus has no natural
     * byte-near-dups at small SFs, so plant from doc_id, then MEASURE):
-    * every %17 doc of length ≥ 65 re-appears under doc_id + 1000000 with
-    * ONE character substituted — a same-length edit that flips at most a
+    * every %17 doc of length ≥ 65 re-appears under −1 − doc_id with ONE
+    * character substituted — a same-length edit that flips at most a
     * couple of sampled bytes, the byte-level analogue of a re-encoded
-    * asset. */
+    * asset. Variant ids are SIGN-DISJOINT from genuine ids: base is
+    * pinned to doc_id ≥ 0 (a no-op on the generated tables, asserted in
+    * MultimodalSpec), so −1 − doc_id < 0 can NEVER collide with a
+    * genuine doc_id at any corpus size — a fixed constant like 10⁶
+    * silently merges a variant with a real document once the corpus
+    * outgrows it, and unlike a max(doc_id)-derived offset the sign
+    * trick costs no extra aggregate stage. */
   private[graft] def m04Corpus(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 65)
+      .filter(length(col("text")) >= 65 && col("doc_id") >= 0)
       .select(col("doc_id"), col("text"))
     val variants = base
       .filter(pmod(col("doc_id"), lit(17)) === 0)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      .select((lit(-1L) - col("doc_id")).as("doc_id"),
         concat(substring(col("text"), 1, 10), lit("~"),
           expr("substring(text, 12)")).as("text"))
     base.unionByName(variants)
@@ -199,33 +205,36 @@ object Multimodal {
     * not bytes). Difference hash over 64 evenly-spaced payload samples
     * (63 bits), candidates from a 7×9-bit band equi-join — EXACT for
     * the hamming ≤ 6 verify by pigeonhole — and bit_count(XOR) verify
-    * on candidate rows only. Fully oracle-gated: the hash arithmetic is
-    * one SQL text evaluated by both engines ([[phashTerms]]).
+    * on candidate rows only. Fully oracle-gated: the fingerprint is the
+    * codegen'd [[graft.functions.PhashUtil.dhash63]] (one compiled pass
+    * per row), pinned value-identical to the declarative 126-call SQL
+    * form [[phashTerms]] by NativeExprSpec — and that SQL text is what
+    * the DuckDB oracle evaluates, so the native path stays gated.
     *
-    * Shape at 100 TB: the fingerprint is one map-side pass (production
-    * swaps the 126 sampled-ascii calls for a native expression — d11's
-    * winnow precedent), the band index explodes ×7, candidates ride the
-    * band equi-join exactly like d06/d03 (AQE skew-join + the maxDf cap
-    * idea cover a degenerate constant-payload corpus), and the 1-word
-    * XOR verify touches candidates only. */
+    * Shape at 100 TB: the fingerprint is one map-side codegen'd pass,
+    * the band index explodes ×7, candidates ride the band equi-join
+    * exactly like d06/d03 (AQE skew-join + the maxDf cap idea cover a
+    * degenerate constant-payload corpus), and the 1-word XOR verify
+    * touches candidates only. */
   def m04PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val fp = m04Corpus(spark, dir)
-      .select(col("doc_id"), expr(phashTerms("div")).as("fp"))
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.phash63(col("text")).as("fp"))
     val bands = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until PhashBands).map(b =>
         shiftright(col("fp"), b * PhashBandBits)
           .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)))
       .toDF("doc_id", "fp", "band", "key")
+    // hamming is a pure function of the pair, so verify BEFORE the
+    // distinct: the dedup shuffle then carries only verified pairs
+    // (tiny) instead of every multi-band candidate collision
     bands.as("a").hint("SHUFFLE_HASH").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
-        col("a.fp").as("fp_i"), col("b.fp").as("fp_j"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("fp_i").bitwiseXOR(col("fp_j"))).cast("long"))
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
       .filter(col("hamming") <= PhashMaxHamming)
-      .select(col("doc_i"), col("doc_j"), col("hamming"))
+      .distinct()
       .orderBy("doc_i", "doc_j")
   }
 
@@ -235,11 +244,12 @@ object Multimodal {
         .map(b => s"(fp >> ${b * PhashBandBits}) & ${(1L << PhashBandBits) - 1}")
         .mkString("[", ", ", "]")
       s"""WITH base AS (
-            SELECT doc_id, text FROM documents WHERE length(text) >= 65),
+            SELECT doc_id, text FROM documents
+            WHERE length(text) >= 65 AND doc_id >= 0),
           corpus AS (
             SELECT doc_id, text FROM base
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id,
+            SELECT -1 - doc_id AS doc_id,
               substring(text, 1, 10) || '~' || substring(text, 12) AS text
             FROM base WHERE doc_id % 17 = 0),
           f AS (

@@ -49,16 +49,25 @@ class MultimodalSpec extends GraftSuite {
       (0 until 63).map(i => if (c(i + 1) > c(i)) 1L << i else 0L).sum
     }
     val fps = corpus.map { case (id, t) => id -> fp(t) }.toMap
+    // variant ids are -1 - doc_id: sign-disjoint from genuine ids, which
+    // the generated tables keep nonnegative (collision-proof at any
+    // corpus size, unlike a fixed constant offset)
+    assert(Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 0).count() == 0,
+      "fixture assumption: genuine doc_ids are nonnegative")
+    assert(corpus.map(_._1).distinct.length == corpus.length,
+      "planted variant id collided with a genuine doc_id")
     // every planted (base, variant) pair must be reported: a same-length
     // single-char edit flips <= 4 bits (<= 2 affected sample indices x 2
-    // adjacent difference bits), inside the hamming <= 6 guarantee
+    // adjacent difference bits), inside the hamming <= 6 guarantee;
+    // pair order is (doc_i < doc_j) so the negative variant id leads
     val planted = corpus.collect {
-      case (id, _) if id % 17 == 0 && id < 1000000 && fps.contains(id + 1000000) => id
+      case (id, _) if id >= 0 && id % 17 == 0 && fps.contains(-1L - id) => id
     }
     assert(planted.nonEmpty, "fixture must plant at least one variant")
     planted.foreach { id =>
-      assert(pairs.contains((id, id + 1000000)),
-        s"planted near-dup pair ($id, ${id + 1000000}) missed")
+      assert(pairs.contains((-1L - id, id)),
+        s"planted near-dup pair (${-1L - id}, $id) missed")
     }
     // reported hammings reconstruct exactly
     pairs.foreach { case ((i, j), h) =>

@@ -103,6 +103,33 @@ class NativeExprSpec extends GraftSuite {
     }
   }
 
+  test("native phash63 equals the declarative 126-call SQL form per doc") {
+    // corpus docs (all-ASCII fast path) ...
+    val rows = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 65)
+      .select(col("doc_id"),
+        NF.phash63(col("text")).as("native"),
+        expr(graft.operators.Multimodal.phashTerms("div")).as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: native phash != declarative"))
+    // ... plus multibyte/non-BMP text (codepoint sampling path) and the
+    // short/empty edge cases the SQL form defines via ascii('') = 0
+    import spark.implicits._
+    val texts = Seq(
+      "héllo wörld ümlaut çafé over königsberg és más texto largo para llegar",
+      "日本語テキスト処理の例ですここにもっと文字を並べて長さを確保する" * 3,
+      ("😀grin mixé ascii tail😀 " * 5) + "end",
+      "short", "ab", "a", "")
+    val nonAscii = texts.toDF("text")
+      .select(NF.phash63(col("text")).as("native"),
+        expr(graft.operators.Multimodal.phashTerms("div")).as("decl"))
+      .collect()
+    nonAscii.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      "non-ASCII/edge phash divergence"))
+  }
+
   test("native winnowing fingerprints equal the declarative window chain per doc") {
     import graft.operators.Dedup
     val w = Dedup.WinnowW; val k = Dedup.WinnowK
