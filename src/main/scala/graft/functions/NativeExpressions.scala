@@ -505,6 +505,98 @@ case class Phash63Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object BpeApplyUtil {
+  /** Separator-encoded BPE symbol string of a whole token array —
+    * value-identical to the declarative
+    * [[graft.operators.TextAnalysis.bpeEncodeDoc]] regex chain (and
+    * symbol-for-symbol with the driver fuse loop in `bpeMerges`): each
+    * word splits to CODEPOINT symbols plus the `</w>` end marker, every
+    * merge rule fuses left-to-right non-overlapping in rank order, and
+    * the result is `⌁s₁⌁s₂⌁…⌁` per word, words concatenated. One
+    * compiled pass per doc instead of one regexp_replace PASS OVER THE
+    * DOC PER RULE — cost grows with symbols actually fused, not with
+    * rules × doc length, so a 200-rule tokenizer applies as fast as a
+    * 20-rule one (the chained-regex plan cannot).
+    *
+    * `rules` is the rank-ordered rule list flattened as
+    * [l₀, r₀, l₀+r₀, l₁, r₁, l₁+r₁, …]. Null token elements are
+    * skipped (the declarative form maps them to null and array_join
+    * drops them). */
+  def encodeDoc(toks: ArrayData, rules: Array[String]): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    val nw = toks.numElements()
+    var t = 0
+    while (t < nw) {
+      if (!toks.isNullAt(t)) appendWord(sb, toks.getUTF8String(t).toString, rules)
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def appendWord(sb: java.lang.StringBuilder, w: String,
+      rules: Array[String]): Unit = {
+    val ncp = w.codePointCount(0, w.length)
+    val syms = new Array[String](ncp + 1)
+    var i = 0
+    var ci = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms(ci) = new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+      ci += 1
+    }
+    syms(ncp) = "</w>"
+    var len = ncp + 1
+    var ri = 0
+    while (ri < rules.length) {
+      val l = rules(ri)
+      val r = rules(ri + 1)
+      var in = 0
+      var out = 0
+      while (in < len) {
+        if (in < len - 1 && syms(in) == l && syms(in + 1) == r) {
+          syms(out) = rules(ri + 2)
+          in += 2
+        } else {
+          syms(out) = syms(in)
+          in += 1
+        }
+        out += 1
+      }
+      len = out
+      ri += 3
+    }
+    var k = 0
+    while (k < len) {
+      sb.append('\u0001').append(syms(k))
+      k += 1
+    }
+    sb.append('\u0001')
+  }
+}
+
+/** array<string> tokens → separator-encoded BPE symbol string after
+  * applying the (driver-trained, literal-folded) merge rule list. */
+case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val flat: Array[String] =
+    rules.iterator.flatMap { case (l, r) => Iterator(l, r, l + r) }.toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_apply"
+  override protected def nullSafeEval(input: Any): Any =
+    BpeApplyUtil.encodeDoc(input.asInstanceOf[ArrayData], flat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRules", flat, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeApplyUtil.encodeDoc($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyExpr =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
   def shingleHashes(toks: Column): Column =
     Shims.column(ShingleHashesExpr(Shims.expression(toks)))
@@ -524,4 +616,6 @@ object NativeFunctions {
     Shims.column(WinnowFpsExpr(Shims.expression(text), w, k))
   def phash63(text: Column): Column =
     Shims.column(Phash63Expr(Shims.expression(text)))
+  def bpeApply(toks: Column, rules: Seq[(String, String)]): Column =
+    Shims.column(BpeApplyExpr(Shims.expression(toks), rules))
 }

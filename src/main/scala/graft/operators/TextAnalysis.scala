@@ -830,10 +830,13 @@ object TextAnalysis {
     * tokenizes the corpus with it, the step a training-data pipeline
     * actually ends in (token ids/counts, not merge tables). Train on
     * the bounded digest (one word-count shuffle + driver merge loop,
-    * t21 exactly), then BROADCAST the ≤`merges`-row rule list as
-    * literals folded into a column expression — application is purely
-    * map-side (no join, no state), and the only shuffle is the
-    * |sources|-row rollup. Reports the numbers that size a training
+    * t21 exactly), then fold the ≤`merges`-row rule list into the
+    * codegen'd [[graft.functions.BpeApplyUtil.encodeDoc]] expression —
+    * application is purely map-side (no join, no state; one compiled
+    * pass per doc instead of one regex pass per RULE, so cost is flat
+    * in the rule count — spec-pinned at 20 vs 200 rules), and the only
+    * shuffle is the |sources|-row rollup. The declarative regex chain
+    * [[bpeEncodeWord]]/[[bpeEncodeDoc]] remains as the parity mirror. Reports the numbers that size a training
     * run: BPE token count, words, UTF-8 bytes, and exact integer
     * milli-bytes-per-token (bytes·1000 div tokens — the compression
     * ratio that converts corpus bytes to token budget). Rows-only in
@@ -850,7 +853,8 @@ object TextAnalysis {
       .map(m => (m._2, m._3))
     val enc = docsWithTokens(spark, dir)
       .filter(length(trim(col("text"))) > 0)
-      .withColumn("enc", bpeEncodeDoc(col("toks"), rules))
+      .withColumn("enc",
+        graft.functions.NativeFunctions.bpeApply(col("toks"), rules))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_bpe",
         (length(col("enc")) - length(translate(col("enc"), BpeSep, "")))

@@ -130,6 +130,50 @@ class NativeExprSpec extends GraftSuite {
       "non-ASCII/edge phash divergence"))
   }
 
+  test("native BPE apply equals the declarative regex chain, and stays flat in rule count") {
+    import graft.operators.TextAnalysis
+    val wc = TextAnalysis.bpeWordCounts(spark, sf, topWords = 4096)
+    val rules20 = TextAnalysis.bpeMerges(wc, merges = 20).map(m => (m._2, m._3))
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", TF.tokens(col("text")))
+    // byte-for-byte parity of the encoded symbol string per doc
+    // (includes the separator geometry t25's count arithmetic rides on)
+    val rows = docs.select(col("doc_id"),
+        NF.bpeApply(col("toks"), rules20).as("native"),
+        TextAnalysis.bpeEncodeDoc(col("toks"), rules20).as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)}: native BPE encoding != declarative"))
+    // non-ASCII (incl. non-BMP) words must fuse on codepoint symbols
+    import spark.implicits._
+    val rulesNA = Seq(("é", "漢"), ("é漢", "🎯"), ("a", "</w>"))
+    val na = Seq("é漢🎯é漢 xa aé漢🎯", "🎯🎯 ßa").toDF("text")
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(NF.bpeApply(col("toks"), rulesNA).as("native"),
+        TextAnalysis.bpeEncodeDoc(col("toks"), rulesNA).as("decl"))
+      .collect()
+    na.foreach(r => assert(r.getString(0) == r.getString(1),
+      "non-ASCII BPE encoding divergence"))
+    // rule-count flatness: 200 rules must cost about the same as 20
+    // (the chained-regex plan scales linearly in rules — ~10x here).
+    // Generous 4x bound keeps the pin robust to scheduler noise.
+    val rules200 = TextAnalysis.bpeMerges(wc, merges = 200).map(m => (m._2, m._3))
+    assert(rules200.length > 100, "digest must support >100 merges for the pin")
+    def time(rs: Seq[(String, String)]): Double = {
+      val t0 = System.nanoTime()
+      docs.select(NF.bpeApply(col("toks"), rs).as("e"))
+        .agg(sum(length(col("e")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(rules20) // warm
+    val t20 = (1 to 3).map(_ => time(rules20)).min
+    val t200 = (1 to 3).map(_ => time(rules200)).min
+    assert(t200 <= t20 * 4 + 0.25,
+      f"200-rule apply not flat: $t200%.3fs vs $t20%.3fs for 20 rules")
+  }
+
   test("native winnowing fingerprints equal the declarative window chain per doc") {
     import graft.operators.Dedup
     val w = Dedup.WinnowW; val k = Dedup.WinnowK
