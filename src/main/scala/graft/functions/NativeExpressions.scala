@@ -597,6 +597,103 @@ case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
     copy(child = newChild)
 }
 
+object PqUtil {
+  /** PQ encode: per subspace, argmin squared distance from the
+    * embedding's subvector to the broadcast sub-centroids — mirrors the
+    * declarative [[graft.operators.Similarity.pqCodes]] HOF chain
+    * op-for-op: float→double cast per element, left-fold sum of squared
+    * diffs in element order, first minimum wins ties (array_position
+    * returns the FIRST match; the running strict `<` keeps the first
+    * argmin the same way). */
+  def encode(emb: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Int](m)
+    var mm = 0
+    var base = 0
+    while (mm < m) {
+      val book = books(mm)
+      val dsub = book(0).length
+      var best = 0
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < book.length) {
+        val c = book(j)
+        var dd = 0.0
+        var t = 0
+        while (t < dsub) {
+          val df = emb.getFloat(base + t).toDouble - c(t)
+          dd += df * df
+          t += 1
+        }
+        if (dd < bd) { bd = dd; best = j }
+        j += 1
+      }
+      out(mm) = best
+      base += dsub
+      mm += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC distance: Σ_mm qtab[mm][codes[mm]] — mirrors the declarative
+    * `aggregate(zip_with(codes, qtab, (c, t) => element_at(t, c + 1)),
+    * 0.0, _ + _)` left fold in element order. */
+  def adc(codes: ArrayData, qtab: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = codes.numElements()
+    while (i < n) {
+      acc += qtab.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    acc
+  }
+}
+
+/** array<float> embedding → array<int> PQ codes against the
+  * (driver-fit, literal-folded) per-subspace codebooks. */
+case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  @transient private lazy val booksArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    PqUtil.encode(input.asInstanceOf[ArrayData], booksArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", booksArr, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqUtil.encode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** (array<int> codes, array<array<double>> ADC table) → approximate
+  * squared distance as double. */
+case class PqAdcExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"expected (array<int>, array<array<double>>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+  override protected def nullSafeEval(codes: Any, qtab: Any): Any =
+    PqUtil.adc(codes.asInstanceOf[ArrayData], qtab.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.functions.PqUtil.adc($c, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+}
+
 object NativeFunctions {
   def shingleHashes(toks: Column): Column =
     Shims.column(ShingleHashesExpr(Shims.expression(toks)))
@@ -618,4 +715,8 @@ object NativeFunctions {
     Shims.column(Phash63Expr(Shims.expression(text)))
   def bpeApply(toks: Column, rules: Seq[(String, String)]): Column =
     Shims.column(BpeApplyExpr(Shims.expression(toks), rules))
+  def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Shims.column(PqEncodeExpr(Shims.expression(emb), books))
+  def pqAdc(codes: Column, qtab: Column): Column =
+    Shims.column(PqAdcExpr(Shims.expression(codes), Shims.expression(qtab)))
 }

@@ -818,12 +818,19 @@ object Similarity {
     (books, dsub)
   }
 
-  /** Map-side PQ ENCODING column: per subspace, argmin squared distance
-    * to the broadcast sub-centroid literals; ties to the lower code
-    * (array_position returns the FIRST minimum). At 100 TB this is the
-    * one full corpus pass PQ ever does, and like the d11 winnow the
-    * production form is a native codegen'd expression — the HOF form
-    * here keeps the arithmetic declarative and engine-checkable. */
+  /** Map-side PQ ENCODING column — the codegen'd
+    * [[graft.functions.PqUtil.encode]] expression (per subspace, argmin
+    * squared distance to the sub-centroids, ties to the lower code). At
+    * 100 TB this is the one full corpus pass PQ ever does, so it runs
+    * as one compiled loop per row inside whole-stage codegen. */
+  private[graft] def pqEncodeNative(emb: Column,
+      books: IndexedSeq[Array[Array[Double]]]): Column =
+    graft.functions.NativeFunctions.pqEncode(emb,
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** The declarative HOF mirror of [[pqEncodeNative]] (array_position
+    * of array_min over fold-summed squared diffs) — retained as the
+    * engine-checkable parity pin (NativeExprSpec), not the data path. */
   private[graft] def pqCodes(emb: Column,
       books: IndexedSeq[Array[Array[Double]]], dsub: Int): Column =
     array(books.indices.map { mm =>
@@ -890,9 +897,9 @@ object Similarity {
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
     val path = ivfIndexPath(spark, dir, s"pq$m", k, n)
     if (!ivfExists(spark, path)) {
-      val (books, dsub) = pqCodebooks(spark, dir, m, k)
+      val (books, _) = pqCodebooks(spark, dir, m, k)
       val codes = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), pqCodes(col("embedding"), books, dsub).as("codes"))
+        .select(col("vec_id"), pqEncodeNative(col("embedding"), books).as("codes"))
       publishIndex(spark, path) { tmp =>
         codes.write.parquet(tmp + "/codes")
         booksDf(spark, books).coalesce(1).write.parquet(tmp + "/books")
@@ -927,9 +934,8 @@ object Similarity {
     val encoded = encoded0.select(col("vec_id").as("neighbor_id"), col("codes"))
     val scored = encoded.crossJoin(broadcast(qTabs))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("qtab"), (c, t) => element_at(t, c + 1)),
-        lit(0.0), (a, v) => a + v))
+      .withColumn("adc",
+        graft.functions.NativeFunctions.pqAdc(col("codes"), col("qtab")))
     val top = graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
       Seq(round(col("adc"), 6).asc, col("neighbor_id").asc), 3)
     val w = Window.partitionBy(col("query_id"))
@@ -975,9 +981,9 @@ object Similarity {
     val path = ivfIndexPath(spark, dir, s"ivfpq${nLists}x$m", k, n)
     val (assigned, centDf) = s03Index(spark, dir, nLists)
     if (!ivfExists(spark, path)) {
-      val (books, dsub) = pqCodebooks(spark, dir, m, k)
+      val (books, _) = pqCodebooks(spark, dir, m, k)
       val apq = assigned.withColumn("codes",
-        pqCodes(col("embedding"), books, dsub))
+        pqEncodeNative(col("embedding"), books))
       publishIndex(spark, path) { tmp =>
         apq.repartition(col("list_id")).write.parquet(tmp + "/assigned")
         booksDf(spark, books).coalesce(1).write.parquet(tmp + "/books")
@@ -999,9 +1005,8 @@ object Similarity {
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .join(broadcast(qTabs), col("query_id") === col("qt_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("qtab"), (c, t) => element_at(t, c + 1)),
-        lit(0.0), (a, v) => a + v))
+      .withColumn("adc",
+        graft.functions.NativeFunctions.pqAdc(col("codes"), col("qtab")))
     val shortlist = graft.plans.TopK.perGroup(cand, Seq(col("query_id")),
       Seq(round(col("adc"), 6).asc, col("neighbor_id").asc), rescore)
     val exact = shortlist.withColumn("cos", VF.cosine(col("qv"), col("cv")))

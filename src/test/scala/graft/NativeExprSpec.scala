@@ -174,6 +174,39 @@ class NativeExprSpec extends GraftSuite {
       f"200-rule apply not flat: $t200%.3fs vs $t20%.3fs for 20 rules")
   }
 
+  test("native PQ encode and ADC fold equal the declarative HOF chains") {
+    import graft.operators.Similarity
+    val (books, dsub) = Similarity.pqCodebooks(spark, sf,
+      Similarity.PqSubspaces, Similarity.PqCodebookSize)
+    // encode: code-for-code equality incl. first-minimum tie behavior
+    val enc = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        Similarity.pqEncodeNative(col("embedding"), books).as("native"),
+        Similarity.pqCodes(col("embedding"), books, dsub).as("decl"))
+      .collect()
+    assert(enc.nonEmpty)
+    enc.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+      s"vec ${r.getLong(0)}: native PQ codes != declarative"))
+    // ADC: bit-for-bit double equality of the fold
+    val codes = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("neighbor_id"),
+        Similarity.pqEncodeNative(col("embedding"), books).as("codes"))
+    val qTabs = Similarity.pqQueryTables(spark, sf, books, dsub)
+    val scored = codes.crossJoin(broadcast(qTabs))
+      .select(
+        NF.pqAdc(col("codes"), col("qtab")).as("native"),
+        aggregate(zip_with(col("codes"), col("qtab"),
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (a, v) => a + v).as("decl"))
+      .collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"ADC divergence: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("native winnowing fingerprints equal the declarative window chain per doc") {
     import graft.operators.Dedup
     val w = Dedup.WinnowW; val k = Dedup.WinnowK
