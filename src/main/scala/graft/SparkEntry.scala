@@ -129,6 +129,7 @@ object SparkEntry {
     "m03_binary_dedup" -> (Multimodal.m03BinaryDedup _),
     "m04_phash_neardup" -> (Multimodal.m04PhashNeardup _),
     "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),
+    "p10_neardup_corpus" -> (Pipelines.p10NeardupCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -190,18 +190,26 @@ object Dedup {
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .distinct()
 
-  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val cand = minhashCandidatePairs(minhashBandKeys(Tables.documents(spark, dir)))
+  /** VERIFIED MinHash-LSH near-dup pairs (exact Jaccard ≥ 0.2 on the
+    * band-collision candidates) over any `doc_id`+`text` relation —
+    * the raw pair set d03 presents and [[Pipelines.p10NeardupCorpus]]
+    * feeds into connected components (the round-4 single-sourcing rule:
+    * band math, candidate join, and verify threshold exist once). */
+  private[graft] def minhashVerifiedPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
+    val cand = minhashCandidatePairs(minhashBandKeys(docs))
     val inter = size(array_intersect(col("sh_i"), col("sh_j")))
     cand
       .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i")), "doc_i")
       .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j")), "doc_j")
       .withColumn("jaccard", inter / (size(col("sh_i")) + size(col("sh_j")) - inter))
       .filter(atLeast(col("jaccard"), 0.2))
+  }
+
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(Tables.documents(spark, dir))
       .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_i", "doc_j")
-  }
 
   /** d14: MinHash estimator CALIBRATION over d03's candidate pairs —
     * the audit that tells you whether the sketch's banding knobs are

@@ -58,6 +58,39 @@ object Pipelines {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang", "split")
 
+  /** p10: the NEAR-DUP corpus build — what p03's exact-only pipeline is
+    * missing before a real pretraining run: lang/quality filter + exact
+    * dedup + split ([[cleanCorpus]]), then MinHash-LSH verified pairs
+    * (d03's single-sourced band join + Jaccard ≥ 0.2 verify) over the
+    * cleaned corpus, connected components over the pair graph (d07's
+    * pointer-jumping propagation), and the d01 canonical-keep rule (the
+    * component-min doc survives, every other member drops). Output is
+    * the per-(lang, split) build report — kept docs, near-dup drops,
+    * surviving sources — all-integer, so the gate pins the ENTIRE chain
+    * (filters, canonical pick, band math, verify threshold, component
+    * labels, keep rule) against DuckDB's recursive-CTE components with
+    * no float boundary.
+    *
+    * Shape at 100 TB: [[cleanCorpus]] is one scan pass + two bounded
+    * shuffles; the pair stage is the d03 equi-join (never all pairs);
+    * components is O(log diameter) whole-graph rounds with per-round
+    * checkpoints (pass a reliable `checkpointDir` via d07's knob on a
+    * real cluster); the final report shuffles |kept| rows once. */
+  def p10NeardupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = cleanCorpus(spark, dir)
+    val pairs = Dedup.minhashVerifiedPairs(cleaned.select(col("doc_id"), col("text")))
+      .select(col("doc_i"), col("doc_j"))
+    val (labels, _) = Dedup.connectedComponents(spark, pairs, None)
+    val drops = labels.filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    cleaned.join(drops, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("split"))
+      .agg(sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_neardup_dropped"),
+        countDistinct(when(col("is_dup").isNull, col("source"))).as("n_sources"))
+      .orderBy("lang", "split")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val quality =
@@ -87,6 +120,59 @@ object Pipelines {
             SELECT lang, split, COUNT(*) AS n_docs,
               COUNT(DISTINCT source) AS n_sources
             FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+      "p10_neardup_corpus" -> {
+        val sh = TS.shingleHashes(toks)
+        val P = graft.functions.TextFunctions.HashMod
+        val sigSql = Dedup.minhashA.zip(Dedup.minhashB).map { case (a, b) =>
+          s"list_min(list_transform(sh, s -> (s*$a + $b) % $P))"
+        }.mkString("[", ",\n              ", "]")
+        s"""WITH RECURSIVE
+            q AS (
+              SELECT doc_id, lang, source, text
+              FROM documents
+              WHERE lang IN ('en', 'es', 'de', 'fr', 'zh')
+                AND len($toks) >= 10
+                AND $quality >= 0.3),
+            c AS (
+              SELECT doc_id, lang, source, text
+              FROM q
+              QUALIFY doc_id = min(doc_id) OVER (PARTITION BY
+                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))),
+            sdoc AS (
+              SELECT doc_id, lang, source,
+                CASE WHEN (${TS.polyFingerprint(toks)}) % 100 < 80 THEN 'train'
+                     WHEN (${TS.polyFingerprint(toks)}) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM c),
+            d AS (SELECT doc_id, $sh AS sh FROM c WHERE len($toks) >= 3),
+            sig AS (SELECT doc_id, sh, $sigSql AS sig FROM d),
+            bands AS (SELECT doc_id, j,
+                sig[CAST(2*j+1 AS INT)]*$P + sig[CAST(2*j+2 AS INT)] AS key
+              FROM sig, generate_series(0, 15) AS t(j)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+              FROM bands a JOIN bands b
+              ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+            v AS (SELECT doc_i, doc_j FROM cand
+              JOIN d x ON x.doc_id = cand.doc_i
+              JOIN d y ON y.doc_id = cand.doc_j
+              WHERE len(list_intersect(x.sh, y.sh)) /
+                (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.2),
+            e AS (SELECT doc_i AS s, doc_j AS t FROM v
+                  UNION SELECT doc_j, doc_i FROM v),
+            r(s, t) AS (SELECT s, t FROM e
+                        UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s),
+            lab AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster
+                    FROM r GROUP BY s),
+            drops AS (SELECT doc_id FROM lab WHERE cluster <> doc_id),
+            k AS (SELECT sdoc.lang, sdoc.split, sdoc.source,
+                CASE WHEN drops.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+              FROM sdoc LEFT JOIN drops ON sdoc.doc_id = drops.doc_id)
+            SELECT lang, split,
+              CAST(SUM(1 - is_dup) AS BIGINT) AS n_docs,
+              CAST(SUM(is_dup) AS BIGINT) AS n_neardup_dropped,
+              COUNT(DISTINCT CASE WHEN is_dup = 0 THEN source END) AS n_sources
+            FROM k GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
     )
   }
 }

@@ -31,4 +31,44 @@ class PipelinesSpec extends GraftSuite {
     val scans = "FileScan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"pipeline should read documents exactly once:\n$plan")
   }
+
+  test("p10 near-dup build: keep rule, accounting, and drop set match a driver recompute") {
+    val cleaned = Pipelines.cleanCorpus(spark, sf).cache()
+    try {
+      val report = Pipelines.p10NeardupCorpus(spark, sf).collect()
+      assert(report.nonEmpty)
+      // per-group accounting: kept + dropped = cleaned population
+      val cleanedCounts = cleaned.groupBy("lang", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      report.foreach { r =>
+        val key = (r.getString(0), r.getString(1))
+        assert(r.getAs[Long]("n_docs") + r.getAs[Long]("n_neardup_dropped")
+          == cleanedCounts(key), s"accounting broken for $key")
+      }
+      assert(report.map(r => (r.getString(0), r.getString(1))).toSet
+        == cleanedCounts.keySet)
+      // driver recompute of the drop set: union-find over the verified
+      // pair graph, component-min survives (d01 keep rule)
+      val pairs = graft.operators.Dedup
+        .minhashVerifiedPairs(cleaned.select(col("doc_id"), col("text")))
+        .select("doc_i", "doc_j").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, "fixture must produce at least one near-dup pair")
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (i, j) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) { if (ri < rj) parent(rj) = ri else parent(ri) = rj }
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expectedDrops = members.filter(m => find(m) != m).toSet
+      assert(expectedDrops.nonEmpty)
+      val droppedTotal = report.map(_.getAs[Long]("n_neardup_dropped")).sum
+      assert(droppedTotal == expectedDrops.size,
+        s"drop count ${droppedTotal} != union-find ${expectedDrops.size}")
+    } finally cleaned.unpersist()
+  }
 }
