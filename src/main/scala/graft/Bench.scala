@@ -90,7 +90,12 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // stdout carries only the 24 heaviest queries: the driver's tail
+    // capture is 2000 bytes, and the r6/r7 lines with the full ~115-query
+    // map (~3.4 KB) overflowed it and were archived with parsed:null.
+    // The full per-query map lives in bench_detail.json.
+    val headline = results.sortBy(-_._2).take(24).sortBy(_._1)
+    val qs = headline.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedField =
       if (failed.isEmpty) ""
@@ -108,7 +113,7 @@ object Bench {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",$env$failedField$ratioFields}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_note":"24 heaviest; full map in bench_detail.json","sf":"$sfDir",$env$failedField$ratioFields}""")
     spark.stop()
   }
 }

@@ -53,6 +53,11 @@ object SparkEntry {
     "q38_incremental_rollup" -> (Relational.q38IncrementalRollup _),
     "q39_snapshot_diff" -> (Relational.q39SnapshotDiff _),
     "q40_big_orders" -> (Relational.q40BigOrders _),
+    "q41_profit_by_nation" -> (Relational.q41ProfitByNation _),
+    "q42_returned_top_customers" -> (Relational.q42ReturnedTopCustomers _),
+    "q43_priority_shipping" -> (Relational.q43PriorityShipping _),
+    "q44_promo_share" -> (Relational.q44PromoShare _),
+    "q45_supplier_count_by_class" -> (Relational.q45SupplierCountByClass _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -472,6 +477,69 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 20""",
+    "q41_profit_by_nation" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+         ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+               - CAST(ROUND(p_retailprice * l_quantity * 0.5 * 100, 0) AS BIGINT))
+           / 100.0, 2) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY 1, 2
+         ORDER BY nation, o_year DESC""",
+    "q42_returned_top_customers" ->
+      """SELECT c_custkey, c_name, ROUND(acct, 2) AS c_acctbal, n_name, rev_cents
+         FROM (
+           SELECT c_custkey, c_name, c_acctbal AS acct, n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+               AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1, 2, 3, 4)
+         ORDER BY rev_cents DESC, c_custkey
+         LIMIT 20""",
+    "q43_priority_shipping" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1
+         ORDER BY l_returnflag""",
+    "q44_promo_share" ->
+      """SELECT promo_cents, total_cents,
+         ROUND(promo_cents * 100.0 / total_cents, 4) AS promo_share_pct
+         FROM (
+           SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+               AS BIGINT) AS promo_cents,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+           FROM (
+             SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+               AS BIGINT) AS cents, p_type
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+               AND l_shipdate < TIMESTAMP '1997-10-01'))""",
+    "q45_supplier_count_by_class" ->
+      """SELECT p_brand, p_type, p_size,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -507,17 +507,17 @@ object Dedup {
     * round snapshots through the reliable store instead (an executor
     * loss then recomputes nothing — rounds restart from the snapshot).
     *
-    * Reliable-mode housekeeping: `setCheckpointDir` is SESSION-GLOBAL,
-    * so each round checkpoints into its own subdir of `checkpointDir`,
-    * a round's subdir is deleted as soon as the NEXT round has
-    * materialized (Dataset.checkpoint is eager — nothing references the
-    * old snapshot afterwards), and the session's previous checkpoint
-    * dir is restored before returning (concurrent checkpointing jobs in
-    * the SAME session would still interleave dirs — don't share a
-    * session with another checkpointing job while this runs). Only the
-    * final round's and the pair/edge snapshots survive: they back the
-    * returned lazy DataFrame, so delete `checkpointDir` itself once the
-    * result is consumed. */
+    * Reliable-mode housekeeping: round snapshots are UNMANAGED parquet
+    * writes under per-round subdirs of `checkpointDir` (written eagerly,
+    * read back lazily) — not RDD checkpoints, because
+    * `setCheckpointDir` is session-global and cannot be unset, so the
+    * checkpoint route would leak the caller's (possibly temporary) dir
+    * to every later `checkpoint()` in the session (r7 ADVICE; q36's
+    * snapshot uses the same rule). A round's subdir is deleted as soon
+    * as the NEXT round has materialized. Only the final round's and the
+    * pair/edge snapshots survive: they back the returned lazy
+    * DataFrame, so delete `checkpointDir` itself once the result is
+    * consumed. */
   def d07DupClusters(spark: SparkSession, dir: String): DataFrame =
     d07DupClusters(spark, dir, checkpointDir = None)
 
@@ -552,30 +552,31 @@ object Dedup {
   private[graft] def connectedComponents(spark: SparkSession, pairs0: DataFrame,
       checkpointDir: Option[String]): (DataFrame, Int) = {
     val sc = spark.sparkContext
-    val savedDir = sc.getCheckpointDir
-    def setDir(sub: String): Unit =
-      checkpointDir.foreach(d => sc.setCheckpointDir(d + "/" + sub))
     def rmDir(sub: String): Unit = checkpointDir.foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d + "/" + sub)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
     }
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Reliable mode = unmanaged parquet snapshot (eager write, lazy
+    // read-back): identical durability to Dataset.checkpoint with no
+    // session-global setCheckpointDir mutation (see docstring).
+    def ckpt(df: DataFrame, sub: String): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(d) =>
+        df.write.mode("overwrite").parquet(d + "/" + sub)
+        spark.read.parquet(d + "/" + sub)
+    }
     // Materialize the (expensive) pair generation ONCE before the union —
     // the two union branches are otherwise separate subtrees and would
     // re-run the whole inverted-index join twice.
-    setDir("static")
-    val pairs = ckpt(pairs0)
+    val pairs = ckpt(pairs0, "static")
     val edges = pairs.union(pairs.select(col("doc_j"), col("doc_i")))
       .toDF("src", "dst")
-    setDir("round-0")
     var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")))
+      .withColumn("cluster", col("doc_id")), "round-0")
     var converged = false
     var round = 0
     while (!converged) {
       round += 1
-      setDir(s"round-$round")
       val prop = labels.join(edges, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
       // Carry the previous label through the propagation join so the
@@ -593,17 +594,12 @@ object Dedup {
       val ptr = hop.select(col("doc_id").as("p_id"), col("cluster").as("p_cluster"))
       val next = ckpt(hop.join(ptr, col("cluster") === col("p_id"), "left")
         .select(col("doc_id"), col("prev"),
-          least(col("cluster"), coalesce(col("p_cluster"), col("cluster"))).as("cluster")))
+          least(col("cluster"), coalesce(col("p_cluster"), col("cluster"))).as("cluster")),
+        s"round-$round")
       converged = next.filter(col("prev") =!= col("cluster")).isEmpty
       hop.unpersist(blocking = false) // `next` is materialized by ckpt
       labels = next.select(col("doc_id"), col("cluster"))
       rmDir(s"round-${round - 1}") // superseded — `next` is materialized
-    }
-    // Undo the session-global redirect (restorable only when a dir was
-    // set before — SparkContext has no public unset, so a previously
-    // unset session is left pointing at the base checkpointDir).
-    checkpointDir.foreach { d =>
-      sc.setCheckpointDir(savedDir.getOrElse(d))
     }
     (labels, round)
   }

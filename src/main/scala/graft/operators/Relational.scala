@@ -728,17 +728,20 @@ object Relational {
     val parted0 = spend
       .repartitionByRange(col("cents").desc, col("o_custkey").asc)
       .withColumn("pid", spark_partition_id().cast("long"))
-    // d07's dir discipline: redirect the session checkpoint dir for the
-    // one eager materialization, restore afterwards (restorable only when
-    // a dir was set before — SparkContext has no public unset).
+    // The reliable form is an UNMANAGED snapshot — write the slice
+    // assignment to the caller's dir and read it back — not an RDD
+    // checkpoint: SparkContext.setCheckpointDir cannot be unset, so the
+    // checkpoint route would leak a session-global dir (pointing at the
+    // caller's possibly-temporary path) to every later checkpoint() in
+    // the session. The parquet round-trip has identical durability (the
+    // pid column is materialized data either way) with no session-state
+    // mutation.
     val parted = (snapshot, checkpointDir) match {
       case (false, _) => parted0
       case (true, None) => parted0.localCheckpoint()
       case (true, Some(d)) =>
-        val sc = spark.sparkContext
-        val saved = sc.getCheckpointDir
-        sc.setCheckpointDir(d + "/q36-ranks")
-        try parted0.checkpoint() finally sc.setCheckpointDir(saved.getOrElse(d))
+        parted0.write.mode("overwrite").parquet(d + "/q36-ranks")
+        spark.read.parquet(d + "/q36-ranks")
     }
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("cents").desc, col("o_custkey").asc)
@@ -960,5 +963,158 @@ object Relational {
       .unionAll(seg("only_1997", y97.except(y98)))
       .unionAll(seg("only_1998", y98.except(y97)))
       .orderBy("segment")
+  }
+
+  /** Exact integer-cent revenue term (q35's money rule, factored out for
+    * the r8 TPC-H shapes): per-item cents are rounded ONCE from the
+    * identical IEEE product both engines compute, then summed as longs —
+    * order-independent and mirror-exact at any scale. */
+  private def centsOf(c: Column): Column = round(c * lit(100), 0).cast("long")
+
+  /** q41: TPC-H Q9 shape — PROFIT by nation and year through a
+    * part-FILTERED multi-fact star: lineitem joined to a name-filtered
+    * part slice, its supplier, and the supplier's nation, aggregated on
+    * (nation, ship year). The testdata has no partsupp table, so unit
+    * cost is proxied as half the part's retail price — the plan shape
+    * (the point of the query) is unchanged. Plan at 100 TB: the
+    * `p_name LIKE '%gear%'` filter prunes part BEFORE its join (pushed
+    * to the part scan — the filtered slice is a fraction of an already
+    * SF-linear dim, AQE broadcasts it while small); supplier is
+    * SF-linear (no hint); nation is constant-25 (broadcast by hint
+    * policy); the fact shuffles once per fact-side equi-join key and
+    * the final rollup is ≤ |nations|·|years| groups. Profit is summed
+    * in integer cents ([[centsOf]]), revenue and cost each rounded
+    * per-item from identical IEEE products. */
+  def q41ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val gearParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(gearParts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(round(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          - centsOf(col("p_retailprice") * col("l_quantity") * lit(0.5)))
+        / lit(100.0), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q42: TPC-H Q10 shape — RETURNED-item revenue by customer: who
+    * cost us the most in returns last quarter. The shape users hit: a
+    * returnflag-filtered fact, a date-windowed second fact, two
+    * dimension attach joins, a per-customer rollup, top-20. Plan at
+    * 100 TB: both filters are scan-pushed (returnflag on lineitem,
+    * the quarter window on orders) BEFORE the o_orderkey shuffle; the
+    * customer join keys the rollup's own shuffle (group keys are
+    * functionally dependent on c_custkey, so one exchange serves
+    * both); nation broadcasts (constant dim), customer doesn't
+    * (SF-linear, AQE decides); top-20 is TakeOrdered on integer
+    * cents — no float ordering anywhere. */
+  def q42ReturnedTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        centsOf(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("cents"))
+    val ordQ = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-04-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    returned.join(ordQ, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("cents")).as("rev_cents"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"),
+        col("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q43: TPC-H Q12 shape — shipping-class PRIORITY audit: per
+    * lineitem class (returnflag stands in for the testdata's absent
+    * shipmode — same constant cardinality), how many 1997-shipped items
+    * belong to critical- vs normal-priority orders. The shape is Q12's:
+    * a date-windowed fact joined to its header, classified by a CASE
+    * over a header attribute, conditional counts per class. Plan: the
+    * ship-year window is scan-pushed on lineitem; ONE o_orderkey
+    * shuffle joins the header; the CASE runs map-side post-join and the
+    * rollup is ≤ |classes| groups. All-integer output — no float
+    * anywhere. */
+  def q43PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val items97 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    items97
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q44: TPC-H Q14 shape — PROMO revenue share: of one month's shipped
+    * revenue, what percentage came from promotional parts. The shape is
+    * the conditional-share scalar: one narrow month window, one
+    * part-attribute join, a single row out. Plan: the month window is
+    * scan-pushed on lineitem so the p_partkey join touches a sliver of
+    * the fact (AQE broadcasts the surviving side); both the promo and
+    * total terms come from the SAME single aggregation pass —
+    * conditional sum, not two scans. Share = exact promo cents / exact
+    * total cents: the division starts from identical longs in any
+    * engine, so the rounded percentage is mirror-exact. */
+  def q44PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val sept = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-09-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-10-01 00:00:00"))
+      .select(col("l_partkey"),
+        centsOf(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("cents"))
+    sept.join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        round(col("promo_cents") * lit(100.0) / col("total_cents"), 4)
+          .as("promo_share_pct"))
+  }
+
+  /** q45: TPC-H Q16 shape — SUPPLIER-COUNT per part class with a
+    * NOT-IN exclusion: for parts outside one brand and outside the
+    * promo type, how many DISTINCT suppliers ship them, excluding
+    * low-standing suppliers (acctbal < 1000 — the testdata's stand-in
+    * for Q16's complaints filter). The part-supplier relation is
+    * derived from lineitem (no partsupp table): distinct (l_partkey,
+    * l_suppkey) — a map-side-combined distinct on the join key, the
+    * fact's one shuffle. Plan: the supplier exclusion is a LEFT ANTI
+    * join against a filtered SF-linear dim (never NOT IN's
+    * null-trapped subquery form, same distributed shape); brand/type
+    * prune part before its join; count(DISTINCT s) per (brand, type,
+    * size) re-shuffles only the surviving slice. All-integer output. */
+  def q45SupplierCountByClass(spark: SparkSession, dir: String): DataFrame = {
+    val partSupp = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    partSupp
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
   }
 }

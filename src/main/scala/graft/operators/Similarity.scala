@@ -219,13 +219,35 @@ object Similarity {
     spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
       .stripPrefix("file:") + "/graft_ivf"
 
+  /** Cheap content fingerprint of the corpus behind every persisted
+    * index here (all families — s03/s06/d13/pq/ivfpq — fit from the
+    * embeddings table): a hash of the sorted (name, length, mtime)
+    * parquet file listing. One FS listStatus per key computation — a
+    * single NameNode RPC at scale, no data read. An in-place corpus
+    * regeneration changes file mtimes (and almost always lengths), so
+    * the key changes and the index rebuilds instead of silently serving
+    * stale contents. */
+  private[graft] def corpusFingerprint(spark: SparkSession, dir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val listing = fs.listStatus(p).filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .sortBy(_._1).mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+    } catch { case _: java.io.IOException => "0" }
+
   /** Identity key of a persisted index: corpus dir, family tag, list
-    * count, and corpus ROW COUNT — a regenerated corpus with different
-    * cardinality can never be served a stale index; an equal-cardinality
-    * regeneration must drop the index explicitly ([[dropIvfIndex]]). */
+    * count, corpus ROW COUNT, and a CONTENT fingerprint of the source
+    * parquet files ([[corpusFingerprint]]) — a regenerated corpus (even
+    * at equal cardinality: new seed, generator change) can never be
+    * served a stale index. [[dropIvfIndex]] remains the explicit hook. */
   private[graft] def ivfIndexPath(spark: SparkSession, dir: String,
       tag: String, nLists: Int, n: Long): String =
-    s"${ivfRoot(spark)}/${tag}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_n${n}_k$nLists"
+    s"${ivfRoot(spark)}/${tag}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"_n${n}_k${nLists}_f${corpusFingerprint(spark, dir)}"
 
   private def ivfExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -236,16 +258,43 @@ object Similarity {
     * written under a fresh tmp dir and RENAMED into place, so readers
     * only ever see a complete index. A concurrent builder that loses the
     * rename race deletes its tmp and reads the winner — harmless, since
-    * the fit is deterministic and both indexes are identical. */
+    * the fit is deterministic and both indexes are identical.
+    *
+    * LocalFS caveats this handles (HDFS rename is atomic and needs
+    * none of it): RawLocalFileSystem.rename onto an EXISTING dst falls
+    * back to FileUtil.copy, which would copy the loser's tmp INTO the
+    * published index as a stray child instead of returning false — so
+    * the rename is only attempted when dst is absent, any stray child
+    * is removed after, and tmp is deleted unconditionally in a finally
+    * (also covering a crashed write()). Leftover `.tmp-*` siblings from
+    * builders that died before their finally, and stale-fingerprint
+    * siblings of this index (superseded corpus generations,
+    * [[corpusFingerprint]]), are swept on every successful publish. */
   private def publishIndex(spark: SparkSession, path: String)
       (write: String => Unit): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(new org.apache.hadoop.fs.Path(ivfRoot(spark)))
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dst.getParent)
     val tmp = new org.apache.hadoop.fs.Path(path + s".tmp-${System.nanoTime()}")
-    write(tmp.toString)
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path)))
-      fs.delete(tmp, true)
+    try {
+      write(tmp.toString)
+      if (!fs.exists(dst)) fs.rename(tmp, dst)
+      val stray = new org.apache.hadoop.fs.Path(dst, tmp.getName)
+      if (fs.exists(stray)) fs.delete(stray, true)
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+    val stem = java.util.regex.Pattern.quote(
+      dst.getName.replaceAll("_f[0-9a-f]+$", ""))
+    val keep = dst.getName
+    fs.listStatus(dst.getParent).map(_.getPath)
+      .filter { p =>
+        val nm = p.getName
+        nm != keep &&
+          (nm.matches(s"$stem(_f[0-9a-f]+)?\\.tmp-\\d+") ||
+            nm.matches(s"${stem}_f[0-9a-f]+"))
+      }
+      .foreach(fs.delete(_, true))
   }
 
   /** Drop one persisted index (test/regeneration hook). */

@@ -75,9 +75,16 @@ object StreamRollup {
     * forces every downstream consumer of the rollup to treat EVERY past
     * day as forever-mutable. The high-water mark is the newest day seen
     * in the stored state or the arriving batch (KB-sized aggregates —
-    * the two max() lookups cost nothing per micro-batch). */
+    * the two max() lookups cost nothing per micro-batch), CLAMPED to
+    * the processing-time day + `futureSkewDays`: without the clamp, one
+    * future-dated event (producer clock skew) would permanently advance
+    * the persisted HWM and dead-letter every legitimate event forever.
+    * Events beyond the skew allowance are themselves dead-lettered into
+    * the same sentinel — a day that hasn't happened yet is as bogus as
+    * one retired years ago. */
   def maintain(events: DataFrame, stateDir: String, checkpointDir: String,
-      keepVersions: Int = 3, retentionDays: Option[Int] = None): StreamingQuery =
+      keepVersions: Int = 3, retentionDays: Option[Int] = None,
+      futureSkewDays: Int = 2): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -89,18 +96,27 @@ object StreamRollup {
           case None => R.mergeDailyState(state, batch)
           case Some(r) =>
             val dayCol = to_date(date_trunc("day", col("ts")))
+            // HWM clamp: the newest BELIEVABLE day. Persisted state from
+            // before the clamp may already carry a poisoned future day,
+            // so the min() applies to the stored max too, healing it.
+            val maxDay = java.sql.Date.valueOf(
+              java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+                .plusDays(futureSkewDays.toLong))
+            val ord = Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)
             val hwm = Seq(
               state.agg(max(col("day"))).head().getAs[java.sql.Date](0),
-              batch.agg(max(dayCol)).head().getAs[java.sql.Date](0))
+              batch.filter(dayCol <= lit(maxDay))
+                .agg(max(dayCol)).head().getAs[java.sql.Date](0))
               .filter(_ != null)
+              .map(d => ord.min(d.toLocalDate, maxDay.toLocalDate))
             if (hwm.isEmpty) R.mergeDailyState(state, batch)
             else {
-              val cutoff = java.sql.Date.valueOf(
-                hwm.map(_.toLocalDate).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
-                  .minusDays(r.toLong))
-              val fresh = batch.filter(dayCol >= lit(cutoff))
-              // dead-letter summary of the refused events, state-shaped
-              val dropped = batch.filter(dayCol < lit(cutoff))
+              val cutoff = java.sql.Date.valueOf(hwm.max(ord).minusDays(r.toLong))
+              val inWindow = dayCol >= lit(cutoff) && dayCol <= lit(maxDay)
+              val fresh = batch.filter(inWindow)
+              // dead-letter summary of the refused events (too old OR
+              // future-dated beyond the skew allowance), state-shaped
+              val dropped = batch.filter(!inWindow)
                 .agg(count(lit(1)).as("n_events"),
                   sum(round(col("value") * 100, 0).cast("long")).as("cents"))
                 .select(lit(LateDroppedType).as("event_type"),

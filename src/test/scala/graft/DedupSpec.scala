@@ -129,6 +129,10 @@ class DedupSpec extends GraftSuite {
     val roundDirs = subdirs.map(_.getName).filter(_.startsWith("round-"))
     assert(roundDirs.length == 1,
       s"superseded round checkpoints leaked: ${roundDirs.mkString(", ")}")
+    // snapshots are unmanaged parquet: no session-global checkpoint dir
+    // may leak from the call (SparkContext cannot unset one)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "d07 reliable path must not mutate the session checkpoint dir")
   }
 
   test("d10 leakage: flagged eval docs genuinely share shingles with train") {

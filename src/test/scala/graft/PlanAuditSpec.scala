@@ -406,6 +406,39 @@ class PlanAuditSpec extends GraftSuite {
     assert(s.contains("TopKPerGroup"), s"top-3 must ride the heap operator:\n$s")
   }
 
+  test("q41-q45: the r8 TPC-H shapes push filters, prune scans, avoid cartesians") {
+    // q41: the part name filter must reach the part scan; nation is the
+    // only broadcast-hinted dim; no cartesian anywhere in the star
+    val s41 = planStr(Relational.q41ProfitByNation(spark, sf))
+    assert(s41.contains("PushedFilters") && s41.contains("p_name"),
+      s"q41 part-name filter not pushed:\n$s41")
+    assert(!s41.contains("CartesianProduct"), s"q41 cartesian:\n$s41")
+    // q42: both scan filters pushed; top-20 rides TakeOrdered, never a
+    // global sort of the aggregate
+    val df42 = Relational.q42ReturnedTopCustomers(spark, sf)
+    val s42 = planStr(df42)
+    assert(s42.contains("l_returnflag") && s42.contains("o_orderdate"),
+      s"q42 scan filters not pushed:\n$s42")
+    assert(s42.contains("TakeOrderedAndProject"),
+      s"q42 top-20 must be TakeOrdered:\n$s42")
+    // q43: the ship-year window reaches the lineitem scan; exactly one
+    // fact-side exchange feeds the header join at any broadcast decision
+    val s43 = planStr(Relational.q43PriorityShipping(spark, sf))
+    assert(s43.contains("l_shipdate"), s"q43 window not pushed:\n$s43")
+    assert("HashAggregate".r.findAllIn(s43).size >= 2,
+      s"q43 conditional counts must partial-aggregate:\n$s43")
+    // q44: single aggregation pass — promo and total terms may not plan
+    // as two scans of lineitem
+    val s44 = planStr(Relational.q44PromoShare(spark, sf))
+    assert("FileScan parquet".r.findAllIn(s44).size <= 2,
+      s"q44 must scan lineitem once and part once:\n$s44")
+    // q45: the complaints exclusion stays an equi anti-join (the NOT IN
+    // trap would plan a nested loop)
+    val s45 = planStr(Relational.q45SupplierCountByClass(spark, sf))
+    assert(!s45.contains("BroadcastNestedLoopJoin") && !s45.contains("CartesianProduct"),
+      s"q45 exclusion must be an equi anti-join:\n$s45")
+  }
+
   test("salted join equals the plain join and splits hot keys") {
     import spark.implicits._
     // heavy skew: one key holds 10k of 10.4k rows

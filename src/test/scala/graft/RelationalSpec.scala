@@ -249,6 +249,10 @@ class RelationalSpec extends GraftSuite {
       val written = new java.io.File(ckDir, "q36-ranks").listFiles()
       assert(written != null && written.nonEmpty,
         "reliable path must materialize the snapshot under the checkpoint dir")
+      // the snapshot is unmanaged: no session-global checkpoint dir may
+      // leak from the call (r7 ADVICE — SparkContext cannot unset one)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "q36 reliable path must not mutate the session checkpoint dir")
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
   }

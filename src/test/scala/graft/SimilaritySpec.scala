@@ -308,6 +308,32 @@ class SimilaritySpec extends GraftSuite {
     assert(f6.toSeq == s6.toSeq, "s06 index-served result diverged from fresh fit")
   }
 
+  test("persisted index key tracks corpus CONTENT, and stale generations are swept") {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("fp-corpus").toFile
+    try {
+      org.apache.commons.io.FileUtils.copyFileToDirectory(
+        new java.io.File(sf, "embeddings.parquet"), tmp)
+      val dir = tmp.toString
+      val n = Tables.parquetRowCount(spark, dir, "embeddings")
+      Similarity.s03AnnIvf(spark, dir).collect()
+      val p1 = Similarity.ivfIndexPath(spark, dir, "s03", 16, n)
+      assert(new java.io.File(p1, "assigned").exists(), s"gen-1 index missing at $p1")
+      // equal-cardinality in-place regeneration: same name+size, new
+      // mtime — the r7 ADVICE failure mode the fingerprint key closes
+      val f = new java.io.File(tmp, "embeddings.parquet")
+      assert(f.setLastModified(f.lastModified() + 65000))
+      val p2 = Similarity.ivfIndexPath(spark, dir, "s03", 16, n)
+      assert(p1 != p2, "equal-cardinality regeneration must change the index key")
+      Similarity.s03AnnIvf(spark, dir).collect()
+      assert(new java.io.File(p2, "assigned").exists(), s"gen-2 index missing at $p2")
+      assert(!new java.io.File(p1).exists(),
+        "superseded index generation must be swept on republish")
+      // the key is stable when nothing changed
+      assert(p2 == Similarity.ivfIndexPath(spark, dir, "s03", 16, n))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("s06 range search returns every above-threshold pair s01 knows about") {
     val range = Similarity.s06RangeSearch(spark, sf).collect()
     range.foreach { r =>

@@ -109,6 +109,41 @@ class StreamingSpec extends GraftSuite {
       s"retained state diverged:\n${days.toSeq}\n$want")
   }
 
+  test("stream_rollup clamps the retention high-water mark against future-dated events") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("rollup_fut_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rollup_fut_ckpt").toString
+    // legit traffic "today"; one producer with a clock 100 days fast.
+    // Without the HWM clamp the skewed event advances the cutoff to
+    // (now+100d − 7d) and EVERY legitimate event is dead-lettered; with
+    // it, only the future event lands in the sentinel.
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    def onDay(d: java.time.LocalDate, hour: Int): Timestamp =
+      Timestamp.valueOf(d.atStartOfDay.plusHours(hour.toLong))
+    val b1 = Seq((onDay(today, 1), "click", 1.00), (onDay(today.minusDays(1), 1), "view", 2.00))
+    val b2 = Seq((onDay(today.plusDays(100), 1), "click", 5.55),
+      (onDay(today, 2), "view", 0.50))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamRollup.maintain(
+      input.toDF().toDF("ts", "event_type", "value"), stateDir, ckpt,
+      retentionDays = Some(7))
+    try {
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = StreamRollup.readState(spark, stateDir).collect()
+    val sentinel = got.filter(_.getAs[String]("event_type") == StreamRollup.LateDroppedType)
+    assert(sentinel.length == 1 && sentinel.head.getAs[Long]("n_events") == 1L &&
+      sentinel.head.getAs[Long]("cents") == 555L,
+      s"future-dated event must be the only dead-letter:\n${got.toSeq}")
+    val days = got.filterNot(_.getAs[String]("event_type") == StreamRollup.LateDroppedType)
+    val want = graft.operators.Relational
+      .dailyState((b1 ++ b2.filterNot(_._3 == 5.55)).toDF("ts", "event_type", "value"))
+      .orderBy("event_type", "day").collect().toSeq
+    assert(days.sortBy(r => (r.getString(0), r.getDate(1).toString)).toSeq == want,
+      s"legit events must survive the skewed producer:\n${days.toSeq}\n$want")
+  }
+
   test("stream_vecindex assigns arriving vectors to the same lists as the batch index") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
