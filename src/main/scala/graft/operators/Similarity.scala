@@ -304,6 +304,52 @@ object Similarity {
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
+  /** Offline coarse-quantizer REFIT — the consumer of stream_vecindex's
+    * drift signal. When streamed arrivals concentrate where the frozen
+    * quantizer has little resolution (`StreamVecIndex.refitDecision`),
+    * the remedy is exactly the batch build run again over base corpus ∪
+    * arrivals: same deterministic stride fit ([[s03Index]]'s rule, one
+    * stride over the union), same clustered-by-list layout, published
+    * through the same crash-safe [[publishIndex]] rename under its own
+    * family tag (`s03refit`) keyed by the COMBINED row count — so a
+    * later refit over more arrivals gets a fresh key and the sweep
+    * deletes the superseded generation. At 100 TB this is the scheduled
+    * offline job the drift threshold triggers; the streamed version dirs
+    * it absorbed are then compacted away by the caller
+    * (`StreamVecIndex.maybeRefit`). */
+  private[graft] def refitIndex(spark: SparkSession, dir: String,
+      streamed: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val union = base.unionByName(streamed.select(col("vec_id"), col("embedding")))
+    val n = Tables.parquetRowCount(spark, dir, "embeddings") +
+      streamed.count()
+    val path = ivfIndexPath(spark, dir, "s03refit", nLists, n)
+    if (!ivfExists(spark, path)) {
+      val stride = math.max(1L, n / 4096)
+      val fitSample = union
+        .filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(array_to_vector(col("embedding")).as("features")).cache()
+      val model = try new KMeans().setK(nLists).setSeed(42).setMaxIter(5)
+        .fit(fitSample) finally fitSample.unpersist(false)
+      val assigned = model.transform(
+          union.withColumn("features", array_to_vector(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+      val centDf = spark.createDataFrame(
+        model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray.map(_.toFloat))
+        }).toDF("list_id", "centroid")
+      publishIndex(spark, path) { tmp =>
+        assigned.repartition(col("list_id")).write.parquet(tmp + "/assigned")
+        centDf.coalesce(1).write.parquet(tmp + "/centroids")
+      }
+    }
+    (spark.read.parquet(path + "/assigned"),
+      spark.read.parquet(path + "/centroids"))
+  }
+
   /** Persist-or-serve wrapper around [[rangeIndexOf]] for the exact
     * range-search family (s06 full corpus, d13 train split): first use
     * fits + assigns + WRITES (assigned lists, list stats, unit

@@ -75,4 +75,80 @@ object StreamVecIndex {
     readIndex(spark, indexDir)
       .groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
       .orderBy("list_id")
+
+  // ─────────────────── drift signal → refit decision ───────────────────
+
+  /** One row per list 0..nLists-1: base-index mass vs streamed mass.
+    * Both sides are one partial-agg count shuffle; the join frame is
+    * |nLists| rows — bounded regardless of corpus size. */
+  def driftStats(spark: SparkSession, indexDir: String,
+      baseAssigned: DataFrame, nLists: Int): DataFrame = {
+    val base = baseAssigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("base_n"))
+    val str = readIndex(spark, indexDir).groupBy(col("list_id"))
+      .agg(count(lit(1)).as("stream_n"))
+    spark.range(nLists).select(col("id").cast("int").as("list_id"))
+      .join(base, Seq("list_id"), "left")
+      .join(str, Seq("list_id"), "left")
+      .na.fill(0L, Seq("base_n", "stream_n"))
+  }
+
+  /** Outcome of [[refitDecision]]: the hottest list's streamed-share /
+    * base-share ratio and whether it crossed the refit threshold. */
+  final case class DriftDecision(streamedVecs: Long, hottestList: Int,
+      hottestRatio: Double, refit: Boolean)
+
+  /** CONSUME the drift signal: refit when any list's share of the
+    * STREAMED mass exceeds `hotFactor` × its (smoothed) share of the
+    * BASE mass. That ratio is scale-free — it reads "arrivals are
+    * concentrating where the frozen quantizer spends little resolution",
+    * which is exactly when recall degrades (a new content cluster lands
+    * whole inside one coarse cell and nProbe-of-nLists probing can no
+    * longer separate it). Add-one smoothing on the base side keeps an
+    * EMPTY base list receiving stream mass (the purest drift case) a
+    * large finite ratio instead of a division by zero. Driver math is
+    * over the ≤ nLists stat rows — bounded at any corpus size. */
+  def refitDecision(spark: SparkSession, indexDir: String,
+      baseAssigned: DataFrame, nLists: Int,
+      hotFactor: Double = 4.0): DriftDecision = {
+    val rows = driftStats(spark, indexDir, baseAssigned, nLists).collect()
+    val baseTotal = rows.map(_.getAs[Long]("base_n")).sum
+    val streamTotal = rows.map(_.getAs[Long]("stream_n")).sum
+    if (streamTotal == 0L) return DriftDecision(0L, -1, 0.0, refit = false)
+    val (hotList, hotRatio) = rows.map { r =>
+      val streamShare = r.getAs[Long]("stream_n").toDouble / streamTotal
+      val baseShare = (r.getAs[Long]("base_n") + 1.0) / (baseTotal + nLists)
+      (r.getAs[Int]("list_id"), streamShare / baseShare)
+    }.maxBy(_._2)
+    DriftDecision(streamTotal, hotList, hotRatio, refit = hotRatio > hotFactor)
+  }
+
+  /** The full drift→refit loop an offline scheduler runs at a
+    * stream-quiet point (between micro-batch windows — the streamed dir
+    * is compacted away on success, so the maintain() query must not be
+    * writing concurrently): decide against the persisted batch index;
+    * when drifted, REBUILD over base ∪ arrivals via the persisted-index
+    * path (`Similarity.refitIndex` — same crash-safe publish) and
+    * compact the absorbed version dirs. Returns the decision and, when
+    * a refit ran, the new (assigned, centroids) tables. After a refit
+    * the streamed dir is empty: the next [[refitDecision]] reads "no
+    * arrivals yet" — the loop is convergent, not self-triggering. */
+  def maybeRefit(spark: SparkSession, dir: String, indexDir: String,
+      nLists: Int, hotFactor: Double = 4.0): (DriftDecision, Option[(DataFrame, DataFrame)]) = {
+    val (baseAssigned, _) = graft.operators.Similarity.s03Index(spark, dir, nLists)
+    val decision = refitDecision(spark, indexDir, baseAssigned, nLists, hotFactor)
+    if (!decision.refit) (decision, None)
+    else {
+      val arrivals = readIndex(spark, indexDir)
+        .select(col("vec_id"), col("embedding"))
+      val rebuilt = graft.operators.Similarity.refitIndex(spark, dir, arrivals, nLists)
+      // arrivals are now rows of the published index — compact the
+      // consumed version dirs (readers switch to the refit generation)
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith("v=")).foreach(fs.delete(_, true))
+      (decision, Some(rebuilt))
+    }
+  }
 }

@@ -184,6 +184,58 @@ class StreamingSpec extends GraftSuite {
     assert(stats.map(_.getAs[Long]("n_vecs")).sum == 9L)
   }
 
+  test("stream_vecindex drift consumer: refit fires on drift, not on a stable stream") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nLists = 16
+    val (baseAssigned, centDf) = graft.operators.Similarity.s03Index(spark, sf, nLists)
+    val cents = centDf.orderBy("list_id").collect()
+      .map(_.getSeq[Float](1).toArray).toIndexedSeq
+
+    def streamInto(tag: String, rows: Seq[(Long, Seq[Float])]): String = {
+      val indexDir = java.nio.file.Files.createTempDirectory(tag).toString
+      val ckpt = java.nio.file.Files.createTempDirectory(tag + "_ckpt").toString
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamVecIndex.maintain(
+        input.toDF().toDF("vec_id", "embedding"), cents, indexDir, ckpt)
+      try rows.grouped(40).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      indexDir
+    }
+
+    // STABLE: arrivals stride-drawn from the corpus itself — same
+    // distribution the quantizer was fit on → no refit
+    val stable = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(4)) === 0).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0) + 200000L, r.getSeq[Float](1)))
+    val stableDir = streamInto("vdrift_stable", stable.toSeq)
+    val dStable = StreamVecIndex.refitDecision(spark, stableDir, baseAssigned, nLists)
+    assert(!dStable.refit, s"stable stream must not trigger a refit: $dStable")
+
+    // DRIFTED: a new out-of-distribution content cluster lands whole
+    // inside one coarse cell → hot-list ratio crosses the threshold
+    val drifted = (0 until 60).map(i => (300000L + i, Seq.fill(64)(10.0f)))
+    val driftDir = streamInto("vdrift_hot", drifted)
+    val (dec, rebuilt) = StreamVecIndex.maybeRefit(spark, sf, driftDir, nLists)
+    assert(dec.refit, s"drifted stream must trigger a refit: $dec")
+    val (assigned2, cents2) = rebuilt.get
+    assert(assigned2.count() == 500L + 60L,
+      "refit index must contain base corpus plus absorbed arrivals")
+    // the refit moved quantizer resolution onto the drifted mass
+    def distToDrift(cs: IndexedSeq[Array[Float]]): Double =
+      cs.map(_.map(x => (x - 10.0) * (x - 10.0)).sum).min
+    val cents2Arr = cents2.orderBy("list_id").collect()
+      .map(_.getSeq[Float](1).toArray).toIndexedSeq
+    val (before, after) = (distToDrift(cents), distToDrift(cents2Arr))
+    assert(after < before / 100.0,
+      s"refit must place a centroid on the drifted cluster: $after vs $before")
+    // arrivals were compacted into the published generation — the next
+    // decision sees an empty stream: convergent, not self-triggering
+    val dAfter = StreamVecIndex.refitDecision(spark, driftDir, assigned2, nLists)
+    assert(dAfter.streamedVecs == 0L && !dAfter.refit, s"$dAfter")
+  }
+
   test("cms sketch aggregates incrementally over a stream (complete mode)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
