@@ -350,6 +350,156 @@ object Similarity {
       spark.read.parquet(path + "/centroids"))
   }
 
+  // ───────────── two-level coarse quantizer (distributed fit) ──────────
+
+  /** s12: the 100 TB answer to "nLists ≈ √n exceeds any driver-bounded
+    * fit sample". A single-level IVF at n = 10¹¹ wants nLists ≈ 10⁵–10⁶
+    * centroids — more centroids than a 4096-point driver sample has
+    * POINTS, and a driver Lloyd pass at that k is infeasible anyway. The
+    * classic fix (IMI/hierarchical IVF) splits the quantizer into two
+    * levels of ≈ √nLists each:
+    *
+    *  - level 1: k1 = ⌈√nLists⌉ centroids, fit from the SAME bounded
+    *    deterministic stride sample as s03 (k1 ≈ 320 even at nLists =
+    *    10⁵, so the 4096-point sample stays over-determined 12×);
+    *  - level 2: k2 = ⌈nLists/k1⌉ centroids PER CELL, fit INSIDE each
+    *    level-1 cell by one executor task over a deterministic
+    *    lowest-vec_id per-cell sample — the fit fans out across the
+    *    cluster and the driver never runs a k-means bigger than k1.
+    *
+    * Assignment and probing are hierarchical too: argmin over k1
+    * literals, then argmin within the matched cell's k2-row codebook —
+    * (k1 + k2)·d ≈ 2√nLists·d per row instead of nLists·d, the other
+    * term that breaks at 10⁵ lists. The flat list id is l1·k2 + local,
+    * so the published index serves the same (assigned, centroids)
+    * contract as [[s03Index]]. Fit determinism: stride samples +
+    * fixed-iteration [[lloydKMeans]] at both levels (no MLlib RNG), so
+    * a rebuild reproduces the index bit-for-bit (spec-pinned). */
+  private[graft] def twoLevelIndex(spark: SparkSession, dir: String,
+      nLists: Int, fitPerCell: Int = 1024): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val path = ivfIndexPath(spark, dir, "s03tl", nLists, n)
+    if (!ivfExists(spark, path)) {
+      val k1 = math.max(1, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+      val k2 = math.max(1, math.ceil(nLists.toDouble / k1).toInt)
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val stride = math.max(1L, n / 4096)
+      val l1pts = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val l1cents = lloydKMeans(l1pts, k1, iters = 10)
+        .map(_.map(_.toFloat)).toIndexedSeq
+      val cellAssigned = e.withColumn("l1",
+        graft.streaming.StreamVecIndex.listIdOf(col("embedding"), l1cents))
+      // per-cell level-2 fit: one run of rows per cell after an l1
+      // repartition + (l1, vec_id) sort — each task fits its cells from
+      // the first `fitPerCell` rows (lowest vec_id = deterministic),
+      // emits (l1, codebook) and holds ≤ fitPerCell points at a time
+      val books: Array[(Int, Seq[Seq[Float]])] = cellAssigned
+        .select(col("l1"), col("vec_id"), col("embedding"))
+        .as[(Int, Long, Array[Float])]
+        .repartition(col("l1"))
+        .sortWithinPartitions("l1", "vec_id")
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Seq[Float]])]
+          var cur = Int.MinValue
+          var cell = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+          def flush(): Unit = if (cur != Int.MinValue && cell.nonEmpty) {
+            out += ((cur, lloydKMeans(cell.toArray, k2, iters = 10)
+              .map(_.map(_.toFloat).toSeq).toSeq))
+            cell = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+          }
+          it.foreach { case (l1, _, emb) =>
+            if (l1 != cur) { flush(); cur = l1 }
+            if (cell.length < fitPerCell) cell += emb.map(_.toDouble)
+          }
+          flush()
+          out.iterator
+        }.collect()
+      // codebook table: k1·k2 ≈ nLists centroids ≈ 25 MB at nLists=10⁵,
+      // d=64 — broadcastable; only the driver COLLECTS it, never fits it
+      val bookDf = broadcast(spark.createDataFrame(books.toIndexedSeq)
+        .toDF("l1", "books"))
+      val localDist = expr(
+        """transform(books, c -> aggregate(
+          |  zip_with(embedding, c, (x, y) ->
+          |    (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+          |    (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (a, v) -> a + v))""".stripMargin)
+      val assigned = cellAssigned.join(bookDf, Seq("l1"))
+        .withColumn("dists", localDist)
+        .withColumn("local",
+          (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+        .select(col("vec_id"), col("embedding"),
+          (col("l1") * k2 + col("local")).as("list_id"))
+      val centDf = spark.createDataFrame(
+        books.toIndexedSeq.flatMap { case (l1, bs) =>
+          bs.zipWithIndex.map { case (c, j) => (l1 * k2 + j, c) }
+        }).toDF("list_id", "centroid")
+      val cellDf = spark.createDataFrame(
+        l1cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        .toDF("l1", "centroid")
+      publishIndex(spark, path) { tmp =>
+        assigned.repartition(col("list_id")).write.parquet(tmp + "/assigned")
+        centDf.coalesce(1).write.parquet(tmp + "/centroids")
+        cellDf.coalesce(1).write.parquet(tmp + "/cells")
+      }
+    }
+    (spark.read.parquet(path + "/assigned"),
+      spark.read.parquet(path + "/centroids"),
+      spark.read.parquet(path + "/cells"))
+  }
+
+  /** s12: ANN over the two-level index with HIERARCHICAL probing — the
+    * query ranks k1 cell centroids, descends into the best cells'
+    * codebooks, and exact-rescans only the top nProbe flat lists. Same
+    * candidate-join + heap-top-k serving shape as s03; what changes at
+    * 10⁵ lists is only that no per-query scan ever touches all nLists
+    * centroids. Rows-only (k-means is not DuckDB-expressible);
+    * invariants spec-pinned like s03's. */
+  def s12AnnIvf2(spark: SparkSession, dir: String): DataFrame =
+    s12AnnIvf2(spark, dir, nLists = 16, nCells = 2, nProbe = 4)
+
+  def s12AnnIvf2(spark: SparkSession, dir: String, nLists: Int,
+      nCells: Int, nProbe: Int): DataFrame = {
+    val (assigned, centDf, cellDf) = twoLevelIndex(spark, dir, nLists)
+    val k2 = math.max(1, math.ceil(nLists.toDouble /
+      math.max(1, math.ceil(math.sqrt(nLists.toDouble)).toInt)).toInt)
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val sqDist = aggregate(
+      zip_with(col("qv"), col("centroid"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    // stage 1: rank the k1 ≈ √nLists CELL centroids only
+    val cellW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("l1"))
+    val topCells = q.crossJoin(broadcast(cellDf))
+      .withColumn("dist", sqDist)
+      .withColumn("cr", row_number().over(cellW))
+      .filter(col("cr") <= nCells)
+      .select(col("query_id"), col("qv"), col("l1"))
+    // stage 2: rank lists INSIDE the probed cells only — the codebook
+    // join fans each (query, cell) row out to its k2 local centroids,
+    // so per-query distance work is nCells·k2, never nLists
+    val listW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("list_id"))
+    val probes = topCells
+      .join(broadcast(centDf.withColumn("l1", floor(col("list_id") / k2).cast("int"))), Seq("l1"))
+      .withColumn("dist", sqDist)
+      .withColumn("pr", row_number().over(listW))
+      .filter(col("pr") <= nProbe)
+      .select(col("list_id"), col("query_id"), col("qv"))
+    val scored = assigned.select(col("list_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+  }
+
   /** Persist-or-serve wrapper around [[rangeIndexOf]] for the exact
     * range-search family (s06 full corpus, d13 train split): first use
     * fits + assigns + WRITES (assigned lists, list stats, unit

@@ -431,4 +431,60 @@ class SimilaritySpec extends GraftSuite {
     assert(sel.take(3).map(i => pts(i).indexOf(1.0)).toSet == Set(0, 1, 2),
       s"distinct directions not selected first: ${sel.take(3).toList}")
   }
+
+  test("s12 two-level fit: grid covers nLists, assignment is exact within-cell argmin, rebuild deterministic") {
+    import org.apache.spark.sql.functions._
+    val nLists = 16
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    Similarity.dropIvfIndex(spark, sf, "s03tl", nLists, n)
+    val (assigned, centDf, cellDf) = Similarity.twoLevelIndex(spark, sf, nLists)
+    val k1 = cellDf.count().toInt
+    val k2 = math.ceil(nLists.toDouble / k1).toInt
+    assert(k1 == 4, s"⌈√16⌉ cells expected, got $k1")
+    val cents = centDf.collect()
+      .map(r => r.getAs[Int]("list_id") -> r.getSeq[Float](1).toArray).toMap
+    val cells = cellDf.collect()
+      .map(r => r.getAs[Int]("l1") -> r.getSeq[Float](1).toArray).toMap
+    assert(cents.keys.max < k1 * k2 && cents.size >= k1,
+      s"flat grid ids out of range: ${cents.keys.toSeq.sorted}")
+    val rows = assigned.collect()
+    assert(rows.length == 500 && rows.forall(r => cents.contains(r.getAs[Int]("list_id"))),
+      "every vector must land in a materialized list")
+    // hierarchical assignment recompute: l1 by cell argmin, then argmin
+    // within that cell's codebook — same double math, ties to lower id
+    def argminD(v: Array[Float], cs: Seq[(Int, Array[Float])]): Int =
+      cs.map { case (id, c) =>
+        (id, v.zip(c).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum)
+      }.minBy { case (id, d) => (d, id) }._1
+    rows.take(64).foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val l1 = argminD(v, cells.toSeq.sortBy(_._1))
+      val want = argminD(v, cents.toSeq.filter(c => c._1 / k2 == l1).sortBy(_._1))
+      assert(r.getAs[Int]("list_id") == want,
+        s"vec ${r.getLong(0)}: assigned ${r.getAs[Int]("list_id")}, recompute $want")
+    }
+    // rebuild determinism: the fit has no RNG — drop and refit bit-equal
+    Similarity.dropIvfIndex(spark, sf, "s03tl", nLists, n)
+    val (_, centDf2, _) = Similarity.twoLevelIndex(spark, sf, nLists)
+    val again = centDf2.collect()
+      .map(r => r.getAs[Int]("list_id") -> r.getSeq[Float](1).toSeq).toMap
+    assert(again == cents.map { case (k, v) => k -> v.toSeq },
+      "two-level refit diverged — distributed fit is not deterministic")
+  }
+
+  test("s12 hierarchical search is structurally valid and never beats exact") {
+    val exact = Similarity.s01KnnBrute(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    val rows = Similarity.s12AnnIvf2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      rs.filter(_.getAs[Long]("rk") == 1L)
+        .foreach(r => assert(r.getAs[Double]("cosine") <= exact(q) + 1e-9))
+    }
+    // served-vs-fresh: second call reads the published index, identical
+    assert(rows.toSeq == Similarity.s12AnnIvf2(spark, sf).collect().toSeq)
+  }
 }
