@@ -58,6 +58,7 @@ object SparkEntry {
     "q43_priority_shipping" -> (Relational.q43PriorityShipping _),
     "q44_promo_share" -> (Relational.q44PromoShare _),
     "q45_supplier_count_by_class" -> (Relational.q45SupplierCountByClass _),
+    "q46_top_supplier" -> (Relational.q46TopSupplier _),
     "r01_record_count" -> (RefOps.r01RecordCount _),
     "r02_distributed_grep" -> (RefOps.r02DistributedGrep _),
     "r03_grep_count" -> (RefOps.r03GrepCount _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "t24_intradoc_dedup" -> (TextAnalysis.t24IntraDocDedup _),
     "t21_bpe_vocab_train" -> ((s, d) => TextAnalysis.t21BpeVocabTrain(s, d)), // rows-only: iterative argmax, no SQL mirror
     "t25_bpe_tokenize" -> ((s, d) => TextAnalysis.t25BpeTokenize(s, d)), // rows-only: merge list is corpus-dependent, no static SQL mirror
+    "t26_pmi_collocations" -> (TextAnalysis.t26PmiCollocations _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
@@ -136,6 +138,7 @@ object SparkEntry {
     "m04_phash_neardup" -> (Multimodal.m04PhashNeardup _),
     "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),
     "p10_neardup_corpus" -> (Pipelines.p10NeardupCorpus _),
+    "p11_leakage_repair" -> ((s, d) => Pipelines.p11LeakageRepair(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -541,6 +544,19 @@ object SparkEntry {
              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
          GROUP BY 1, 2, 3
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q46_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+               AS BIGINT)) AS BIGINT) AS total_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_cents
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+         ORDER BY s_suppkey""",
     "q20_percentile_stats" ->
       """SELECT event_type,
          ROUND(quantile_cont(value, 0.5), 4) AS p50,

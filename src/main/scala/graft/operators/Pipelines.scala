@@ -91,6 +91,37 @@ object Pipelines {
       .orderBy("lang", "split")
   }
 
+  /** p11: LEAKAGE-aware split REPAIR — the action on d10's verdicts: a
+    * contaminated eval document (val/test doc whose shingle containment
+    * against the train index crosses the threshold) is not a valid
+    * held-out measurement, so the repair DROPS it from its split and
+    * audits the result per split: docs before, dropped, after (train
+    * passes through untouched — repairing by MOVING leaked docs into
+    * train would bias the train distribution toward boilerplate).
+    *
+    * Composes d10's single-sourced pieces (`d10Prepared` /
+    * `d10TrainIndex` / `d10Contamination` — the same code the batch
+    * gate hash-verifies and the streaming twin runs), so the repair can
+    * never disagree with the detector. Scale shape is d10's: one
+    * distinct-shingle index shuffle, one left-semi probe, plus a
+    * ≤3-group rollup. All-integer output. */
+  def p11LeakageRepair(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val prepared = Dedup.d10Prepared(Tables.documents(spark, dir))
+    val leaked = Dedup.d10Contamination(
+        prepared.filter(col("split") =!= "train"),
+        Dedup.d10TrainIndex(prepared), threshold)
+      .select(col("doc_id"), lit(1L).as("dropped"))
+    prepared.select(col("doc_id"), col("split"))
+      .join(leaked, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs_before"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("dropped"), lit(0L))))
+          .as("n_docs_after"))
+      .orderBy("split")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val quality =
@@ -172,6 +203,31 @@ object Pipelines {
               CAST(SUM(is_dup) AS BIGINT) AS n_neardup_dropped,
               COUNT(DISTINCT CASE WHEN is_dup = 0 THEN source END) AS n_sources
             FROM k GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+      "p11_leakage_repair" -> {
+        val sh = TS.shingleHashes(toks)
+        s"""WITH d AS (
+              SELECT doc_id,
+                CASE WHEN (${TS.polyFingerprint(toks)}) % 100 < 80 THEN 'train'
+                     WHEN (${TS.polyFingerprint(toks)}) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                $sh AS sh
+              FROM documents WHERE len($toks) >= 3),
+            tr AS (SELECT DISTINCT unnest(sh) AS h FROM d WHERE split = 'train'),
+            te AS (SELECT doc_id, split, len(sh) AS n_shingles, unnest(sh) AS h
+                   FROM d WHERE split <> 'train'),
+            lk AS (SELECT doc_id FROM (
+                     SELECT doc_id, n_shingles, COUNT(*) AS n_leaked
+                     FROM te WHERE h IN (SELECT h FROM tr)
+                     GROUP BY 1, 2)
+                   WHERE n_leaked / CAST(n_shingles AS DOUBLE) >= 0.3)
+            SELECT split,
+              CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+              CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM lk)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              CAST(COUNT(*) - SUM(CASE WHEN doc_id IN (SELECT doc_id FROM lk)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_after
+            FROM d GROUP BY split ORDER BY split"""
       },
     )
   }

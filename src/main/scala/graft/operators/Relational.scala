@@ -1117,4 +1117,31 @@ object Relational {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }
+
+  /** q46: TPC-H Q15 shape — TOP supplier(s) by one quarter's revenue,
+    * ties preserved: the global-argmax-over-an-aggregated-view pattern
+    * (Q15's revenue view + scalar MAX), distinct from q16's correlated
+    * scalar threshold and q33's per-GROUP argmax. Plan at 100 TB: the
+    * quarter window is scan-pushed, the revenue view is the fact's ONE
+    * shuffle on l_suppkey (partial-agg combined), the MAX is a 1-row
+    * aggregate of the ALREADY-AGGREGATED view (|suppliers| rows, never
+    * the fact) broadcast back as a nested-loop filter, and the supplier
+    * name attach joins the surviving handful of rows. Revenue in
+    * integer cents ([[centsOf]]) — the tie semantics are exact, no
+    * float-equality trap. */
+  def q46TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-10-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_cents"))
+    val maxRev = rev.agg(max(col("total_cents")).as("max_cents"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_cents") === col("max_cents"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      .orderBy("s_suppkey")
+  }
 }

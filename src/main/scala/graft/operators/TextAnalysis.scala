@@ -1046,6 +1046,53 @@ object TextAnalysis {
     classifierRollup(tokW)
   }
 
+  /** t26's hapax guard: PMI's textbook failure mode is that a pair seen
+    * once scores log2(N) — the rarest junk tops the list. Requiring
+    * c(u,w) ≥ 5 is the classic collocation-extraction floor. */
+  val PmiMinCount = 5L
+
+  /** t26: PMI COLLOCATIONS — the corpus-level association miner
+    * (Church & Hanks' pointwise mutual information): score each bigram
+    * by log2(p(u,w) / (p(u)·p(w))) and report the top multiword units.
+    * The training-data uses: tokenizer vocab candidates (a high-PMI
+    * pair is one unit — "new york"), boilerplate phrase discovery, and
+    * a quality signal (template text repeats low-PMI pairs).
+    *
+    * Shape at 100 TB: bigram and unigram counts are the SAME two
+    * partial-aggregable shuffles t06/t13 run; both corpus totals derive
+    * from the count tables (no extra corpus pass) and ride one
+    * broadcast 1-row join; the scoring joins are equi-joins of the
+    * bigram table to the unigram table (AQE broadcasts the model while
+    * small, shuffles when not — an LM-scale vocab is still ≪ the
+    * corpus). Engine parity: every log2 argument is an INTEGER count
+    * (the t19 rule), the sum is written in one fixed left-to-right
+    * order in both engines, and the ordering key is the ROUNDED score
+    * with bigram tie-break. */
+  def t26PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithTokens(spark, dir).filter(size(col("toks")) >= 2)
+    val bg = docs.select(
+      explode(transform(sequence(lit(1), size(col("toks")) - lit(1)),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + lit(1))))).as("bg"))
+    val cBg = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_uw"))
+    val uni = docs.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val totals = cBg.agg(sum(col("c_uw")).as("n_bg"))
+      .crossJoin(uni.agg(sum(col("c_t")).as("n_uni")))
+    cBg.filter(col("c_uw") >= PmiMinCount)
+      .withColumn("u", substring_index(col("bg"), " ", 1))
+      .withColumn("w", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("t").as("u"), col("c_t").as("c_u")), Seq("u"))
+      .join(uni.select(col("t").as("w"), col("c_t").as("c_w")), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .select(col("bg").as("bigram"), col("c_uw").as("n"),
+        round(log2(col("c_uw")) + lit(2) * log2(col("n_uni"))
+          - log2(col("n_bg")) - log2(col("c_u")) - log2(col("c_w")), 3)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(25)
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
@@ -1339,6 +1386,26 @@ object TextAnalysis {
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
               round(AVG(surprisal), 3) AS mean_surprisal
             FROM pd GROUP BY source ORDER BY source""",
+      "t26_pmi_collocations" ->
+        s"""WITH bgd AS (
+              SELECT unnest(list_transform(generate_series(1, len($toks)-1),
+                i -> $toks[i] || ' ' || $toks[i+1])) AS bg
+              FROM documents WHERE len($toks) >= 2),
+            cbg AS (SELECT bg, COUNT(*) AS c_uw FROM bgd GROUP BY bg),
+            uni AS (SELECT t, COUNT(*) AS c_t FROM (
+                SELECT unnest($toks) AS t
+                FROM documents WHERE len($toks) >= 2) GROUP BY t),
+            tot AS (SELECT
+                (SELECT CAST(SUM(c_uw) AS BIGINT) FROM cbg) AS n_bg,
+                (SELECT CAST(SUM(c_t) AS BIGINT) FROM uni) AS n_uni)
+            SELECT bg AS bigram, CAST(c_uw AS BIGINT) AS n,
+              round(log2(c_uw) + 2 * log2(n_uni) - log2(n_bg)
+                - log2(cu.c_t) - log2(cw.c_t), 3) AS pmi
+            FROM cbg CROSS JOIN tot
+            JOIN uni cu ON split_part(bg, ' ', 1) = cu.t
+            JOIN uni cw ON split_part(bg, ' ', 2) = cw.t
+            WHERE c_uw >= $PmiMinCount
+            ORDER BY pmi DESC, bigram LIMIT 25""",
       "t19_bigram_surprisal" ->
         s"""WITH bg AS (
               SELECT doc_id, source,

@@ -71,4 +71,24 @@ class PipelinesSpec extends GraftSuite {
         s"drop count ${droppedTotal} != union-find ${expectedDrops.size}")
     } finally cleaned.unpersist()
   }
+
+  test("p11 repair agrees with the d10 detector and never touches train") {
+    import org.apache.spark.sql.functions._
+    val report = Pipelines.p11LeakageRepair(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs_before"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_docs_after"))).toMap
+    // single-sourcing: dropped-per-split must equal the detector's flag
+    // count per split — the repair can never disagree with d10
+    val flagged = graft.operators.Dedup.d10CrossSplitLeakage(spark, sf)
+      .groupBy(col("split")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n")).toMap
+    report.foreach { case (split, (before, dropped, after)) =>
+      assert(before == dropped + after, s"$split accounting broken")
+      if (split == "train") assert(dropped == 0L, "train must pass through")
+      else assert(dropped == flagged.getOrElse(split, 0L),
+        s"$split dropped $dropped != detector ${flagged.getOrElse(split, 0L)}")
+    }
+    assert(report.contains("train") && report.keySet.subsetOf(Set("train", "val", "test")))
+  }
 }

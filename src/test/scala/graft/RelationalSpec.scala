@@ -371,4 +371,25 @@ class RelationalSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(sqlFps == apiFps, "SQL-registered winnowing diverged from Column API")
   }
+
+  test("q46 returns exactly the max-revenue suppliers, ties preserved, vs a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q46TopSupplier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("total_cents")))
+    assert(got.nonEmpty)
+    // driver recompute of the revenue view (integer cents, same rounding)
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("cents"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).sum).toMap
+    val maxCents = rev.values.max
+    val want = rev.filter(_._2 == maxCents).keys.toSet
+    assert(got.map(_._1).toSet == want,
+      s"argmax set mismatch: got ${got.map(_._1).toSet}, want $want")
+    assert(got.forall(_._2 == maxCents), "winner rows must all carry the max revenue")
+  }
 }

@@ -821,4 +821,37 @@ class TextAnalysisSpec extends GraftSuite {
     // vocabulary-soup corpus: distinct texts should yield distinct prints
     assert(fps.distinct.length > fps.length * 9 / 10)
   }
+
+  test("t26 PMI collocations match a direct Scala recompute and honor the count floor") {
+    val rows = TextAnalysis.t26PmiCollocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq).filter(_.length >= 2)
+    val cBg = docs.flatMap(_.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cT = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nBg = cBg.values.sum.toDouble
+    val nUni = cT.values.sum.toDouble
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    def pmi(bg: String): Double = {
+      val Array(u, w) = bg.split(" ", 2)
+      log2(cBg(bg).toDouble) + 2 * log2(nUni) - log2(nBg) -
+        log2(cT(u).toDouble) - log2(cT(w).toDouble)
+    }
+    rows.foreach { r =>
+      val bg = r.getAs[String]("bigram")
+      assert(r.getAs[Long]("n") == cBg(bg), s"count mismatch for '$bg'")
+      assert(r.getAs[Long]("n") >= TextAnalysis.PmiMinCount,
+        s"hapax floor violated: '$bg' n=${r.getAs[Long]("n")}")
+      assert(math.abs(r.getAs[Double]("pmi") - pmi(bg)) < 2e-3,
+        s"PMI drifted for '$bg': ${r.getAs[Double]("pmi")} vs ${pmi(bg)}")
+    }
+    // the list is the global top: no eligible bigram outside it scores
+    // strictly above the last returned row (rounded, bigram tie-break)
+    val floor = rows.map(r => (r.getAs[Double]("pmi"), r.getAs[String]("bigram"))).min
+    val better = cBg.filter(_._2 >= TextAnalysis.PmiMinCount).keys
+      .map(bg => (math.rint(pmi(bg) * 1000) / 1000, bg))
+      .count(p => p._1 > floor._1 || (p._1 == floor._1 && p._2 < floor._2))
+    assert(better <= 24, s"$better eligible bigrams rank above the returned floor")
+  }
 }
