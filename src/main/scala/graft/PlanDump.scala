@@ -129,6 +129,26 @@ object PlanDump {
         "Q18 large-volume shape: the quantity rollup is the fact's one l_orderkey shuffle and the join-back keys on that same column, so the aggregate's partitioning satisfies the join (no composite-key re-shuffle — the q26 lesson applied from the start); orders/customer joins are AQE's choice; top-20 is TakeOrderedAndProject."),
       ("s10_ivfpq_ann",
         "IVF-PQ: the persisted IVF lists bound the touched vectors (list_id equi-join against broadcast probes — s03's own candidate join), PQ codes + broadcast ADC tables bound the per-vector cost, and the two TopKPerGroup heap stages (ADC shortlist, exact rescore) are the only wide operators; rescore >= probed population degenerates to exactly s03 (spec-pinned)."),
+      ("q41_profit_by_nation",
+        "Q9 profit star: the p_name LIKE filter is pushed to the part scan (the filtered slice joins before anything wide), nation broadcasts by the constant-dim hint, supplier is AQE's choice, and the fact shuffles once per fact-side equi-key into a <=|nations|x|years| rollup of integer cents."),
+      ("q42_returned_top_customers",
+        "Q10 returned-item shape: returnflag and the quarter window are both scan-pushed before the o_orderkey shuffle; the per-customer rollup keys on c_custkey so the dependent group columns ride one exchange; top-20 is TakeOrderedAndProject on integer cents."),
+      ("q43_priority_shipping",
+        "Q12 shape: the ship-year window reaches the lineitem scan, ONE o_orderkey exchange meets the header, the priority CASE evaluates map-side post-join, and the rollup carries <=|classes| all-integer groups."),
+      ("q44_promo_share",
+        "Q14 conditional share: the month window is scan-pushed so the part join touches a sliver of the fact (AQE broadcasts the survivor); promo and total cents come from the SAME single aggregation pass — the plan scans lineitem once and part once."),
+      ("q45_supplier_count_by_class",
+        "Q16 shape: the part-supplier relation is a map-side-combined DISTINCT over the fact (its one shuffle), the low-standing exclusion is a LEFT ANTI equi-join (never NOT IN's null-trapped nested loop), brand/type prune part before its join, and count(DISTINCT) re-shuffles only the surviving slice."),
+      ("q46_top_supplier",
+        "Q15 global argmax with ties: the quarter revenue view (the fact's one l_suppkey shuffle) is snapshotted once — |suppliers| rows — and BOTH the winner filter and the MAX branch read the materialization, so the fact appears in the final plan zero times; MAX broadcasts back as a 1-row filter and integer cents make tie equality exact."),
+      ("t26_pmi_collocations",
+        "PMI collocations: bigram and unigram counts are the two partial-agg shuffles; the three unigram-table references (c_u, c_w, totals) ride ReusedExchange instead of recomputation; totals join as a broadcast 1-row table; ordering on the ROUNDED score keeps the top-25 engine-portable."),
+      ("p10_neardup_corpus",
+        "Near-dup corpus build: p03's cleaned corpus feeds d03's band equi-join candidates + exact-Jaccard verify, components resolve by pointer-jumping rounds (O(log d), checkpointed), the canonical-keep rule is d01's lowest-id, and the report is one <=|lang|x|split|-group rollup — every stage the bucketed shape its gated primitive ships."),
+      ("p11_leakage_repair",
+        "Leakage repair: d10's distinct-shingle index (one shuffle) + left-semi probe decide the drop set; the repair join is a doc_id equi-join back to the prepared corpus and a <=3-group rollup — no new join geometry beyond the detector's."),
+      ("s12_ann_ivf2",
+        "Two-level IVF: level-1 cell ranking scans k1 ~ sqrt(nLists) broadcast cell centroids, the codebook join fans each probed cell to its k2 local centroids (per-query distance work = nCells x k2, never nLists), candidates come from the flat list_id equi-join against broadcast probes, and top-3 rides the TopKPerGroup heap — s03's serving shape with the nLists-linear stages removed."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

@@ -1128,7 +1128,16 @@ object Relational {
     * the fact) broadcast back as a nested-loop filter, and the supplier
     * name attach joins the surviving handful of rows. Revenue in
     * integer cents ([[centsOf]]) — the tie semantics are exact, no
-    * float-equality trap. */
+    * float-equality trap.
+    *
+    * The view is REFERENCED TWICE (winner filter + MAX), and Catalyst
+    * plans the two references as two fact scans (the MAX branch's
+    * aggregate chain doesn't canonicalize to the probe side's exchange,
+    * so AQE reuse never fires). The view is |suppliers| rows — tiny
+    * next to the fact — so it is snapshotted once (q36's rule;
+    * localCheckpoint here, the reliable-dir form is the same d07-style
+    * knob) and BOTH branches read the materialization: one fact scan
+    * total, spec-pinned. */
   def q46TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-10-01 00:00:00") &&
@@ -1136,6 +1145,7 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("total_cents"))
+      .localCheckpoint()
     val maxRev = rev.agg(max(col("total_cents")).as("max_cents"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("total_cents") === col("max_cents"))

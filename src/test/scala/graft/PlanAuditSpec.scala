@@ -439,6 +439,26 @@ class PlanAuditSpec extends GraftSuite {
       s"q45 exclusion must be an equi anti-join:\n$s45")
   }
 
+  test("q46/t26/p11: snapshot kills the double fact scan; count tables reuse exchanges") {
+    // q46: the revenue view is snapshotted, so the winner filter and the
+    // MAX branch both read the materialization — the FACT appears in the
+    // final plan ZERO times (it was consumed once, by the snapshot job)
+    val s46 = planStr(Relational.q46TopSupplier(spark, sf))
+    assert(!s46.contains("lineitem.parquet"),
+      s"q46 must not rescan the fact after the view snapshot:\n$s46")
+    // t26: the unigram count table is referenced three times (c_u, c_w,
+    // totals) — at least two references must ride ReusedExchange, not
+    // recompute the aggregation
+    val s26 = planStr(TextAnalysis.t26PmiCollocations(spark, sf))
+    assert("ReusedExchange".r.findAllIn(s26).size >= 2,
+      s"t26 count-table references must reuse exchanges:\n$s26")
+    // p11: the repair joins stay equi-shaped — the leaked-id membership
+    // must never plan as a nested loop over the corpus
+    val s11 = planStr(Pipelines.p11LeakageRepair(spark, sf))
+    assert(!s11.contains("CartesianProduct"),
+      s"p11 must stay equi-join shaped:\n$s11")
+  }
+
   test("salted join equals the plain join and splits hot keys") {
     import spark.implicits._
     // heavy skew: one key holds 10k of 10.4k rows
