@@ -136,6 +136,7 @@ object SparkEntry {
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
     "m03_binary_dedup" -> (Multimodal.m03BinaryDedup _),
     "m04_phash_neardup" -> (Multimodal.m04PhashNeardup _),
+    "m05_frame_reuse" -> (Multimodal.m05FrameReuse _),
     "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),
     "p10_neardup_corpus" -> (Pipelines.p10NeardupCorpus _),
     "p11_leakage_repair" -> ((s, d) => Pipelines.p11LeakageRepair(s, d)),

@@ -238,7 +238,92 @@ object Multimodal {
       .orderBy("doc_i", "doc_j")
   }
 
+  /** m05's frame geometry: fixed-cadence 64-byte aligned segments stand
+    * in for keyframes (a real decoder emits frames at a fixed cadence;
+    * the segment digest is where its keyframe hash drops in — the
+    * [[fakeDecode]] contract again). `FrameMinShared` = 2 keeps a single
+    * coincidentally-equal segment from linking two assets. */
+  val FrameBytes = 64
+  val FrameMinShared = 2
+
+  /** m05's corpus: assets long enough to hold ≥ 4 frames, plus planted
+    * PARTIAL-COPY variants (every %13 doc re-appears under the
+    * sign-disjoint −1 − doc_id id, m04's collision-proof rule): the
+    * variant keeps the asset's leading half verbatim and replaces the
+    * tail — a clip reuse, sharing the leading frame digests exactly
+    * while m03's whole-asset digest and m04's whole-stream hash both
+    * miss it. */
+  private[graft] def m05Corpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 4 * FrameBytes && col("doc_id") >= 0)
+      .select(col("doc_id"), col("text"))
+    val variants = base
+      .filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select((lit(-1L) - col("doc_id")).as("doc_id"),
+        concat(expr(s"substring(text, 1, length(text) DIV 2)"),
+          lit("~" * 16)).as("text"))
+    base.unionByName(variants)
+  }
+
+  /** m05: FRAME-level reuse pairs — the pass after m04 that catches
+    * PARTIAL copies: a clipped/extended/re-tailed asset shares no
+    * whole-stream hash (m04) and no byte digest (m03), but its
+    * untouched frames hash identically. Assets chunk into fixed-cadence
+    * [[FrameBytes]] segments (the keyframe stand-in), each segment
+    * digests map-side, and two assets pair when they share ≥
+    * [[FrameMinShared]] distinct frame digests.
+    *
+    * Shape at 100 TB: this is d09's inverted-index containment applied
+    * to binary frames — (doc, digest) DISTINCT collapses within-asset
+    * repeats, candidates ride the frame-digest equi-join (never
+    * asset×asset), the pair rollup partial-aggregates, and a
+    * constant-padding hot frame (the zero-block of real containers) is
+    * d02's stop-shingle case — cap its df or let AQE skew-join split
+    * it. Fully oracle-gated: chunking is substring arithmetic + md5,
+    * one semantics both engines evaluate. */
+  def m05FrameReuse(spark: SparkSession, dir: String): DataFrame = {
+    val frames = m05Corpus(spark, dir)
+      .select(col("doc_id"),
+        expr(s"CAST(length(text) DIV $FrameBytes AS BIGINT)").as("n_frames"),
+        explode(expr(
+          s"""transform(sequence(1, length(text) DIV $FrameBytes),
+             |  i -> md5(substring(text, (i - 1) * $FrameBytes + 1, $FrameBytes)))"""
+            .stripMargin)).as("h"))
+      .distinct()
+    frames.as("a").hint("SHUFFLE_HASH").join(frames.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.n_frames").as("frames_i"), col("b.n_frames").as("frames_j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= FrameMinShared)
+      .orderBy("doc_i", "doc_j")
+  }
+
   val oracle: Map[String, String] = Map(
+    "m05_frame_reuse" ->
+      s"""WITH base AS (
+            SELECT doc_id, text FROM documents
+            WHERE length(text) >= ${4 * FrameBytes} AND doc_id >= 0),
+          corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT -1 - doc_id AS doc_id,
+              substring(text, 1, length(text) // 2) || '${"~" * 16}' AS text
+            FROM base WHERE doc_id % 13 = 0),
+          f AS (
+            SELECT DISTINCT doc_id,
+              CAST(length(text) // $FrameBytes AS BIGINT) AS n_frames,
+              unnest(list_transform(
+                generate_series(1, length(text) // $FrameBytes),
+                i -> md5(substring(text, (i - 1) * $FrameBytes + 1, $FrameBytes)))) AS h
+            FROM corpus)
+          SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+            a.n_frames AS frames_i, b.n_frames AS frames_j,
+            COUNT(*) AS n_shared
+          FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING COUNT(*) >= $FrameMinShared
+          ORDER BY doc_i, doc_j""",
     "m04_phash_neardup" -> {
       val bandTerms = (0 until PhashBands)
         .map(b => s"(fp >> ${b * PhashBandBits}) & ${(1L << PhashBandBits) - 1}")

@@ -101,4 +101,38 @@ class MultimodalSpec extends GraftSuite {
       "copy accounting does not balance")
     assert(row.getAs[Long]("reclaimable_bytes") >= 0L)
   }
+
+  test("m05 frame reuse matches a full driver recompute and finds every planted clip") {
+    import graft.operators.Multimodal
+    val fb = Multimodal.FrameBytes
+    val got = Multimodal.m05FrameReuse(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"),
+        r.getAs[Long]("frames_i"), r.getAs[Long]("frames_j"),
+        r.getAs[Long]("n_shared"))).toSet
+    // independent recompute: same corpus rule, java MD5 over the chunks
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, t) => t.length >= 4 * fb && id >= 0 }
+    val corpus = docs ++ docs.filter(_._1 % 13 == 0).map { case (id, t) =>
+      (-1L - id) -> (t.substring(0, t.length / 2) + "~" * 16)
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val frames = corpus.map { case (id, t) =>
+      val n = t.length / fb
+      (id, n.toLong, (0 until n).map(i => md5hex(t.substring(i * fb, (i + 1) * fb))).toSet)
+    }
+    val want = (for {
+      (i, ni, hi) <- frames; (j, nj, hj) <- frames if i < j
+      shared = (hi & hj).size if shared >= Multimodal.FrameMinShared
+    } yield (i, j, ni, nj, shared.toLong)).toSet
+    assert(got == want, s"pair-set mismatch:\nextra=${got -- want}\nmissing=${want -- got}")
+    // every planted clip whose preserved half holds >= 2 full frames is found
+    docs.filter { case (id, t) => id % 13 == 0 && (t.length / 2) / fb >= 2 }
+      .foreach { case (id, t) =>
+        assert(got.exists(p => p._1 == -1L - id && p._2 == id),
+          s"planted clip of doc $id not detected")
+      }
+  }
 }
