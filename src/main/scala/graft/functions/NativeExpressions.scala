@@ -719,4 +719,28 @@ object NativeFunctions {
     Shims.column(PqEncodeExpr(Shims.expression(emb), books))
   def pqAdc(codes: Column, qtab: Column): Column =
     Shims.column(PqAdcExpr(Shims.expression(codes), Shims.expression(qtab)))
+
+  /** Spark's own runtime-filter Bloom machinery (BloomFilterAggregate /
+    * BloomFilterMightContain — what InjectRuntimeFilter builds for join
+    * pruning), surfaced as library Columns: build a Bloom sketch over a
+    * LONG key column in one partial-aggregable pass, test membership
+    * map-side. NOT a custom sketch — the aggregation, serialized format,
+    * and the codegen'd probe are Spark's, we only route around the
+    * private function registry. */
+  def bloomAgg(key: Column, expectedItems: Long): Column =
+    Shims.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        Shims.expression(key), expectedItems).toAggregateExpression())
+
+  /** `might_contain` probe against a ONE-ROW Bloom-sketch DataFrame (a
+    * [[bloomAgg]] aggregate), attached as a SCALAR SUBQUERY — the only
+    * bloom-input form the analyzer accepts (a join-produced attribute
+    * is rejected), and exactly what Spark's own InjectRuntimeFilter
+    * builds: the subquery executes once and the probe runs map-side. */
+  def mightContain(bloomOneRow: org.apache.spark.sql.DataFrame,
+      key: Column): Column =
+    Shims.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        bloomOneRow.queryExecution.analyzed),
+      Shims.expression(key)))
 }

@@ -373,6 +373,15 @@ object Dedup {
       d10TrainIndex(withSplit), threshold)
   }
 
+  /** d10 with the broadcast-Bloom prefilter engaged (see the 4-arg
+    * [[d10Contamination]]) — result-identical, shuffle-lighter. */
+  def d10CrossSplitLeakageBloom(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, bloomItems: Long = 1000000L): DataFrame = {
+    val withSplit = d10Prepared(Tables.documents(spark, dir))
+    d10Contamination(withSplit.filter(col("split") =!= "train"),
+      d10TrainIndex(withSplit), threshold, bloomItems)
+  }
+
   /** d10's per-doc preparation from raw (doc_id, text) rows: tokenize,
     * assign the p02 fingerprint split, shingle. Factored so the
     * STREAMING twin ([[graft.streaming.StreamDecontam]]) runs the
@@ -401,9 +410,32 @@ object Dedup {
     * containment ≥ threshold. */
   private[graft] def d10Contamination(evalDocs: DataFrame,
       trainShingles: DataFrame, threshold: Double): DataFrame =
-    evalDocs
+    d10Contamination(evalDocs, trainShingles, threshold, bloomItems = 0L)
+
+  /** The Bloom-prefiltered form — DEPLOY's documented cheapening knob for
+    * when the train shingle index outgrows a comfortable shuffle,
+    * implemented with Spark's OWN runtime-filter machinery
+    * ([[graft.functions.NativeFunctions.bloomAgg]]): the index collapses
+    * to one broadcast Bloom sketch (n·~10 bits at 1% fpp — a 100 B-shingle
+    * index is ~120 GB to shuffle but ~125 MB as a sketch) and the
+    * exploded eval shingles are pruned MAP-SIDE before the exact
+    * left-semi join. Exactness is free: a false positive merely survives
+    * to the semi join, which rejects it — so the output is IDENTICAL to
+    * the plain form (spec-pinned), only the shuffle volume changes.
+    * `bloomItems` = expected distinct train shingles; 0 disables. */
+  private[graft] def d10Contamination(evalDocs: DataFrame,
+      trainShingles: DataFrame, threshold: Double,
+      bloomItems: Long): DataFrame = {
+    val exploded = evalDocs
       .select(col("doc_id"), col("split"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("h"))
+    val probed =
+      if (bloomItems <= 0L) exploded
+      else exploded.filter(graft.functions.NativeFunctions.mightContain(
+        trainShingles.agg(
+          graft.functions.NativeFunctions.bloomAgg(col("h"), bloomItems).as("bf")),
+        col("h")))
+    probed
       .join(trainShingles, Seq("h"), "left_semi")
       .groupBy(col("doc_id"), col("split"), col("n_shingles"))
       .agg(count(lit(1)).as("n_leaked"))
@@ -412,6 +444,7 @@ object Dedup {
       .select(col("doc_id"), col("split"), col("n_shingles"), col("n_leaked"),
         round(col("contamination"), 4).as("contamination"))
       .orderBy("doc_id")
+  }
 
   /** Cosine threshold for [[d13SemanticDecontamination]] — d05's
     * near-dup regime. Measured clearance of the eval×train cosine

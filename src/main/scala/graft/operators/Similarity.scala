@@ -500,6 +500,74 @@ object Similarity {
       Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
+  // ──────────────── PCA audit (embedding compression) ─────────────────
+
+  /** s13: PCA spectrum audit — the sizing signal for EMBEDDING
+    * COMPRESSION (the d-side answer to s09's code-side compression, and
+    * the whitening step SemDeDup-style semantic dedup normalizes with):
+    * how much of the corpus's variance do the top components carry, i.e.
+    * how far can d be cut before recall pays. Fit is DISTRIBUTED where
+    * it must be and driver-side where that is exact and tiny: the d×d
+    * covariance comes from MLlib's one-pass `RowMatrix.computeCovariance`
+    * (a map-side Gram accumulation + one reduce — the corpus is read
+    * once and nothing wider than d² floats crosses the wire, at d = 64
+    * that is 32 KB per partition), and the eigendecomposition runs on
+    * the driver over that 64×64 matrix (breeze `eigSym` — deterministic,
+    * no RNG). Rows-only (no eigensolver in DuckDB); the spec recomputes
+    * the covariance AND the spectrum independently and pins projection
+    * orthonormality. Output: one row per component — eigenvalue,
+    * explained %, cumulative %. */
+  def s13PcaAudit(spark: SparkSession, dir: String): DataFrame =
+    s13PcaAudit(spark, dir, k = 16)
+
+  def s13PcaAudit(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("embedding")).rdd
+      .map(r => Vectors.dense(r.getSeq[Float](0).map(_.toDouble).toArray))
+    val cov = new RowMatrix(rows).computeCovariance()
+    val d = cov.numRows
+    val eig = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(d, d, cov.toArray))
+    // breeze returns eigenvalues ascending; clamp tiny negative noise
+    val evs = eig.eigenvalues.toArray.reverse.map(v => math.max(v, 0.0))
+    val total = evs.sum
+    val out = evs.take(k).zipWithIndex.scanLeft((-1, 0.0, 0.0, 0.0)) {
+      case ((_, _, _, cum), (ev, i)) =>
+        (i, ev, 100.0 * ev / total, cum + 100.0 * ev / total)
+    }.drop(1).map { case (i, ev, pct, cum) =>
+      (i, BigDecimal(ev).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(pct).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(cum).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    spark.createDataFrame(out.toIndexedSeq)
+      .toDF("component", "eigenvalue", "explained_pct", "cum_pct")
+  }
+
+  /** The top-k principal axes behind [[s13PcaAudit]] (columns of the
+    * eigenvector matrix, descending eigenvalue) plus the corpus mean —
+    * what a map-side projection (`Σ_i (emb_i − μ_i)·W_i` per output
+    * dim) broadcasts as literals. Driver math over the d×d spectrum. */
+  private[graft] def pcaAxes(spark: SparkSession, dir: String,
+      k: Int): (Array[Double], Seq[Array[Double]]) = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("embedding")).rdd
+      .map(r => Vectors.dense(r.getSeq[Float](0).map(_.toDouble).toArray))
+    val mat = new RowMatrix(rows)
+    val d = mat.numCols().toInt
+    val mean = mat.computeColumnSummaryStatistics().mean.toArray
+    val eig = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(d, d, mat.computeCovariance().toArray))
+    val order = eig.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2)
+    val axes = order.take(k).toSeq.map { c =>
+      Array.tabulate(d)(r => eig.eigenvectors(r, c))
+    }
+    (mean, axes)
+  }
+
   /** Persist-or-serve wrapper around [[rangeIndexOf]] for the exact
     * range-search family (s06 full corpus, d13 train split): first use
     * fits + assigns + WRITES (assigned lists, list stats, unit

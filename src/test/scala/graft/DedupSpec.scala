@@ -151,6 +151,25 @@ class DedupSpec extends GraftSuite {
       .subsetOf(all.map(_.getAs[Long]("doc_id")).toSet))
   }
 
+  test("d10 Bloom prefilter is result-identical and plans the sketch probe map-side") {
+    // exactness is structural: a Bloom false positive merely survives to
+    // the exact left-semi join, which rejects it — so the prefiltered
+    // output must equal the plain one row-for-row (at BOTH thresholds)
+    val plain = Dedup.d10CrossSplitLeakage(spark, sf).collect()
+    val bloom = Dedup.d10CrossSplitLeakageBloom(spark, sf)
+    assert(plain.map(_.toString).toSeq == bloom.collect().map(_.toString).toSeq,
+      "Bloom-prefiltered d10 diverged from the plain form")
+    val plain0 = Dedup.d10CrossSplitLeakage(spark, sf, threshold = 0.0).collect()
+    val bloom0 = Dedup.d10CrossSplitLeakageBloom(spark, sf, threshold = 0.0).collect()
+    assert(plain0.map(_.toString).toSeq == bloom0.map(_.toString).toSeq)
+    // the probe is Spark's codegen'd might_contain over the broadcast
+    // 1-row sketch — pinned so a refactor can't silently drop it back
+    // to the unfiltered shuffle
+    val s = bloom.queryExecution.executedPlan.toString
+    assert(s.contains("might_contain") && s.contains("bloom_filter_agg"),
+      s"Bloom probe not in the plan:\n$s")
+  }
+
   test("d13 pruned semantic decontamination equals the brute cross join") {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorFunctions => VF}

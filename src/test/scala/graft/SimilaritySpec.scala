@@ -487,4 +487,45 @@ class SimilaritySpec extends GraftSuite {
     // served-vs-fresh: second call reads the published index, identical
     assert(rows.toSeq == Similarity.s12AnnIvf2(spark, sf).collect().toSeq)
   }
+
+  test("s13 PCA audit matches an independent driver recompute; axes are orthonormal") {
+    val rows = Similarity.s13PcaAudit(spark, sf).collect()
+    assert(rows.length == 16)
+    val evs = rows.sortBy(_.getAs[Int]("component")).map(_.getAs[Double]("eigenvalue"))
+    assert(evs.zip(evs.tail).forall { case (a, b) => a >= b },
+      "spectrum must be non-increasing")
+    assert(evs.forall(_ >= 0.0) && rows.map(_.getAs[Double]("cum_pct")).max <= 100.0 + 1e-6)
+    // independent recompute: covariance + eigenvalues from first principles
+    val e = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = e.length; val d = e.head.length
+    val mean = Array.tabulate(d)(j => e.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      e.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1)
+    }
+    val want = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(d, d, cov.flatten))
+      .eigenvalues.toArray.sorted(Ordering[Double].reverse).take(16)
+    evs.zip(want).zipWithIndex.foreach { case ((got, w), i) =>
+      assert(math.abs(got - w) < 1e-4, s"eigenvalue $i drifted: $got vs $w")
+    }
+    // the axes behind the audit are orthonormal, and projecting onto all
+    // d of them preserves the centered squared norm (rotation, not loss)
+    val (mu, axes) = Similarity.pcaAxes(spark, sf, d)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (i <- axes.indices; j <- i until axes.length) {
+      val v = dot(axes(i), axes(j))
+      assert(math.abs(v - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"axes $i,$j not orthonormal: $v")
+    }
+    e.take(16).foreach { v =>
+      val c = v.zip(mu).map { case (x, m) => x - m }
+      val proj = axes.map(a => dot(a, c)).toArray
+      assert(math.abs(dot(c, c) - dot(proj, proj)) < 1e-9,
+        "full projection must preserve the centered norm")
+    }
+    // determinism: no RNG anywhere in the fit
+    assert(rows.toSeq == Similarity.s13PcaAudit(spark, sf).collect().toSeq)
+  }
 }
