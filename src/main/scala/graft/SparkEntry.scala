@@ -132,6 +132,7 @@ object SparkEntry {
     "s11_pq_recall" -> (Similarity.s11PqRecall _), // rows-only: audits the k-means-based s09
     "s12_ann_ivf2" -> ((s, d) => Similarity.s12AnnIvf2(s, d)), // rows-only: distributed two-level k-means fit
     "s13_pca_audit" -> ((s, d) => Similarity.s13PcaAudit(s, d)), // rows-only: no eigensolver in DuckDB
+    "s14_ann_pca" -> ((s, d) => Similarity.s14AnnPca(s, d)), // rows-only: PCA-fit shortlist (s13's serving side)
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),

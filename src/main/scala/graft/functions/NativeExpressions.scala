@@ -652,6 +652,56 @@ object PqUtil {
 
 /** array<float> embedding → array<int> PQ codes against the
   * (driver-fit, literal-folded) per-subspace codebooks. */
+object PcaUtil {
+  /** Center-and-project: out[j] = Σ_i (emb[i] − mean[i]) · axes[j][i] —
+    * one compiled mat-vec per row (k·d multiplies), the map-side
+    * transform behind the s13/s14 embedding-compression path. Plain
+    * left-fold sum per output dim, so a driver recompute in the same
+    * order is bit-identical. */
+  def project(emb: ArrayData, mean: Array[Double],
+      axes: Array[Array[Double]]): ArrayData = {
+    val d = mean.length
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) { c(i) = emb.getFloat(i).toDouble - mean(i); i += 1 }
+    val out = new Array[Double](axes.length)
+    var j = 0
+    while (j < axes.length) {
+      val a = axes(j)
+      var s = 0.0
+      var t = 0
+      while (t < d) { s += c(t) * a(t); t += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<float> embedding → array<double> PCA projection against
+  * literal (mean, axes) — codegen'd mat-vec ([[PcaUtil.project]]). */
+case class PcaProjectExpr(child: Expression, mean: Seq[Double],
+    axes: Seq[Seq[Double]]) extends UnaryExpression {
+  @transient private lazy val meanArr: Array[Double] = mean.toArray
+  @transient private lazy val axesArr: Array[Array[Double]] =
+    axes.map(_.toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pca_project"
+  override protected def nullSafeEval(input: Any): Any =
+    PcaUtil.project(input.asInstanceOf[ArrayData], meanArr, axesArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rm = ctx.addReferenceObj("pcaMean", meanArr, "double[]")
+    val ra = ctx.addReferenceObj("pcaAxes", axesArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PcaUtil.project($c, $rm, $ra)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PcaProjectExpr =
+    copy(child = newChild)
+}
+
 case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
   @transient private lazy val booksArr: Array[Array[Array[Double]]] =
@@ -717,6 +767,8 @@ object NativeFunctions {
     Shims.column(BpeApplyExpr(Shims.expression(toks), rules))
   def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
     Shims.column(PqEncodeExpr(Shims.expression(emb), books))
+  def pcaProject(emb: Column, mean: Seq[Double], axes: Seq[Seq[Double]]): Column =
+    Shims.column(PcaProjectExpr(Shims.expression(emb), mean, axes))
   def pqAdc(codes: Column, qtab: Column): Column =
     Shims.column(PqAdcExpr(Shims.expression(codes), Shims.expression(qtab)))
 

@@ -568,6 +568,45 @@ object Similarity {
     (mean, axes)
   }
 
+  /** s14: dimension-REDUCED ANN — the serving-side USE of s13's
+    * spectrum: embeddings project once (map-side, the codegen'd
+    * [[graft.functions.NativeFunctions.pcaProject]] mat-vec) onto the
+    * top `kDims` principal axes, the per-pair shortlist distance runs
+    * in the REDUCED space (kDims multiplies instead of d — and at
+    * 100 TB the stored index is the d/kDims-× smaller projected table),
+    * and the exact cosine rescore touches only the `shortlist`
+    * top candidates per query. Because PCA is a rotation of centered
+    * vectors, projected euclidean distance = centered euclidean
+    * distance exactly when kDims = d, and the shortlist-covers-corpus
+    * limit reproduces s01's exact ranking bit-for-bit (spec-pinned —
+    * s10's rescore-limit discipline). Rows-only (eigensolver). */
+  def s14AnnPca(spark: SparkSession, dir: String): DataFrame =
+    s14AnnPca(spark, dir, kDims = 16, shortlist = 32)
+
+  def s14AnnPca(spark: SparkSession, dir: String, kDims: Int,
+      shortlist: Int): DataFrame = {
+    val (mean, axes) = pcaAxes(spark, dir, kDims)
+    val proj = graft.functions.NativeFunctions.pcaProject(col("embedding"),
+      mean.toSeq, axes.map(_.toSeq))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), proj.as("z"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("z").as("qz"))
+    val projDist = aggregate(
+      zip_with(col("qz"), col("z"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("pd", projDist)
+    val cand = graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("pd").asc, col("vec_id").asc), shortlist)
+    ranked(cand
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv"))), 3)
+  }
+
   /** Persist-or-serve wrapper around [[rangeIndexOf]] for the exact
     * range-search family (s06 full corpus, d13 train split): first use
     * fits + assigns + WRITES (assigned lists, list stats, unit

@@ -528,4 +528,42 @@ class SimilaritySpec extends GraftSuite {
     // determinism: no RNG anywhere in the fit
     assert(rows.toSeq == Similarity.s13PcaAudit(spark, sf).collect().toSeq)
   }
+
+  test("s14 PCA ANN: structurally valid, equality limit reproduces exact, native projection is a rotation") {
+    val exact = Similarity.s01KnnBrute(spark, sf).collect()
+    val exactTop1 = exact.filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    val rows = Similarity.s14AnnPca(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 3 && rs.forall(_.getAs[Long]("neighbor_id") != q))
+      rs.filter(_.getAs[Long]("rk") == 1L)
+        .foreach(r => assert(r.getAs[Double]("cosine") <= exactTop1(q) + 1e-9))
+    }
+    // EQUALITY LIMIT (s10's rescore discipline): a corpus-covering
+    // shortlist makes the reduced-space stage a no-op — the exact
+    // rescore must then reproduce s01's ranking bit-for-bit
+    val full = Similarity.s14AnnPca(spark, sf, kDims = 16, shortlist = 1000000)
+      .collect().map(_.toString).toSeq
+    val s01Top3 = exact.filter(_.getAs[Long]("rk") <= 3L).map(_.toString).toSeq
+    assert(full == s01Top3, "full-shortlist s14 must equal exact top-3")
+    // the native projection at kDims = d is a pure rotation: projected
+    // euclidean distance equals centered euclidean distance exactly
+    import org.apache.spark.sql.functions._
+    val (mean, axes) = Similarity.pcaAxes(spark, sf, 64)
+    val z = Tables.embeddings(spark, sf).limit(8)
+      .select(col("embedding"),
+        graft.functions.NativeFunctions.pcaProject(col("embedding"),
+          mean.toSeq, axes.map(_.toSeq)).as("z"))
+      .collect()
+    z.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble).toArray
+      val p = r.getSeq[Double](1).toArray
+      val cn = v.zip(mean).map { case (x, m) => (x - m) * (x - m) }.sum
+      val pn = p.map(x => x * x).sum
+      assert(math.abs(cn - pn) < 1e-9, s"projection not norm-preserving: $cn vs $pn")
+    }
+    assert(rows.toSeq == Similarity.s14AnnPca(spark, sf).collect().toSeq,
+      "s14 must be deterministic")
+  }
 }
