@@ -652,6 +652,90 @@ object PqUtil {
 
 /** array<float> embedding → array<int> PQ codes against the
   * (driver-fit, literal-folded) per-subspace codebooks. */
+object VecDistUtil {
+  /** Σ (a_i − b_i)² over two double arrays — left fold in element order,
+    * the exact op sequence of the declarative
+    * `aggregate(zip_with(a, b, (x,y) -> (x−y)·(x−y)), 0.0, +)`. */
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Argmin of squared euclidean distance from a float vector to each
+    * row of a float matrix (array<array<float>>) — the coarse-quantizer
+    * assignment loop. Float→double cast per element, left-fold sum in
+    * element order, strict `<` keeps the FIRST minimum: op-for-op the
+    * declarative `array_position(dists, array_min(dists)) − 1` over the
+    * zip_with/aggregate distance array, so the native swap is
+    * bit-identical (spec-pinned). */
+  def argminSqDist(emb: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    val d = emb.numElements()
+    var best = 0
+    var bd = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      val c = cents.getArray(j)
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val df = emb.getFloat(i).toDouble - c.getFloat(i).toDouble
+        s += df * df
+        i += 1
+      }
+      if (s < bd) { bd = s; best = j }
+      j += 1
+    }
+    best
+  }
+}
+
+/** (array<double>, array<double>) → squared euclidean distance. */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected two array<double>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecDistUtil.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDistUtil.sqDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistExpr =
+    copy(left = l, right = r)
+}
+
+/** (array<float> emb, array<array<float>> centroids) → argmin list id. */
+case class ArgminSqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected (array<float>, array<array<float>>), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_argmin_sqdist"
+  override protected def nullSafeEval(emb: Any, cents: Any): Any =
+    VecDistUtil.argminSqDist(emb.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c) => s"graft.functions.VecDistUtil.argminSqDist($e, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminSqDistExpr =
+    copy(left = l, right = r)
+}
+
 object PcaUtil {
   /** Center-and-project: out[j] = Σ_i (emb[i] − mean[i]) · axes[j][i] —
     * one compiled mat-vec per row (k·d multiplies), the map-side
@@ -769,6 +853,10 @@ object NativeFunctions {
     Shims.column(PqEncodeExpr(Shims.expression(emb), books))
   def pcaProject(emb: Column, mean: Seq[Double], axes: Seq[Seq[Double]]): Column =
     Shims.column(PcaProjectExpr(Shims.expression(emb), mean, axes))
+  def sqDist(a: Column, b: Column): Column =
+    Shims.column(SqDistExpr(Shims.expression(a), Shims.expression(b)))
+  def argminSqDist(emb: Column, cents: Column): Column =
+    Shims.column(ArgminSqDistExpr(Shims.expression(emb), Shims.expression(cents)))
   def pqAdc(codes: Column, qtab: Column): Column =
     Shims.column(PqAdcExpr(Shims.expression(codes), Shims.expression(qtab)))
 

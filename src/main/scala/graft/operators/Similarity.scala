@@ -421,16 +421,12 @@ object Similarity {
       // d=64 — broadcastable; only the driver COLLECTS it, never fits it
       val bookDf = broadcast(spark.createDataFrame(books.toIndexedSeq)
         .toDF("l1", "books"))
-      val localDist = expr(
-        """transform(books, c -> aggregate(
-          |  zip_with(embedding, c, (x, y) ->
-          |    (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-          |    (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-          |  CAST(0 AS DOUBLE), (a, v) -> a + v))""".stripMargin)
+      // within-cell argmin over the joined codebook column — the
+      // codegen'd graft_argmin_sqdist loop (a full-corpus per-row pass;
+      // the interpreted HOF form would be the s09-encode mistake again)
       val assigned = cellAssigned.join(bookDf, Seq("l1"))
-        .withColumn("dists", localDist)
         .withColumn("local",
-          (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+          graft.functions.NativeFunctions.argminSqDist(col("embedding"), col("books")))
         .select(col("vec_id"), col("embedding"),
           (col("l1") * k2 + col("local")).as("list_id"))
       val centDf = spark.createDataFrame(
@@ -593,12 +589,12 @@ object Similarity {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("z").as("qz"))
-    val projDist = aggregate(
-      zip_with(col("qz"), col("z"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    // per-pair reduced-space distance is THE hot loop (|corpus|×|queries|
+    // evaluations) — codegen'd graft_sqdist, not an interpreted HOF
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("pd", projDist)
+      .withColumn("pd",
+        graft.functions.NativeFunctions.sqDist(col("qz"), col("z")))
     val cand = graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
       Seq(col("pd").asc, col("vec_id").asc), shortlist)
     ranked(cand

@@ -27,9 +27,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamVecIndex {
 
   /** Squared-euclidean argmin list assignment against centroid literals
-    * (ties to the lower list id — array_position returns the first
-    * minimum). */
+    * (ties to the lower list id). Runs as the codegen'd
+    * `graft_argmin_sqdist` expression — at 100 TB this is a per-row
+    * k·d loop on EVERY arriving vector (and the full corpus in the
+    * two-level build), so it compiles instead of interpreting; the
+    * declarative HOF mirror below is spec-pinned bit-identical. */
   private[graft] def listIdOf(emb: Column,
+      cents: IndexedSeq[Array[Float]]): Column =
+    graft.functions.NativeFunctions.argminSqDist(emb,
+      typedLit(cents.map(_.toSeq)))
+
+  /** The declarative zip_with/aggregate + array_position form listIdOf
+    * compiled away — kept ONLY as the parity oracle (NativeExprSpec
+    * discipline: the native swap must be bit-identical). */
+  private[graft] def listIdOfDeclarative(emb: Column,
       cents: IndexedSeq[Array[Float]]): Column = {
     val dists = array(cents.map { c =>
       aggregate(zip_with(emb, typedLit(c.toSeq),

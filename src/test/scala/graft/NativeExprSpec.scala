@@ -267,4 +267,42 @@ class NativeExprSpec extends GraftSuite {
          FROM docs_v WHERE size(split(trim(text), '\\s+')) >= 3 LIMIT 3""").collect()
     assert(m.length == 3 && m.forall(_.getSeq[Long](0).length == 32))
   }
+
+  test("native argmin-sqdist and sqdist equal the declarative HOF forms bit-for-bit") {
+    import graft.streaming.StreamVecIndex
+    // real quantizer centroids against the real corpus — every vector
+    val (_, centDf) = graft.operators.Similarity.s03Index(spark, sf, 16)
+    val cents = centDf.orderBy("list_id").collect()
+      .map(_.getSeq[Float](1).toArray).toIndexedSeq
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        StreamVecIndex.listIdOf(col("embedding"), cents).as("native"),
+        StreamVecIndex.listIdOfDeclarative(col("embedding"), cents).as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"vec ${r.getLong(0)}: native argmin ${r.getInt(1)} != declarative ${r.getInt(2)}"))
+    // tie behavior: equidistant centroids must pick the LOWER id, and a
+    // centroids COLUMN (the s12 codebook join shape) behaves the same
+    import spark.implicits._
+    val tie = Seq((Seq(0.0f, 0.0f), Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(1.0f, 0.0f))))
+      .toDF("emb", "cents")
+      .select(NF.argminSqDist(col("emb"), col("cents")).as("a"))
+      .head().getInt(0)
+    assert(tie == 0, s"tie must resolve to the first minimum, got $tie")
+    // sqdist: bit-for-bit double equality vs the zip_with/aggregate fold
+    val z = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), x => x.cast("double")).as("a"))
+    val pair = z.limit(64).crossJoin(z.limit(8).select(col("a").as("b")))
+      .select(NF.sqDist(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("decl"))
+      .collect()
+    assert(pair.nonEmpty)
+    pair.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"sqdist divergence: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
 }
