@@ -149,6 +149,10 @@ object PlanDump {
         "Leakage repair: d10's distinct-shingle index (one shuffle) + left-semi probe decide the drop set; the repair join is a doc_id equi-join back to the prepared corpus and a <=3-group rollup — no new join geometry beyond the detector's."),
       ("s12_ann_ivf2",
         "Two-level IVF: level-1 cell ranking scans k1 ~ sqrt(nLists) broadcast cell centroids, the codebook join fans each probed cell to its k2 local centroids (per-query distance work = nCells x k2, never nLists), candidates come from the flat list_id equi-join against broadcast probes, and top-3 rides the TopKPerGroup heap — s03's serving shape with the nLists-linear stages removed."),
+      ("m05_frame_reuse",
+        "Frame-level clip reuse: fixed-cadence segment digests are map-side column work, (doc, digest) DISTINCT collapses within-asset repeats, candidates ride the SHUFFLE_HASH frame-digest equi-join (d09's containment shape on binary frames — never asset x asset), and the pair rollup partial-aggregates with the shared-frame floor as a post-agg filter."),
+      ("s14_ann_pca",
+        "Dimension-reduced ANN: the corpus projects once through the codegen'd graft_pca_project mat-vec, the per-pair shortlist distance is the codegen'd graft_sqdist over k dims (not d), the query set broadcasts, TopKPerGroup bounds the shortlist shuffle, and the exact-cosine rescore touches shortlist rows only."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

@@ -457,6 +457,16 @@ class PlanAuditSpec extends GraftSuite {
     val s11 = planStr(Pipelines.p11LeakageRepair(spark, sf))
     assert(!s11.contains("CartesianProduct"),
       s"p11 must stay equi-join shaped:\n$s11")
+    // m05: candidates from the frame-digest equi-join, never asset×asset
+    val sm5 = planStr(Multimodal.m05FrameReuse(spark, sf))
+    assert(!sm5.contains("CartesianProduct") && !sm5.contains("BroadcastNestedLoopJoin"),
+      s"m05 must pair via the digest equi-join:\n$sm5")
+    // s14: the shortlist rides the heap operator and both hot loops are
+    // the native expressions, not interpreted HOF chains
+    val s14 = planStr(Similarity.s14AnnPca(spark, sf))
+    assert(s14.contains("TopKPerGroup"), s"s14 shortlist must be the heap:\n$s14")
+    assert(s14.contains("graft_sqdist") && s14.contains("graft_pca_project"),
+      s"s14 hot loops must be native expressions:\n$s14")
   }
 
   test("salted join equals the plain join and splits hot keys") {
