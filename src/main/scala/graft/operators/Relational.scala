@@ -1138,14 +1138,26 @@ object Relational {
     * localCheckpoint here, the reliable-dir form is the same d07-style
     * knob) and BOTH branches read the materialization: one fact scan
     * total, spec-pinned. */
-  def q46TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
+  def q46TopSupplier(spark: SparkSession, dir: String): DataFrame =
+    q46TopSupplier(spark, dir, checkpointDir = None)
+
+  /** `checkpointDir`-accepting form (the d07/q36 knob): on a real
+    * cluster the view snapshot goes to the reliable FS — localCheckpoint
+    * lives on executor local storage and dies with an executor. */
+  def q46TopSupplier(spark: SparkSession, dir: String,
+      checkpointDir: Option[String]): DataFrame = {
+    val rev0 = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-10-01 00:00:00") &&
         col("l_shipdate") < ts("1998-01-01 00:00:00"))
       .groupBy(col("l_suppkey"))
       .agg(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("total_cents"))
-      .localCheckpoint()
+    val rev = checkpointDir match {
+      case None => rev0.localCheckpoint()
+      case Some(d) =>
+        rev0.write.mode("overwrite").parquet(d + "/q46-rev")
+        spark.read.parquet(d + "/q46-rev")
+    }
     val maxRev = rev.agg(max(col("total_cents")).as("max_cents"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("total_cents") === col("max_cents"))

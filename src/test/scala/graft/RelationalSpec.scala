@@ -391,5 +391,10 @@ class RelationalSpec extends GraftSuite {
     assert(got.map(_._1).toSet == want,
       s"argmax set mismatch: got ${got.map(_._1).toSet}, want $want")
     assert(got.forall(_._2 == maxCents), "winner rows must all carry the max revenue")
+    // reliable-snapshot form (the d07/q36 knob) is result-identical
+    val dir = java.nio.file.Files.createTempDirectory("q46ck").toString
+    val reliable = Relational.q46TopSupplier(spark, sf, Some(dir)).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("total_cents")))
+    assert(reliable.toSeq == got.toSeq, "checkpointDir form diverged")
   }
 }
