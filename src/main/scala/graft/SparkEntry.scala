@@ -91,6 +91,7 @@ object SparkEntry {
     "t21_bpe_vocab_train" -> ((s, d) => TextAnalysis.t21BpeVocabTrain(s, d)), // rows-only: iterative argmax, no SQL mirror
     "t25_bpe_tokenize" -> ((s, d) => TextAnalysis.t25BpeTokenize(s, d)), // rows-only: merge list is corpus-dependent, no static SQL mirror
     "t26_pmi_collocations" -> (TextAnalysis.t26PmiCollocations _),
+    "t27_url_dedup" -> (TextAnalysis.t27UrlDedup _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),

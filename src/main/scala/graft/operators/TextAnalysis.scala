@@ -583,6 +583,42 @@ object TextAnalysis {
       .orderBy("domain")
   }
 
+  /** t27: URL CANONICALIZATION dedup — the web-pipeline stage between
+    * t18's domain triage and content dedup: the same page arrives under
+    * many raw URLs (mirror subdomains, tracking params, fragments), and
+    * collapsing to a canonical URL (registered domain + path — strip
+    * subdomain, query string, fragment) removes refetch duplicates
+    * before any byte of content is compared. Planting (t18's rule,
+    * extended): every doc carries one URL whose subdomain rotates %3 and
+    * whose tracking param is unique per doc, while item path and domain
+    * repeat per ⌊doc_id/3⌋ — so raw URLs are all distinct and
+    * canonicalization genuinely collapses ~3-doc groups. Output per
+    * registered domain: raw URLs, canonical URLs, docs a keep-first pass
+    * would drop. Shape at 100 TB: extraction + canonicalization are
+    * per-row regex column ops (codegen), then one |domains|-group
+    * count + count(DISTINCT canonical) aggregate — the distinct is the
+    * only shuffle and keys on the canonical string. */
+  def t27UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sub = element_at(array(Seq("www", "m", "cdn").map(lit): _*),
+      (pmod(id, lit(3)) + 1).cast("int"))
+    val dom = element_at(array(UrlDomains.map(lit): _*),
+      (pmod(expr("doc_id DIV 3"), lit(UrlDomains.size)) + 1).cast("int"))
+    val planted = concat(col("text"),
+      format_string(" https://%s.%s/item/%d?utm_source=%d#s",
+        sub, dom, expr("doc_id DIV 3"), id))
+    val host = regexp_extract(planted, "https://([a-z0-9.-]+)/", 1)
+    val regDomain = regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1)
+    val path = regexp_extract(planted, "https://[a-z0-9.-]+(/[^?#\\s]*)", 1)
+    Tables.documents(spark, dir)
+      .select(regDomain.as("domain"), concat(regDomain, path).as("canonical"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canonical")).as("n_canonical"),
+        (count(lit(1)) - countDistinct(col("canonical"))).as("n_dup_docs"))
+      .orderBy("domain")
+  }
+
   /** Bigram-surprisal flag threshold in bits/bigram: the corpus sits at
     * 4.7–5.6 across SFs with thin tails; 5.17 lands in a measured gap of
     * ≥ 0.0047 at every test SF (flags 1/1/31 docs at sf0.001/0.01/0.1) —
@@ -1386,6 +1422,27 @@ object TextAnalysis {
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
               round(AVG(surprisal), 3) AS mean_surprisal
             FROM pd GROUP BY source ORDER BY source""",
+      "t27_url_dedup" -> {
+        val doms = UrlDomains.map(d => s"'$d'").mkString(", ")
+        s"""WITH p AS (
+              SELECT doc_id, text || ' https://' ||
+                (['www', 'm', 'cdn'])[CAST(doc_id % 3 + 1 AS INT)] || '.' ||
+                ([$doms])[CAST((doc_id // 3) % ${UrlDomains.size} + 1 AS INT)] ||
+                '/item/' || CAST(doc_id // 3 AS VARCHAR) ||
+                '?utm_source=' || CAST(doc_id AS VARCHAR) || '#s' AS pt
+              FROM documents),
+            c AS (
+              SELECT
+                regexp_extract(regexp_extract(pt, 'https://([a-z0-9.-]+)/', 1),
+                  '([a-z0-9-]+\\.[a-z]+)$$', 1) AS domain,
+                regexp_extract(pt, 'https://[a-z0-9.-]+(/[^?#\\s]*)', 1) AS path
+              FROM p)
+            SELECT domain,
+              COUNT(*) AS n_urls,
+              COUNT(DISTINCT domain || path) AS n_canonical,
+              CAST(COUNT(*) - COUNT(DISTINCT domain || path) AS BIGINT) AS n_dup_docs
+            FROM c GROUP BY domain ORDER BY domain"""
+      },
       "t26_pmi_collocations" ->
         s"""WITH bgd AS (
               SELECT unnest(list_transform(generate_series(1, len($toks)-1),

@@ -854,4 +854,28 @@ class TextAnalysisSpec extends GraftSuite {
       .count(p => p._1 > floor._1 || (p._1 == floor._1 && p._2 < floor._2))
     assert(better <= 24, s"$better eligible bigrams rank above the returned floor")
   }
+
+  test("t27 URL dedup collapses tracking-param mirrors to canonical groups, vs a driver recompute") {
+    val rows = TextAnalysis.t27UrlDedup(spark, sf).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_urls"), r.getAs[Long]("n_canonical"),
+          r.getAs[Long]("n_dup_docs"))).toMap
+    assert(rows.nonEmpty)
+    // recompute from the planting rule: canonical = (domain, item id)
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val subs = Seq("www", "m", "cdn")
+    val byDom = ids.groupBy(id =>
+      TextAnalysis.UrlDomains(((id / 3) % TextAnalysis.UrlDomains.size).toInt))
+    byDom.foreach { case (dom, ds) =>
+      val (u, c, d) = rows(dom)
+      assert(u == ds.length, s"$dom url count")
+      val canon = ds.map(_ / 3).distinct.length
+      assert(c == canon, s"$dom canonical count: $c vs $canon")
+      assert(d == ds.length - canon, s"$dom dup accounting")
+    }
+    // canonicalization is the ONLY collapse: raw URLs are all distinct
+    // (unique utm param), so dups exist iff a group has >= 2 docs
+    assert(rows.values.map(_._3).sum > 0, "planting must create canonical dups")
+    assert(subs.length == 3) // the subdomain rotation the canonical strips
+  }
 }
