@@ -673,8 +673,10 @@ object Dedup {
     * results on a skew-free corpus are IDENTICAL (spec-pinned).
     * One extra df aggregation over the index (linear, partial-agg);
     * the hot-key list is tiny by construction (|keys with df > cap|)
-    * and broadcasts into a left-anti join. */
-  private def dfCapped(ex: DataFrame, key: String, maxDf: Long): DataFrame =
+    * and broadcasts into a left-anti join. Shared across the text
+    * inverted indexes (d02/d07/d08/d09) and m05's binary frame index —
+    * one cap definition, not per-operator copies. */
+  private[graft] def dfCapped(ex: DataFrame, key: String, maxDf: Long): DataFrame =
     if (maxDf == NoDfCap) ex
     else {
       val hot = ex.groupBy(col(key)).agg(count(lit(1)).as("df"))

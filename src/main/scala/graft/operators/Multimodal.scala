@@ -281,15 +281,30 @@ object Multimodal {
     * d02's stop-shingle case — cap its df or let AQE skew-join split
     * it. Fully oracle-gated: chunking is substring arithmetic + md5,
     * one semantics both engines evaluate. */
-  def m05FrameReuse(spark: SparkSession, dir: String): DataFrame = {
-    val frames = m05Corpus(spark, dir)
+  def m05FrameReuse(spark: SparkSession, dir: String): DataFrame =
+    m05FrameReuse(spark, dir, maxDf = Dedup.NoDfCap)
+
+  /** `maxDf` is the hot-frame cap — d02's stop-shingle rule on binary
+    * frames (single-sourced via `Dedup.dfCapped`): a constant padding
+    * block (the zero-frame of real containers) appearing in every asset
+    * would emit df² candidate pairs; the cap drops it from the index at
+    * the source. The gate runs uncapped (the planted corpus has no hot
+    * frame); capped ≡ uncapped on such a corpus and the planted-hot
+    * case is spec-pinned. */
+  def m05FrameReuse(spark: SparkSession, dir: String, maxDf: Long): DataFrame =
+    m05FramePairs(m05Corpus(spark, dir), maxDf)
+
+  /** The frame-pair core over any (doc_id, text) corpus — factored so
+    * the hot-frame spec can plant its own boilerplate frame. */
+  private[graft] def m05FramePairs(corpus: DataFrame, maxDf: Long): DataFrame = {
+    val frames = Dedup.dfCapped(corpus
       .select(col("doc_id"),
         expr(s"CAST(length(text) DIV $FrameBytes AS BIGINT)").as("n_frames"),
         explode(expr(
           s"""transform(sequence(1, length(text) DIV $FrameBytes),
              |  i -> md5(substring(text, (i - 1) * $FrameBytes + 1, $FrameBytes)))"""
             .stripMargin)).as("h"))
-      .distinct()
+      .distinct(), "h", maxDf)
     frames.as("a").hint("SHUFFLE_HASH").join(frames.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),

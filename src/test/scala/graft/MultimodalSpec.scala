@@ -135,4 +135,38 @@ class MultimodalSpec extends GraftSuite {
           s"planted clip of doc $id not detected")
       }
   }
+
+  test("m05 hot-frame cap removes a planted boilerplate frame's quadratic pairs, changes nothing else") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Multimodal}
+    val fb = Multimodal.FrameBytes
+    // synthetic corpus: 40 unique assets, each padded to a frame boundary
+    // and then given the SAME boilerplate frame (every container's
+    // zero-block) — plus 5 genuine partial copies
+    def body(i: Int) = (s"asset$i " * 40).take(3 * fb)
+    // TWO distinct hot frames so boilerplate alone crosses the 2-shared
+    // floor — the quadratic case the cap exists for
+    val boiler = "Z" * fb + "Y" * fb
+    val base = (0 until 40).map(i => (i.toLong, body(i) + boiler))
+    val clips = (0 until 5).map(i => (100L + i, body(i).take(2 * fb) + boiler))
+    val corpus = (base ++ clips).toDF("doc_id", "text")
+    val uncapped = Multimodal.m05FramePairs(corpus, Dedup.NoDfCap).collect()
+    val capped = Multimodal.m05FramePairs(corpus, maxDf = 10L).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared"))).toSet
+    // uncapped: the boilerplate frame links EVERY asset pair (45·44/2 +
+    // clip pairs) — the quadratic term; capped: only the genuine clips
+    // survive, linked by their 2 true shared frames
+    assert(uncapped.length >= 45 * 44 / 2,
+      s"hot frame must link all pairs uncapped: ${uncapped.length}")
+    val want = (0 until 5).map(i => (i.toLong, 100L + i, 2L)).toSet
+    assert(pairs(capped) == want,
+      s"capped pairs must be exactly the genuine clips:\n${pairs(capped)}\n$want")
+    // and on the hot-frame-free planted corpus the cap is a no-op
+    val plain = Multimodal.m05FrameReuse(spark, sf).collect().map(_.toString).toSeq
+    val plainCapped = Multimodal.m05FrameReuse(spark, sf, maxDf = 50L)
+      .collect().map(_.toString).toSeq
+    assert(plain == plainCapped, "cap must be a no-op without a hot frame")
+  }
 }
