@@ -53,7 +53,8 @@ object ScaleProbe {
       "t20_line_dedup", "t05_top_tokens", "s01_knn_brute", "s02_ann_lsh",
       "s06_range_search", "d15_paragraph_dedup", "t25_bpe_tokenize",
       "s09_pq_ann", "t26_pmi_collocations", "p10_neardup_corpus",
-      "p11_leakage_repair", "s12_ann_ivf2")
+      "p11_leakage_repair", "s12_ann_ivf2", "m05_frame_reuse",
+      "t27_url_dedup", "s14_ann_pca")
 
     val spark = SparkSession.builder()
       .master("local[32]")
