@@ -95,4 +95,65 @@ class NativeExprPropertySpec extends GraftSuite {
         s"doc $id winnow divergence")
     }
   }
+
+  test("argmin/sqdist/pca-project parity holds on 200 random vector-codebook cases") {
+    import spark.implicits._
+    import graft.streaming.StreamVecIndex
+    def vec(dim: Int): Array[Float] =
+      Array.fill(dim)((rnd.nextGaussian() * (1 + rnd.nextInt(10))).toFloat)
+    // argmin: per case a random dim, random k, duplicated-centroid ties
+    (1 to 10).foreach { _ =>
+      val d = 1 + rnd.nextInt(16)
+      val k = 1 + rnd.nextInt(12)
+      val cents0 = IndexedSeq.fill(k)(vec(d))
+      // force at least one exact duplicate so the tie rule is exercised
+      val cents = if (k >= 2) cents0.updated(k - 1, cents0(0).clone) else cents0
+      val rows = (1 to 20).map(i => (i.toLong, vec(d)))
+      val df = rows.toDF("id", "emb").select(col("id"),
+        StreamVecIndex.listIdOf(col("emb"), cents).as("native"),
+        StreamVecIndex.listIdOfDeclarative(col("emb"), cents).as("decl"))
+      df.collect().foreach(r => assert(r.getInt(1) == r.getInt(2),
+        s"argmin diverged on row ${r.getLong(0)}: ${r.getInt(1)} vs ${r.getInt(2)}"))
+    }
+    // sqdist + pca-project: double parity vs the HOF forms, random dims
+    (1 to 10).foreach { _ =>
+      val d = 1 + rnd.nextInt(32)
+      val kAx = 1 + rnd.nextInt(d)
+      val mean = Array.fill(d)(rnd.nextGaussian())
+      val axes = Seq.fill(kAx)(Array.fill(d)(rnd.nextGaussian()))
+      val rows = (1 to 20).map(i => (i.toLong, vec(d)))
+      val got = rows.toDF("id", "emb")
+        .select(col("id"),
+          NF.pcaProject(col("emb"), mean.toSeq, axes.map(_.toSeq)).as("p"),
+          col("emb"))
+        .collect()
+      got.foreach { r =>
+        val v = r.getSeq[Float](2).toArray
+        val want = axes.map { a =>
+          var s = 0.0; var t = 0
+          while (t < d) { s += (v(t).toDouble - mean(t)) * a(t); t += 1 }
+          s
+        }
+        val p = r.getSeq[Double](1)
+        assert(p.length == kAx)
+        p.zip(want).foreach { case (x, w) =>
+          assert(java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(w),
+            s"pca-project diverged: $x vs $w")
+        }
+      }
+      val pd = rows.toDF("id", "emb")
+        .select(transform(col("emb"), x => x.cast("double")).as("a"))
+        .crossJoin(rows.take(3).toDF("id2", "emb2")
+          .select(transform(col("emb2"), x => x.cast("double")).as("b")))
+        .select(NF.sqDist(col("a"), col("b")).as("native"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v).as("decl"))
+        .collect()
+      pd.foreach(r => assert(
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"sqdist diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    }
+  }
 }
