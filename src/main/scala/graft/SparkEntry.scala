@@ -92,6 +92,8 @@ object SparkEntry {
     "t25_bpe_tokenize" -> ((s, d) => TextAnalysis.t25BpeTokenize(s, d)), // rows-only: merge list is corpus-dependent, no static SQL mirror
     "t26_pmi_collocations" -> (TextAnalysis.t26PmiCollocations _),
     "t27_url_dedup" -> (TextAnalysis.t27UrlDedup _),
+    "t28_classifier_train" -> // rows-only: iterative LBFGS fit, no SQL mirror
+      (TextAnalysis.t28TrainQualityClassifier _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),

@@ -171,21 +171,30 @@ object Sampling {
     * the token array; the only shuffle is the ≤ |sources|·4-group
     * rollup (partial-aggregable). Sampling the corpus stays a filtered
     * scan — the tier CASE and the fp predicate push into it. */
+  /** The 3-rule integer quality TIER over a token array (0..3) — p08's
+    * bucket key, and t28's weak training label (single-sourced so the
+    * classifier is trained on exactly the rules the sampler gates on):
+    * mean word length in [3,10] (cross-multiplied), ≥80% alphabetic
+    * words, ≥2 distinct stopwords. */
+  private[graft] def qualityTier(toks: Column): Column = {
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(TF.stopwords.map(lit): _*))).cast("long")
+    when(lit(3L) * nTok <= sumLen && sumLen <= lit(10L) * nTok, 1L).otherwise(0L) +
+      when(lit(5L) * nAlpha >= lit(4L) * nTok, 1L).otherwise(0L) +
+      when(nStop >= 2L, 1L).otherwise(0L)
+  }
+
   def p08QualitySample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", TF.tokens(col("text")))
       .withColumn("fp", graft.functions.NativeFunctions.polyFingerprint(col("toks")))
     val nTok = size(col("toks")).cast("long")
-    val sumLen = aggregate(transform(col("toks"), w => length(w).cast("long")),
-      lit(0L), (a, x) => a + x)
-    val nAlpha = size(filter(col("toks"), w => w.rlike("[a-z]"))).cast("long")
-    val nStop = size(array_intersect(array_distinct(col("toks")),
-      array(TF.stopwords.map(lit): _*))).cast("long")
-    val tier =
-      when(lit(3L) * nTok <= sumLen && sumLen <= lit(10L) * nTok, 1L).otherwise(0L) +
-      when(lit(5L) * nAlpha >= lit(4L) * nTok, 1L).otherwise(0L) +
-      when(nStop >= 2L, 1L).otherwise(0L)
+    val tier = qualityTier(col("toks"))
     val keepPpm =
       when(col("tier") === 3, QualityKeepPpm(3))
         .when(col("tier") === 2, QualityKeepPpm(2))

@@ -1129,6 +1129,98 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** Fixed-point scale for t28's exported weights (1e-6 resolution —
+    * the quantization step of a deployed integer scoring table). */
+  val ClfQuantScale = 1e6
+
+  /** t28's feature space: hashed unigram counts. 2^12 buckets keeps the
+    * coefficient vector tiny (32 KB) while leaving collisions rare on
+    * the test vocabulary; production fastText-style classifiers use
+    * 2^21 with the identical plan. */
+  val ClfHashDim = 4096
+
+  /** t28: QUALITY-CLASSIFIER TRAINING — the stage that FILLS t17's
+    * weight slot (the DCLM/FineWeb recipe: bootstrap a cheap linear
+    * classifier from weak heuristic labels, then score the corpus with
+    * it). Weak label = p08's 3-rule integer tier == 3, i.e. a
+    * full-quality doc (single-sourced `Sampling.qualityTier` — the
+    * classifier trains on exactly the rules the sampler gates on; the
+    * full-tier cut is the one that splits this corpus non-degenerately,
+    * and DCLM-style training uses high-quality reference docs as the
+    * positive class the same way), features = hashed unigram counts
+    * (MLlib HashingTF, murmur buckets), model = distributed logistic
+    * regression (L-BFGS — the fit is the only iterative stage and it
+    * aggregates gradients tree-wise; nothing corpus-sized reaches the
+    * driver). Scoring runs back over the corpus distributed; output is
+    * the per-source audit — docs, weak positives, classifier positives,
+    * agreement — integers plus one readable rate.
+    *
+    * Rows-only: an iterative LBFGS fit has no SQL mirror, and tree
+    * aggregation order makes the last-ulp of coefficients run-varying —
+    * so specs pin THRESHOLDS (separation, agreement, export fidelity),
+    * never exact values. */
+  def t28TrainQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t28Scored(spark, dir)
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("weak")).as("n_weak_pos"),
+        sum(col("pred")).as("n_clf_pos"),
+        sum(when(col("weak") === col("pred"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_rate",
+        round(col("n_agree").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
+  /** Per-doc weak label + model prediction (the audit's input, and the
+    * spec's separation probe). */
+  private[graft] def t28Scored(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    val feat = t28Features(spark, dir)
+    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+      .setFeaturesCol("features").setLabelCol("label").fit(feat)
+    model.transform(feat)
+      .select(col("doc_id"), col("source"),
+        col("label").cast("long").as("weak"),
+        col("prediction").cast("long").as("pred"))
+  }
+
+  private[graft] def t28Features(spark: SparkSession, dir: String): DataFrame = {
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("toks").setOutputCol("features").setNumFeatures(ClfHashDim)
+    tf.transform(docsWithTokens(spark, dir)
+      .filter(size(col("toks")) >= 1)
+      .withColumn("label",
+        when(Sampling.qualityTier(col("toks")) >= 3, 1.0).otherwise(0.0))
+      .select(col("doc_id"), col("source"), col("toks"), col("label")))
+  }
+
+  /** The t17 DEPLOYMENT bridge: export the trained model as the
+    * (token, fixed-point weight) table [[t17WeightedClassifier]] scores
+    * with — weights for the `topK` highest-df tokens (t21's
+    * bounded-digest discipline: the table is a driver artifact sized by
+    * a knob, never the unbounded vocabulary), each token mapped to its
+    * murmur bucket's coefficient, quantized at [[ClfQuantScale]].
+    * Returns (weights, quantized intercept). */
+  private[graft] def t28ExportWeights(spark: SparkSession, dir: String,
+      topK: Int = 4096): (DataFrame, Long) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    val feat = t28Features(spark, dir)
+    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+      .setFeaturesCol("features").setLabelCol("label").fit(feat)
+    val coef = model.coefficients.toArray
+    val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(ClfHashDim)
+    val vocab = docsWithTokens(spark, dir)
+      .select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t")).limit(topK)
+      .select("t").collect().map(_.getString(0))
+    val rows = vocab.toIndexedSeq.map { t =>
+      (t, math.round(coef(tf.indexOf(t)) * ClfQuantScale))
+    }
+    (spark.createDataFrame(rows).toDF("t", "w"),
+      math.round(model.intercept * ClfQuantScale))
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(

@@ -878,4 +878,53 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rows.values.map(_._3).sum > 0, "planting must create canonical dups")
     assert(subs.length == 3) // the subdomain rotation the canonical strips
   }
+
+  test("t28 classifier training separates the weak labels; exported table tracks the model") {
+    import org.apache.spark.sql.functions._
+    // audit accounting + both classes present
+    val audit = TextAnalysis.t28TrainQualityClassifier(spark, sf).collect()
+    assert(audit.nonEmpty)
+    val (nDocs, nWeak, nAgree) = (
+      audit.map(_.getAs[Long]("n_docs")).sum,
+      audit.map(_.getAs[Long]("n_weak_pos")).sum,
+      audit.map(_.getAs[Long]("n_agree")).sum)
+    assert(nWeak > 0 && nWeak < nDocs,
+      s"weak labels must be non-degenerate: $nWeak of $nDocs")
+    // self-fit on unigram-expressible rules must beat chance by a wide
+    // margin (threshold, not exact value — LBFGS last-ulp varies)
+    assert(nAgree.toDouble / nDocs >= 0.75,
+      s"classifier agrees on only $nAgree/$nDocs")
+    val scored = TextAnalysis.t28Scored(spark, sf).collect()
+    val acc = scored.count(r => r.getAs[Long]("weak") == r.getAs[Long]("pred"))
+    assert(acc == nAgree, "audit rollup must match the per-doc scoring")
+    // deployment bridge: the quantized top-K token table scored through
+    // the EXISTING gated t17 operator reproduces the corpus totals
+    val (weights, _) = TextAnalysis.t28ExportWeights(spark, sf)
+    assert(weights.count() > 0 &&
+      weights.collect().exists(_.getAs[Long]("w") != 0L),
+      "exported table must carry signal")
+    val t17Rows = TextAnalysis.t17WeightedClassifier(spark, sf, weights).collect()
+    assert(t17Rows.nonEmpty &&
+      t17Rows.map(_.getAs[Long]("n_docs")).sum > 0,
+      "t17 must score with the trained table")
+    // export fidelity: per-doc integer table scores must rank docs the
+    // way the model's own raw scores do — compare sign-of-score
+    // agreement between the quantized-table sum and the model prediction
+    val tokW = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .join(broadcast(weights), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (_, interceptQ) = TextAnalysis.t28ExportWeights(spark, sf)
+    val byDoc = scored.map(r => r.getLong(0) -> r.getAs[Long]("pred")).toMap
+    val both = byDoc.keys.filter(tokW.contains).toSeq
+    val agree = both.count { id =>
+      val tablePred = if (tokW(id) + interceptQ > 0) 1L else 0L
+      tablePred == byDoc(id)
+    }
+    assert(agree.toDouble / both.size >= 0.7,
+      s"quantized table diverged from the model: $agree/${both.size}")
+  }
 }
