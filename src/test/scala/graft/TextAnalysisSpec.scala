@@ -899,7 +899,7 @@ class TextAnalysisSpec extends GraftSuite {
     assert(acc == nAgree, "audit rollup must match the per-doc scoring")
     // deployment bridge: the quantized top-K token table scored through
     // the EXISTING gated t17 operator reproduces the corpus totals
-    val (weights, _) = TextAnalysis.t28ExportWeights(spark, sf)
+    val (weights, interceptQ) = TextAnalysis.t28ExportWeights(spark, sf)
     assert(weights.count() > 0 &&
       weights.collect().exists(_.getAs[Long]("w") != 0L),
       "exported table must carry signal")
@@ -917,7 +917,6 @@ class TextAnalysisSpec extends GraftSuite {
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val (_, interceptQ) = TextAnalysis.t28ExportWeights(spark, sf)
     val byDoc = scored.map(r => r.getLong(0) -> r.getAs[Long]("pred")).toMap
     val both = byDoc.keys.filter(tokW.contains).toSeq
     val agree = both.count { id =>
