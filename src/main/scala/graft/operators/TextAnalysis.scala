@@ -1221,6 +1221,24 @@ object TextAnalysis {
       math.round(model.intercept * ClfQuantScale))
   }
 
+  /** Per-doc integer scores under a trained quantized weight table —
+    * the scoring core shared by the t28 deployment bridge's spec and
+    * the STREAMING twin ([[graft.streaming.StreamQuality]]): score =
+    * intercept + Σ w(token) over occurrences (left join: OOV scores 0),
+    * flag = score > 0. All-integer, so batch and stream verdicts are
+    * exactly equal by construction. */
+  private[graft] def quantizedDocScores(docs: DataFrame, weights: DataFrame,
+      interceptQ: Long): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(TF.tokens(col("text"))).as("t"))
+      .join(broadcast(weights), Seq("t"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("w_sum"))
+      .select(col("doc_id"), col("source"),
+        (col("w_sum") + lit(interceptQ)).as("score_q"),
+        (col("w_sum") + lit(interceptQ) > 0).as("flagged"))
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(

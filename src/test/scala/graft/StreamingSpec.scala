@@ -236,6 +236,39 @@ class StreamingSpec extends GraftSuite {
     assert(dAfter.streamedVecs == 0L && !dAfter.refit, s"$dAfter")
   }
 
+  test("stream_quality scores arrivals exactly like the batch classifier core") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // trained model (t28's export) as the static side
+    val (weights, interceptQ) = TextAnalysis.t28ExportWeights(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").orderBy("doc_id").limit(90).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Buffer.empty[(Long, Long, Boolean)]
+    val q = StreamQuality.run(
+      input.toDF().toDF("doc_id", "source", "text"), weights, interceptQ) { b =>
+      got.synchronized {
+        got ++= b.collect().map(r =>
+          (r.getLong(0), r.getAs[Long]("score_q"), r.getAs[Boolean]("flagged")))
+      }
+    }
+    try docs.grouped(30).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // all-integer core ⇒ streamed verdicts equal the batch pass EXACTLY
+    val want = TextAnalysis.quantizedDocScores(
+        Tables.documents(spark, sf).filter(col("doc_id").isin(docs.map(_._1): _*)),
+        weights, interceptQ)
+      .collect().map(r =>
+        (r.getLong(0), r.getAs[Long]("score_q"), r.getAs[Boolean]("flagged"))).toSet
+    assert(got.toSet == want,
+      s"streamed verdicts diverged from batch:\nextra=${got.toSet -- want}\nmissing=${want -- got.toSet}")
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "both verdict classes should appear on this corpus")
+  }
+
   test("cms sketch aggregates incrementally over a stream (complete mode)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
