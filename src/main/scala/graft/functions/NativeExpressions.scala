@@ -655,9 +655,19 @@ object PqUtil {
 object VecDistUtil {
   /** Σ (a_i − b_i)² over two double arrays — left fold in element order,
     * the exact op sequence of the declarative
-    * `aggregate(zip_with(a, b, (x,y) -> (x−y)·(x−y)), 0.0, +)`. */
+    * `aggregate(zip_with(a, b, (x,y) -> (x−y)·(x−y)), 0.0, +)`.
+    * PRECONDITION: equal-length arrays of non-null elements (the
+    * fixed-dimension embedding contract every caller feeds). Length
+    * mismatch FAILS FAST instead of silently summing the truncated
+    * prefix (the declarative mirror yields null there — a truncated sum
+    * would be a quiet parity break); element nullability stays a
+    * documented precondition because a per-element branch would tax the
+    * corpus-sized hot loop. */
   def sqDist(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_sqdist: length mismatch ${n} vs ${b.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -683,6 +693,9 @@ object VecDistUtil {
     var j = 0
     while (j < k) {
       val c = cents.getArray(j)
+      if (c.numElements() != d) // sqDist's fail-fast rule, per centroid row
+        throw new IllegalArgumentException(
+          s"graft_argmin_sqdist: centroid $j has ${c.numElements()} dims, embedding has $d")
       var s = 0.0
       var i = 0
       while (i < d) {

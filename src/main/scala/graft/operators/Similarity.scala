@@ -323,10 +323,31 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
+    // Dedup by vec_id: re-absorbing arrivals that a crashed prior refit
+    // already published (maybeRefit's publish→compact window) must be
+    // idempotent — a union that kept both copies would double-count
+    // them in every later rebuild.
     val union = base.unionByName(streamed.select(col("vec_id"), col("embedding")))
+      .dropDuplicates("vec_id")
+    // The base corpus is covered by ivfIndexPath's corpusFingerprint,
+    // but the ARRIVALS are not — two different equal-sized arrival sets
+    // would otherwise share a key and the second refit would silently
+    // serve (and then compact away) the first's index, losing vectors.
+    // One order-independent content hash over the streamed rows closes
+    // it; arrivals are stream-sized, never corpus-sized.
+    // decimal(38,0) sum: order-independent AND overflow-free under ANSI
+    // (a plain Long sum of 64-bit hashes overflows after two rows)
+    val arrivalsFp = streamed
+      .agg(sum(xxhash64(col("vec_id"), col("embedding"))
+        .cast("decimal(38,0)")).as("fp"))
+      .first() match {
+        case r if r.isNullAt(0) => "empty"
+        case r => r.getDecimal(0).toBigInteger.toString(16)
+          .replace("-", "m")
+      }
     val n = Tables.parquetRowCount(spark, dir, "embeddings") +
       streamed.count()
-    val path = ivfIndexPath(spark, dir, "s03refit", nLists, n)
+    val path = ivfIndexPath(spark, dir, s"s03refit-a$arrivalsFp", nLists, n)
     if (!ivfExists(spark, path)) {
       val stride = math.max(1L, n / 4096)
       val fitSample = union

@@ -572,7 +572,12 @@ object TextAnalysis {
       (pmod(id, lit(UrlDomains.size)) + 1).cast("int"))
     val planted = concat(col("text"),
       format_string(" https://%s.%s/p/%d", sub, dom, id))
-    val host = regexp_extract(planted, "https://([a-z0-9.-]+)/", 1)
+    // END-anchored: the planted URL is the document's final suffix, so
+    // anchoring at $ measures IT even when the document text itself
+    // contains a lowercase https:// URL (a first-match extract would
+    // silently grab the text's URL instead — the [^\s]* tail cannot
+    // cross the space before the planted suffix).
+    val host = regexp_extract(planted, "https://([a-z0-9.-]+)/[^\\s]*$", 1)
     val regDomain = regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1)
     Tables.documents(spark, dir)
       .select(regDomain.as("domain"))
@@ -607,9 +612,14 @@ object TextAnalysis {
     val planted = concat(col("text"),
       format_string(" https://%s.%s/item/%d?utm_source=%d#s",
         sub, dom, expr("doc_id DIV 3"), id))
-    val host = regexp_extract(planted, "https://([a-z0-9.-]+)/", 1)
+    // END-anchored extraction (t18's rule): the planted URL is the final
+    // suffix, so $-anchoring measures it even if the document text
+    // itself contains a lowercase URL — a first-match extract would
+    // silently canonicalize the wrong URL.
+    val host = regexp_extract(planted, "https://([a-z0-9.-]+)/[^\\s]*$", 1)
     val regDomain = regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1)
-    val path = regexp_extract(planted, "https://[a-z0-9.-]+(/[^?#\\s]*)", 1)
+    val path = regexp_extract(planted,
+      "https://[a-z0-9.-]+(/[^?#\\s]*)[^\\s]*$", 1)
     Tables.documents(spark, dir)
       .select(regDomain.as("domain"), concat(regDomain, path).as("canonical"))
       .groupBy(col("domain"))
@@ -1171,14 +1181,33 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** ONE fit per corpus dir, memoized: t28Scored (the audit) and
+    * t28ExportWeights (the deployment table) must derive from the SAME
+    * model — two independent L-BFGS fits can differ in the last ulp
+    * (tree-aggregation order), so separate fits could export a weight
+    * table from a different model than the one the audit graded, and
+    * would pay the training cost twice per round. The model is a pure
+    * coefficient holder (no session reference), so caching across
+    * sessions by dir is safe; the cache is test-lifetime only — a real
+    * deployment persists the exported weight TABLE, not the model. */
+  private val t28ModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.ml.classification.LogisticRegressionModel]()
+
+  private[graft] def t28Model(spark: SparkSession,
+      dir: String): org.apache.spark.ml.classification.LogisticRegressionModel =
+    t28ModelCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.ml.classification.LogisticRegression
+      new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(t28Features(spark, dir))
+    })
+
   /** Per-doc weak label + model prediction (the audit's input, and the
     * spec's separation probe). */
   private[graft] def t28Scored(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
     val feat = t28Features(spark, dir)
-    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
-      .setFeaturesCol("features").setLabelCol("label").fit(feat)
-    model.transform(feat)
+    t28Model(spark, dir).transform(feat)
       .select(col("doc_id"), col("source"),
         col("label").cast("long").as("weak"),
         col("prediction").cast("long").as("pred"))
@@ -1203,10 +1232,7 @@ object TextAnalysis {
     * Returns (weights, quantized intercept). */
   private[graft] def t28ExportWeights(spark: SparkSession, dir: String,
       topK: Int = 4096): (DataFrame, Long) = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    val feat = t28Features(spark, dir)
-    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
-      .setFeaturesCol("features").setLabelCol("label").fit(feat)
+    val model = t28Model(spark, dir) // the SAME fit the audit scored with
     val coef = model.coefficients.toArray
     val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(ClfHashDim)
     val vocab = docsWithTokens(spark, dir)
@@ -1253,7 +1279,7 @@ object TextAnalysis {
               FROM documents),
             ext AS (
               SELECT regexp_extract(
-                  regexp_extract(pt, 'https://([a-z0-9.-]+)/', 1),
+                  regexp_extract(pt, 'https://([a-z0-9.-]+)/[^\\s]*$$', 1),
                   '([a-z0-9-]+\\.[a-z]+)$$', 1) AS domain
               FROM planted)
             SELECT domain,
@@ -1543,9 +1569,11 @@ object TextAnalysis {
               FROM documents),
             c AS (
               SELECT
-                regexp_extract(regexp_extract(pt, 'https://([a-z0-9.-]+)/', 1),
+                regexp_extract(
+                  regexp_extract(pt, 'https://([a-z0-9.-]+)/[^\\s]*$$', 1),
                   '([a-z0-9-]+\\.[a-z]+)$$', 1) AS domain,
-                regexp_extract(pt, 'https://[a-z0-9.-]+(/[^?#\\s]*)', 1) AS path
+                regexp_extract(pt, 'https://[a-z0-9.-]+(/[^?#\\s]*)[^\\s]*$$', 1)
+                  AS path
               FROM p)
             SELECT domain,
               COUNT(*) AS n_urls,
