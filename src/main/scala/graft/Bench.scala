@@ -56,10 +56,35 @@ object Bench {
     // contention window on a shared box poison BOTH samples of whatever
     // ran inside it (a 0.6 s query once recorded 16.8 s); interleaving
     // separates a query's samples by a full suite pass (~30 s), so the
-    // min survives any noise window shorter than that.
-    val passes = Seq.fill(3)(queries.map { case (name, fn) => name -> timed(name, fn) })
-    val samples = queries.map { case (name, _) =>
+    // min survives any noise window shorter than that. Each pass is
+    // ROTATED by a third of the suite, so no single contention window
+    // lines up with the same suite position in every pass — the r8
+    // artifact had a tail-of-run window inflate the LAST sample of a
+    // contiguous third of the queries.
+    val passes = (0 until 3).map { p =>
+      val shift = p * queries.length / 3
+      val order = queries.drop(shift) ++ queries.take(shift)
+      order.map { case (name, fn) => name -> timed(name, fn) }
+    }
+    val samples0 = queries.map { case (name, _) =>
       name -> passes.flatMap(_.toMap.apply(name))
+    }
+    // Outlier repair: a sample vector spanning >2x min-to-max on an idle
+    // box is contention, not the query — re-time those few queries (the
+    // box has had time to quiesce) and replace their WORST sample, up to
+    // two rounds. Genuine bimodality survives (the retry reproduces the
+    // slow time and the spread stays); transient noise is scrubbed from
+    // the published artifact instead of being archived as signal.
+    val samples = (0 until 2).foldLeft(samples0) { case (ss, _) =>
+      ss.map {
+        case (name, v) if v.nonEmpty && v.max > 2 * v.min =>
+          val fn = queries.toMap.apply(name)
+          timed(name, fn) match {
+            case Some(t) if t < v.max => name -> (v.sortBy(-_).drop(1) :+ t)
+            case _ => name -> v
+          }
+        case kv => kv
+      }
     }
     val results = samples.collect { case (name, ss) if ss.nonEmpty => name -> ss.min }
     val failed = samples.collect { case (name, ss) if ss.isEmpty => name }

@@ -75,7 +75,17 @@ object Pipelines {
     * shuffles; the pair stage is the d03 equi-join (never all pairs);
     * components is O(log diameter) whole-graph rounds with per-round
     * checkpoints (pass a reliable `checkpointDir` via d07's knob on a
-    * real cluster); the final report shuffles |kept| rows once. */
+    * real cluster); the final report shuffles |kept| rows once.
+    *
+    * DELIBERATE two-pass lineage: `cleaned` is referenced twice (once
+    * into the pair/components branch, once for the report join), so the
+    * clean stage's scan runs twice. This is the opposite call from the
+    * q36/q46 snapshot rule ON PURPOSE — that rule snapshots SMALL
+    * AGGREGATED views, while `cleaned` is corpus-sized: caching or
+    * checkpointing it at 100 TB would spill the whole corpus to
+    * executor storage to save one cheap, fully pushed-down scan pass.
+    * Two scans of a columnar source are the cheaper side of that trade
+    * at every scale the op targets. */
   def p10NeardupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val cleaned = cleanCorpus(spark, dir)
     val pairs = Dedup.minhashVerifiedPairs(cleaned.select(col("doc_id"), col("text")))

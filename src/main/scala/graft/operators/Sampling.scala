@@ -65,18 +65,27 @@ object Sampling {
     * pow(n, τ) is the one place cross-engine float parity could crack,
     * so other temperatures belong behind a rows-only gate. */
   def p04MixtureSample(spark: SparkSession, dir: String, frac: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAll = Window.partitionBy()
     val docs = withFp(spark, dir).select(col("source"), col("fp"))
-    val thr = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    // Cross-source totals as DRIVER SCALARS over the snapshotted
+    // ≤|sources|-row aggregate — NOT an unpartitioned window: the frame
+    // is tiny so a Window.partitionBy() was harmless, but it flooded
+    // the log with single-partition WindowExec warnings
+    // indistinguishable from a real scale-killer. The snapshot
+    // (q36/q46 rule) runs the corpus agg once; the fold over the
+    // SORTED w list is the identical IEEE left-to-right sum the
+    // previous sort_array/aggregate form computed, so thresholds are
+    // bit-identical, and the scalars enter the plan as literals (no
+    // join, no window — stricter than q31's 1-row crossJoin, which
+    // PlanAuditSpec bans here as a nested-loop join).
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
       .withColumn("w", sqrt(col("n_total").cast("double")))
-      .withColumn("w_sum",
-        aggregate(sort_array(collect_list(col("w")).over(wAll)), lit(0.0),
-          (acc, v) => acc + v))
-      .withColumn("t_target",
-        floor(lit(frac) * sum(col("n_total")).over(wAll).cast("double")))
+      .localCheckpoint()
+    val srcRows = bySrc.collect()
+    val wSum = srcRows.map(_.getAs[Double]("w")).sorted.foldLeft(0.0)(_ + _)
+    val tTarget = math.floor(frac * srcRows.map(_.getAs[Long]("n_total")).sum.toDouble)
+    val thr = bySrc
       .withColumn("sample_ppm", least(lit(1000000L),
-        floor(col("t_target").cast("double") * col("w") / col("w_sum") /
+        floor(lit(tTarget) * col("w") / lit(wSum) /
           col("n_total").cast("double") * lit(1000000.0)).cast("long")))
       .select(col("source"), col("n_total"), col("sample_ppm"))
     docs.join(broadcast(thr), Seq("source"))
@@ -114,8 +123,6 @@ object Sampling {
 
   def p06TokenBudgetMix(spark: SparkSession, dir: String,
       budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAll = Window.partitionBy()
     val docs = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", TF.tokens(col("text")))
@@ -129,9 +136,14 @@ object Sampling {
     // plain least(1e6, share·1e6 div tok_total) would instead wrap
     // share·1e6 negative at multi-trillion-token budgets and silently
     // emit an empty mix.
-    val rates = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
-      .withColumn("n_sources", count(lit(1)).over(wAll))
-      .withColumn("share", expr(s"${budget}L div n_sources"))
+    // |S| as a driver scalar over the snapshotted per-source view —
+    // integer-exact, enters the plan as a literal (p04's note: no
+    // unpartitioned window, no 1-row join)
+    val totals = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
+      .localCheckpoint()
+    val share = budget / totals.count() // Long div == the previous BIGINT div
+    val rates = totals
+      .withColumn("share", lit(share))
       .withColumn("rate_ppm",
         when(col("share") >= col("tok_total"), lit(1000000L))
           .otherwise(expr("(share * 1000000L) div tok_total")))
@@ -243,17 +255,18 @@ object Sampling {
 
   def p09EpochMix(spark: SparkSession, dir: String, budget: Long,
       maxEpochs: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAll = Window.partitionBy()
     val docs = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", TF.tokens(col("text")))
       .select(col("source"),
         graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
         size(col("toks")).cast("long").as("n_tok"))
-    val plan = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
-      .withColumn("n_sources", count(lit(1)).over(wAll))
-      .withColumn("share", expr(s"${budget}L div n_sources"))
+    // |S| as a driver scalar over the snapshotted per-source view
+    // (p04's note: no unpartitioned window, no 1-row join)
+    val totals = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
+      .localCheckpoint()
+    val plan = totals
+      .withColumn("share", lit(budget / totals.count()))
       .withColumn("full_epochs",
         least(expr("share div tok_total"), lit(maxEpochs)))
       // the partial pass exists only below the cap; share mod tok_total

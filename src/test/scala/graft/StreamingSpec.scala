@@ -383,6 +383,13 @@ class StreamingSpec extends GraftSuite {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ONE state partition: this test makes the query fail ON PURPOSE, and
+    // with sibling partitions the stage abort interrupts their RocksDB
+    // commits mid-flight — green runs then carry CANNOT_COMMIT stack
+    // traces that would camouflage a real state-store failure. With a
+    // single partition the only error in the log is the intended one.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     val input = MemoryStream[graft.streaming.PackDoc]
     val q = graft.streaming.StreamPack.pack(input.toDS())
       .writeStream.format("memory").queryName("packed_ooo").outputMode("append").start()
@@ -404,6 +411,7 @@ class StreamingSpec extends GraftSuite {
         s"expected the high-water-mark rejection, got: ${e.getMessage}")
     } finally {
       q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -417,6 +425,10 @@ class StreamingSpec extends GraftSuite {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // single state partition — intentional-failure test; see the
+    // out-of-order test's note on keeping the green log trace-free
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     val input = MemoryStream[graft.streaming.PackDoc]
     val q = graft.streaming.StreamPack.pack(input.toDS())
       .writeStream.format("memory").queryName("packed_dup").outputMode("append").start()
@@ -437,6 +449,7 @@ class StreamingSpec extends GraftSuite {
         s"expected the intra-batch duplicate rejection, got: ${e.getMessage}")
     } finally {
       q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
