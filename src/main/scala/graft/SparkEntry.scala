@@ -145,6 +145,8 @@ object SparkEntry {
     "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),
     "p10_neardup_corpus" -> (Pipelines.p10NeardupCorpus _),
     "p11_leakage_repair" -> ((s, d) => Pipelines.p11LeakageRepair(s, d)),
+    "p12_training_shards" -> // rows-only: merge table is corpus-dependent (t25's rule)
+      (Pipelines.p12TrainingShards _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -597,6 +597,63 @@ case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
     copy(child = newChild)
 }
 
+object SymIdsUtil {
+  /** Separator-encoded BPE symbol string → token-id array via the
+    * vocab's symbol→id table: one manual scan over the string (no regex
+    * split, no intermediate array) — the per-row loop of the p12
+    * training-shard export, compiled. Mirrors the declarative
+    * `transform(filter(split(enc, sep), s -> s <> ''), s ->
+    * element_at(map, s))` symbol-for-symbol (spec-pinned). OOV symbols
+    * FAIL FAST: the vocab is derived from the same corpus+rules, so a
+    * miss is a build bug, and a silent skip would shift every later
+    * token position in the shard. */
+  def ids(enc: UTF8String, vocab: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = enc.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var i = 0
+    var start = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == '\u0001') {
+        if (i > start) {
+          val id = vocab.get(s.substring(start, i))
+          if (id == null) throw new IllegalArgumentException(
+            s"graft_sym_ids: symbol '${s.substring(start, i)}' not in vocab")
+          out += id.intValue()
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+}
+
+/** Separator-encoded symbol string → array<int> token ids against the
+  * (driver-collected, literal-folded) sorted vocab. */
+case class SymIdsExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val table: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.zipWithIndex.foreach { case (s, i) => m.put(s, Integer.valueOf(i)) }
+    m
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sym_ids"
+  override protected def nullSafeEval(input: Any): Any =
+    SymIdsUtil.ids(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("symVocab", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SymIdsUtil.ids($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SymIdsExpr =
+    copy(child = newChild)
+}
+
 object PqUtil {
   /** PQ encode: per subspace, argmin squared distance from the
     * embedding's subvector to the broadcast sub-centroids — mirrors the
@@ -862,6 +919,8 @@ object NativeFunctions {
     Shims.column(Phash63Expr(Shims.expression(text)))
   def bpeApply(toks: Column, rules: Seq[(String, String)]): Column =
     Shims.column(BpeApplyExpr(Shims.expression(toks), rules))
+  def symIds(enc: Column, vocab: Seq[String]): Column =
+    Shims.column(SymIdsExpr(Shims.expression(enc), vocab))
   def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
     Shims.column(PqEncodeExpr(Shims.expression(emb), books))
   def pcaProject(emb: Column, mean: Seq[Double], axes: Seq[Seq[Double]]): Column =

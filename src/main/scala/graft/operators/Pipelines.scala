@@ -132,6 +132,153 @@ object Pipelines {
       .orderBy("split")
   }
 
+  // ─────────────── p12: training-shard export (the final mile) ──────────
+
+  /** The tokenized, shard-assigned per-doc relation every p12 surface
+    * derives from: t25's trained tokenizer applied through the codegen'd
+    * `graft_bpe_apply` expression, p07's epoch-1 permutation key and
+    * range-binned shard, and the per-doc BPE token count via the
+    * separator arithmetic (no split, no explode — one compiled pass per
+    * row). Shape at 100 TB: train on the bounded digest (one word-count
+    * shuffle + driver merge loop, t21's rule), then everything here is
+    * MAP-SIDE per document; the shard column is derived, so downstream
+    * stages shuffle once on it. */
+  private[graft] def p12TokenizedDocs(spark: SparkSession, dir: String,
+      merges: Int = 20, topWords: Int = 4096, epoch: Long = 1L,
+      shards: Int = Sampling.ShuffleShards): DataFrame = {
+    val P = TF.HashMod
+    val rules = TextAnalysis.bpeMerges(
+      TextAnalysis.bpeWordCounts(spark, dir, topWords), merges)
+      .map(m => (m._2, m._3))
+    val m = java.lang.Math.floorMod(Sampling.EpochA + epoch * Sampling.EpochB, P)
+    require(m != 0, s"degenerate epoch $epoch: multiplier is 0 mod $P")
+    val key = (pmod(col("doc_id"), lit(P)) * lit(m)) % lit(P)
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("enc",
+        graft.functions.NativeFunctions.bpeApply(col("toks"), rules))
+      .withColumn("n_ids",
+        (length(col("enc"))
+          - length(translate(col("enc"), TextAnalysis.BpeSep, ""))).cast("long")
+          - size(col("toks")).cast("long"))
+      .withColumn("key", key)
+      .withColumn("shard", expr(s"(key * ${shards}L) div ${P}L"))
+      .select("doc_id", "key", "shard", "enc", "n_ids")
+  }
+
+  /** The tokenizer's VOCAB FILE: every distinct symbol the trained merge
+    * table can emit over this corpus, sorted — symbol id = sorted rank,
+    * exactly the content-defined vocab artifact a real tokenizer ships.
+    * Bounded output (base alphabet + merge count + the end marker), so
+    * the distinct is one partial-aggregable shuffle over exploded
+    * symbols and the driver collect is a few hundred strings. */
+  private[graft] def p12Vocab(spark: SparkSession, dir: String,
+      merges: Int = 20, topWords: Int = 4096): IndexedSeq[String] =
+    p12TokenizedDocs(spark, dir, merges, topWords)
+      .select(explode(split(col("enc"), TextAnalysis.BpeSep)).as("s"))
+      .filter(length(col("s")) > 0)
+      .distinct().orderBy("s")
+      .collect().map(_.getString(0)).toIndexedSeq
+
+  /** p12: TRAINING-SHARD EXPORT audit — the pipeline's final mile,
+    * composing three gated primitives into the artifact a trainer
+    * actually consumes: t25's trained tokenizer (BPE token stream per
+    * doc), p07's epoch permutation (shard = range bin of the
+    * deterministic epoch key; concatenating shards in shard order
+    * replays the permuted corpus), and p05's packing semantics (token
+    * offsets accumulate in key order WITHIN each shard; the stream chops
+    * into [[Sampling.PackBudget]]-token context windows, docs spanning
+    * boundaries — GPT-style packing). Reference capability: the
+    * ingest→at-rest batching of IngestTest.java:60-140 re-expressed at
+    * the training-data layer (records → compressed batches there, docs →
+    * fixed-token chunks here).
+    *
+    * Output: one all-integer row per shard — docs, BPE tokens, chunk
+    * count (⌈tokens/budget⌉), boundary docs (docs straddling a chunk
+    * edge), first/last doc id in replay order, key range. Rows-only in
+    * the gate (the merge table is corpus-dependent — t25's rule); the
+    * spec replays a shard and reproduces the exact token-id stream
+    * against an independent driver fuse.
+    *
+    * Shape at 100 TB: tokenize + key + shard are map-side; the ONE wide
+    * exchange is the shard shuffle; the within-shard cumsum is a
+    * per-shard window over co-located rows (p05's no-global-barrier
+    * argument); the rollup partial-aggregates. */
+  def p12TrainingShards(spark: SparkSession, dir: String): DataFrame = {
+    val B = Sampling.PackBudget
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    p12TokenizedDocs(spark, dir)
+      .withColumn("start_off", coalesce(sum(col("n_ids")).over(w), lit(0L)))
+      .withColumn("end_off", col("start_off") + col("n_ids"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ids")).as("n_tokens"),
+        expr(s"(sum(n_ids) + ${B - 1}L) div ${B}L").as("n_chunks"),
+        min_by(col("doc_id"), struct(col("key"), col("doc_id"))).as("first_doc"),
+        max_by(col("doc_id"), struct(col("key"), col("doc_id"))).as("last_doc"),
+        sum(when(expr(s"(end_off - 1) div ${B}L") > expr(s"start_off div ${B}L"),
+          1L).otherwise(0L)).as("n_boundary_docs"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy("shard")
+  }
+
+  /** One shard's packed chunks as (chunk, token_ids) — the replay
+    * surface the spec verifies token-for-token. Ids come from
+    * [[p12Vocab]]'s sorted-rank mapping (a literal map: the vocab is
+    * bounded); positions come from the same within-shard cumsum the
+    * audit uses, so chunk membership is identical by construction. */
+  def p12ShardChunks(spark: SparkSession, dir: String, shard: Long): DataFrame =
+    p12Chunks(spark, dir).filter(col("shard") === shard)
+      .select(col("chunk"), col("token_ids"))
+      .orderBy("chunk")
+
+  /** All shards' packed chunks (shard, chunk, token_ids). The explode is
+    * the real export cost — |corpus tokens| rows shuffled ONCE by their
+    * destination (shard, chunk); each chunk's collect_list is bounded by
+    * the token budget, never by document or corpus size. The enc→ids
+    * step is the per-row corpus loop, so it runs as the codegen'd
+    * `graft_sym_ids` expression (one compiled scan per doc — the
+    * declarative split/filter/element_at mirror below is the
+    * spec-pinned parity reference). */
+  private[graft] def p12Chunks(spark: SparkSession, dir: String): DataFrame = {
+    val B = Sampling.PackBudget
+    val vocab = p12Vocab(spark, dir)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    p12TokenizedDocs(spark, dir)
+      .withColumn("start_off", coalesce(sum(col("n_ids")).over(w), lit(0L)))
+      .select(col("shard"), col("start_off"),
+        posexplode(graft.functions.NativeFunctions.symIds(col("enc"), vocab)))
+      .select(col("shard"),
+        (col("start_off") + col("pos")).as("gpos"),
+        col("col").as("id"))
+      .withColumn("chunk", expr(s"gpos div ${B}L"))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(transform(sort_array(collect_list(struct(col("gpos"), col("id")))),
+        x => x.getField("id")).as("token_ids"))
+  }
+
+  /** The declarative form of `graft_sym_ids` — kept ONLY as the parity
+    * oracle (NativeExprSpec discipline). */
+  private[graft] def p12SymIdsDeclarative(enc: Column,
+      vocab: IndexedSeq[String]): Column =
+    transform(
+      filter(split(enc, TextAnalysis.BpeSep), s => length(s) > 0),
+      s => element_at(typedLit(vocab.zipWithIndex.toMap), s))
+
+  /** Write the export: parquet partitioned by shard, one row per packed
+    * chunk — the at-rest artifact a trainer's data loader reads (shard
+    * files in shard order replay p07's epoch permutation; each row is
+    * one context window). */
+  def p12WriteShards(spark: SparkSession, dir: String, outDir: String): Unit =
+    p12Chunks(spark, dir)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val quality =

@@ -91,4 +91,139 @@ class PipelinesSpec extends GraftSuite {
     }
     assert(report.contains("train") && report.keySet.subsetOf(Set("train", "val", "test")))
   }
+
+  // ───────────────────────── p12: training-shard export ─────────────────
+
+  /** Independent left-to-right BPE fuse — written fresh (fuseLtr's rule)
+    * so the p12 recompute shares no code with the operator or bpeMerges. */
+  private def p12Fuse(word: String, rules: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] =
+      word.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))) :+ "</w>"
+    for ((l, r) <- rules) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** The full driver-side export model: per doc (key, shard, token ids)
+    * under epoch 1, plus the sorted-vocab id mapping. */
+  private def p12DriverModel(): (Seq[(Long, Long, Long, Seq[Int])], IndexedSeq[String]) = {
+    import graft.operators.{Sampling, TextAnalysis}
+    val P = graft.functions.TextFunctions.HashMod
+    val rules = TextAnalysis.bpeMerges(
+      TextAnalysis.bpeWordCounts(spark, sf, 4096), 20).map(m => (m._2, m._3))
+    val m = java.lang.Math.floorMod(Sampling.EpochA + Sampling.EpochB, P)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .filter(_.getString(1).trim.nonEmpty)
+      .map { r =>
+        val id = r.getLong(0)
+        val syms = r.getString(1).trim.split("\\s+").toSeq
+          .flatMap(w => p12Fuse(w, rules))
+        (id, syms)
+      }
+    val vocab = docs.flatMap(_._2).distinct.sorted.toIndexedSeq
+    val idOf = vocab.zipWithIndex.toMap
+    val rows = docs.map { case (id, syms) =>
+      val key = java.lang.Math.floorMod(java.lang.Math.floorMod(id, P) * m, P)
+      val shard = key * graft.operators.Sampling.ShuffleShards / P
+      (id, key, shard, syms.map(idOf))
+    }.toSeq
+    (rows, vocab)
+  }
+
+  test("p12: per-shard audit matches the full driver recompute") {
+    val (model, _) = p12DriverModel()
+    val B = graft.operators.Sampling.PackBudget
+    val expected = model.groupBy(_._3).map { case (shard, ds) =>
+      val ordered = ds.sortBy(d => (d._2, d._1))
+      val nTok = ordered.map(_._4.length.toLong).sum
+      var off = 0L
+      var boundary = 0L
+      ordered.foreach { d =>
+        val end = off + d._4.length
+        if ((end - 1) / B > off / B) boundary += 1
+        off = end
+      }
+      shard -> (ordered.length.toLong, nTok, (nTok + B - 1) / B,
+        ordered.head._1, ordered.last._1, boundary,
+        ordered.map(_._2).min, ordered.map(_._2).max)
+    }
+    val got = Pipelines.p12TrainingShards(spark, sf).collect().map { r =>
+      r.getAs[Long]("shard") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc"), r.getAs[Long]("n_boundary_docs"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))
+    }.toMap
+    assert(got.keySet == expected.keySet, "shard sets differ")
+    expected.foreach { case (shard, e) =>
+      assert(got(shard) == e, s"shard $shard audit diverged: ${got(shard)} vs $e")
+    }
+    assert(got.values.map(_._2).sum > 0)
+  }
+
+  test("p12: shard replay reproduces the exact token-id stream in fixed windows") {
+    val (model, vocab) = p12DriverModel()
+    // the busiest shard exercises multi-chunk packing hardest
+    val shard = model.groupBy(_._3).maxBy(_._2.size)._1
+    val driverStream = model.filter(_._3 == shard)
+      .sortBy(d => (d._2, d._1)).flatMap(_._4)
+    val chunks = Pipelines.p12ShardChunks(spark, sf, shard).collect()
+      .map(r => r.getAs[Long]("chunk") -> r.getSeq[Int](1))
+    assert(chunks.nonEmpty)
+    // chunk ids contiguous from 0; every chunk full except the last
+    val B = graft.operators.Sampling.PackBudget.toInt
+    assert(chunks.map(_._1).toSeq == (0L until chunks.length.toLong),
+      s"chunk ids not contiguous: ${chunks.map(_._1).toSeq}")
+    chunks.init.foreach { case (c, ids) =>
+      assert(ids.length == B, s"chunk $c has ${ids.length} tokens, want $B") }
+    assert(chunks.last._2.nonEmpty && chunks.last._2.length <= B)
+    // token-for-token replay
+    val flat = chunks.sortBy(_._1).flatMap(_._2).toSeq
+    assert(flat == driverStream,
+      s"shard $shard token stream diverged (${flat.length} vs ${driverStream.length} ids)")
+    // and the engine vocab is the driver vocab (ids are meaningful)
+    assert(Pipelines.p12Vocab(spark, sf) == vocab, "vocab file diverged")
+  }
+
+  test("p12: native graft_sym_ids equals the declarative split/filter mirror") {
+    import graft.operators.TextAnalysis
+    val rules = TextAnalysis.bpeMerges(
+      TextAnalysis.bpeWordCounts(spark, sf, 4096), 20).map(m => (m._2, m._3))
+    val vocab = Pipelines.p12Vocab(spark, sf)
+    val enc = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("enc", graft.functions.NativeFunctions.bpeApply(
+        graft.functions.TextFunctions.tokens(col("text")), rules))
+    val diff = enc.select(
+        graft.functions.NativeFunctions.symIds(col("enc"), vocab).as("native"),
+        Pipelines.p12SymIdsDeclarative(col("enc"), vocab).as("decl"))
+      .filter(not(col("native") <=> col("decl"))).count()
+    assert(diff == 0L, s"$diff docs disagree between native and declarative sym-ids")
+  }
+
+  test("p12: the written shard artifact replays identically") {
+    val out = java.nio.file.Files.createTempDirectory("p12shards").toString
+    try {
+      Pipelines.p12WriteShards(spark, sf, out)
+      val (model, _) = p12DriverModel()
+      val shard = model.groupBy(_._3).maxBy(_._2.size)._1
+      val readBack = spark.read.parquet(out)
+        .filter(col("shard") === shard)
+        .select(col("chunk"), col("token_ids")).collect()
+        .map(r => r.getAs[Long]("chunk") -> r.getSeq[Int](1)).sortBy(_._1)
+      val direct = Pipelines.p12ShardChunks(spark, sf, shard).collect()
+        .map(r => r.getAs[Long]("chunk") -> r.getSeq[Int](1)).sortBy(_._1)
+      assert(readBack.toSeq == direct.toSeq,
+        "at-rest artifact diverged from the computed chunks")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
