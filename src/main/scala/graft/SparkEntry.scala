@@ -120,6 +120,7 @@ object SparkEntry {
       ((s, d) => Dedup.d13SemanticDecontamination(s, d)),
     "d14_minhash_calibration" -> (Dedup.d14MinhashCalibration _),
     "d15_paragraph_dedup" -> (Dedup.d15ParagraphDedup _),
+    "d16_benchmark_decontam" -> ((s, d) => Dedup.d16BenchmarkDecontam(s, d)),
     "a03_asof_forward" -> (Temporal.a03AsofForward _),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),

@@ -446,6 +446,89 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d16's planted EXTERNAL benchmark table (bench_id, text) — the
+    * deterministic stand-in for a published eval suite (t18's planting
+    * discipline: the synthetic corpus quotes nothing naturally, so plant
+    * from doc_id and MEASURE). Every 17th document contributes two
+    * items: a QUOTED item (`bench_id = doc_id`) whose text is the
+    * leading `sliceNum`/5 of the document's tokens — an eval question
+    * that quotes corpus text verbatim, the contamination mode published
+    * benchmarks actually exhibit — and a CLEAN item
+    * (`bench_id = −doc_id−1`, m04's collision-proof id rule) of
+    * synthetic tokens that occur nowhere in the corpus. A correct
+    * detector must flag every quoted item and no clean item. */
+  private[graft] def d16Benchmark(spark: SparkSession, dir: String,
+      sliceNum: Int = 3): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(17)) === 0)
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 5)
+    val quoted = base.select(col("doc_id").as("bench_id"),
+      concat_ws(" ", slice(col("toks"), lit(1),
+        greatest(lit(3), expr(s"(size(toks)*$sliceNum) div 5")))).as("text"))
+    val clean = base.select((-col("doc_id") - 1).as("bench_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(8)),
+        j => format_string("xbench%dq%d", col("doc_id"), j))).as("text"))
+    quoted.unionByName(clean)
+  }
+
+  /** The WHOLE-corpus distinct shingle index d16 probes — d10's index
+    * shape with the train-split filter dropped: the production question
+    * is "is this published benchmark anywhere in my corpus", not "did it
+    * cross my own split boundary". One partial-aggregable distinct
+    * shuffle, linear in corpus shingles. */
+  private[graft] def d16CorpusIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(
+        graft.functions.NativeFunctions.shingleHashes(col("toks"))).as("h"))
+      .distinct()
+
+  /** d16's scoring core — the SAME [[d10Contamination]] tail (explode →
+    * optional Bloom prefilter → left-semi → per-item containment), so
+    * the external detector can never disagree with the split-based one
+    * on shared inputs (p11's single-sourcing rule; spec-pinned). */
+  private[graft] def d16Flags(bench: DataFrame, index: DataFrame,
+      threshold: Double, bloomItems: Long): DataFrame = {
+    val prepared = bench
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("bench_id").as("doc_id"), lit("benchmark").as("split"),
+        graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
+    d10Contamination(prepared, index, threshold, bloomItems)
+      .select(col("doc_id").as("bench_id"), col("n_shingles"),
+        col("n_leaked"), col("contamination"))
+      .orderBy("bench_id")
+  }
+
+  /** d16: EXTERNAL-BENCHMARK decontamination — d10 screens the
+    * pipeline's OWN splits; the production question before trusting any
+    * published eval number is "is that benchmark suite inside my
+    * training corpus". Probe an external eval table ([[d16Benchmark]]'s
+    * planted suite) against the whole-corpus shingle index: a benchmark
+    * item is contaminated when ≥ `threshold` of its distinct 3-gram
+    * shingles occur anywhere in the corpus (verbatim quotes and partial
+    * overlap both trip it).
+    *
+    * Scale shape is d10's, with the corpus side as the index: distinct
+    * shingles once (linear shuffle), benchmark side exploded (benchmarks
+    * are tiny next to the corpus — the join is broadcast in practice),
+    * membership a left-semi equi-join; `bloomItems > 0` engages the
+    * broadcast-Bloom prefilter (d10's knob — at 100 TB the corpus index
+    * is the heavy side, so pruning benchmark shingles map-side against a
+    * ~125 MB sketch before the exact join is the same 1000× shuffle
+    * lever, and exactness is free because the semi join rejects the
+    * sketch's false positives). */
+  def d16BenchmarkDecontam(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame =
+    d16BenchmarkDecontam(spark, dir, threshold, bloomItems = 0L)
+
+  def d16BenchmarkDecontam(spark: SparkSession, dir: String,
+      threshold: Double, bloomItems: Long): DataFrame =
+    d16Flags(d16Benchmark(spark, dir), d16CorpusIndex(spark, dir),
+      threshold, bloomItems)
+
   /** Cosine threshold for [[d13SemanticDecontamination]] — d05's
     * near-dup regime. Measured clearance of the eval×train cosine
     * population at 0.35: ≥ 3.8e-5 at every test SF (sf0.001/0.01/0.1),
@@ -911,6 +994,41 @@ object Dedup {
       s"list_min(list_transform(sh, s -> (s*$a + $b) % $P))"
     }.mkString("[", ",\n              ", "]")
     Map(
+      "d16_benchmark_decontam" ->
+        s"""WITH base AS (
+              SELECT doc_id, $toks AS toks FROM documents
+              WHERE doc_id % 17 = 0 AND len($toks) >= 5),
+            bench AS (
+              SELECT doc_id AS bench_id,
+                array_to_string(
+                  toks[1 : CAST(greatest(3, (len(toks)*3)//5) AS INT)], ' ')
+                  AS text
+              FROM base
+              UNION ALL
+              SELECT -doc_id - 1,
+                array_to_string(list_transform(generate_series(1, 8),
+                  j -> 'xbench' || CAST(doc_id AS VARCHAR)
+                    || 'q' || CAST(j AS VARCHAR)), ' ')
+              FROM base),
+            corpus AS (
+              SELECT DISTINCT unnest($sh) AS h
+              FROM documents WHERE len($toks) >= 3),
+            b AS (
+              SELECT bench_id, $sh AS sh FROM bench WHERE len($toks) >= 3),
+            e AS (
+              SELECT bench_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+                unnest(sh) AS h
+              FROM b),
+            s AS (
+              SELECT bench_id, n_shingles, COUNT(*) AS n_leaked
+              FROM e WHERE h IN (SELECT h FROM corpus)
+              GROUP BY 1, 2)
+            SELECT bench_id, n_shingles,
+              CAST(n_leaked AS BIGINT) AS n_leaked,
+              ROUND(n_leaked / CAST(n_shingles AS DOUBLE), 4) AS contamination
+            FROM s
+            WHERE n_leaked / CAST(n_shingles AS DOUBLE) >= 0.3
+            ORDER BY bench_id""",
       "d15_paragraph_dedup" ->
         s"""WITH d AS (
               SELECT doc_id, source, $toks AS toks

@@ -486,4 +486,53 @@ class DedupSpec extends GraftSuite {
       assert(r.getAs[Long]("n_kept") >= 1L, s"label $l dropped everything")
     }
   }
+
+  test("d16: every quoted benchmark item is flagged, no synthetic item is") {
+    import org.apache.spark.sql.functions._
+    val flags = Dedup.d16BenchmarkDecontam(spark, sf).collect()
+    val flaggedIds = flags.map(_.getAs[Long]("bench_id")).toSet
+    val plantedIds = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(17)) === 0)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.nonEmpty, "fixture must plant quoted items")
+    assert(flaggedIds == plantedIds,
+      s"flag set must be exactly the quoted plants: missing ${plantedIds -- flaggedIds}, " +
+        s"spurious ${flaggedIds -- plantedIds}")
+    // quoted items are verbatim slices of corpus docs: containment is 1.0
+    flags.foreach { r =>
+      assert(r.getAs[Double]("contamination") == 1.0 &&
+        r.getAs[Long]("n_leaked") == r.getAs[Long]("n_shingles"),
+        s"quoted item ${r.getAs[Long]("bench_id")} not fully contained")
+    }
+  }
+
+  test("d16: broadcast-Bloom prefiltered form is result-identical") {
+    val exact = Dedup.d16BenchmarkDecontam(spark, sf).collect().toSeq
+    val bloom = Dedup.d16BenchmarkDecontam(spark, sf, 0.3, bloomItems = 100000L)
+      .collect().toSeq
+    assert(exact == bloom, "Bloom prefilter must not change the verdict set")
+  }
+
+  test("d16: with the train index it agrees with the split-based d10 detector") {
+    import org.apache.spark.sql.functions._
+    val prepared = Dedup.d10Prepared(Tables.documents(spark, sf))
+    val split = prepared.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // full-text benchmark (sliceNum = 5/5) probed against the TRAIN
+    // index: for a benchmark item quoting a val/test doc this is exactly
+    // d10's question, so the flag sets must agree on that overlap
+    val benchFull = Dedup.d16Benchmark(spark, sf, sliceNum = 5)
+    val d16Flags = Dedup.d16Flags(benchFull, Dedup.d10TrainIndex(prepared),
+        0.3, bloomItems = 0L).collect()
+      .map(_.getAs[Long]("bench_id")).filter(_ >= 0L)
+      .filter(id => split.get(id).exists(_ != "train")).toSet
+    val benchIds = benchFull.select("bench_id").collect()
+      .map(_.getLong(0)).filter(_ >= 0L).toSet
+    val d10Flags = Dedup.d10CrossSplitLeakage(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).filter(benchIds.contains).toSet
+    assert(d16Flags == d10Flags,
+      s"external and split-based detectors disagree on the overlap: " +
+        s"d16-only ${d16Flags -- d10Flags}, d10-only ${d10Flags -- d16Flags}")
+  }
 }
