@@ -104,6 +104,9 @@ object SparkEntry {
     "p07_epoch_shuffle" -> ((s, d) => Sampling.p07EpochShuffle(s, d)),
     "p08_quality_sample" -> (Sampling.p08QualitySample _),
     "p09_epoch_mix" -> ((s, d) => Sampling.p09EpochMix(s, d)),
+    "p13_score_sample" -> (Sampling.p13ScoreSample _),
+    "p13b_trained_sample" -> // rows-only: the weight table rides an LBFGS fit (t28's rule)
+      (Sampling.p13bTrainedSample _),
     "d01_exact_dedup" -> (Dedup.d01ExactDedup _),
     "d02_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh" -> (Dedup.d03MinhashLsh _),

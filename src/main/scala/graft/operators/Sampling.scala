@@ -384,9 +384,167 @@ object Sampling {
       .orderBy("source", "chunk")
   }
 
+  // ── p13: classifier-score-tiered sampling (the DCLM loop's SAMPLE) ──
+
+  /** Per-doc INTEGER classifier score under t17's deterministic hashed
+    * weight stream (w = (tokenVal·A + B) mod P per occurrence) — the
+    * SQL-expressible scoring that lets p13's tiering machinery be
+    * hash-gated end to end. Same explode → one-doc-shuffle shape as the
+    * gated t17; fp and token count ride the group key so no second
+    * corpus pass is needed. */
+  private[graft] def p13ScoredHashed(spark: SparkSession, dir: String): DataFrame = {
+    val w = (TF.tokenVal(col("t")) * lit(TextAnalysis.ClfA)
+      + lit(TextAnalysis.ClfB)) % lit(TF.HashMod)
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
+        size(col("toks")).cast("long").as("n_tok"),
+        explode(col("toks")).as("t"))
+      .withColumn("w", w)
+      .groupBy(col("doc_id"), col("source"), col("fp"), col("n_tok"))
+      .agg(sum(col("w")).as("score_q"))
+  }
+
+  /** Per-doc integer score under t28's TRAINED quantized weight table —
+    * the production scoring (t17WeightedClassifier's broadcast-join
+    * shape, intercept included). Deterministic once the weight table is
+    * fixed: the export is quantized integers, so the score has no float
+    * anywhere. */
+  private[graft] def p13ScoredTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (weights, interceptQ) = TextAnalysis.t28ExportWeights(spark, dir)
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
+        size(col("toks")).cast("long").as("n_tok"),
+        explode(col("toks")).as("t"))
+      .join(broadcast(weights), Seq("t"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("fp"), col("n_tok"))
+      .agg((sum(col("w")) + lit(interceptQ)).as("score_q"))
+  }
+
+  /** Quartile cut scores from the DETERMINISTIC stride sample (s03's
+    * driver-bounded-fit rule: ≤4096 rows reach the driver at any corpus
+    * size, and the doc_id-stride membership is reproducible on any
+    * engine): boundary k = the sample's (ns·k/4)-th score in
+    * (score, doc_id) order. Exactly what a production pipeline does —
+    * cut points are estimated once from a sample, then tier assignment
+    * is a map-side comparison against three literals. */
+  private[graft] def p13Boundaries(scored: DataFrame): (Long, Long, Long) = {
+    val n = scored.count()
+    require(n > 0, "p13: no scored documents")
+    val stride = math.max(1L, n / 4096)
+    val sample = scored.filter(pmod(col("doc_id"), lit(stride)) === 0)
+      .select(col("score_q"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val ns = sample.length
+    def bnd(k: Int): Long = sample(math.max(0, ns * k / 4 - 1))._1
+    (bnd(1), bnd(2), bnd(3))
+  }
+
+  /** The shared tier→sample tail: tier = #cut-scores strictly below the
+    * doc's score (0..3), keep rate rides [[QualityKeepPpm]] (p08's
+    * knob), membership is the p01/p02 fingerprint-ppm predicate. Output
+    * is p08's all-integer per-(source, tier) audit. The scored relation
+    * is referenced for the boundary sample and the full rollup — two
+    * passes over a corpus-sized lineage on purpose (p10's rule: never
+    * cache corpus-sized tables; at scale the stride filter pushes below
+    * the scoring, so the sample pass scores ~4096 docs, not the
+    * corpus). */
+  private[graft] def p13TieredRollup(scored: DataFrame): DataFrame = {
+    val (b1, b2, b3) = p13Boundaries(scored)
+    val tier = when(col("score_q") > b1, 1L).otherwise(0L) +
+      when(col("score_q") > b2, 1L).otherwise(0L) +
+      when(col("score_q") > b3, 1L).otherwise(0L)
+    val keepPpm =
+      when(col("tier") === 3, QualityKeepPpm(3))
+        .when(col("tier") === 2, QualityKeepPpm(2))
+        .when(col("tier") === 1, QualityKeepPpm(1))
+        .otherwise(QualityKeepPpm(0))
+    val kept = pmod(col("fp"), lit(1000000L)) < col("keep_ppm")
+    scored.withColumn("tier", tier).withColumn("keep_ppm", keepPpm)
+      .groupBy(col("source"), col("tier"), col("keep_ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(when(kept, col("n_tok")).otherwise(0L)).as("tok_kept"))
+      .orderBy("source", "tier")
+  }
+
+  /** p13: CLASSIFIER-SCORE-tiered sampling — p08 gates on 3 heuristic
+    * rules; the DCLM/FineWeb recipe gates on a trained classifier's
+    * score QUANTILES (top quartile keeps everything, bottom drops).
+    * This gated form runs the machinery on t17's deterministic hashed
+    * score so every stage — stride sample, cut scores, tier assignment,
+    * keep rates, rollup — hash-matches the DuckDB oracle; [[
+    * p13bTrainedSample]] is the same code under the trained table. */
+  def p13ScoreSample(spark: SparkSession, dir: String): DataFrame =
+    p13TieredRollup(p13ScoredHashed(spark, dir))
+
+  /** p13b: the DCLM loop CLOSED — t28 trains on p08's weak labels,
+    * exports the quantized table, and THIS op samples the corpus by
+    * quantiles of that trained score (train → score → sample).
+    * Rows-only in the gate (the weight table rides an LBFGS fit, t28's
+    * rule); the spec pins cut scores and tier counts against a driver
+    * recompute under the exported table. */
+  def p13bTrainedSample(spark: SparkSession, dir: String): DataFrame =
+    p13TieredRollup(p13ScoredTrained(spark, dir))
+
   val oracle: Map[String, String] = {
     val fp = TS.polyFingerprint(TS.toks)
     Map(
+      "p13_score_sample" ->
+        s"""WITH d AS (
+              SELECT doc_id, source, ${TS.toks} AS toks, ($fp) AS fp
+              FROM documents WHERE len(trim(text)) > 0),
+            s AS (
+              SELECT doc_id, source, fp,
+                CAST(len(toks) AS BIGINT) AS n_tok,
+                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, t ->
+                    (${TS.tokenVal("t")}*${TextAnalysis.ClfA}
+                      + ${TextAnalysis.ClfB}) % ${TF.HashMod})),
+                  (a, x) -> a + x) AS BIGINT) AS score_q
+              FROM d),
+            n0 AS (SELECT COUNT(*) AS n FROM s),
+            samp AS (
+              SELECT score_q, doc_id FROM s, n0
+              WHERE doc_id % greatest(1, n // 4096) = 0),
+            r AS (
+              SELECT score_q,
+                row_number() OVER (ORDER BY score_q, doc_id) AS rn
+              FROM samp),
+            nsx AS (SELECT COUNT(*) AS ns FROM samp),
+            b AS (
+              SELECT
+                MAX(CASE WHEN rn = greatest(1, (ns*1) // 4) THEN score_q END) AS b1,
+                MAX(CASE WHEN rn = greatest(1, (ns*2) // 4) THEN score_q END) AS b2,
+                MAX(CASE WHEN rn = greatest(1, (ns*3) // 4) THEN score_q END) AS b3
+              FROM r, nsx),
+            t AS (
+              SELECT source, fp, n_tok,
+                CAST(CASE WHEN score_q > b1 THEN 1 ELSE 0 END
+                  + CASE WHEN score_q > b2 THEN 1 ELSE 0 END
+                  + CASE WHEN score_q > b3 THEN 1 ELSE 0 END AS BIGINT) AS tier
+              FROM s, b),
+            k AS (
+              SELECT source, tier, fp, n_tok,
+                CAST(CASE tier WHEN 3 THEN ${QualityKeepPpm(3)}
+                  WHEN 2 THEN ${QualityKeepPpm(2)}
+                  WHEN 1 THEN ${QualityKeepPpm(1)}
+                  ELSE ${QualityKeepPpm(0)} END AS BIGINT) AS keep_ppm
+              FROM t)
+            SELECT source, tier, keep_ppm, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN fp % 1000000 < keep_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+              CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+              CAST(SUM(CASE WHEN fp % 1000000 < keep_ppm THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tok_kept
+            FROM k GROUP BY 1, 2, 3 ORDER BY 1, 2""",
       "p05_pack_chunks" ->
         s"""WITH d AS (
               SELECT source, doc_id,

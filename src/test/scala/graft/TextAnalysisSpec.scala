@@ -926,4 +926,95 @@ class TextAnalysisSpec extends GraftSuite {
     assert(agree.toDouble / both.size >= 0.7,
       s"quantized table diverged from the model: $agree/${both.size}")
   }
+
+  // ─────────────── p13: classifier-score-tiered sampling ────────────────
+
+  /** Driver tokenVal — TF.tokenVal's formula, codepoint semantics. */
+  private def dTokenVal(w: String): Long =
+    w.codePointCount(0, w.length).toLong * 961L +
+      w.codePointAt(0).toLong * 31L + w.codePointBefore(w.length).toLong
+
+  /** Independent driver recompute of the whole p13 tail from per-doc
+    * (doc_id, source, fp, n_tok, score) rows: stride sample, quartile
+    * cut scores, tier, keep decision, rollup. */
+  private def p13DriverRollup(perDoc: Seq[(Long, String, Long, Long, Long)])
+      : (Map[(String, Long), (Long, Long, Long, Long)], (Long, Long, Long)) = {
+    val n = perDoc.size.toLong
+    val stride = math.max(1L, n / 4096)
+    val sample = perDoc.filter(_._1 % stride == 0).map(d => (d._5, d._1)).sorted
+    val ns = sample.length
+    def bnd(k: Int): Long = sample(math.max(0, ns * k / 4 - 1))._1
+    val bs = (bnd(1), bnd(2), bnd(3))
+    val keepPpm = graft.operators.Sampling.QualityKeepPpm
+    val rows = perDoc.map { case (_, src, fp, nTok, score) =>
+      val tier = Seq(bs._1, bs._2, bs._3).count(score > _)
+      val ppm = keepPpm(tier)
+      val kept = fp % 1000000L < ppm
+      ((src, tier.toLong), (1L, if (kept) 1L else 0L, nTok, if (kept) nTok else 0L))
+    }
+    val rolled = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).reduce((a, b) =>
+        (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    }
+    (rolled, bs)
+  }
+
+  /** Per-doc (doc_id, source, fp, n_tok) with driver-split tokens. fp
+    * comes from the native expression (pinned separately in
+    * NativeExprSpec); everything downstream is recomputed here. */
+  private def p13DocBase(): Seq[(Long, String, Long, Long, Seq[String])] = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
+        col("text"))
+      .collect().toSeq.map { r =>
+        val toks = r.getString(3).trim.split("\\s+").toSeq
+        (r.getLong(0), r.getString(1), r.getLong(2), toks.size.toLong, toks)
+      }
+  }
+
+  test("p13: hashed-score tiering matches the driver recompute (boundaries and rollup)") {
+    val perDoc = p13DocBase().map { case (id, src, fp, nTok, toks) =>
+      val score = toks.map(t =>
+        (dTokenVal(t) * TextAnalysis.ClfA + TextAnalysis.ClfB) % TF.HashMod).sum
+      (id, src, fp, nTok, score)
+    }
+    val (expected, bs) = p13DriverRollup(perDoc)
+    val gotB = graft.operators.Sampling.p13Boundaries(
+      graft.operators.Sampling.p13ScoredHashed(spark, sf))
+    assert(gotB == bs, s"cut scores diverged: $gotB vs $bs")
+    val got = graft.operators.Sampling.p13ScoreSample(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tier")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("tok_total"), r.getAs[Long]("tok_kept"))).toMap
+    assert(got == expected, "hashed-score rollup diverged from driver recompute")
+  }
+
+  test("p13b: trained-table tiering closes the DCLM loop and matches the driver recompute") {
+    val (weights, interceptQ) = TextAnalysis.t28ExportWeights(spark, sf)
+    val wMap = weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wMap.values.exists(_ != 0L), "trained table must carry signal")
+    val perDoc = p13DocBase().map { case (id, src, fp, nTok, toks) =>
+      val score = toks.map(wMap.getOrElse(_, 0L)).sum + interceptQ
+      (id, src, fp, nTok, score)
+    }
+    val (expected, bs) = p13DriverRollup(perDoc)
+    val gotB = graft.operators.Sampling.p13Boundaries(
+      graft.operators.Sampling.p13ScoredTrained(spark, sf))
+    assert(gotB == bs, s"trained cut scores diverged: $gotB vs $bs")
+    val got = graft.operators.Sampling.p13bTrainedSample(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tier")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("tok_total"), r.getAs[Long]("tok_kept"))).toMap
+    assert(got == expected, "trained-score rollup diverged from driver recompute")
+    // the trained tiering must actually separate: the top tier's keep
+    // rate is 100% while the bottom tier drops everything (DCLM shape)
+    val keepPpm = graft.operators.Sampling.QualityKeepPpm
+    assert(keepPpm(3) == 1000000L && keepPpm(0) == 0L)
+    assert(got.keys.exists(_._2 == 3L) && got.keys.exists(_._2 == 0L),
+      "corpus must populate both extreme tiers")
+  }
 }
