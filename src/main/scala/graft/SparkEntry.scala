@@ -119,6 +119,8 @@ object SparkEntry {
     "d10_cross_split_leakage" -> ((s, d) => Dedup.d10CrossSplitLeakage(s, d)),
     "d11_winnowed_dup" -> ((s, d) => Dedup.d11WinnowedDup(s, d)),
     "d12_semdedup" -> (Dedup.d12SemDedup _),
+    "d12b_semdedup_ivf" -> // rows-only: cluster-first candidates ride a k-means fit (s03's rule)
+      (Dedup.d12bSemDedupIvf _),
     "d13_semantic_decontamination" ->
       ((s, d) => Dedup.d13SemanticDecontamination(s, d)),
     "d14_minhash_calibration" -> (Dedup.d14MinhashCalibration _),

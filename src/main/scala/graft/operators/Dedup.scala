@@ -889,35 +889,87 @@ object Dedup {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
-  /** d12: SemDeDup-style semantic dedup decision — turns d05's candidate
-    * pairs into the keep/drop report a corpus build actually consumes
-    * (Abbas et al. 2023: within a cluster, keep one representative of
-    * each near-duplicate set). The distributed-safe keep rule is
-    * "drop a vector iff it is cosine-near some LOWER-id vector AMONG
-    * d05's banded candidate pairs": order by id is deterministic on
-    * every engine and the rule is a pure anti-join — the sequential
-    * greedy scan SemDeDup describes cannot be parallelized, and this
-    * monotone over-approximation (a dropped vector's witness may
-    * itself be dropped) is the standard distributed substitute — at
-    * worst it over-drops within a clique, never under-drops. Recall
-    * inherits d05's banding: a near pair the bands miss keeps both
-    * members, so the drop set under-approximates the ideal
-    * all-pairs rule exactly as far as the band knobs allow
-    * (d05's S-curve sizing note is the lever). Shape at 100 TB: d05's banded equi-join makes
-    * the pairs, then one |pairs|-sized distinct + a left join back to
-    * the corpus — all-integer output, no new join shape. */
-  def d12SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val dropped = d05EmbeddingDup(spark, dir)
+  /** d12: SemDeDup-style semantic dedup decision over d05's BANDED
+    * candidates — the hash-gated form (the sign-LSH signature is
+    * explicit integer math, so DuckDB reproduces the full drop set).
+    * The distributed-safe keep rule is "drop a vector iff it is
+    * cosine-near some LOWER-id vector among the candidates": order by
+    * id is deterministic on every engine and the rule is a pure
+    * anti-join — the sequential greedy scan SemDeDup describes cannot
+    * be parallelized, and this monotone over-approximation (a dropped
+    * vector's witness may itself be dropped) is the standard
+    * distributed substitute — at worst it over-drops within a clique,
+    * never under-drops. [[d12bSemDedupIvf]] is the paper-shaped sibling
+    * (cluster-first candidates from the persisted IVF index); the two
+    * candidate generators are DIFFERENT samplers of the same exact
+    * cosine rule — each misses pairs the other catches (measured at
+    * every test SF; DedupSpec pins the exact characterization), so they
+    * are shipped as two operators, not silently swapped. */
+  def d12SemDedup(spark: SparkSession, dir: String): DataFrame =
+    d12Rollup(spark, dir, d12DropsBands(spark, dir))
+
+  /** d12b: SemDeDup with candidates generated the way the PAPER does it
+    * (Abbas et al. 2023 §3: cluster the embedding space, compare only
+    * within a cluster) — within-list pairs of the persisted s03 IVF
+    * index, the same build-once-serve-many table similarity search
+    * reads. Same keep/drop rule and rollup as d12. Rows-only in the
+    * gate (the clustering is a k-means fit, s03's rule); the spec pins
+    * the drop set as SOUND (every drop has a real cosine ≥ 0.35
+    * lower-id witness — a subset of the exact all-pairs rule) and pins
+    * the band/list divergence exactly: a band-only drop's witnesses all
+    * straddle list boundaries, never a verify disagreement. */
+  def d12bSemDedupIvf(spark: SparkSession, dir: String): DataFrame =
+    d12Rollup(spark, dir, d12DropsIvf(spark, dir))
+
+  /** The published SemDeDup candidate stage: CLUSTER FIRST, pairs only
+    * within a cluster (Abbas et al. 2023 §3 — k-means clusters, not
+    * hash bands). Candidates come from the PERSISTED s03 IVF index's
+    * assigned table — build-once-serve-many, and the same clustered
+    * layout similarity search serves from — via a (label, list_id)
+    * equi-join; the exact cosine ≥ 0.35 verify runs on within-list
+    * members only. Shape at 100 TB: the assigned table is already
+    * clustered by list at rest, the label tag rides a vec_id equi-join,
+    * and the pair join shuffles by (label, list_id) — per-list work,
+    * never all-pairs (nLists ≈ √n keeps lists bounded; a hot list is
+    * d02's maxDf story). */
+  /** d12b's verified within-list candidate pairs (label, vec_i, vec_j)
+    * — exposed so the spec can characterize them against the exact
+    * all-pairs rule. */
+  private[graft] def d12IvfPairs(spark: SparkSession, dir: String,
+      nLists: Int = 16): DataFrame = {
+    val (assigned, _) = Similarity.s03Index(spark, dir, nLists)
+    val d = assigned
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    d.select(col("label"), col("list_id"), col("vec_id").as("vec_i"),
+        col("embedding").as("va"))
+      .join(d.select(col("label"), col("list_id"), col("vec_id").as("vec_j"),
+        col("embedding").as("vb")), Seq("label", "list_id"))
+      .filter(col("vec_i") < col("vec_j"))
+      .filter(atLeast(VF.cosine(col("va"), col("vb")), 0.35))
+      .select(col("label"), col("vec_i"), col("vec_j"))
+  }
+
+  private[graft] def d12DropsIvf(spark: SparkSession, dir: String,
+      nLists: Int = 16): DataFrame =
+    d12IvfPairs(spark, dir, nLists)
       .select(col("label"), col("vec_j").as("vec_id")).distinct()
-      .withColumn("is_drop", lit(1L))
+
+  /** The band-candidate drop set (d05's sign-LSH verified pairs) — the
+    * hash-gated d12 form. */
+  private[graft] def d12DropsBands(spark: SparkSession, dir: String): DataFrame =
+    d05EmbeddingDup(spark, dir)
+      .select(col("label"), col("vec_j").as("vec_id")).distinct()
+
+  private def d12Rollup(spark: SparkSession, dir: String,
+      drops: DataFrame): DataFrame =
     Tables.embeddings(spark, dir).select(col("label"), col("vec_id"))
-      .join(dropped, Seq("label", "vec_id"), "left")
+      .join(drops.withColumn("is_drop", lit(1L)), Seq("label", "vec_id"), "left")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"))
       .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
       .orderBy("label")
-  }
 
   /** d15 chunking width: 50 tokens ≈ 5 of t20's 10-token lines — a
     * paragraph, the granularity RefinedWeb/CCNet dedup actually operates

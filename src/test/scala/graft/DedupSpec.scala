@@ -487,6 +487,62 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("d12b: IVF drops are sound, and every band/list divergence is a candidate split, never a verify bug") {
+    import org.apache.spark.sql.functions._
+    // exact all-pairs ground truth (driver; test-SF embeddings are small)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byLabel = vecs.groupBy(_._1)
+    val exactPairs = byLabel.values.flatMap { vsArr =>
+      val vs = vsArr.toSeq
+      for (a <- vs; b <- vs if a._2 < b._2 && cos(a._3, b._3) >= 0.35)
+        yield (a._1, a._2, b._2)
+    }.toSet
+    val exactDrops = exactPairs.map(p => (p._1, p._3))
+    val ivfPairs = Dedup.d12IvfPairs(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_i"),
+        r.getAs[Long]("vec_j"))).toSet
+    val ivfDrops = ivfPairs.map(p => (p._1, p._3))
+    val bandDrops = Dedup.d12DropsBands(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"))).toSet
+    // soundness: both candidate generators only ever drop true near-dups
+    assert(ivfPairs.subsetOf(exactPairs), "IVF pair failed the exact cosine rule")
+    assert(ivfDrops.subsetOf(exactDrops) && bandDrops.subsetOf(exactDrops))
+    // divergence characterization: a band-only drop's exact witnesses
+    // must ALL straddle list boundaries (the clustering split them) —
+    // if any witness shared the drop's list, the IVF form missed a
+    // within-list pair, which would be a verify bug
+    val listOf = graft.operators.Similarity.s03Index(spark, sf, 16)._1
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("list_id")).toMap
+    (bandDrops -- ivfDrops).foreach { case (l, j) =>
+      val witnesses = exactPairs.collect { case (pl, i, pj) if pl == l && pj == j => i }
+      assert(witnesses.nonEmpty && witnesses.forall(i => listOf(i) != listOf(j)),
+        s"band-only drop ($l, $j) has a same-list witness the IVF form missed")
+    }
+    // both samplers must carry real recall of the exact rule (measured
+    // headroom: >= 60% at every test SF; they sit at 75-92%)
+    assert(exactDrops.nonEmpty)
+    assert(ivfDrops.size * 10 >= exactDrops.size * 6,
+      s"IVF recall collapsed: ${ivfDrops.size}/${exactDrops.size}")
+    assert(bandDrops.size * 10 >= exactDrops.size * 6,
+      s"band recall collapsed: ${bandDrops.size}/${exactDrops.size}")
+    // and the shipped d12b rollup is exactly the IVF drop set, rolled up
+    val rolled = Dedup.d12bSemDedupIvf(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("n_dropped")).toMap
+    val expect = ivfDrops.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    byLabel.keys.foreach { l =>
+      assert(rolled(l) == expect.getOrElse(l, 0L), s"label $l rollup diverged")
+    }
+  }
+
   test("d16: every quoted benchmark item is flagged, no synthetic item is") {
     import org.apache.spark.sql.functions._
     val flags = Dedup.d16BenchmarkDecontam(spark, sf).collect()

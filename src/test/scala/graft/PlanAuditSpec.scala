@@ -206,6 +206,14 @@ class PlanAuditSpec extends GraftSuite {
       s"count 'training' must partial-aggregate:\n$s")
   }
 
+  test("d12b: cluster-first candidates ride a list_id equi-join, never a cross join") {
+    val s = planStr(Dedup.d12bSemDedupIvf(spark, sf))
+    assert(s.contains("list_id"),
+      s"pair generation must key on the IVF list:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"d12b must never go all-pairs:\n$s")
+  }
+
   test("p06: mix membership is a broadcast rate table + map-side predicate") {
     val s = planStr(Sampling.p06TokenBudgetMix(spark, sf))
     assert(s.contains("BroadcastHashJoin"),
