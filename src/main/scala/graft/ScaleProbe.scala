@@ -54,7 +54,11 @@ object ScaleProbe {
       "s06_range_search", "d15_paragraph_dedup", "t25_bpe_tokenize",
       "s09_pq_ann", "t26_pmi_collocations", "p10_neardup_corpus",
       "p11_leakage_repair", "s12_ann_ivf2", "m05_frame_reuse",
-      "t27_url_dedup", "s14_ann_pca")
+      "t27_url_dedup", "s14_ann_pca",
+      // r9 additions: shard export, score-tiered sampling, external
+      // decontamination, cluster-first semdedup
+      "p12_training_shards", "p13_score_sample", "d16_benchmark_decontam",
+      "d12b_semdedup_ivf", "s15_sq8_mips", "t29_vocab_growth")
 
     val spark = SparkSession.builder()
       .master("local[32]")

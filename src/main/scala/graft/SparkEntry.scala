@@ -94,6 +94,7 @@ object SparkEntry {
     "t27_url_dedup" -> (TextAnalysis.t27UrlDedup _),
     "t28_classifier_train" -> // rows-only: iterative LBFGS fit, no SQL mirror
       (TextAnalysis.t28TrainQualityClassifier _),
+    "t29_vocab_growth" -> (TextAnalysis.t29VocabGrowth _),
     "a01_asof_join" -> (Temporal.a01AsofJoin _),
     "a02_band_join" -> (Temporal.a02BandJoin _),
     "p01_stratified_sample" -> (Sampling.p01StratifiedSample _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "s12_ann_ivf2" -> ((s, d) => Similarity.s12AnnIvf2(s, d)), // rows-only: distributed two-level k-means fit
     "s13_pca_audit" -> ((s, d) => Similarity.s13PcaAudit(s, d)), // rows-only: no eigensolver in DuckDB
     "s14_ann_pca" -> ((s, d) => Similarity.s14AnnPca(s, d)), // rows-only: PCA-fit shortlist (s13's serving side)
+    "s15_sq8_mips" -> (Similarity.s15Sq8Mips _), // GATED: integer SQ8 dot is one cross-engine semantics
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),

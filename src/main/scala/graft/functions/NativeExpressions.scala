@@ -597,6 +597,92 @@ case class BpeApplyExpr(child: Expression, rules: Seq[(String, String)])
     copy(child = newChild)
 }
 
+object Sq8Util {
+  /** Round-half-away-from-zero without the classic `floor(v + 0.5)`
+    * double-add bug (0.49999999999999994 + 0.5 == 1.0): frac = v −
+    * floor(v) is EXACT for |v| < 2^52, so the ≥ 0.5 comparison is the
+    * same decision BigDecimal HALF_UP (Spark round) and C round
+    * (DuckDB) make. */
+  def roundHalfAway(v: Double): Int =
+    if (v >= 0) {
+      val f = StrictMath.floor(v)
+      (f + (if (v - f >= 0.5) 1 else 0)).toInt
+    } else {
+      val a = -v
+      val f = StrictMath.floor(a)
+      -((f + (if (a - f >= 0.5) 1 else 0)).toInt)
+    }
+
+  /** Symmetric per-tensor SQ8 encode: code_i = round(x_i · 127/maxAbs)
+    * ∈ [−127, 127] — one compiled pass per row; mirrors the declarative
+    * `transform(emb, x -> cast(round(x·127/maxAbs) as int))`
+    * value-for-value (the double ops are the identical sequence:
+    * float→double cast, multiply by the precomputed scale). */
+  def encode(emb: ArrayData, scale: Double): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = roundHalfAway(emb.getFloat(i).toDouble * scale)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Integer dot product of two code arrays — the SQ8 scoring loop.
+    * Length mismatch fails fast (sqDist's rule). */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_sq8_dot: length mismatch $n vs ${b.numElements()}")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+}
+
+/** array<float> embedding → array<int> symmetric SQ8 codes at the
+  * (driver-computed, literal-folded) scale. */
+case class Sq8EncodeExpr(child: Expression, scale: Double)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sq8_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    Sq8Util.encode(input.asInstanceOf[ArrayData], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sq8Util.encode($c, ${scale}D)")
+  override protected def withNewChildInternal(newChild: Expression): Sq8EncodeExpr =
+    copy(child = newChild)
+}
+
+/** (array<int>, array<int>) → integer dot product (long). */
+case class Sq8DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected two array<int>, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sq8_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Util.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sq8Util.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8DotExpr =
+    copy(left = l, right = r)
+}
+
 object SymIdsUtil {
   /** Separator-encoded BPE symbol string → token-id array via the
     * vocab's symbol→id table: one manual scan over the string (no regex
@@ -921,6 +1007,10 @@ object NativeFunctions {
     Shims.column(BpeApplyExpr(Shims.expression(toks), rules))
   def symIds(enc: Column, vocab: Seq[String]): Column =
     Shims.column(SymIdsExpr(Shims.expression(enc), vocab))
+  def sq8Encode(emb: Column, scale: Double): Column =
+    Shims.column(Sq8EncodeExpr(Shims.expression(emb), scale))
+  def sq8Dot(a: Column, b: Column): Column =
+    Shims.column(Sq8DotExpr(Shims.expression(a), Shims.expression(b)))
   def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
     Shims.column(PqEncodeExpr(Shims.expression(emb), books))
   def pcaProject(emb: Column, mean: Seq[Double], axes: Seq[Seq[Double]]): Column =

@@ -434,8 +434,7 @@ object Sampling {
     * (score, doc_id) order. Exactly what a production pipeline does —
     * cut points are estimated once from a sample, then tier assignment
     * is a map-side comparison against three literals. */
-  private[graft] def p13Boundaries(scored: DataFrame): (Long, Long, Long) = {
-    val n = scored.count()
+  private[graft] def p13Boundaries(scored: DataFrame, n: Long): (Long, Long, Long) = {
     require(n > 0, "p13: no scored documents")
     val stride = math.max(1L, n / 4096)
     val sample = scored.filter(pmod(col("doc_id"), lit(stride)) === 0)
@@ -454,9 +453,15 @@ object Sampling {
     * passes over a corpus-sized lineage on purpose (p10's rule: never
     * cache corpus-sized tables; at scale the stride filter pushes below
     * the scoring, so the sample pass scores ~4096 docs, not the
-    * corpus). */
-  private[graft] def p13TieredRollup(scored: DataFrame): DataFrame = {
-    val (b1, b2, b3) = p13Boundaries(scored)
+    * corpus). The stride's doc count comes from the CHEAP base-doc
+    * count (one column scan — scored has exactly one row per surviving
+    * doc, so the values are equal by construction), not from executing
+    * the scoring lineage a third time. */
+  private[graft] def p13TieredRollup(spark: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0).count()
+    val (b1, b2, b3) = p13Boundaries(scored, n)
     val tier = when(col("score_q") > b1, 1L).otherwise(0L) +
       when(col("score_q") > b2, 1L).otherwise(0L) +
       when(col("score_q") > b3, 1L).otherwise(0L)
@@ -483,7 +488,7 @@ object Sampling {
     * keep rates, rollup — hash-matches the DuckDB oracle; [[
     * p13bTrainedSample]] is the same code under the trained table. */
   def p13ScoreSample(spark: SparkSession, dir: String): DataFrame =
-    p13TieredRollup(p13ScoredHashed(spark, dir))
+    p13TieredRollup(spark, dir, p13ScoredHashed(spark, dir))
 
   /** p13b: the DCLM loop CLOSED — t28 trains on p08's weak labels,
     * exports the quantized table, and THIS op samples the corpus by
@@ -492,7 +497,7 @@ object Sampling {
     * rule); the spec pins cut scores and tier counts against a driver
     * recompute under the exported table. */
   def p13bTrainedSample(spark: SparkSession, dir: String): DataFrame =
-    p13TieredRollup(p13ScoredTrained(spark, dir))
+    p13TieredRollup(spark, dir, p13ScoredTrained(spark, dir))
 
   val oracle: Map[String, String] = {
     val fp = TS.polyFingerprint(TS.toks)

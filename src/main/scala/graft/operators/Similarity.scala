@@ -1383,7 +1383,101 @@ object Similarity {
       Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
+  // ──────────────── s15: scalar-quantization (SQ8) MIPS ────────────────
+
+  /** The corpus-wide symmetric quantization scale 127/max|x| — ONE
+    * scalar off one partial-aggregable pass (no per-dim table): the
+    * per-tensor int8 scheme GEMM kernels quantize with. Driver value,
+    * folded into the encode expression as a literal. */
+  private[graft] def sq8Scale(spark: SparkSession, dir: String): Double = {
+    val maxAbs = Tables.embeddings(spark, dir)
+      .select(explode(col("embedding")).as("v"))
+      .agg(max(abs(col("v")))).head().getFloat(0)
+    require(maxAbs > 0f, "sq8: all-zero corpus")
+    127.0 / maxAbs.toDouble
+  }
+
+  /** s15: SCALAR-QUANTIZATION maximum-inner-product search — the third
+    * compression point on the s09 axis (PQ 64×, PCA d/k×, SQ8 4×): every
+    * vector stores as d int8 codes (code = round(x·127/max|x|),
+    * symmetric per-tensor — FAISS's SQ8 / int8-GEMM scheme), and scoring
+    * is the INTEGER dot product of code arrays, which approximates the
+    * true inner product monotonically (one global scale ⇒ no per-dim
+    * reweighting — ranking error is quantization noise only,
+    * spec-measured vs the exact float IP ranking). Unlike s09's ADC the
+    * score is exact integer arithmetic, so the WHOLE operator —
+    * corpus-wide scale, encode rounding, dot, (dot DESC, id) ranking —
+    * is one semantics both engines evaluate: fully hash-gated, the only
+    * gated ANN variant (s03/s09/s12 ride k-means fits).
+    *
+    * Shape at 100 TB: scale is one scalar pass; encode is the codegen'd
+    * `graft_sq8_encode` map-side pass (the 4×-smaller codes table is
+    * what a serving tier stores — persist it like s03's index); scoring
+    * scans codes against the ≤|queries| broadcast query codes with the
+    * codegen'd integer dot and reduces through the TopKPerGroup heap —
+    * s01's exact shape at a quarter of the bytes and integer ALUs. */
+  def s15Sq8Mips(spark: SparkSession, dir: String): DataFrame =
+    s15Sq8Mips(spark, dir, k = 3)
+
+  def s15Sq8Mips(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val scale = sq8Scale(spark, dir)
+    val codes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.NativeFunctions.sq8Encode(col("embedding"), scale)
+          .as("code"))
+    val q = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qc"))
+    val scored = codes.select(col("vec_id").as("neighbor_id"), col("code").as("cc"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot_q",
+        graft.functions.NativeFunctions.sq8Dot(col("qc"), col("cc")))
+    val top = graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(col("dot_q").desc, col("neighbor_id").asc), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("dot_q"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Declarative mirrors of the SQ8 expressions — parity oracles only
+    * (NativeExprSpec discipline). */
+  private[graft] def sq8EncodeDeclarative(emb: Column, scale: Double): Column =
+    transform(emb, x => round(x.cast("double") * lit(scale)).cast("int"))
+  private[graft] def sq8DotDeclarative(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
   val oracle: Map[String, String] = Map(
+    "s15_sq8_mips" ->
+      s"""WITH sc AS (
+            SELECT 127.0 / MAX(abs(v)) AS s FROM (
+              SELECT unnest(embedding) AS v FROM embeddings)),
+          codes AS (
+            SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * sc.s) AS INT)) AS code
+            FROM embeddings, sc),
+          q AS (SELECT vec_id AS query_id, code AS qc FROM codes
+                WHERE vec_id < $NumQueries),
+          scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, len(q.qc)),
+                  i -> CAST(q.qc[i] AS BIGINT) * CAST(c.code[i] AS BIGINT))),
+                (acc, v) -> acc + v) AS dot_q
+            FROM q, codes c WHERE c.vec_id <> q.query_id),
+          r AS (
+            SELECT query_id, neighbor_id, dot_q,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY dot_q DESC, neighbor_id) AS rk
+            FROM scored)
+          SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, dot_q
+          FROM r WHERE rk <= 3
+          ORDER BY query_id, rk""",
     "s06_range_search" ->
       // zero-norm vectors excluded from both sides (undefined cosine;
       // see positiveNorm) — mirrors the engine's screen exactly.

@@ -1139,6 +1139,50 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** t29: VOCABULARY GROWTH curve (Heaps' law) — how fast the distinct
+    * vocabulary grows as the corpus grows, the other half of t22's
+    * tokenizer-sizing question ("how big will the vocab be at 10× the
+    * data" vs t22's "how much stream do k entries cover"). Nested
+    * corpus subsets come from the deterministic fingerprint bucket
+    * (p01/p02's portable key): S_f = docs with fp%100 < f, f ∈
+    * {10..100} — each subset contains the previous, so the curve is a
+    * genuine growth measurement, reproducible on any engine.
+    *
+    * Per threshold: cumulative docs, token occurrences, and DISTINCT
+    * vocabulary. All-integer. Shape at 100 TB: the vocab side is one
+    * explode + min-bucket-per-token partial-agg shuffle (|vocab| rows
+    * out); the doc/occurrence side partial-aggregates per bucket
+    * (≤100 rows); BOTH tiny tables fan out to their thresholds with a
+    * sequence-explode (no unpartitioned window, no nested-loop join)
+    * and partial-aggregate again. Nothing corpus-sized moves twice. */
+  def t29VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithTokens(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("bucket",
+        pmod(graft.functions.NativeFunctions.polyFingerprint(col("toks")),
+          lit(100L)))
+    // thresholds a bucket-b row belongs to: f ∈ {⌊b/10⌋·10+10, …, 100}
+    val fOf = explode(sequence(
+      (expr("bucket div 10") + 1) * 10, lit(100L), lit(10L))).as("f")
+    val perBucket = docs
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("b_docs"),
+        sum(size(col("toks")).cast("long")).as("b_occ"))
+      .select(col("bucket"), col("b_docs"), col("b_occ"))
+    val docSide = perBucket.select(col("b_docs"), col("b_occ"), fOf)
+      .groupBy(col("f"))
+      .agg(sum(col("b_docs")).as("n_docs"), sum(col("b_occ")).as("n_occurrences"))
+    val vocabSide = docs
+      .select(col("bucket"), explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(min(col("bucket")).as("bucket"))
+      .select(fOf)
+      .groupBy(col("f")).agg(count(lit(1)).as("vocab"))
+    docSide.join(vocabSide, Seq("f"))
+      .select(col("f").as("pct"), col("n_docs"), col("n_occurrences"),
+        col("vocab"))
+      .orderBy("pct")
+  }
+
   /** Fixed-point scale for t28's exported weights (1e-6 resolution —
     * the quantization step of a deployed integer scoring table). */
   val ClfQuantScale = 1e6
@@ -1580,6 +1624,34 @@ object TextAnalysis {
               COUNT(DISTINCT domain || path) AS n_canonical,
               CAST(COUNT(*) - COUNT(DISTINCT domain || path) AS BIGINT) AS n_dup_docs
             FROM c GROUP BY domain ORDER BY domain"""
+      },
+      "t29_vocab_growth" -> {
+        val fp = TS.polyFingerprint(toks)
+        s"""WITH d AS (
+              SELECT ($fp) % 100 AS bucket, $toks AS toks
+              FROM documents WHERE len(trim(text)) > 0),
+            pb AS (
+              SELECT bucket, COUNT(*) AS b_docs,
+                CAST(SUM(len(toks)) AS BIGINT) AS b_occ
+              FROM d GROUP BY bucket),
+            ds AS (
+              SELECT f, CAST(SUM(b_docs) AS BIGINT) AS n_docs,
+                CAST(SUM(b_occ) AS BIGINT) AS n_occurrences
+              FROM (SELECT b_docs, b_occ,
+                      unnest(generate_series((bucket // 10 + 1) * 10, 100, 10)) AS f
+                    FROM pb)
+              GROUP BY f),
+            tv AS (
+              SELECT t, MIN(bucket) AS bucket FROM (
+                SELECT bucket, unnest(toks) AS t FROM d) GROUP BY t),
+            vs AS (
+              SELECT f, COUNT(*) AS vocab FROM (
+                SELECT unnest(generate_series((bucket // 10 + 1) * 10, 100, 10)) AS f
+                FROM tv)
+              GROUP BY f)
+            SELECT ds.f AS pct, n_docs, n_occurrences, vocab
+            FROM ds JOIN vs ON ds.f = vs.f
+            ORDER BY pct"""
       },
       "t26_pmi_collocations" ->
         s"""WITH bgd AS (

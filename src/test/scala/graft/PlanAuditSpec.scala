@@ -206,6 +206,17 @@ class PlanAuditSpec extends GraftSuite {
       s"count 'training' must partial-aggregate:\n$s")
   }
 
+  test("s15: SQ8 scoring reduces through the partial/final heap before its one shuffle") {
+    val df = Similarity.s15Sq8Mips(spark, sf)
+    val topk = df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t
+    }
+    assert(topk.nonEmpty, "s15 must rank through TopKPerGroup, not a full sort")
+    val s = planStr(df)
+    assert(!s.contains("SortMergeJoin"),
+      s"the broadcast query side must never shuffle the corpus:\n$s")
+  }
+
   test("d12b: cluster-first candidates ride a list_id equi-join, never a cross join") {
     val s = planStr(Dedup.d12bSemDedupIvf(spark, sf))
     assert(s.contains("list_id"),

@@ -566,4 +566,66 @@ class SimilaritySpec extends GraftSuite {
     assert(rows.toSeq == Similarity.s14AnnPca(spark, sf).collect().toSeq,
       "s14 must be deterministic")
   }
+
+  test("s15 SQ8: codes in range, driver recompute exact, ranking tracks the true inner product") {
+    import org.apache.spark.sql.functions._
+    val scale = Similarity.sq8Scale(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // driver recompute of the whole operator: encode (same round rule),
+    // integer dot, (dot desc, id) top-3 per query
+    def enc(v: Array[Float]): Array[Int] =
+      v.map(x => graft.functions.Sq8Util.roundHalfAway(x.toDouble * scale))
+    val codes = vecs.map { case (id, v) => id -> enc(v) }.toMap
+    assert(codes.values.flatten.forall(c => c >= -127 && c <= 127),
+      "codes must fit int8")
+    val queries = vecs.filter(_._1 < Similarity.NumQueries)
+    val expected = queries.flatMap { case (qid, qv) =>
+      val qc = codes(qid)
+      vecs.filter(_._1 != qid)
+        .map { case (nid, _) =>
+          (nid, codes(nid).zip(qc).map { case (a, b) => a.toLong * b.toLong }.sum)
+        }
+        .sortBy { case (nid, d) => (-d, nid) }.take(3).zipWithIndex
+        .map { case ((nid, d), i) => (qid, (i + 1).toLong, nid, d) }
+    }.toSeq
+    val got = Similarity.s15Sq8Mips(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "s15 diverged from the driver recompute")
+    // quantization-noise bound: SQ8 top-3 must overlap the EXACT float
+    // inner-product top-3 (one global scale => no reweighting; measured
+    // overlap is 100% at the test SFs, pinned at >= 2/3 per query)
+    queries.foreach { case (qid, qv) =>
+      val exactTop = vecs.filter(_._1 != qid)
+        .map { case (nid, v) =>
+          (nid, v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        }
+        .sortBy { case (nid, d) => (-d, nid) }.take(3).map(_._1).toSet
+      val sqTop = got.filter(_._1 == qid).map(_._3).toSet
+      assert((sqTop & exactTop).size >= 2,
+        s"query $qid: SQ8 top-3 $sqTop vs exact IP top-3 $exactTop")
+    }
+  }
+
+  test("s15 native encode/dot equal the declarative mirrors on every row") {
+    import org.apache.spark.sql.functions._
+    val scale = Similarity.sq8Scale(spark, sf)
+    val e = Tables.embeddings(spark, sf)
+    val encDiff = e.select(
+        graft.functions.NativeFunctions.sq8Encode(col("embedding"), scale).as("n"),
+        Similarity.sq8EncodeDeclarative(col("embedding"), scale).as("d"))
+      .filter(not(col("n") <=> col("d"))).count()
+    assert(encDiff == 0L, s"$encDiff rows disagree on SQ8 encode")
+    val codes = e.select(col("vec_id"),
+      graft.functions.NativeFunctions.sq8Encode(col("embedding"), scale).as("code"))
+    val q = codes.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("code").as("qc"))
+    val dotDiff = codes.crossJoin(broadcast(q))
+      .select(
+        graft.functions.NativeFunctions.sq8Dot(col("qc"), col("code")).as("n"),
+        Similarity.sq8DotDeclarative(col("qc"), col("code")).as("d"))
+      .filter(not(col("n") <=> col("d"))).count()
+    assert(dotDiff == 0L, s"$dotDiff pairs disagree on SQ8 dot")
+  }
 }

@@ -927,6 +927,37 @@ class TextAnalysisSpec extends GraftSuite {
       s"quantized table diverged from the model: $agree/${both.size}")
   }
 
+  test("t29: vocab growth curve is monotone and its 100% point is the exact corpus totals") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.t29VocabGrowth(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pct"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("vocab")))
+    assert(rows.nonEmpty && rows.last._1 == 100L)
+    // nested subsets => every column non-decreasing in the threshold
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4,
+          s"growth curve not monotone between $a and $b")
+      case _ =>
+    }
+    // the 100% point IS the whole corpus — recompute exactly
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val nDocs = docs.count()
+    val occ = docs.agg(sum(size(col("toks")).cast("long"))).head().getLong(0)
+    val vocab = docs.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    assert(rows.last == ((100L, nDocs, occ, vocab)),
+      s"100% point ${rows.last} != corpus totals ($nDocs, $occ, $vocab)")
+    // Heaps: vocabulary grows sub-linearly — the curve must be concave
+    // enough that half the corpus already carries well over half the
+    // final vocabulary (measured ~0.8+; pinned loosely)
+    val half = rows.find(_._1 == 50L).get
+    assert(half._4 * 10 >= vocab * 6,
+      s"50% subset carries only ${half._4}/$vocab of the vocabulary")
+  }
+
   // ─────────────── p13: classifier-score-tiered sampling ────────────────
 
   /** Driver tokenVal — TF.tokenVal's formula, codepoint semantics. */
@@ -984,7 +1015,7 @@ class TextAnalysisSpec extends GraftSuite {
     }
     val (expected, bs) = p13DriverRollup(perDoc)
     val gotB = graft.operators.Sampling.p13Boundaries(
-      graft.operators.Sampling.p13ScoredHashed(spark, sf))
+      graft.operators.Sampling.p13ScoredHashed(spark, sf), perDoc.size.toLong)
     assert(gotB == bs, s"cut scores diverged: $gotB vs $bs")
     val got = graft.operators.Sampling.p13ScoreSample(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("tier")) ->
@@ -1003,7 +1034,7 @@ class TextAnalysisSpec extends GraftSuite {
     }
     val (expected, bs) = p13DriverRollup(perDoc)
     val gotB = graft.operators.Sampling.p13Boundaries(
-      graft.operators.Sampling.p13ScoredTrained(spark, sf))
+      graft.operators.Sampling.p13ScoredTrained(spark, sf), perDoc.size.toLong)
     assert(gotB == bs, s"trained cut scores diverged: $gotB vs $bs")
     val got = graft.operators.Sampling.p13bTrainedSample(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("tier")) ->
