@@ -143,13 +143,30 @@ object Pipelines {
     * shuffle + driver merge loop, t21's rule), then everything here is
     * MAP-SIDE per document; the shard column is derived, so downstream
     * stages shuffle once on it. */
+  /** Memoized tokenizer artifacts: the merge-rule list and the sorted
+    * vocab are DRIVER ARTIFACTS a production pipeline trains once and
+    * ships beside the shards (the tokenizer files) — recomputing the
+    * word-count shuffle and a corpus encode pass on every p12 surface
+    * call would double the export's dominant cost. Keyed by
+    * (dir, merges, topWords); deterministic, so caching cannot change
+    * results (t28ModelCache's rule). */
+  private val p12RulesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(String, String)]]()
+  private val p12VocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IndexedSeq[String]]()
+
+  private[graft] def p12Rules(spark: SparkSession, dir: String,
+      merges: Int, topWords: Int): Seq[(String, String)] =
+    p12RulesCache.computeIfAbsent((dir, merges, topWords), _ =>
+      TextAnalysis.bpeMerges(
+        TextAnalysis.bpeWordCounts(spark, dir, topWords), merges)
+        .map(m => (m._2, m._3)))
+
   private[graft] def p12TokenizedDocs(spark: SparkSession, dir: String,
       merges: Int = 20, topWords: Int = 4096, epoch: Long = 1L,
       shards: Int = Sampling.ShuffleShards): DataFrame = {
     val P = TF.HashMod
-    val rules = TextAnalysis.bpeMerges(
-      TextAnalysis.bpeWordCounts(spark, dir, topWords), merges)
-      .map(m => (m._2, m._3))
+    val rules = p12Rules(spark, dir, merges, topWords)
     val m = java.lang.Math.floorMod(Sampling.EpochA + epoch * Sampling.EpochB, P)
     require(m != 0, s"degenerate epoch $epoch: multiplier is 0 mod $P")
     val key = (pmod(col("doc_id"), lit(P)) * lit(m)) % lit(P)
@@ -175,11 +192,12 @@ object Pipelines {
     * symbols and the driver collect is a few hundred strings. */
   private[graft] def p12Vocab(spark: SparkSession, dir: String,
       merges: Int = 20, topWords: Int = 4096): IndexedSeq[String] =
-    p12TokenizedDocs(spark, dir, merges, topWords)
-      .select(explode(split(col("enc"), TextAnalysis.BpeSep)).as("s"))
-      .filter(length(col("s")) > 0)
-      .distinct().orderBy("s")
-      .collect().map(_.getString(0)).toIndexedSeq
+    p12VocabCache.computeIfAbsent((dir, merges, topWords), _ =>
+      p12TokenizedDocs(spark, dir, merges, topWords)
+        .select(explode(split(col("enc"), TextAnalysis.BpeSep)).as("s"))
+        .filter(length(col("s")) > 0)
+        .distinct().orderBy("s")
+        .collect().map(_.getString(0)).toIndexedSeq)
 
   /** p12: TRAINING-SHARD EXPORT audit — the pipeline's final mile,
     * composing three gated primitives into the artifact a trainer
