@@ -153,6 +153,18 @@ object PlanDump {
         "Frame-level clip reuse: fixed-cadence segment digests are map-side column work, (doc, digest) DISTINCT collapses within-asset repeats, candidates ride the SHUFFLE_HASH frame-digest equi-join (d09's containment shape on binary frames — never asset x asset), and the pair rollup partial-aggregates with the shared-frame floor as a post-agg filter."),
       ("s14_ann_pca",
         "Dimension-reduced ANN: the corpus projects once through the codegen'd graft_pca_project mat-vec, the per-pair shortlist distance is the codegen'd graft_sqdist over k dims (not d), the query set broadcasts, TopKPerGroup bounds the shortlist shuffle, and the exact-cosine rescore touches shortlist rows only."),
+      ("p12_training_shards",
+        "Training-shard export audit: tokenize (codegen'd graft_bpe_apply), epoch key, and shard id are all map-side projections over one documents scan; the ONE wide exchange is the shard shuffle feeding the per-shard window cumsum (co-located rows, no global barrier), and the rollup partial-aggregates to |shards| rows."),
+      ("p13_score_sample",
+        "Score-tiered sampling: the integer classifier score is t17's explode + one doc-keyed partial/final aggregate; the cut scores enter as driver literals (the boundary pass scored only the pushed-down stride sample), so tier + keep evaluate map-side and the final rollup carries |sources|x4 groups."),
+      ("d16_benchmark_decontam",
+        "External-benchmark decontamination: the corpus side collapses to ONE distinct-shingle index shuffle; the planted benchmark (tiny) explodes its shingles and meets the index in a left-semi equi-join (AQE broadcast), then a per-item containment rollup — d10's exact scoring tail with the whole corpus as the index."),
+      ("d12b_semdedup_ivf",
+        "Cluster-first SemDeDup: candidates are within-list pairs of the PERSISTED s03 assigned table via a (label, list_id) equi-join (never all-pairs), the exact cosine verify runs on candidates only, and the drop set left-joins back to the corpus for the per-label rollup."),
+      ("s15_sq8_mips",
+        "SQ8 MIPS: the corpus encodes map-side through the codegen'd graft_sq8_encode (scale is a folded literal), the broadcast query codes score through the codegen'd INTEGER graft_sq8_dot, and TopKPerGroup partial/final heaps bound the only shuffle to <= k rows per query per partition — s01's shape at a quarter of the bytes."),
+      ("t29_vocab_growth",
+        "Vocab growth curve: min-bucket-per-token is the one corpus-sized partial-agg shuffle (|vocab| rows out); per-bucket doc/occurrence counts partial-aggregate to <= 100 rows; both tiny tables fan out to their thresholds by sequence-explode and re-aggregate — no unpartitioned window, no nested-loop join."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

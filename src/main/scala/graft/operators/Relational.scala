@@ -747,8 +747,11 @@ object Relational {
       .orderBy(col("cents").desc, col("o_custkey").asc)
     val local = parted.withColumn("lrn", row_number().over(wLocal).cast("long"))
     // per-slice counts: ≤ #partitions rows; the prefix window is over
-    // that bounded relation, not the data
-    val wOff = Window.orderBy(col("pid"))
+    // that bounded relation, not the data. Constant-partitioned ON
+    // PURPOSE (t22's rule): the literal key marks the window as
+    // intentionally single-partition, so the "no partition defined"
+    // warning only ever flags accidents.
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))

@@ -348,7 +348,8 @@ object Similarity {
     val n = Tables.parquetRowCount(spark, dir, "embeddings") +
       streamed.count()
     val path = ivfIndexPath(spark, dir, s"s03refit-a$arrivalsFp", nLists, n)
-    if (!ivfExists(spark, path)) {
+    val freshBuild = !ivfExists(spark, path)
+    if (freshBuild) {
       val stride = math.max(1L, n / 4096)
       val fitSample = union
         .filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -366,6 +367,24 @@ object Similarity {
         assigned.repartition(col("list_id")).write.parquet(tmp + "/assigned")
         centDf.coalesce(1).write.parquet(tmp + "/centroids")
       }
+    }
+    // Sweep SUPERSEDED refit generations for this corpus: each refit's
+    // key embeds its arrival-set content hash, so an earlier
+    // generation's path is unreachable once a newer refit absorbs more
+    // arrivals — left behind it only leaks disk (publishIndex's
+    // stale-sibling sweep can't see it: the stems differ). Runs in the
+    // caller's stream-quiet window (maybeRefit's contract), so no
+    // reader is mid-scan on the superseded dir.
+    if (freshBuild) {
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+      val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      if (fs.exists(dst.getParent))
+        fs.listStatus(dst.getParent).map(_.getPath)
+          .filter(p => p.getName != dst.getName &&
+            p.getName.startsWith("s03refit") &&
+            p.getName.contains(s"_${dirTag}_n"))
+          .foreach(fs.delete(_, true))
     }
     (spark.read.parquet(path + "/assigned"),
       spark.read.parquet(path + "/centroids"))

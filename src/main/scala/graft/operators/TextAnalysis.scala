@@ -936,7 +936,12 @@ object TextAnalysis {
       .select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
+    // constant-partitioned ON PURPOSE: this window runs over the k
+    // already-limited rows, and the literal partition key marks it as
+    // intentionally single-partition — the "no partition defined"
+    // warning then uniquely flags ACCIDENTAL unpartitioned windows in
+    // the logs (r8 verdict's log-hygiene rule).
+    val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("token"))
     counts.orderBy(col("cnt").desc, col("token")).limit(k)
       .withColumn("rank", row_number().over(w))
       .withColumn("cum", sum(col("cnt")).over(

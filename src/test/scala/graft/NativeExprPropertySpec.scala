@@ -156,4 +156,53 @@ class NativeExprPropertySpec extends GraftSuite {
         s"sqdist diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
     }
   }
+
+  test("sq8 encode/dot parity holds on random scales incl. planted half-code ties") {
+    import spark.implicits._
+    (1 to 8).foreach { _ =>
+      val d = 1 + rnd.nextInt(96)
+      val scale = math.pow(10, rnd.nextInt(7) - 3) * (0.5 + rnd.nextDouble())
+      val rows = (1 to 40).map { i =>
+        (i.toLong, Array.fill(d)(rnd.nextInt(5) match {
+          case 0 => 0f
+          case 1 => ((rnd.nextInt(255) - 127) / scale).toFloat // near-integer codes
+          case 2 => (((rnd.nextInt(255) - 127) + 0.5) / scale).toFloat // near .5 ties
+          case _ => (rnd.nextGaussian() * 50 / scale).toFloat
+        }))
+      }
+      val df = rows.toDF("id", "emb").select(col("id"),
+        NF.sq8Encode(col("emb"), scale).as("n"),
+        graft.operators.Similarity.sq8EncodeDeclarative(col("emb"), scale).as("d"))
+      df.collect().foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"row ${r.getLong(0)} sq8 encode diverged (scale $scale)"))
+      val codes = (1 to 30).map(i => (i.toLong, Array.fill(d)(rnd.nextInt(255) - 127)))
+      val cd = codes.toDF("id", "c")
+      cd.crossJoin(cd.limit(3).select(col("c").as("c2")))
+        .select(NF.sq8Dot(col("c"), col("c2")).as("n"),
+          graft.operators.Similarity.sq8DotDeclarative(col("c"), col("c2")).as("d"))
+        .collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
+          s"sq8 dot diverged: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+  }
+
+  test("sym-ids parity holds on random vocab/encodings incl. empty strings") {
+    import spark.implicits._
+    (1 to 8).foreach { _ =>
+      val alphabet = "abcdefgh"
+      val symbols = ((1 to 20).map(_ =>
+        Seq.fill(1 + rnd.nextInt(4))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+        :+ "</w>").distinct
+      val vocab = symbols.sorted.toIndexedSeq
+      val enc = (1 to 40).map { i =>
+        val syms = Seq.fill(rnd.nextInt(30))(symbols(rnd.nextInt(symbols.length)))
+        (i.toLong,
+          if (syms.isEmpty) "" else syms.mkString("\u0001", "\u0001", "\u0001"))
+      }
+      val df = enc.toDF("id", "enc").select(col("id"),
+        NF.symIds(col("enc"), vocab).as("n"),
+        graft.operators.Pipelines.p12SymIdsDeclarative(col("enc"), vocab).as("d"))
+      df.collect().foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"row ${r.getLong(0)} sym-ids diverged"))
+    }
+  }
 }

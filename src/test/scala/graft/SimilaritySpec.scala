@@ -567,6 +567,34 @@ class SimilaritySpec extends GraftSuite {
       "s14 must be deterministic")
   }
 
+  test("refitIndex: arrival-keyed generations; the newest build sweeps the superseded one") {
+    import spark.implicits._
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => seed * 0.01f + j * 0.001f)
+    val a1 = (900000L until 900010L).map(i => (i, emb(1))).toDF("vec_id", "embedding")
+    val a2 = (900010L until 900025L).map(i => (i, emb(2))).toDF("vec_id", "embedding")
+    val base = Tables.embeddings(spark, sf).count()
+    val (as1, _) = Similarity.refitIndex(spark, sf, a1, 16)
+    // different arrival CONTENT of different size -> different key; the
+    // first generation must have served base + its own arrivals
+    assert(as1.count() == base + 10, "first refit must absorb its arrivals")
+    val (as2, _) = Similarity.refitIndex(spark, sf, a2, 16)
+    assert(as2.count() == base + 15, "second refit must absorb the new arrivals")
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/graft_ivf")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirTag = sf.replaceAll("[^A-Za-z0-9._-]", "_")
+    val gens = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("s03refit") && n.contains(s"_${dirTag}_n"))
+    assert(gens.length == 1 && gens.head.contains("_n" + (base + 15)),
+      s"superseded refit generation not swept: ${gens.toSeq}")
+    // idempotence of the union dedup: re-absorbing the SAME arrivals
+    // (e.g. after a crash between publish and compaction) re-serves the
+    // same generation without double-counting
+    val (as2again, _) = Similarity.refitIndex(spark, sf, a2, 16)
+    assert(as2again.count() == base + 15, "re-absorption must be idempotent")
+  }
+
   test("s15 SQ8: codes in range, driver recompute exact, ranking tracks the true inner product") {
     import org.apache.spark.sql.functions._
     val scale = Similarity.sq8Scale(spark, sf)
