@@ -155,6 +155,7 @@ object SparkEntry {
     "p11_leakage_repair" -> ((s, d) => Pipelines.p11LeakageRepair(s, d)),
     "p12_training_shards" -> // rows-only: merge table is corpus-dependent (t25's rule)
       (Pipelines.p12TrainingShards _),
+    "p14_shard_layout" -> (Pipelines.p14ShardLayout _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

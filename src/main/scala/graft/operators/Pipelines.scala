@@ -223,12 +223,18 @@ object Pipelines {
     * exchange is the shard shuffle; the within-shard cumsum is a
     * per-shard window over co-located rows (p05's no-global-barrier
     * argument); the rollup partial-aggregates. */
-  def p12TrainingShards(spark: SparkSession, dir: String): DataFrame = {
+  def p12TrainingShards(spark: SparkSession, dir: String): DataFrame =
+    shardLayoutAudit(p12TokenizedDocs(spark, dir))
+
+  /** The shard-layout audit tail shared by p12 (BPE-token units,
+    * rows-only) and p14 (whitespace-token units, hash-gated): one shard
+    * shuffle, per-shard window cumsum, all-integer rollup. */
+  private[graft] def shardLayoutAudit(docs: DataFrame): DataFrame = {
     val B = Sampling.PackBudget
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("key"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    p12TokenizedDocs(spark, dir)
+    docs
       .withColumn("start_off", coalesce(sum(col("n_ids")).over(w), lit(0L)))
       .withColumn("end_off", col("start_off") + col("n_ids"))
       .groupBy(col("shard"))
@@ -241,6 +247,28 @@ object Pipelines {
           1L).otherwise(0L)).as("n_boundary_docs"),
         min(col("key")).as("min_key"), max(col("key")).as("max_key"))
       .orderBy("shard")
+  }
+
+  /** p14: the GATED mirror of p12's composition machinery — the epoch
+    * permutation key, range-binned shards, within-shard pack cumsum,
+    * chunk and boundary arithmetic are tokenizer-independent, so
+    * running the identical [[shardLayoutAudit]] in WHITESPACE-token
+    * units makes every stage one SQL semantics both engines evaluate
+    * (p12's BPE units stay rows-only because the merge table is
+    * corpus-dependent — this op hash-gates everything else about the
+    * export). */
+  def p14ShardLayout(spark: SparkSession, dir: String): DataFrame = {
+    val P = TF.HashMod
+    val m = java.lang.Math.floorMod(Sampling.EpochA + Sampling.EpochB, P)
+    val key = (pmod(col("doc_id"), lit(P)) * lit(m)) % lit(P)
+    shardLayoutAudit(
+      Tables.documents(spark, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("n_ids", size(TF.tokens(col("text"))).cast("long"))
+        .withColumn("key", key)
+        .withColumn("shard",
+          expr(s"(key * ${Sampling.ShuffleShards}L) div ${P}L"))
+        .select("doc_id", "key", "shard", "n_ids"))
   }
 
   /** One shard's packed chunks as (chunk, token_ids) — the replay
@@ -299,12 +327,47 @@ object Pipelines {
 
   val oracle: Map[String, String] = {
     val toks = TS.toks
+    val p14 = {
+      val P = TF.HashMod
+      val m = java.lang.Math.floorMod(
+        Sampling.EpochA + Sampling.EpochB, P)
+      val B = Sampling.PackBudget
+      s"""WITH d AS (
+            SELECT doc_id,
+              CAST(len($toks) AS BIGINT) AS n_ids,
+              ((doc_id % $P) * $m) % $P AS key
+            FROM documents WHERE len(trim(text)) > 0),
+          s AS (
+            SELECT doc_id, n_ids, key,
+              (key * ${Sampling.ShuffleShards}) // $P AS shard
+            FROM d),
+          o AS (
+            SELECT shard, doc_id, key, n_ids,
+              COALESCE(SUM(n_ids) OVER (PARTITION BY shard
+                ORDER BY key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS start_off,
+              row_number() OVER (PARTITION BY shard
+                ORDER BY key, doc_id) AS rn,
+              COUNT(*) OVER (PARTITION BY shard) AS n_in_shard
+            FROM s)
+          SELECT shard, COUNT(*) AS n_docs,
+            CAST(SUM(n_ids) AS BIGINT) AS n_tokens,
+            (CAST(SUM(n_ids) AS BIGINT) + ${B - 1}) // $B AS n_chunks,
+            MAX(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+            MAX(CASE WHEN rn = n_in_shard THEN doc_id END) AS last_doc,
+            CAST(SUM(CASE WHEN (start_off + n_ids - 1) // $B > start_off // $B
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+            MIN(key) AS min_key, MAX(key) AS max_key
+          FROM o GROUP BY shard ORDER BY shard"""
+    }
     val quality =
       s"""round(least(len($toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
             * CAST(0.5 AS DOUBLE)
           + (${TS.markerHits(toks, TF.stopwords)} / len($toks))
             * CAST(0.5 AS DOUBLE), 4)"""
     Map(
+      "p14_shard_layout" -> p14,
       "p03_clean_corpus" ->
         s"""WITH q AS (
               SELECT doc_id, lang, source, text

@@ -208,6 +208,20 @@ class PipelinesSpec extends GraftSuite {
     assert(diff == 0L, s"$diff docs disagree between native and declarative sym-ids")
   }
 
+  test("p14: shard structure equals p12's on every tokenizer-independent field") {
+    def structure(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"),
+          r.getAs[Long]("last_doc"), r.getAs[Long]("min_key"),
+          r.getAs[Long]("max_key"))).toMap
+    // same docs, same epoch key, same shard binning — only the token
+    // UNIT differs, so everything except the token/chunk counts must
+    // be identical between the gated whitespace form and the BPE form
+    val p14 = structure(Pipelines.p14ShardLayout(spark, sf))
+    val p12 = structure(Pipelines.p12TrainingShards(spark, sf))
+    assert(p14 == p12, "p14 and p12 disagree on shard structure")
+  }
+
   test("p12: the written shard artifact replays identically") {
     val out = java.nio.file.Files.createTempDirectory("p12shards").toString
     try {
