@@ -138,10 +138,12 @@ object Sampling {
     // emit an empty mix.
     // |S| as a driver scalar over the snapshotted per-source view —
     // integer-exact, enters the plan as a literal (p04's note: no
-    // unpartitioned window, no 1-row join)
+    // unpartitioned window, no 1-row join). max(1, …) guards the empty
+    // corpus: rates is empty then anyway, but the driver division must
+    // not throw where the old window form simply never evaluated.
     val totals = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
       .localCheckpoint()
-    val share = budget / totals.count() // Long div == the previous BIGINT div
+    val share = budget / math.max(1L, totals.count()) // Long div == BIGINT div
     val rates = totals
       .withColumn("share", lit(share))
       .withColumn("rate_ppm",
@@ -262,11 +264,12 @@ object Sampling {
         graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
         size(col("toks")).cast("long").as("n_tok"))
     // |S| as a driver scalar over the snapshotted per-source view
-    // (p04's note: no unpartitioned window, no 1-row join)
+    // (p04's note: no unpartitioned window, no 1-row join; max(1, …)
+    // keeps the empty corpus an empty result, not a division error)
     val totals = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_total"))
       .localCheckpoint()
     val plan = totals
-      .withColumn("share", lit(budget / totals.count()))
+      .withColumn("share", lit(budget / math.max(1L, totals.count())))
       .withColumn("full_epochs",
         least(expr("share div tok_total"), lit(maxEpochs)))
       // the partial pass exists only below the cap; share mod tok_total
@@ -408,23 +411,23 @@ object Sampling {
   }
 
   /** Per-doc integer score under t28's TRAINED quantized weight table —
-    * the production scoring (t17WeightedClassifier's broadcast-join
-    * shape, intercept included). Deterministic once the weight table is
+    * the production scoring, run through the SAME
+    * [[TextAnalysis.quantizedDocScores]] core the t28 bridge spec and
+    * the streaming twin score with (single-sourced — the sampler can
+    * never drift from the deployed scorer), with fp and token count
+    * carried on the group key. Deterministic once the weight table is
     * fixed: the export is quantized integers, so the score has no float
     * anywhere. */
   private[graft] def p13ScoredTrained(spark: SparkSession, dir: String): DataFrame = {
     val (weights, interceptQ) = TextAnalysis.t28ExportWeights(spark, dir)
-    Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
+    val base = Tables.documents(spark, dir)
       .withColumn("toks", TF.tokens(col("text")))
-      .select(col("doc_id"), col("source"),
-        graft.functions.NativeFunctions.polyFingerprint(col("toks")).as("fp"),
-        size(col("toks")).cast("long").as("n_tok"),
-        explode(col("toks")).as("t"))
-      .join(broadcast(weights), Seq("t"), "left")
-      .withColumn("w", coalesce(col("w"), lit(0L)))
-      .groupBy(col("doc_id"), col("source"), col("fp"), col("n_tok"))
-      .agg((sum(col("w")) + lit(interceptQ)).as("score_q"))
+      .withColumn("fp",
+        graft.functions.NativeFunctions.polyFingerprint(col("toks")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    TextAnalysis.quantizedDocScores(base, weights, interceptQ,
+        carry = Seq("source", "fp", "n_tok"))
+      .select("doc_id", "source", "fp", "n_tok", "score_q")
   }
 
   /** Quartile cut scores from the DETERMINISTIC stride sample (s03's

@@ -326,9 +326,17 @@ object Similarity {
     // Dedup by vec_id: re-absorbing arrivals that a crashed prior refit
     // already published (maybeRefit's publish→compact window) must be
     // idempotent — a union that kept both copies would double-count
-    // them in every later rebuild.
-    val union = base.unionByName(streamed.select(col("vec_id"), col("embedding")))
-      .dropDuplicates("vec_id")
+    // them in every later rebuild. The survivor is chosen
+    // DETERMINISTICALLY: the ARRIVAL wins (update semantics) — a plain
+    // dropDuplicates would pick whichever copy scan order surfaced
+    // first, making the fit sample and served embedding run-varying
+    // when an arrival revises an existing vec_id.
+    val union = base
+      .select(col("vec_id"), col("embedding"), lit(0).as("pri"))
+      .unionByName(streamed
+        .select(col("vec_id"), col("embedding"), lit(1).as("pri")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("embedding"), col("pri")).as("embedding"))
     // The base corpus is covered by ivfIndexPath's corpusFingerprint,
     // but the ARRIVALS are not — two different equal-sized arrival sets
     // would otherwise share a key and the second refit would silently
@@ -368,22 +376,30 @@ object Similarity {
         centDf.coalesce(1).write.parquet(tmp + "/centroids")
       }
     }
-    // Sweep SUPERSEDED refit generations for this corpus: each refit's
-    // key embeds its arrival-set content hash, so an earlier
+    // Sweep SUPERSEDED refit generations for this corpus + nLists: each
+    // refit's key embeds its arrival-set content hash, so an earlier
     // generation's path is unreachable once a newer refit absorbs more
     // arrivals — left behind it only leaks disk (publishIndex's
-    // stale-sibling sweep can't see it: the stems differ). Runs in the
-    // caller's stream-quiet window (maybeRefit's contract), so no
-    // reader is mid-scan on the superseded dir.
-    if (freshBuild) {
+    // stale-sibling sweep can't see it: the stems differ). The match is
+    // FULLY ANCHORED — family prefix, THIS dir tag (immediately
+    // followed by the _n segment, so a sibling corpus whose sanitized
+    // dir merely extends this one can never match), THIS nLists, and a
+    // terminal fingerprint (in-flight `.tmp-*` builds never match).
+    // Runs UNCONDITIONALLY (a crash between publish and sweep would
+    // otherwise leak the old generation forever behind the cache hit),
+    // in the caller's stream-quiet window (maybeRefit's contract), so
+    // no reader is mid-scan on the superseded dir.
+    locally {
       val dst = new org.apache.hadoop.fs.Path(path)
       val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-      val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dirTag = java.util.regex.Pattern.quote(
+        dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      val gen = ("^s03refit-a[0-9a-fm]+_" + dirTag +
+        s"_n\\d+_k$nLists" + "_f[0-9a-f]+$").r
       if (fs.exists(dst.getParent))
         fs.listStatus(dst.getParent).map(_.getPath)
           .filter(p => p.getName != dst.getName &&
-            p.getName.startsWith("s03refit") &&
-            p.getName.contains(s"_${dirTag}_n"))
+            gen.findFirstIn(p.getName).isDefined)
           .foreach(fs.delete(_, true))
     }
     (spark.read.parquet(path + "/assigned"),

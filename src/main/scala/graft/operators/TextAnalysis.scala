@@ -1297,22 +1297,26 @@ object TextAnalysis {
   }
 
   /** Per-doc integer scores under a trained quantized weight table —
-    * the scoring core shared by the t28 deployment bridge's spec and
-    * the STREAMING twin ([[graft.streaming.StreamQuality]]): score =
-    * intercept + Σ w(token) over occurrences (left join: OOV scores 0),
-    * flag = score > 0. All-integer, so batch and stream verdicts are
-    * exactly equal by construction. */
+    * the ONE scoring core shared by the t28 deployment bridge's spec,
+    * the STREAMING twin ([[graft.streaming.StreamQuality]]), and p13b's
+    * tiered sampling: score = intercept + Σ w(token) over occurrences
+    * (left join: OOV scores 0), flag = score > 0. All-integer, so
+    * batch, stream, and sampler verdicts are exactly equal by
+    * construction. `carry` names extra per-doc columns (already present
+    * on `docs`) to ride the group key — p13b carries the fingerprint
+    * and token count so its tiering needs no second corpus pass. */
   private[graft] def quantizedDocScores(docs: DataFrame, weights: DataFrame,
-      interceptQ: Long): DataFrame =
+      interceptQ: Long, carry: Seq[String] = Seq("source")): DataFrame = {
+    val keys = col("doc_id") +: carry.map(col)
     docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), col("source"),
-        explode(TF.tokens(col("text"))).as("t"))
+      .select(keys :+ explode(TF.tokens(col("text"))).as("t"): _*)
       .join(broadcast(weights), Seq("t"), "left")
-      .groupBy(col("doc_id"), col("source"))
+      .groupBy(keys: _*)
       .agg(sum(coalesce(col("w"), lit(0L))).as("w_sum"))
-      .select(col("doc_id"), col("source"),
+      .select(keys ++ Seq(
         (col("w_sum") + lit(interceptQ)).as("score_q"),
-        (col("w_sum") + lit(interceptQ) > 0).as("flagged"))
+        (col("w_sum") + lit(interceptQ) > 0).as("flagged")): _*)
+  }
 
   val oracle: Map[String, String] = {
     val toks = TS.toks
