@@ -460,21 +460,33 @@ object Sampling {
     * count (one column scan — scored has exactly one row per surviving
     * doc, so the values are equal by construction), not from executing
     * the scoring lineage a third time. */
+  /** The tier / keep-rate / membership column trio — single-sourced so
+    * the batch rollup and the STREAMING sampler
+    * ([[graft.streaming.StreamSample]]) decide identically: tier =
+    * #cut-scores strictly below `score_q`, rate = [[QualityKeepPpm]] of
+    * the `tier` column, membership = the fingerprint-ppm predicate. */
+  private[graft] def p13TierCol(b1: Long, b2: Long, b3: Long): Column =
+    when(col("score_q") > b1, 1L).otherwise(0L) +
+      when(col("score_q") > b2, 1L).otherwise(0L) +
+      when(col("score_q") > b3, 1L).otherwise(0L)
+
+  private[graft] def p13KeepPpmCol: Column =
+    when(col("tier") === 3, QualityKeepPpm(3))
+      .when(col("tier") === 2, QualityKeepPpm(2))
+      .when(col("tier") === 1, QualityKeepPpm(1))
+      .otherwise(QualityKeepPpm(0))
+
+  private[graft] def p13KeptCol: Column =
+    pmod(col("fp"), lit(1000000L)) < col("keep_ppm")
+
   private[graft] def p13TieredRollup(spark: SparkSession, dir: String,
       scored: DataFrame): DataFrame = {
     val n = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0).count()
     val (b1, b2, b3) = p13Boundaries(scored, n)
-    val tier = when(col("score_q") > b1, 1L).otherwise(0L) +
-      when(col("score_q") > b2, 1L).otherwise(0L) +
-      when(col("score_q") > b3, 1L).otherwise(0L)
-    val keepPpm =
-      when(col("tier") === 3, QualityKeepPpm(3))
-        .when(col("tier") === 2, QualityKeepPpm(2))
-        .when(col("tier") === 1, QualityKeepPpm(1))
-        .otherwise(QualityKeepPpm(0))
-    val kept = pmod(col("fp"), lit(1000000L)) < col("keep_ppm")
-    scored.withColumn("tier", tier).withColumn("keep_ppm", keepPpm)
+    val kept = p13KeptCol
+    scored.withColumn("tier", p13TierCol(b1, b2, b3))
+      .withColumn("keep_ppm", p13KeepPpmCol)
       .groupBy(col("source"), col("tier"), col("keep_ppm"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),

@@ -269,6 +269,46 @@ class StreamingSpec extends GraftSuite {
       "both verdict classes should appear on this corpus")
   }
 
+  test("stream_sample decides tier and keep/drop at ingest exactly like the batch sampler") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sampling, TextAnalysis}
+    // static sides: the trained table and the offline-estimated cuts
+    val (weights, interceptQ) = TextAnalysis.t28ExportWeights(spark, sf)
+    val scored = Sampling.p13ScoredTrained(spark, sf)
+    val n = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).count()
+    val cuts = Sampling.p13Boundaries(scored, n)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").orderBy("doc_id").limit(90).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Boolean)]
+    val q = StreamSample.run(
+      input.toDF().toDF("doc_id", "source", "text"), weights, interceptQ, cuts) { b =>
+      got.synchronized {
+        got ++= b.collect().map(r => (r.getLong(0), r.getAs[Long]("score_q"),
+          r.getAs[Long]("tier"), r.getAs[Boolean]("kept")))
+      }
+    }
+    try docs.grouped(30).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // all-integer core on a deterministic fingerprint ⇒ streamed
+    // verdicts equal the batch tier/keep decision EXACTLY
+    val want = scored
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .withColumn("tier", Sampling.p13TierCol(cuts._1, cuts._2, cuts._3))
+      .withColumn("keep_ppm", Sampling.p13KeepPpmCol)
+      .withColumn("kept", Sampling.p13KeptCol)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_q"),
+        r.getAs[Long]("tier"), r.getAs[Boolean]("kept"))).toSet
+    assert(got.toSet == want,
+      s"streamed sampling diverged from batch:\nextra=${got.toSet -- want}\nmissing=${want -- got.toSet}")
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "both keep and drop verdicts should appear on this corpus")
+  }
+
   test("cms sketch aggregates incrementally over a stream (complete mode)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
