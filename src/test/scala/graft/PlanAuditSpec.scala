@@ -206,6 +206,32 @@ class PlanAuditSpec extends GraftSuite {
       s"count 'training' must partial-aggregate:\n$s")
   }
 
+  test("d16: the benchmark probe is a left-semi equi-join, never a cross join") {
+    val s = planStr(Dedup.d16BenchmarkDecontam(spark, sf))
+    assert(s.contains("LeftSemi"),
+      s"index membership must be a left-semi equi-join:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"d16 must never cross-join:\n$s")
+  }
+
+  test("p12/p14: the shard audits are join-free — one shard shuffle feeds the window") {
+    Seq(Pipelines.p12TrainingShards(spark, sf),
+        Pipelines.p14ShardLayout(spark, sf)).foreach { df =>
+      val s = planStr(df)
+      assert(!s.contains("Join"),
+        s"the layout audit needs no join at all:\n$s")
+      assert(s.contains("hashpartitioning(shard"),
+        s"the one wide exchange must key on the shard:\n$s")
+    }
+  }
+
+  test("t29: threshold fan-out is a sequence-explode, never a window or nested loop") {
+    val s = planStr(TextAnalysis.t29VocabGrowth(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"t29 must not theta-join thresholds:\n$s")
+    assert(!s.contains("Window"), s"t29 must not run a cumulative window:\n$s")
+  }
+
   test("s15: SQ8 scoring reduces through the partial/final heap before its one shuffle") {
     val df = Similarity.s15Sq8Mips(spark, sf)
     val topk = df.queryExecution.optimizedPlan.collect {
