@@ -394,7 +394,10 @@ object Similarity {
       val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
       val dirTag = java.util.regex.Pattern.quote(
         dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-      val gen = ("^s03refit-a[0-9a-fm]+_" + dirTag +
+      // [0-9a-z]+ covers hex digits, the negative-sum 'm' prefix, AND
+      // the "empty"-arrivals sentinel — a narrower class would leave
+      // empty-arrival generations unsweepable forever
+      val gen = ("^s03refit-a[0-9a-z]+_" + dirTag +
         s"_n\\d+_k$nLists" + "_f[0-9a-f]+$").r
       if (fs.exists(dst.getParent))
         fs.listStatus(dst.getParent).map(_.getPath)
