@@ -165,6 +165,12 @@ object PlanDump {
         "SQ8 MIPS: the corpus encodes map-side through the codegen'd graft_sq8_encode (scale is a folded literal), the broadcast query codes score through the codegen'd INTEGER graft_sq8_dot, and TopKPerGroup partial/final heaps bound the only shuffle to <= k rows per query per partition — s01's shape at a quarter of the bytes."),
       ("t29_vocab_growth",
         "Vocab growth curve: min-bucket-per-token is the one corpus-sized partial-agg shuffle (|vocab| rows out); per-bucket doc/occurrence counts partial-aggregate to <= 100 rows; both tiny tables fan out to their thresholds by sequence-explode and re-aggregate — no unpartitioned window, no nested-loop join."),
+      ("d17_exact_substring",
+        "Exact-substring dedup: every 63-char window hashes in ONE compiled pass per doc (d11's graft_winnow_fps with the winnow selection degenerated to k=1 — one shared hash definition), the per-position index meets itself in the SHUFFLE_HASH fingerprint equi-join (dfCapped stop-key path available for hot boilerplate spans), and the pair rollup partial-aggregates — exactness costs ~(K+1)/2 x d11's index DENSITY, never different join geometry."),
+      ("q37b_profile_approx",
+        "Approx profile: HLL++ sketches are mergeable partial aggregates, so the multi-column distinct profile is ONE scan + ONE plain partial/final aggregate with NO Expand — q37's #columns fan-out removed, which is the whole at-scale point; stack unpivots the single wide row into the report."),
+      ("s17_sq8_recall",
+        "SQ8 recall audit: the exact reference side is one broadcast-queries x corpus pass through the codegen'd graft_dot into the TopKPerGroup heap (s01's shape on raw inner product); the SQ8 side is s15 unchanged; the audit itself is a |queries|x3-row left join + rollup — quality measurement costs two scans, no new geometry."),
     ).map { case (name, note) => (name, note, name) }
 
     val sb = new StringBuilder

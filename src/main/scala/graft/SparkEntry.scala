@@ -50,6 +50,7 @@ object SparkEntry {
     "q35_volume_shipping" -> (Relational.q35VolumeShipping _),
     "q36_spend_deciles" -> (Relational.q36SpendDeciles _),
     "q37_table_profile" -> (Relational.q37TableProfile _),
+    "q37b_profile_approx" -> ((s, d) => Relational.q37bProfileApprox(s, d)), // rows-only: HLL estimates are engine-specific
     "q38_incremental_rollup" -> (Relational.q38IncrementalRollup _),
     "q39_snapshot_diff" -> (Relational.q39SnapshotDiff _),
     "q40_big_orders" -> (Relational.q40BigOrders _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "d10_cross_split_leakage" -> ((s, d) => Dedup.d10CrossSplitLeakage(s, d)),
     "d11_winnowed_dup" -> ((s, d) => Dedup.d11WinnowedDup(s, d)),
     "d12_semdedup" -> (Dedup.d12SemDedup _),
+    "d17_exact_substring" -> ((s, d) => Dedup.d17ExactSubstring(s, d)),
     "d12b_semdedup_ivf" -> // rows-only: cluster-first candidates ride a k-means fit (s03's rule)
       (Dedup.d12bSemDedupIvf _),
     "d13_semantic_decontamination" ->
@@ -144,6 +146,8 @@ object SparkEntry {
     "s13_pca_audit" -> ((s, d) => Similarity.s13PcaAudit(s, d)), // rows-only: no eigensolver in DuckDB
     "s14_ann_pca" -> ((s, d) => Similarity.s14AnnPca(s, d)), // rows-only: PCA-fit shortlist (s13's serving side)
     "s15_sq8_mips" -> (Similarity.s15Sq8Mips _), // GATED: integer SQ8 dot is one cross-engine semantics
+    "s16_pca_recall" -> ((s, d) => Similarity.s16PcaRecall(s, d)), // rows-only: audits the PCA-fit s14 across the shortlist sweep
+    "s17_sq8_recall" -> (Similarity.s17Sq8Recall _), // rows-only: float-IP reference ranking can tie within an ulp
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),

@@ -134,6 +134,44 @@ object CosineSimUtil {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Raw float inner product — the MIPS reference score (s17): the
+    * dot accumulator of [[cosine]] alone, same float→double casts and
+    * left-fold order, so a driver recompute in element order is
+    * bit-identical. Length mismatch fails fast (VecDistUtil.sqDist's
+    * rule — a truncated dot would be a quiet parity break). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: length mismatch ${n} vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+/** (array<float>, array<float>) → raw inner product as double. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected two array<float>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSimUtil.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
 }
 
 object MinhashSigUtil {
@@ -689,11 +727,20 @@ object SymIdsUtil {
     * split, no intermediate array) — the per-row loop of the p12
     * training-shard export, compiled. Mirrors the declarative
     * `transform(filter(split(enc, sep), s -> s <> ''), s ->
-    * element_at(map, s))` symbol-for-symbol (spec-pinned). OOV symbols
-    * FAIL FAST: the vocab is derived from the same corpus+rules, so a
-    * miss is a build bug, and a silent skip would shift every later
-    * token position in the shard. */
-  def ids(enc: UTF8String, vocab: java.util.HashMap[String, Integer]): ArrayData = {
+    * element_at(map, s))` symbol-for-symbol (spec-pinned). The OOV
+    * CONTRACT is explicit, not accidental (`unkId`):
+    *  - `unkId < 0` (SAME-CORPUS mode, p12's default): OOV symbols FAIL
+    *    FAST — the vocab is derived from the same corpus+rules, so a
+    *    miss is a build bug, and a silent skip would shift every later
+    *    token position in the shard;
+    *  - `unkId >= 0` (CROSS-CORPUS mode): OOV symbols map to `unkId`
+    *    (the caller reserves it — [[graft.operators.Pipelines]] uses
+    *    vocab.size, one past the last real id), keeping every position
+    *    and making the OOV mass COUNTABLE downstream — the production
+    *    policy for a tokenizer trained once and applied to corpora it
+    *    never saw. */
+  def ids(enc: UTF8String, vocab: java.util.HashMap[String, Integer],
+      unkId: Int): ArrayData = {
     val s = enc.toString
     val n = s.length
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
@@ -703,9 +750,11 @@ object SymIdsUtil {
       if (i == n || s.charAt(i) == '\u0001') {
         if (i > start) {
           val id = vocab.get(s.substring(start, i))
-          if (id == null) throw new IllegalArgumentException(
-            s"graft_sym_ids: symbol '${s.substring(start, i)}' not in vocab")
-          out += id.intValue()
+          if (id == null) {
+            if (unkId < 0) throw new IllegalArgumentException(
+              s"graft_sym_ids: symbol '${s.substring(start, i)}' not in vocab")
+            out += unkId
+          } else out += id.intValue()
         }
         start = i + 1
       }
@@ -716,9 +765,11 @@ object SymIdsUtil {
 }
 
 /** Separator-encoded symbol string → array<int> token ids against the
-  * (driver-collected, literal-folded) sorted vocab. */
-case class SymIdsExpr(child: Expression, vocab: Seq[String])
-    extends UnaryExpression {
+  * (driver-collected, literal-folded) sorted vocab. `unkId < 0` =
+  * fail-fast on OOV (same-corpus default); `unkId >= 0` = map OOV to
+  * that reserved id (cross-corpus mode — see [[SymIdsUtil.ids]]). */
+case class SymIdsExpr(child: Expression, vocab: Seq[String],
+    unkId: Int = -1) extends UnaryExpression {
   @transient private lazy val table: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](vocab.size * 2)
     vocab.zipWithIndex.foreach { case (s, i) => m.put(s, Integer.valueOf(i)) }
@@ -731,10 +782,10 @@ case class SymIdsExpr(child: Expression, vocab: Seq[String])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_sym_ids"
   override protected def nullSafeEval(input: Any): Any =
-    SymIdsUtil.ids(input.asInstanceOf[UTF8String], table)
+    SymIdsUtil.ids(input.asInstanceOf[UTF8String], table, unkId)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("symVocab", table, "java.util.HashMap")
-    defineCodeGen(ctx, ev, c => s"graft.functions.SymIdsUtil.ids($c, $ref)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SymIdsUtil.ids($c, $ref, $unkId)")
   }
   override protected def withNewChildInternal(newChild: Expression): SymIdsExpr =
     copy(child = newChild)
@@ -999,6 +1050,8 @@ object NativeFunctions {
     Shims.column(Gunzip64Expr(Shims.expression(s)))
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    Shims.column(DotProductExpr(Shims.expression(a), Shims.expression(b)))
   def winnowFps(text: Column, w: Int, k: Int): Column =
     Shims.column(WinnowFpsExpr(Shims.expression(text), w, k))
   def phash63(text: Column): Column =
@@ -1007,6 +1060,8 @@ object NativeFunctions {
     Shims.column(BpeApplyExpr(Shims.expression(toks), rules))
   def symIds(enc: Column, vocab: Seq[String]): Column =
     Shims.column(SymIdsExpr(Shims.expression(enc), vocab))
+  def symIds(enc: Column, vocab: Seq[String], unkId: Int): Column =
+    Shims.column(SymIdsExpr(Shims.expression(enc), vocab, unkId))
   def sq8Encode(emb: Column, scale: Double): Column =
     Shims.column(Sq8EncodeExpr(Shims.expression(emb), scale))
   def sq8Dot(a: Column, b: Column): Column =

@@ -529,6 +529,18 @@ object Dedup {
     d16Flags(d16Benchmark(spark, dir), d16CorpusIndex(spark, dir),
       threshold, bloomItems)
 
+  /** The PRODUCTION entry point: probe a USER-SUPPLIED benchmark table
+    * — `(bench_id BIGINT, text STRING)`, e.g. a published eval suite
+    * loaded from parquet — against THIS corpus's whole-corpus shingle
+    * index. The planted [[d16Benchmark]] suite stays the gate fixture
+    * (its quoted/clean construction is what makes the hash gate
+    * self-verifying); this overload is the same scoring tail under an
+    * external table, so the two can never disagree on shared inputs
+    * (spec-pinned on a file-loaded suite). */
+  def d16BenchmarkDecontam(spark: SparkSession, dir: String,
+      bench: DataFrame, threshold: Double, bloomItems: Long): DataFrame =
+    d16Flags(bench, d16CorpusIndex(spark, dir), threshold, bloomItems)
+
   /** Cosine threshold for [[d13SemanticDecontamination]] — d05's
     * near-dup regime. Measured clearance of the eval×train cosine
     * population at 0.35: ≥ 3.8e-5 at every test SF (sf0.001/0.01/0.1),
@@ -889,6 +901,49 @@ object Dedup {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** d17 span length: d11's guarantee threshold W + K − 1 = 63 chars —
+    * the two detectors answer the same question ("≥ 63-char verbatim
+    * span?") so their split is purely density-vs-exactness. */
+  val ExactSpanChars: Int = WinnowW + WinnowK - 1
+
+  /** d17: EXACT-substring near-dup pairs — the Lee et al. 2022
+    * ExactSubstr recipe a real pipeline cites, shipped beside d11's
+    * winnowed approximation and CHARACTERIZED against it. Per doc:
+    * hash EVERY [[ExactSpanChars]]-char window (every position — the
+    * same codepoint-aligned md5-60-bit rolling pass as d11, with the
+    * winnow selection degenerated to k = 1, so the two detectors share
+    * ONE hash definition and one native expression), DISTINCT per doc,
+    * then d02's inverted-index equi-join. Two documents pair iff they
+    * share at least one 63-char window hash, which holds iff they
+    * share a verbatim span ≥ 63 chars — exact in BOTH directions
+    * (d11's theorem only guarantees the forward one, and its shipped
+    * `minShared = 2` config additionally trades away single-minimal-
+    * span detection; DedupSpec measures that boundary on planted
+    * 62/63/64-char spans).
+    *
+    * Cost split at 100 TB: this index is per-POSITION (|doc| rows/doc)
+    * where d11's is ~2/(K+1)-dense — ~8× the index rows for exactness;
+    * the join is the same fingerprint equi-join, a hot boilerplate
+    * span is the same [[dfCapped]] skew case (`maxDf` overload), and
+    * reference-shape-wise this is RecordFinderMap.java:50's substring
+    * find inverted into an index instead of a per-record scan. */
+  def d17ExactSubstring(spark: SparkSession, dir: String): DataFrame =
+    d17ExactSubstring(spark, dir, ExactSpanChars, NoDfCap)
+
+  def d17ExactSubstring(spark: SparkSession, dir: String, spanLen: Int,
+      maxDf: Long): DataFrame = {
+    val sel = dfCapped(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.NativeFunctions.winnowFps(col("text"), spanLen, 1))
+          .as("fp")),
+      "fp", maxDf)
+    sel.as("a").hint("SHUFFLE_HASH").join(sel.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_i", "doc_j")
+  }
+
   /** d12: SemDeDup-style semantic dedup decision over d05's BANDED
     * candidates — the hash-gated form (the sign-LSH signature is
     * explicit integer math, so DuckDB reproduces the full drop set).
@@ -930,21 +985,50 @@ object Dedup {
     * members only. Shape at 100 TB: the assigned table is already
     * clustered by list at rest, the label tag rides a vec_id equi-join,
     * and the pair join shuffles by (label, list_id) — per-list work,
-    * never all-pairs (nLists ≈ √n keeps lists bounded; a hot list is
-    * d02's maxDf story). */
+    * never all-pairs (nLists ≈ √n keeps lists bounded; a hot list —
+    * k-means concentrating near-dup mass into one cluster — is
+    * sub-bucketed by [[D12bMaxList]] so its pair cost is linear in
+    * population, never |list|²). */
+  /** Hot-list population cap for [[d12IvfPairs]] — d02's `maxDf` story
+    * wired for the IVF candidate stage: k-means over a redundancy-heavy
+    * corpus (exactly SemDeDup's target input) can concentrate
+    * near-duplicate mass into ONE list, and the within-list self-join
+    * then pays |list|². Groups over the cap are SUB-BUCKETED by a
+    * deterministic hash of vec_id into ⌈pop/cap⌉ buckets before
+    * pairing, so the per-group join cost drops from pop² to
+    * ≤ pop·cap — linear in the hot list's population. Unlike d02's
+    * drop-the-key cap, sub-bucketing KEEPS within-bucket pairs (a hot
+    * list is where SemDeDup's signal lives); the price is the
+    * cross-bucket pairs — a bounded recall split of the candidate
+    * SAMPLER (d12b is already characterized as one sampler of the
+    * exact rule), spec-pinned under a planted mega-cluster. Under-cap
+    * groups get a single bucket, so the capped plan is
+    * result-identical on a skew-free corpus (spec-pinned). */
+  val D12bMaxList: Long = 1024L
+
   /** d12b's verified within-list candidate pairs (label, vec_i, vec_j)
     * — exposed so the spec can characterize them against the exact
     * all-pairs rule. */
   private[graft] def d12IvfPairs(spark: SparkSession, dir: String,
-      nLists: Int = 16): DataFrame = {
+      nLists: Int = 16, maxList: Long = D12bMaxList): DataFrame = {
     val (assigned, _) = Similarity.s03Index(spark, dir, nLists)
-    val d = assigned
+    val d0 = assigned
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
         Seq("vec_id"))
-    d.select(col("label"), col("list_id"), col("vec_id").as("vec_i"),
-        col("embedding").as("va"))
-      .join(d.select(col("label"), col("list_id"), col("vec_id").as("vec_j"),
-        col("embedding").as("vb")), Seq("label", "list_id"))
+    // per-(label, list) population: ≤ |labels|·nLists rows — broadcast
+    // back; one linear partial-agg pass over the assigned table
+    val pops = d0.groupBy(col("label"), col("list_id"))
+      .agg(count(lit(1)).as("pop"))
+      .withColumn("n_sub",
+        greatest(lit(1L), ceil(col("pop").cast("double") / lit(maxList)).cast("long")))
+      .select(col("label"), col("list_id"), col("n_sub"))
+    val d = d0.join(broadcast(pops), Seq("label", "list_id"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("n_sub")))
+    d.select(col("label"), col("list_id"), col("sub"),
+        col("vec_id").as("vec_i"), col("embedding").as("va"))
+      .join(d.select(col("label"), col("list_id"), col("sub"),
+        col("vec_id").as("vec_j"), col("embedding").as("vb")),
+        Seq("label", "list_id", "sub"))
       .filter(col("vec_i") < col("vec_j"))
       .filter(atLeast(VF.cosine(col("va"), col("vb")), 0.35))
       .select(col("label"), col("vec_i"), col("vec_j"))
@@ -1129,6 +1213,21 @@ object Dedup {
               GROUP BY 1, 2)
             SELECT doc_i, doc_j, n_shared FROM pairs
             WHERE n_shared >= $WinnowMinShared ORDER BY doc_i, doc_j""",
+      "d17_exact_substring" ->
+        s"""WITH pos AS (
+              SELECT doc_id, text,
+                unnest(generate_series(1, len(text) - $ExactSpanChars + 1)) AS i
+              FROM documents WHERE len(text) >= $ExactSpanChars),
+            sel AS (
+              SELECT DISTINCT doc_id,
+                CAST(('0x' || substr(md5(substr(text, CAST(i AS INT),
+                  $ExactSpanChars)), 1, 15)) AS BIGINT) AS fp
+              FROM pos),
+            pairs AS (
+              SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS n_shared
+              FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_i, doc_j, n_shared FROM pairs ORDER BY doc_i, doc_j""",
       "d10_cross_split_leakage" ->
         s"""WITH d AS (
               SELECT doc_id,

@@ -162,15 +162,22 @@ object Pipelines {
         TextAnalysis.bpeWordCounts(spark, dir, topWords), merges)
         .map(m => (m._2, m._3)))
 
-  private[graft] def p12TokenizedDocs(spark: SparkSession, dir: String,
-      merges: Int = 20, topWords: Int = 4096, epoch: Long = 1L,
-      shards: Int = Sampling.ShuffleShards): DataFrame = {
+  /** The per-doc tokenize→encode→key→shard column stage over any
+    * (doc_id, text) relation with FROZEN merge rules — single-sourced
+    * between the batch export surfaces (p12) and the streaming twin
+    * ([[graft.streaming.StreamShards]]): a rule-application or
+    * shard-arithmetic change here changes both together, so the
+    * at-ingest assignment can never drift from the batch layout. All
+    * map-side; `shard` is derived, so downstream stages shuffle once
+    * on it. */
+  private[graft] def p12DocCols(docs: DataFrame, rules: Seq[(String, String)],
+      epoch: Long = 1L, shards: Int = Sampling.ShuffleShards,
+      carry: Seq[String] = Nil): DataFrame = {
     val P = TF.HashMod
-    val rules = p12Rules(spark, dir, merges, topWords)
     val m = java.lang.Math.floorMod(Sampling.EpochA + epoch * Sampling.EpochB, P)
     require(m != 0, s"degenerate epoch $epoch: multiplier is 0 mod $P")
     val key = (pmod(col("doc_id"), lit(P)) * lit(m)) % lit(P)
-    Tables.documents(spark, dir)
+    docs
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", TF.tokens(col("text")))
       .withColumn("enc",
@@ -181,8 +188,14 @@ object Pipelines {
           - size(col("toks")).cast("long"))
       .withColumn("key", key)
       .withColumn("shard", expr(s"(key * ${shards}L) div ${P}L"))
-      .select("doc_id", "key", "shard", "enc", "n_ids")
+      .select((Seq("doc_id", "key", "shard", "enc", "n_ids") ++ carry).map(col): _*)
   }
+
+  private[graft] def p12TokenizedDocs(spark: SparkSession, dir: String,
+      merges: Int = 20, topWords: Int = 4096, epoch: Long = 1L,
+      shards: Int = Sampling.ShuffleShards): DataFrame =
+    p12DocCols(Tables.documents(spark, dir),
+      p12Rules(spark, dir, merges, topWords), epoch, shards)
 
   /** The tokenizer's VOCAB FILE: every distinct symbol the trained merge
     * table can emit over this corpus, sorted — symbol id = sorted rank,
@@ -324,6 +337,44 @@ object Pipelines {
     p12Chunks(spark, dir)
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** CROSS-CORPUS tokenizer application — the OOV contract made
+    * explicit. p12's same-corpus export fails fast on an out-of-vocab
+    * symbol (a miss there is a build bug), but a production tokenizer
+    * is trained ONCE and applied to corpora it never saw, where new
+    * characters and merge outputs are EXPECTED. Policy: the vocab
+    * reserves one UNK id (= vocab.size, one past the last real id —
+    * the classic sentinel slot), `graft_sym_ids` maps every OOV symbol
+    * to it (positions keep, nothing silently drops), and the audit
+    * reports the OOV mass per source in exact integer ppm — the number
+    * that tells you whether the frozen tokenizer is still fit for the
+    * new corpus or needs retraining. All map-side over the apply
+    * corpus (rules + vocab are driver artifacts, literal-folded); the
+    * only shuffle is the |sources| rollup. */
+  def p12CrossCorpusAudit(spark: SparkSession, trainDir: String,
+      applyDir: String): DataFrame = {
+    val rules = p12Rules(spark, trainDir, 20, 4096)
+    val vocab = p12Vocab(spark, trainDir)
+    val unk = vocab.size
+    val ids = graft.functions.NativeFunctions.symIds(col("enc"), vocab, unk)
+    p12DocCols(Tables.documents(spark, applyDir)
+        .select(col("doc_id"), col("source"), col("text")), rules,
+        carry = Seq("source"))
+      .withColumn("ids", ids)
+      .withColumn("n_all", size(col("ids")).cast("long"))
+      // array_remove (codegen'd collection op, not a HOF) counts the
+      // UNK occurrences without a per-row lambda
+      .withColumn("n_oov",
+        (size(col("ids")) - size(array_remove(col("ids"), unk))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_all")).as("n_ids"),
+        sum(col("n_oov")).as("n_oov"),
+        sum(when(col("n_oov") > 0, 1L).otherwise(0L)).as("docs_with_oov"))
+      .withColumn("oov_ppm",
+        expr("(n_oov * 1000000) div greatest(1, n_ids)"))
+      .orderBy("source")
+  }
 
   val oracle: Map[String, String] = {
     val toks = TS.toks

@@ -807,6 +807,38 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** q37b: the AT-SCALE table profile — q37's documented
+    * approx_count_distinct swap-in, shipped under test instead of just
+    * described. Exact multi-column distinct plans through an Expand
+    * (fan-out = #profiled columns — the shuffle carries one replicated
+    * row per column per input row); HyperLogLog++ sketches are
+    * mergeable partial aggregates, so the approx form is ONE plain
+    * partial-agg pass with no Expand at ANY column count — the profile
+    * a 100 TB ANALYZE actually runs. Same single-scan stack-unpivot
+    * report shape as q37. Rows-only (the sketch estimate is
+    * engine-specific — DuckDB's approx_count_distinct uses a different
+    * HLL, so there is no cross-engine hash); the spec pins every
+    * estimate within the configured rsd's ±3σ of q37's exact counts,
+    * the exact row/null columns (integer, sketch-free) equal to q37's,
+    * and the no-Expand plan shape. */
+  def q37bProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    q37bProfileApprox(spark, dir, rsd = 0.02)
+
+  def q37bProfileApprox(spark: SparkSession, dir: String, rsd: Double): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__d")))
+    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', ${c}__n, ${c}__d").mkString(", ")
+    wide.select(
+        expr(s"stack(${cols.length}, $stackArgs)" +
+          " AS (col_name, n_nulls, n_distinct_est)"),
+        col("n_rows"))
+      .orderBy("col_name")
+  }
+
   /** Daily aggregate STATE of an events relation: (event_type, day) →
     * count + value total in integer cents (q35 money rule: exact and
     * order-independent, so states merge associatively with no float

@@ -436,13 +436,30 @@ object Sampling {
     * engine): boundary k = the sample's (ns·k/4)-th score in
     * (score, doc_id) order. Exactly what a production pipeline does —
     * cut points are estimated once from a sample, then tier assignment
-    * is a map-side comparison against three literals. */
-  private[graft] def p13Boundaries(scored: DataFrame, n: Long): (Long, Long, Long) = {
+    * is a map-side comparison against three literals.
+    *
+    * The stride class is ANCHORED at the minimum surviving doc_id's
+    * remainder (`minId % stride`), not at 0: doc_id spaces need not
+    * start at 0 or be dense, and an id space that skips the stride's
+    * zero-multiples would otherwise yield an EMPTY sample — a crash
+    * here and, worse, a silent NULL-cut divergence in the SQL mirror.
+    * Anchoring keeps the filter a pushed-down map-side literal
+    * comparison (a rank-based row_number sample would cost a global
+    * window barrier over the corpus) while making the sample non-empty
+    * by construction — the anchor doc itself is always a member. The
+    * require is a belt-and-braces fail-fast, mirrored loudly rather
+    * than diverging quietly. */
+  private[graft] def p13Boundaries(scored: DataFrame, n: Long,
+      minId: Long): (Long, Long, Long) = {
     require(n > 0, "p13: no scored documents")
     val stride = math.max(1L, n / 4096)
-    val sample = scored.filter(pmod(col("doc_id"), lit(stride)) === 0)
+    val sample = scored
+      .filter(pmod(col("doc_id"), lit(stride)) === lit(minId % stride))
       .select(col("score_q"), col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
+    require(sample.nonEmpty,
+      s"p13: empty stride sample (stride=$stride, anchor=${minId % stride})" +
+        " — minId must be the minimum doc_id of the scored relation")
     val ns = sample.length
     def bnd(k: Int): Long = sample(math.max(0, ns * k / 4 - 1))._1
     (bnd(1), bnd(2), bnd(3))
@@ -481,9 +498,13 @@ object Sampling {
 
   private[graft] def p13TieredRollup(spark: SparkSession, dir: String,
       scored: DataFrame): DataFrame = {
-    val n = Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0).count()
-    val (b1, b2, b3) = p13Boundaries(scored, n)
+    // count AND min in the same cheap base-column pass (the stride's
+    // anchor needs the minimum surviving id — see p13Boundaries)
+    val nm = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .agg(count(lit(1)), min(col("doc_id"))).first()
+    val n = nm.getLong(0)
+    val (b1, b2, b3) = p13Boundaries(scored, n, if (n == 0) 0L else nm.getLong(1))
     val kept = p13KeptCol
     scored.withColumn("tier", p13TierCol(b1, b2, b3))
       .withColumn("keep_ppm", p13KeepPpmCol)
@@ -530,10 +551,11 @@ object Sampling {
                       + ${TextAnalysis.ClfB}) % ${TF.HashMod})),
                   (a, x) -> a + x) AS BIGINT) AS score_q
               FROM d),
-            n0 AS (SELECT COUNT(*) AS n FROM s),
+            n0 AS (SELECT COUNT(*) AS n, MIN(doc_id) AS mid FROM s),
             samp AS (
               SELECT score_q, doc_id FROM s, n0
-              WHERE doc_id % greatest(1, n // 4096) = 0),
+              WHERE doc_id % greatest(1, n // 4096)
+                  = mid % greatest(1, n // 4096)),
             r AS (
               SELECT score_q,
                 row_number() OVER (ORDER BY score_q, doc_id) AS rn

@@ -330,13 +330,20 @@ object Similarity {
     // DETERMINISTICALLY: the ARRIVAL wins (update semantics) — a plain
     // dropDuplicates would pick whichever copy scan order surfaced
     // first, making the fit sample and served embedding run-varying
-    // when an arrival revises an existing vec_id.
+    // when an arrival revises an existing vec_id. Ordering by pri alone
+    // is still scan-order-dependent when the ARRIVALS batch itself
+    // carries a duplicated vec_id (both copies have pri=1) — the
+    // content hash breaks that tie deterministically, so duplicate
+    // arrival ids resolve identically on every run (identical payloads
+    // tie only on identical content, where either survivor is the same
+    // row).
     val union = base
       .select(col("vec_id"), col("embedding"), lit(0).as("pri"))
       .unionByName(streamed
         .select(col("vec_id"), col("embedding"), lit(1).as("pri")))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("embedding"), col("pri")).as("embedding"))
+      .agg(max_by(col("embedding"),
+        struct(col("pri"), xxhash64(col("embedding")))).as("embedding"))
     // The base corpus is covered by ivfIndexPath's corpusFingerprint,
     // but the ARRIVALS are not — two different equal-sized arrival sets
     // would otherwise share a key and the second refit would silently
@@ -387,8 +394,16 @@ object Similarity {
     // terminal fingerprint (in-flight `.tmp-*` builds never match).
     // Runs UNCONDITIONALLY (a crash between publish and sweep would
     // otherwise leak the old generation forever behind the cache hit),
-    // in the caller's stream-quiet window (maybeRefit's contract), so
-    // no reader is mid-scan on the superseded dir.
+    // in the caller's stream-quiet window (maybeRefit's contract) — but
+    // deletes only generations STRICTLY OLDER (by directory mtime) than
+    // this call's own: a concurrent refit in another session carries a
+    // different arrival hash and hence a different name, and an
+    // mtime-unordered delete could reap its just-published live index
+    // between its publish and its trailing read. Older-only keeps the
+    // crash-leak cleanup (a superseded generation always predates its
+    // successor) while never touching a sibling that published after
+    // us; equal-mtime siblings survive (leak-not-delete is the safe
+    // direction on coarse-granularity filesystems).
     locally {
       val dst = new org.apache.hadoop.fs.Path(path)
       val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
@@ -399,11 +414,14 @@ object Similarity {
       // empty-arrival generations unsweepable forever
       val gen = ("^s03refit-a[0-9a-z]+_" + dirTag +
         s"_n\\d+_k$nLists" + "_f[0-9a-f]+$").r
-      if (fs.exists(dst.getParent))
-        fs.listStatus(dst.getParent).map(_.getPath)
-          .filter(p => p.getName != dst.getName &&
-            gen.findFirstIn(p.getName).isDefined)
-          .foreach(fs.delete(_, true))
+      if (fs.exists(dst.getParent)) {
+        val dstMtime = fs.getFileStatus(dst).getModificationTime
+        fs.listStatus(dst.getParent)
+          .filter(st => st.getPath.getName != dst.getName &&
+            gen.findFirstIn(st.getPath.getName).isDefined &&
+            st.getModificationTime < dstMtime)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
     }
     (spark.read.parquet(path + "/assigned"),
       spark.read.parquet(path + "/centroids"))
@@ -603,8 +621,26 @@ object Similarity {
   /** The top-k principal axes behind [[s13PcaAudit]] (columns of the
     * eigenvector matrix, descending eigenvalue) plus the corpus mean —
     * what a map-side projection (`Σ_i (emb_i − μ_i)·W_i` per output
-    * dim) broadcasts as literals. Driver math over the d×d spectrum. */
+    * dim) broadcasts as literals. Driver math over the d×d spectrum.
+    *
+    * MEMOIZED per (corpus content, k) — the t28Model rule: s16's
+    * shortlist sweep serves three s14 variants from ONE covariance
+    * pass, and every consumer of the same corpus sees the same axes
+    * (eigSym is deterministic, so this is a cost memo, not a
+    * correctness one). The key is [[ivfIndexPath]]'s identity string
+    * (dir + rowcount + content fingerprint + k), so an in-place
+    * regenerated corpus can never be served stale axes. */
+  private val pcaAxesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Seq[Array[Double]])]()
+
   private[graft] def pcaAxes(spark: SparkSession, dir: String,
+      k: Int): (Array[Double], Seq[Array[Double]]) =
+    pcaAxesCache.computeIfAbsent(
+      ivfIndexPath(spark, dir, "pcaaxes", k,
+        Tables.parquetRowCount(spark, dir, "embeddings")),
+      _ => pcaAxesFit(spark, dir, k))
+
+  private def pcaAxesFit(spark: SparkSession, dir: String,
       k: Int): (Array[Double], Seq[Array[Double]]) = {
     import org.apache.spark.mllib.linalg.Vectors
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
@@ -754,13 +790,13 @@ object Similarity {
   def s04AnnRecall(spark: SparkSession, dir: String): DataFrame =
     recallAudit(spark, dir, s02AnnLsh(spark, dir))
 
-  /** Shared recall@3 audit core of s04/s07: exact top-3 (s01)
-    * LEFT-joined to an approximate neighbor set on the pair key — one
-    * definition of recall, two auditable ANN paths. */
-  private def recallAudit(spark: SparkSession, dir: String,
-      approx: DataFrame): DataFrame = {
-    val exact = s01KnnBrute(spark, dir).filter(col("rk") <= 3)
-      .select(col("query_id"), col("neighbor_id"))
+  /** THE recall@k definition (one definition, every auditable ANN
+    * path): a reference top-k `(query_id, neighbor_id)` set LEFT-joined
+    * to an approximate neighbor set on the pair key. s04/s07/s11 feed
+    * it s01's exact cosine top-3; s16 feeds a localCheckpointed copy
+    * across a shortlist sweep; s17 feeds the exact float-IP top-3 (the
+    * MIPS reference). */
+  private def recallAuditOf(exact: DataFrame, approx: DataFrame): DataFrame = {
     val ann = approx
       .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
     exact.join(ann,
@@ -770,6 +806,13 @@ object Similarity {
       .withColumn("recall", round(col("n_hit") / col("k_exact"), 4))
       .orderBy("query_id")
   }
+
+  /** Shared recall@3 audit core of s04/s07/s11: exact top-3 (s01)
+    * against an approximate neighbor set. */
+  private def recallAudit(spark: SparkSession, dir: String,
+      approx: DataFrame): DataFrame =
+    recallAuditOf(s01KnnBrute(spark, dir).filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id")), approx)
 
   /** s07: IVF recall audit — recall@3 of the IVF path (s03) against the
     * exact top-3 (s01), per query: the quantitative check the rows-only
@@ -794,6 +837,65 @@ object Similarity {
     * noise. Same tiny composition as s04/s07; rows-only (k-means). */
   def s11PqRecall(spark: SparkSession, dir: String): DataFrame =
     recallAudit(spark, dir, s09PqAnn(spark, dir))
+
+  /** s16: PCA-shortlist recall SWEEP — s14's quality check promoted to
+    * a first-class audit (the s04/s07/s11 symmetry): recall@3 vs s01's
+    * exact top-3, per query, at each shortlist size. The shortlist is
+    * s14's remediation knob, and the sweep is the sizing table a
+    * serving tier reads it off: TopK-by-projected-distance candidate
+    * sets are NESTED across the sweep (top-8 ⊆ top-16 ⊆ top-32 under
+    * the same deterministic ordering), so per-query recall is monotone
+    * non-decreasing in shortlist — spec-pinned along with a full driver
+    * recompute. The exact side is computed ONCE and localCheckpointed
+    * (|queries|·3 rows — the q36/q46 small-view snapshot rule); the
+    * PCA axes come from the memoized [[pcaAxes]] fit, so the sweep pays
+    * one covariance pass, not three. Rows-only (eigensolver, s14's
+    * rule). */
+  def s16PcaRecall(spark: SparkSession, dir: String): DataFrame =
+    s16PcaRecall(spark, dir, kDims = 16, Seq(8, 16, 32))
+
+  def s16PcaRecall(spark: SparkSession, dir: String, kDims: Int,
+      shortlists: Seq[Int]): DataFrame = {
+    val exact = s01KnnBrute(spark, dir).filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    shortlists.map { sl =>
+      recallAuditOf(exact, s14AnnPca(spark, dir, kDims, sl))
+        .withColumn("shortlist", lit(sl.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("shortlist"), col("query_id"), col("k_exact"),
+        col("n_hit"), col("recall"))
+      .orderBy("shortlist", "query_id")
+  }
+
+  /** s17: SQ8 recall audit — s15's quality check promoted to a
+    * first-class audit: recall@3 of the integer-dot ranking against the
+    * exact FLOAT inner-product top-3 (the MIPS reference — s01's cosine
+    * normalizes, so it is the wrong yardstick for an IP ranking; the
+    * two orderings diverge exactly where vector norms vary, which is
+    * signal a serving tier must see). Same [[recallAuditOf]] core as
+    * every other audit; the exact side is one broadcast-queries ×
+    * corpus codegen'd dot pass through the TopKPerGroup heap (s01's
+    * shape). Rows-only with a spec-pinned driver recompute: the float
+    * IP ordering can tie within an ulp at a rank boundary, so the gate
+    * pins shape only and the spec pins values. */
+  def s17Sq8Recall(spark: SparkSession, dir: String): DataFrame =
+    recallAuditOf(s17ExactIpTop3(spark, dir),
+      s15Sq8Mips(spark, dir).select(col("query_id"), col("neighbor_id")))
+
+  /** Exact float-IP top-3 per query — s17's reference ranking. */
+  private[graft] def s17ExactIpTop3(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("ip",
+        graft.functions.NativeFunctions.dotProduct(col("qv"), col("cv")))
+    graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+        Seq(col("ip").desc, col("neighbor_id").asc), 3)
+      .select(col("query_id"), col("neighbor_id"))
+  }
 
   /** Coreset size for [[s08KcenterCoreset]] — a KNOB like s03's nLists:
     * a real data-pruning run sizes k to its selection budget. */

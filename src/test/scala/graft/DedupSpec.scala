@@ -591,4 +591,153 @@ class DedupSpec extends GraftSuite {
       s"external and split-based detectors disagree on the overlap: " +
         s"d16-only ${d16Flags -- d10Flags}, d10-only ${d10Flags -- d16Flags}")
   }
+
+  test("d16: public overload scores a FILE-LOADED external suite, identical to the planted path") {
+    import org.apache.spark.sql.functions._
+    // production shape: a benchmark suite arrives as a parquet file the
+    // pipeline did not synthesize — write one (two verbatim-quote items
+    // lifted from corpus docs + one corpus-absent synthetic), load it
+    // back, and probe through the PUBLIC entry point
+    val dir = java.nio.file.Files.createTempDirectory("d16ext").toString
+    val src = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 6)
+      .orderBy("doc_id").limit(2).collect()
+    val items = src.zipWithIndex.map { case (r, i) =>
+      val toks = r.getAs[String]("text").trim.split("\\s+")
+      (i.toLong, toks.take(5).mkString(" "))
+    } :+ (99L, "zqx1 zqx2 zqx3 zqx4 zqx5 zqx6")
+    import spark.implicits._
+    items.toSeq.toDF("bench_id", "text").write.parquet(s"$dir/bench.parquet")
+    val loaded = spark.read.parquet(s"$dir/bench.parquet")
+    val flags = Dedup.d16BenchmarkDecontam(spark, sf, loaded, 0.3, 0L)
+      .collect().map(r => r.getAs[Long]("bench_id") ->
+        (r.getAs[Long]("n_leaked"), r.getAs[Long]("n_shingles"),
+          r.getAs[Double]("contamination"))).toMap
+    // both quoted items fully contained; the synthetic item absent
+    Seq(0L, 1L).foreach { id =>
+      val (leaked, total, c) = flags(id)
+      assert(c == 1.0 && leaked == total, s"quoted item $id not fully contained")
+    }
+    assert(!flags.contains(99L), "corpus-absent item must not be flagged")
+    // and on the SAME input the public overload is the gated operator:
+    // feeding the planted suite through it reproduces the gate row set
+    val viaPublic = Dedup.d16BenchmarkDecontam(spark, sf,
+      Dedup.d16Benchmark(spark, sf), 0.3, 0L).collect().toSeq
+    val gated = Dedup.d16BenchmarkDecontam(spark, sf).collect().toSeq
+    assert(viaPublic == gated, "public overload diverged from the gated path")
+  }
+
+  test("d12b: hot-list sub-bucket cap collapses a planted mega-cluster's quadratic, no-op otherwise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted corpus: 200 near-identical vectors (one label) — the
+    // dup-heavy input SemDeDup targets, which k-means concentrates into
+    // ONE list — plus 40 spread vectors so the quantizer has structure
+    val dim = 8
+    def unit(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val hot = unit(7)
+    val vecs =
+      (0L until 200L).map { i =>
+        val jit = unit(1000 + i.toInt).map(_ * 0.01f)
+        (i, hot.zip(jit).map { case (a, b) => a + b }, 0L)
+      } ++ (200L until 240L).map(i => (i, unit(i.toInt), 1L + i % 3))
+    val dir = java.nio.file.Files.createTempDirectory("d12bcap").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def pairSet(maxList: Long) =
+      Dedup.d12IvfPairs(spark, dir, nLists = 4, maxList = maxList).collect()
+        .map(r => (r.getAs[Long]("vec_i"), r.getAs[Long]("vec_j"))).toSet
+    val uncapped = pairSet(Dedup.NoDfCap)
+    val capped = pairSet(16L)
+    // sub-bucketing only SPLITS candidate groups: capped pairs are a
+    // nonempty subset (within-bucket near-dups survive)
+    assert(capped.nonEmpty && capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size, "mega-cluster pairs must shrink under the cap")
+    // the bounded-factor win on the deterministic quantity (d02's skew
+    // gate): candidate-join volume Σ pop·(pop−1)/2 per join group must
+    // collapse ≥ 10× under the cap
+    val (assigned, _) = graft.operators.Similarity.s03Index(spark, dir, 4)
+    val pops = assigned.join(
+        spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "label"),
+        Seq("vec_id"))
+      .groupBy("label", "list_id").agg(count(lit(1)).as("pop"))
+      .collect().map(_.getAs[Long]("pop"))
+    def vol(groupSizes: Seq[Long]) = groupSizes.map(p => p * (p - 1) / 2).sum
+    val uncappedVol = vol(pops.toSeq)
+    val cappedVol = vol(pops.toSeq.flatMap { p =>
+      val b = math.max(1L, math.ceil(p.toDouble / 16L).toLong)
+      // worst-case even split bound (the hash spreads ~uniformly)
+      val base = p / b; val rem = p % b
+      Seq.fill(rem.toInt)(base + 1) ++ Seq.fill((b - rem).toInt)(base)
+    })
+    assert(uncappedVol >= 10 * cappedVol,
+      s"cap win below 10x: $uncappedVol vs $cappedVol")
+    // and with every group under the cap the plan is result-identical —
+    // the shipped default must not perturb the gate row (no_oracle,
+    // spark_rows stable)
+    assert(pairSet(100000L) == uncapped, "under-cap run must be a no-op")
+    assert(pairSet(Dedup.D12bMaxList) == uncapped,
+      "shipped default cap must be a no-op on this corpus")
+  }
+
+  test("d17: exact at the 63-char boundary — 62-char spans never pair, 63/64 always do") {
+    import spark.implicits._
+    // planted boundary corpus: three doc pairs sharing a verbatim span
+    // of EXACTLY 62/63/64 chars (span flanked by differing chars on
+    // both sides so it cannot extend), in otherwise-unique filler
+    def filler(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(30)("uniq" + rnd.nextInt(1000000)).mkString(" ")
+    }
+    def span(len: Int, tag: Char): String =
+      (0 until len).map(i => if (i % 7 == 6) ' ' else ('a' + (i * 31 + tag) % 26).toChar)
+        .mkString
+    val docs = Seq(62, 63, 64).zipWithIndex.flatMap { case (l, i) =>
+      val s = span(l, ('p' + i).toChar)
+      Seq((100L + 2 * i, s"${filler(2 * i)}X${s}Y${filler(100 + 2 * i)}"),
+        (101L + 2 * i, s"${filler(50 + 2 * i)}Q${s}R${filler(150 + 2 * i)}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("d17span").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.d17ExactSubstring(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    assert(pairs == Set((102L, 103L), (104L, 105L)),
+      s"d17 must flag exactly the 63- and 64-char span pairs, got $pairs")
+    // the winnowing guarantee direction: d11 at minShared=1 catches
+    // every >= 63-char span d17 certifies (its shipped minShared=2
+    // config deliberately trades boundary-length single-span detection
+    // for background noise rejection — measured here, not assumed)
+    val d11At1 = Dedup.d11WinnowedDup(spark, dir,
+        Dedup.WinnowW, Dedup.WinnowK, 1L, Dedup.NoDfCap).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    assert(pairs.subsetOf(d11At1),
+      s"winnowing guarantee broken: d17 pairs ${pairs -- d11At1} missed at minShared=1")
+  }
+
+  test("d17: pair set equals the declarative per-position index recompute, and n_shared counts windows") {
+    import org.apache.spark.sql.functions._
+    // independent in-engine recompute through the DECLARATIVE window
+    // pipeline (k=1 degenerates the winnow min to identity): same pair
+    // set and shared-window counts as the native-expression operator
+    val sel = Dedup.d11SelDeclarative(spark, sf, Dedup.ExactSpanChars, 1)
+    val expect = sel.as("a").join(sel.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("n_shared")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Dedup.d17ExactSubstring(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got == expect, "native d17 diverged from the declarative recompute")
+    assert(got.nonEmpty, "sf corpus must surface exact-substring pairs (exact dups exist)")
+  }
 }

@@ -240,4 +240,90 @@ class PipelinesSpec extends GraftSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  /** Driver recompute of the cross-corpus OOV audit under the UNK
+    * policy (OOV symbol → id = vocab.size). */
+  private def oovAuditModel(rules: Seq[(String, String)],
+      vocab: IndexedSeq[String], applyDocs: Seq[(Long, String, String)])
+      : Map[String, (Long, Long, Long, Long, Long)] = {
+    val idOf = vocab.zipWithIndex.toMap
+    val unk = vocab.size
+    val per = applyDocs.filter(_._3.trim.nonEmpty).map { case (_, src, text) =>
+      val syms = text.trim.split("\\s+").toSeq.flatMap(w => p12Fuse(w, rules))
+      val ids = syms.map(s => idOf.getOrElse(s, unk))
+      (src, ids.size.toLong, ids.count(_ == unk).toLong)
+    }
+    per.groupBy(_._1).map { case (src, xs) =>
+      val nIds = xs.map(_._2).sum
+      val nOov = xs.map(_._3).sum
+      src -> (xs.size.toLong, nIds, nOov, xs.count(_._3 > 0).toLong,
+        nOov * 1000000L / math.max(1L, nIds))
+    }
+  }
+
+  private def collectAudit(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_ids"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("docs_with_oov"), r.getAs[Long]("oov_ppm"))).toMap
+
+  test("p12 OOV contract: cross-corpus UNK mapping is exact, fail-fast default untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rules = graft.operators.Pipelines.p12Rules(spark, sf, 20, 4096)
+    val vocab = graft.operators.Pipelines.p12Vocab(spark, sf)
+    // apply corpus the tokenizer never saw: two in-vocab docs lifted
+    // from the train corpus + one doc with characters OUTSIDE the train
+    // alphabet (guaranteed OOV symbols)
+    val seen = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .orderBy("doc_id").limit(2)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val applyDocs = seen.toSeq :+ (9000L, "exotic", "αβγ δεζ the ηθι")
+    val dir = java.nio.file.Files.createTempDirectory("p12oov").toString
+    applyDocs.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = collectAudit(
+      graft.operators.Pipelines.p12CrossCorpusAudit(spark, sf, dir))
+    val want = oovAuditModel(rules, vocab, applyDocs)
+    assert(got == want, s"cross-corpus audit diverged:\ngot  $got\nwant $want")
+    // the exotic doc must actually exercise the UNK path
+    assert(got("exotic")._3 > 0, "fixture failed to produce OOV symbols")
+    // positions keep under UNK: id count equals the full symbol count
+    assert(got("exotic")._2 ==
+      applyDocs.filter(_._2 == "exotic").map(d =>
+        d._3.trim.split("\\s+").toSeq.flatMap(w => p12Fuse(w, rules)).size).sum)
+    // and the SAME-corpus default still fails fast — cross-corpus mode
+    // is an explicit opt-in, not a silent behavior change
+    val ex = intercept[Exception] {
+      Tables.documents(spark, dir)
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+        .withColumn("enc", graft.functions.NativeFunctions.bpeApply(col("toks"), rules))
+        .select(graft.functions.NativeFunctions.symIds(col("enc"), vocab))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last.getMessage)
+    assert(rootMsg(ex).contains("graft_sym_ids"),
+      s"expected the fail-fast OOV error, got: ${rootMsg(ex)}")
+  }
+
+  test("p12 OOV contract: sf0.001-trained tokenizer applied to sf0.01, accounting pinned") {
+    val applySf = "/root/testdata/sf0.01"
+    val rules = graft.operators.Pipelines.p12Rules(spark, sf, 20, 4096)
+    val vocab = graft.operators.Pipelines.p12Vocab(spark, sf)
+    val applyDocs = Tables.documents(spark, applySf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = collectAudit(
+      graft.operators.Pipelines.p12CrossCorpusAudit(spark, sf, applySf))
+    val want = oovAuditModel(rules, vocab, applyDocs)
+    assert(got == want,
+      s"sf0.001→sf0.01 audit diverged:\ngot  $got\nwant $want")
+    // the audit covers the whole apply corpus
+    assert(got.values.map(_._1).sum ==
+      applyDocs.count(_._3.trim.nonEmpty))
+  }
 }

@@ -249,6 +249,49 @@ class PlanAuditSpec extends GraftSuite {
       s"pair generation must key on the IVF list:\n$s")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"d12b must never go all-pairs:\n$s")
+    // the hot-list cap rides the SAME equi-join (sub is just one more
+    // key); the |labels|x|lists| population table broadcasts back
+    assert(s.contains("BroadcastHashJoin"),
+      s"the list-population table must broadcast, never shuffle the corpus:\n$s")
+  }
+
+  test("d17: exact-substring candidates are the d11 join shape at k=1 density") {
+    val s = planStr(Dedup.d17ExactSubstring(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"exact-substring pairs must come from a fingerprint equi-join:\n$s")
+    assert(s.contains("graft_winnow_fps"),
+      s"per-position hashing must be the shared native expression:\n$s")
+    assert(!s.contains("Window"), s"d17 must not plan a window:\n$s")
+  }
+
+  test("s16/s17: the promoted recall audits add no geometry beyond their subjects") {
+    // s16: every sweep branch keeps s14's heap shortlist (pinned on the
+    // LOGICAL plan — AQE's final string hides materialized stage
+    // subtrees, the s15 precedent); the exact side is computed once
+    // (localCheckpoint scan, not a fresh s01 run per branch)
+    val df16 = Similarity.s16PcaRecall(spark, sf, 16, Seq(8, 16))
+    val s16 = planStr(df16)
+    // the brute-family scoring pass IS a deliberate broadcast cross
+    // join (s01/s14's corpus x broadcast-queries shape) — what must
+    // never appear is a NON-broadcast cartesian of two big sides
+    assert(!s16.contains("CartesianProduct"),
+      s"s16 must never plan an unbroadcast cartesian:\n$s16")
+    val heaps16 = df16.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t
+    }
+    assert(heaps16.size >= 2,
+      s"each sweep branch must keep the heap shortlist (found ${heaps16.size})")
+    assert(s16.contains("Scan ExistingRDD"),
+      s"the exact side must read the checkpoint, not recompute s01 per branch:\n$s16")
+    // s17: the exact-IP reference side rides the heap like s01
+    val df17 = Similarity.s17Sq8Recall(spark, sf)
+    val heaps17 = df17.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t
+    }
+    assert(heaps17.size >= 2,
+      s"both ranking sides must reduce through the heap (found ${heaps17.size})")
+    assert(!planStr(df17).contains("SortMergeJoin"),
+      "broadcast query sides must never shuffle the corpus")
   }
 
   test("p06: mix membership is a broadcast rate table + map-side predicate") {

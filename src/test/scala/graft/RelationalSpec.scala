@@ -288,6 +288,37 @@ class RelationalSpec extends GraftSuite {
     rows.values.foreach(r => assert(r.getAs[Long]("n_nulls") == 0L))
   }
 
+  test("q37b: approx profile bounds its error vs q37's exact counts and drops the Expand") {
+    import org.apache.spark.sql.functions._
+    val rsd = 0.02
+    val exact = Relational.q37TableProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val approx = Relational.q37bProfileApprox(spark, sf, rsd).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    // identical report shape: same columns profiled, same exact
+    // (sketch-free) null and row counts
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, r) =>
+      assert(r.getAs[Long]("n_rows") == exact(c).getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_nulls") == exact(c).getAs[Long]("n_nulls"))
+      // HLL++ error bound: every estimate within ±3·rsd of the exact
+      // distinct count (rsd is the sketch's one-sigma target)
+      val ex = exact(c).getAs[Long]("n_distinct").toDouble
+      val est = r.getAs[Long]("n_distinct_est").toDouble
+      assert(math.abs(est - ex) <= math.max(1.0, 3 * rsd * ex),
+        s"$c: estimate $est outside 3σ of exact $ex")
+    }
+    // the at-scale point: NO Expand operator in the approx plan (the
+    // exact multi-distinct q37 plans through one — that's its documented
+    // fan-out cost), and still one scan of the table
+    val plan = Relational.q37bProfileApprox(spark, sf, rsd)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx profile must not Expand")
+    val exactPlan = Relational.q37TableProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "q37's documented Expand vanished — update the docs")
+  }
+
   test("q38: sequential and order-swapped state merges equal the one-shot rollup") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)

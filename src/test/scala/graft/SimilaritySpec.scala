@@ -595,6 +595,45 @@ class SimilaritySpec extends GraftSuite {
     assert(as2again.count() == base + 15, "re-absorption must be idempotent")
   }
 
+  test("refitIndex: duplicate arrival vec_ids resolve to one deterministic survivor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => seed * 0.01f + j * 0.001f)
+    // the SAME vec_id twice in one arrivals batch (a revision landing
+    // twice) — both copies carry arrival priority, so only the content
+    // tie-break decides; the survivor must be scan-order independent
+    val dupId = 910000L
+    val rows = Seq((dupId, emb(3)), (dupId, emb(4)), (910001L, emb(5)))
+    val fwd = rows.toDF("vec_id", "embedding")
+    val rev = rows.reverse.toDF("vec_id", "embedding")
+    def servedDup(arrivals: org.apache.spark.sql.DataFrame): Seq[Float] = {
+      val (assigned, _) = Similarity.refitIndex(spark, sf, arrivals, 16)
+      val got = assigned.filter(col("vec_id") === dupId).collect()
+      assert(got.length == 1, "dedup must leave exactly one row per vec_id")
+      got.head.getSeq[Float](got.head.fieldIndex("embedding"))
+    }
+    val first = servedDup(fwd)
+    // same content, reversed scan order: the order-independent arrivals
+    // fingerprint maps both to one key, but force a REBUILD so the
+    // dedup itself (not the cache) is what's being tested
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/graft_ivf")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirTag = sf.replaceAll("[^A-Za-z0-9._-]", "_")
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("s03refit") &&
+        p.getName.contains(s"_${dirTag}_n"))
+      .foreach(fs.delete(_, true))
+    val second = servedDup(rev)
+    assert(first == second,
+      "duplicate-arrival survivor depends on scan order — tie-break not deterministic")
+    // and the survivor is the documented rule: max (pri, xxhash64(emb))
+    val expect = Seq(emb(3), emb(4)).maxBy(e =>
+      Seq(e).toDF("e").select(xxhash64(col("e"))).head().getLong(0))
+    assert(first == expect.toSeq, "survivor is not the max-hash arrival")
+  }
+
   test("s15 SQ8: codes in range, driver recompute exact, ranking tracks the true inner product") {
     import org.apache.spark.sql.functions._
     val scale = Similarity.sq8Scale(spark, sf)
@@ -655,5 +694,86 @@ class SimilaritySpec extends GraftSuite {
         Similarity.sq8DotDeclarative(col("qc"), col("code")).as("d"))
       .filter(not(col("n") <=> col("d"))).count()
     assert(dotDiff == 0L, s"$dotDiff pairs disagree on SQ8 dot")
+  }
+
+  test("s16 PCA recall sweep matches a driver recompute and is monotone in shortlist") {
+    def top3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getAs[Long]("rk") <= 3L)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = top3(Similarity.s01KnnBrute(spark, sf))
+    val sweep = Seq(8, 16, 32)
+    val rows = Similarity.s16PcaRecall(spark, sf, 16, sweep).collect()
+    assert(rows.length == sweep.length * Similarity.NumQueries)
+    // per-(shortlist, query) hits recomputed from the two gated sides
+    sweep.foreach { sl =>
+      val ann = top3(Similarity.s14AnnPca(spark, sf, 16, sl))
+      rows.filter(_.getAs[Long]("shortlist") == sl.toLong).foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        assert(r.getAs[Long]("k_exact") == 3)
+        val expectHits = exact.filter(_._1 == q).count(ann.contains)
+        assert(r.getAs[Long]("n_hit") == expectHits,
+          s"shortlist $sl query $q: ${r.getAs[Long]("n_hit")} vs $expectHits")
+      }
+    }
+    // candidate sets are nested across the sweep (top-8 ⊆ top-16 ⊆
+    // top-32 by projected distance), so per-query recall can only rise
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      val recalls = rs.sortBy(_.getAs[Long]("shortlist")).map(_.getAs[Double]("recall"))
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+        s"query $q: recall not monotone across the sweep: ${recalls.toSeq}")
+    }
+  }
+
+  test("s17 SQ8 recall audit matches a driver recompute against the exact float-IP top-3") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // exact float-IP top-3 per query, the native dot's fold order
+    // (left-to-right float→double products)
+    def ip(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val exact = (0L until Similarity.NumQueries.toLong).flatMap { q =>
+      val qv = vecs(q)
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (nid, v) => (nid, ip(qv, v)) }
+        .sortBy { case (nid, d) => (-d, nid) }.take(3)
+        .map { case (nid, _) => (q, nid) }
+    }.toSet
+    // the operator's own reference side agrees with the recompute
+    val refSide = Similarity.s17ExactIpTop3(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(refSide == exact, "s17's exact-IP reference diverged from the driver fold")
+    val sq = Similarity.s15Sq8Mips(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rows = Similarity.s17Sq8Recall(spark, sf).collect()
+    assert(rows.length == Similarity.NumQueries)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("k_exact") == 3)
+      val expectHits = exact.filter(_._1 == q).count(sq.contains)
+      assert(r.getAs[Long]("n_hit") == expectHits,
+        s"query $q: audit says ${r.getAs[Long]("n_hit")} hits, recompute says $expectHits")
+      // the s15 spec's quality bar, now carried by a first-class audit:
+      // the integer ranking keeps >= 2 of the exact IP top-3
+      assert(r.getAs[Long]("n_hit") >= 2, s"query $q: SQ8 recall below 2/3")
+    }
+  }
+
+  test("graft_dot equals the declarative float-IP fold on every pair") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("embedding").as("qv"))
+    val diff = e.crossJoin(broadcast(q))
+      .select(
+        graft.functions.NativeFunctions.dotProduct(col("qv"), col("embedding")).as("n"),
+        graft.functions.VectorFunctions.dot(col("qv"), col("embedding")).as("d"))
+      .filter(not(col("n") <=> col("d"))).count()
+    assert(diff == 0L, s"$diff pairs disagree on graft_dot vs declarative fold")
   }
 }

@@ -277,9 +277,10 @@ class StreamingSpec extends GraftSuite {
     // static sides: the trained table and the offline-estimated cuts
     val (weights, interceptQ) = TextAnalysis.t28ExportWeights(spark, sf)
     val scored = Sampling.p13ScoredTrained(spark, sf)
-    val n = Tables.documents(spark, sf)
-      .filter(length(trim(col("text"))) > 0).count()
-    val cuts = Sampling.p13Boundaries(scored, n)
+    val nm = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .agg(count(lit(1)), min(col("doc_id"))).first()
+    val cuts = Sampling.p13Boundaries(scored, nm.getLong(0), nm.getLong(1))
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").orderBy("doc_id").limit(90).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
@@ -307,6 +308,49 @@ class StreamingSpec extends GraftSuite {
       s"streamed sampling diverged from batch:\nextra=${got.toSet -- want}\nmissing=${want -- got.toSet}")
     assert(got.exists(_._4) && got.exists(!_._4),
       "both keep and drop verdicts should appear on this corpus")
+  }
+
+  test("stream_shards assigns tokenizer ids and shards at ingest exactly like the batch export") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipelines
+    // frozen tokenizer artifacts — trained ONCE offline, shipped to the
+    // ingest job (the stream_vecindex frozen-quantizer split)
+    val rules = Pipelines.p12Rules(spark, sf, 20, 4096)
+    val vocab = Pipelines.p12Vocab(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select("doc_id", "text").orderBy("doc_id").limit(90).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val got = mutable.Buffer.empty[(Long, Long, Long, Long, List[Int])]
+    val q = StreamShards.run(
+      input.toDF().toDF("doc_id", "text"), rules, vocab) { b =>
+      got.synchronized {
+        got ++= b.collect().map(r => (r.getLong(0), r.getAs[Long]("key"),
+          r.getAs[Long]("shard"), r.getAs[Long]("n_ids"),
+          r.getSeq[Int](r.fieldIndex("token_ids")).toList))
+      }
+    }
+    // three micro-batches
+    try docs.grouped(30).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // deterministic rules + integer arithmetic ⇒ streamed assignments
+    // equal the BATCH export surface (p12TokenizedDocs + graft_sym_ids)
+    // for the same documents, token-for-token
+    val want = Pipelines.p12TokenizedDocs(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*))
+      .withColumn("token_ids",
+        graft.functions.NativeFunctions.symIds(col("enc"), vocab))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("key"),
+        r.getAs[Long]("shard"), r.getAs[Long]("n_ids"),
+        r.getSeq[Int](r.fieldIndex("token_ids")).toList)).toSet
+    assert(got.toSet == want,
+      s"streamed shard assignment diverged from batch:\n" +
+        s"extra=${(got.toSet -- want).take(3)}\nmissing=${(want -- got.toSet).take(3)}")
+    // the stream genuinely spreads across shards (range binning active)
+    assert(got.map(_._3).distinct.size > 1, "stream must hit multiple shards")
   }
 
   test("cms sketch aggregates incrementally over a stream (complete mode)") {

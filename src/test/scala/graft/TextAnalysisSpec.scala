@@ -972,7 +972,10 @@ class TextAnalysisSpec extends GraftSuite {
       : (Map[(String, Long), (Long, Long, Long, Long)], (Long, Long, Long)) = {
     val n = perDoc.size.toLong
     val stride = math.max(1L, n / 4096)
-    val sample = perDoc.filter(_._1 % stride == 0).map(d => (d._5, d._1)).sorted
+    // the stride class anchors at the minimum doc_id's remainder (non-
+    // empty by construction on any id space) — p13Boundaries' rule
+    val anchor = perDoc.map(_._1).min % stride
+    val sample = perDoc.filter(_._1 % stride == anchor).map(d => (d._5, d._1)).sorted
     val ns = sample.length
     def bnd(k: Int): Long = sample(math.max(0, ns * k / 4 - 1))._1
     val bs = (bnd(1), bnd(2), bnd(3))
@@ -1015,7 +1018,8 @@ class TextAnalysisSpec extends GraftSuite {
     }
     val (expected, bs) = p13DriverRollup(perDoc)
     val gotB = graft.operators.Sampling.p13Boundaries(
-      graft.operators.Sampling.p13ScoredHashed(spark, sf), perDoc.size.toLong)
+      graft.operators.Sampling.p13ScoredHashed(spark, sf), perDoc.size.toLong,
+      perDoc.map(_._1).min)
     assert(gotB == bs, s"cut scores diverged: $gotB vs $bs")
     val got = graft.operators.Sampling.p13ScoreSample(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("tier")) ->
@@ -1034,7 +1038,8 @@ class TextAnalysisSpec extends GraftSuite {
     }
     val (expected, bs) = p13DriverRollup(perDoc)
     val gotB = graft.operators.Sampling.p13Boundaries(
-      graft.operators.Sampling.p13ScoredTrained(spark, sf), perDoc.size.toLong)
+      graft.operators.Sampling.p13ScoredTrained(spark, sf), perDoc.size.toLong,
+      perDoc.map(_._1).min)
     assert(gotB == bs, s"trained cut scores diverged: $gotB vs $bs")
     val got = graft.operators.Sampling.p13bTrainedSample(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("tier")) ->
