@@ -169,6 +169,10 @@ object PlanDump {
         "Exact-substring dedup: every 63-char window hashes in ONE compiled pass per doc (d11's graft_winnow_fps with the winnow selection degenerated to k=1 — one shared hash definition), the per-position index meets itself in the SHUFFLE_HASH fingerprint equi-join (dfCapped stop-key path available for hot boilerplate spans), and the pair rollup partial-aggregates — exactness costs ~(K+1)/2 x d11's index DENSITY, never different join geometry."),
       ("q37b_profile_approx",
         "Approx profile: HLL++ sketches are mergeable partial aggregates, so the multi-column distinct profile is ONE scan + ONE plain partial/final aggregate with NO Expand — q37's #columns fan-out removed, which is the whole at-scale point; stack unpivots the single wide row into the report."),
+      ("t30_novelty_scan",
+        "Novelty scan: the shingle-df table is ONE partial-aggregable shuffle over d02's exploded index, the df join back is SHUFFLE_HASH on the shingle hash (the Generate output defeats sort-merge sizing), and the per-doc + per-source rollups are all-integer partial aggregates — memorization triage at the cost of one extra aggregation over the dedup index."),
+      ("p16_span_layout",
+        "Chunk-span mask table: offsets ride the export's one shard shuffle + per-shard window (co-located rows), the doc→chunks explode emits |docs|+|chunks| rows (never tokens), and the span arithmetic is map-side greatest/least on longs — the attention-mask table costs nothing beyond the layout pass that already ran."),
       ("s17_sq8_recall",
         "SQ8 recall audit: the exact reference side is one broadcast-queries x corpus pass through the codegen'd graft_dot into the TopKPerGroup heap (s01's shape on raw inner product); the SQ8 side is s15 unchanged; the audit itself is a |queries|x3-row left join + rollup — quality measurement costs two scans, no new geometry."),
     ).map { case (name, note) => (name, note, name) }

@@ -58,7 +58,11 @@ object ScaleProbe {
       // r9 additions: shard export, score-tiered sampling, external
       // decontamination, cluster-first semdedup
       "p12_training_shards", "p13_score_sample", "d16_benchmark_decontam",
-      "d12b_semdedup_ivf", "s15_sq8_mips", "t29_vocab_growth")
+      "d12b_semdedup_ivf", "s15_sq8_mips", "t29_vocab_growth",
+      // r10 additions: exact-substring pairs (per-position index — the
+      // probe measures the density-vs-exactness cost next to d11),
+      // novelty scan (df join over the shingle index), span mask table
+      "d17_exact_substring", "t30_novelty_scan", "p16_span_layout")
 
     val spark = SparkSession.builder()
       .master("local[32]")

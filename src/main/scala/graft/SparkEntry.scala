@@ -160,6 +160,10 @@ object SparkEntry {
     "p12_training_shards" -> // rows-only: merge table is corpus-dependent (t25's rule)
       (Pipelines.p12TrainingShards _),
     "p14_shard_layout" -> (Pipelines.p14ShardLayout _),
+    "p15_chunk_spans" -> // rows-only: BPE counts ride the corpus-dependent merge table (p12's rule)
+      (Pipelines.p15ChunkSpans _),
+    "p16_span_layout" -> (Pipelines.p16SpanLayout _),
+    "t30_novelty_scan" -> (TextAnalysis.t30NoveltyScan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

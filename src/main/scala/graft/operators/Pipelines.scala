@@ -338,6 +338,69 @@ object Pipelines {
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** The chunk-local DOC SPAN relation behind p15/p16: each packed
+    * context window's (doc_id, tok_start, tok_end) memberships — the
+    * attention-mask reset table a trainer pairs with the token stream
+    * (cross-document attention masks out at exactly these boundaries;
+    * without it packed training bleeds context across documents).
+    * `docs` is the (doc_id, key, shard, n_ids) relation; offsets come
+    * from the SAME within-shard cumsum as [[shardLayoutAudit]] and
+    * [[p12Chunks]], so span membership is identical to the exported
+    * chunks by construction. A doc spanning chunks
+    * ⌊start/B⌋..⌊(end−1)/B⌋ explodes to one row per chunk touched
+    * (|docs| + |chunks| rows total — never tokens); spans are
+    * chunk-local half-open [tok_start, tok_end). One shard shuffle +
+    * the per-shard window, map-side arithmetic after. */
+  private[graft] def chunkSpans(docs: DataFrame): DataFrame = {
+    val B = Sampling.PackBudget
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start_off", coalesce(sum(col("n_ids")).over(w), lit(0L)))
+      .withColumn("end_off", col("start_off") + col("n_ids"))
+      .filter(col("n_ids") > 0)
+      .select(col("shard"), col("doc_id"), col("start_off"), col("end_off"),
+        explode(sequence(expr(s"start_off div ${B}L"),
+          expr(s"(end_off - 1) div ${B}L"))).as("chunk"))
+      .select(col("shard"), col("chunk"), col("doc_id"),
+        greatest(col("start_off") - col("chunk") * lit(B.toLong), lit(0L))
+          .as("tok_start"),
+        (least(col("end_off"), (col("chunk") + 1) * lit(B.toLong))
+          - col("chunk") * lit(B.toLong)).as("tok_end"))
+      .orderBy("shard", "chunk", "tok_start")
+  }
+
+  /** p15: per-chunk doc spans of the BPE export (p12's units) — the
+    * mask table shipped NEXT TO `p12WriteShards`' token stream.
+    * Rows-only (BPE counts ride the corpus-dependent merge table,
+    * p12's rule); specs pin that spans PARTITION every chunk exactly
+    * (contiguous from 0, lengths sum to the chunk's token count in the
+    * written artifact) and that multi-chunk docs reconcile with the
+    * audit's boundary-doc count per shard. */
+  def p15ChunkSpans(spark: SparkSession, dir: String): DataFrame =
+    chunkSpans(p12TokenizedDocs(spark, dir))
+
+  /** p16: the GATED mirror of p15 in WHITESPACE-token units (p14's
+    * relationship to p12): span arithmetic is tokenizer-independent
+    * given per-doc counts, so the identical [[chunkSpans]] tail
+    * hash-matches DuckDB at every SF — the mask-table machinery is
+    * under the hash gate, BPE units stay rows-only only because the
+    * merge table is corpus-dependent. */
+  def p16SpanLayout(spark: SparkSession, dir: String): DataFrame = {
+    val P = TF.HashMod
+    val m = java.lang.Math.floorMod(Sampling.EpochA + Sampling.EpochB, P)
+    val key = (pmod(col("doc_id"), lit(P)) * lit(m)) % lit(P)
+    chunkSpans(
+      Tables.documents(spark, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("n_ids", size(TF.tokens(col("text"))).cast("long"))
+        .withColumn("key", key)
+        .withColumn("shard",
+          expr(s"(key * ${Sampling.ShuffleShards}L) div ${TF.HashMod}L"))
+        .select("doc_id", "key", "shard", "n_ids"))
+  }
+
   /** CROSS-CORPUS tokenizer application — the OOV contract made
     * explicit. p12's same-corpus export fails fast on an out-of-vocab
     * symbol (a miss there is a build bug), but a production tokenizer
@@ -412,6 +475,43 @@ object Pipelines {
             MIN(key) AS min_key, MAX(key) AS max_key
           FROM o GROUP BY shard ORDER BY shard"""
     }
+    val p16 = {
+      val P = TF.HashMod
+      val m = java.lang.Math.floorMod(
+        Sampling.EpochA + Sampling.EpochB, P)
+      val B = Sampling.PackBudget
+      s"""WITH d AS (
+            SELECT doc_id,
+              CAST(len($toks) AS BIGINT) AS n_ids,
+              ((doc_id % $P) * $m) % $P AS key
+            FROM documents WHERE len(trim(text)) > 0),
+          s AS (
+            SELECT doc_id, n_ids, key,
+              (key * ${Sampling.ShuffleShards}) // $P AS shard
+            FROM d),
+          o AS (
+            SELECT shard, doc_id, n_ids,
+              COALESCE(SUM(n_ids) OVER (PARTITION BY shard
+                ORDER BY key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS start_off
+            FROM s),
+          e AS (
+            SELECT shard, doc_id, start_off,
+              start_off + n_ids AS end_off
+            FROM o WHERE n_ids > 0),
+          x AS (
+            SELECT shard, doc_id, start_off, end_off,
+              unnest(generate_series(CAST(start_off // $B AS BIGINT),
+                CAST((end_off - 1) // $B AS BIGINT))) AS chunk
+            FROM e)
+          SELECT CAST(shard AS BIGINT) AS shard,
+            CAST(chunk AS BIGINT) AS chunk, doc_id,
+            CAST(greatest(start_off - chunk * $B, 0) AS BIGINT) AS tok_start,
+            CAST(least(end_off, (chunk + 1) * $B) - chunk * $B AS BIGINT)
+              AS tok_end
+          FROM x ORDER BY shard, chunk, tok_start"""
+    }
     val quality =
       s"""round(least(len($toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
             * CAST(0.5 AS DOUBLE)
@@ -419,6 +519,7 @@ object Pipelines {
             * CAST(0.5 AS DOUBLE), 4)"""
     Map(
       "p14_shard_layout" -> p14,
+      "p16_span_layout" -> p16,
       "p03_clean_corpus" ->
         s"""WITH q AS (
               SELECT doc_id, lang, source, text

@@ -1318,9 +1318,74 @@ object TextAnalysis {
         (col("w_sum") + lit(interceptQ) > 0).as("flagged")): _*)
   }
 
+  /** t30 flag threshold: a doc is LOW-NOVELTY when fewer than half of
+    * its distinct shingles are unique to it corpus-wide (novelty ppm
+    * < 500000) — integer ppm on integer counts, no float boundary. */
+  val NoveltyFlagPpm = 500000L
+
+  /** t30: document NOVELTY scan — per doc, the fraction of its distinct
+    * 3-gram shingles that occur NOWHERE else in the corpus (df = 1).
+    * The memorization/duplication-mass signal dedup thresholds don't
+    * surface: a doc can fall below every pairwise near-dup threshold
+    * while 80% of its content is scattered boilerplate — exactly the
+    * mass that inflates memorization in training. Exact duplicates
+    * score 0 novelty (every shingle shared with the twin); the report
+    * is the per-source triage a pipeline reads before choosing dedup
+    * aggressiveness.
+    *
+    * Shape at 100 TB: ONE shingle-df aggregation (partial-aggregable,
+    * the same index d02 builds), an h-keyed equi-join back
+    * (SHUFFLE_HASH — the Generate output defeats the planner's sizing,
+    * d02's lesson), a per-doc and a ≤|sources| rollup. All-integer
+    * (counts and div-ppm), fully hash-gated. */
+  def t30NoveltyScan(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docsWithTokens(spark, dir)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.NativeFunctions.shingleHashes(col("toks"))).as("h"))
+    val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = ex.hint("SHUFFLE_HASH").join(dfTab, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("flag",
+        expr(s"(n_unique * 1000000) div n_sh") < NoveltyFlagPpm)
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_sh")).as("sh_total"),
+        sum(col("n_unique")).as("sh_unique"))
+      .withColumn("novelty_ppm",
+        expr("(sh_unique * 1000000) div sh_total"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
+      "t30_novelty_scan" ->
+        s"""WITH d AS (
+              SELECT doc_id, source, ${TS.shingleHashes(toks)} AS sh
+              FROM documents WHERE len($toks) >= 3),
+            ex AS (SELECT doc_id, source, unnest(sh) AS h FROM d),
+            f AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+            pd AS (
+              SELECT doc_id, source, COUNT(*) AS n_sh,
+                SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+              FROM ex JOIN f USING (h) GROUP BY 1, 2),
+            fl AS (
+              SELECT source, n_sh, n_unique,
+                CASE WHEN (CAST(n_unique AS BIGINT) * 1000000)
+                       // CAST(n_sh AS BIGINT) < $NoveltyFlagPpm
+                     THEN 1 ELSE 0 END AS flag
+              FROM pd)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(flag) AS BIGINT) AS n_flagged,
+              CAST(SUM(n_sh) AS BIGINT) AS sh_total,
+              CAST(SUM(n_unique) AS BIGINT) AS sh_unique,
+              (CAST(SUM(n_unique) AS BIGINT) * 1000000)
+                // CAST(SUM(n_sh) AS BIGINT) AS novelty_ppm
+            FROM fl GROUP BY 1 ORDER BY 1""",
       "t18_url_filter" -> {
         val doms = UrlDomains.map(d => s"'$d'").mkString(", ")
         val blocked = UrlBlocklist.map(d => s"'$d'").mkString(", ")

@@ -266,6 +266,57 @@ class PipelinesSpec extends GraftSuite {
       (r.getAs[Long]("n_docs"), r.getAs[Long]("n_ids"), r.getAs[Long]("n_oov"),
         r.getAs[Long]("docs_with_oov"), r.getAs[Long]("oov_ppm"))).toMap
 
+  test("p15/p16: spans partition every chunk and reconcile with the audit and the written chunks") {
+    import org.apache.spark.sql.functions._
+    val B = graft.operators.Sampling.PackBudget
+    for ((name, spans, audit) <- Seq(
+        ("p15", graft.operators.Pipelines.p15ChunkSpans(spark, sf),
+          graft.operators.Pipelines.p12TrainingShards(spark, sf)),
+        ("p16", graft.operators.Pipelines.p16SpanLayout(spark, sf),
+          graft.operators.Pipelines.p14ShardLayout(spark, sf)))) {
+      val rows = spans.collect().map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("chunk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+      val aud = audit.collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chunks"),
+          r.getAs[Long]("n_boundary_docs"))).toMap
+      // per (shard, chunk): spans are contiguous from 0 and end at the
+      // chunk's true token count (B everywhere but a shard's last chunk)
+      rows.groupBy(r => (r._1, r._2)).foreach { case ((sh, c), ss) =>
+        val ordered = ss.sortBy(_._4)
+        assert(ordered.head._4 == 0L, s"$name shard $sh chunk $c starts late")
+        ordered.zip(ordered.tail).foreach { case (a, b) =>
+          assert(a._5 == b._4, s"$name shard $sh chunk $c: gap ${a._5}→${b._4}")
+        }
+        val (nTok, nChunks, _) = aud(sh)
+        val expectEnd = if (c == nChunks - 1) nTok - c * B else B.toLong
+        assert(ordered.last._5 == expectEnd,
+          s"$name shard $sh chunk $c ends at ${ordered.last._5}, want $expectEnd")
+      }
+      // every audited chunk is present; boundary docs (rows in >1
+      // chunk) match the audit's count per shard
+      aud.foreach { case (sh, (_, nChunks, nBoundary)) =>
+        val chunks = rows.filter(_._1 == sh).map(_._2).distinct.sorted.toSeq
+        assert(chunks == (0L until nChunks).toSeq,
+          s"$name shard $sh chunk set $chunks != 0..${nChunks - 1}")
+        val multi = rows.filter(_._1 == sh).groupBy(_._3)
+          .count(_._2.length > 1).toLong
+        assert(multi == nBoundary,
+          s"$name shard $sh boundary docs $multi != audit $nBoundary")
+      }
+    }
+    // p15's span lengths agree with the WRITTEN chunk rows token-for-token
+    val chunkLens = graft.operators.Pipelines.p12Chunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk")) ->
+        r.getSeq[Int](r.fieldIndex("token_ids")).size.toLong).toMap
+    val spanLens = graft.operators.Pipelines.p15ChunkSpans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk")) ->
+        (r.getAs[Long]("tok_end") - r.getAs[Long]("tok_start")))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(spanLens == chunkLens,
+      "p15 span lengths must sum to each exported chunk's token count")
+  }
+
   test("p12 OOV contract: cross-corpus UNK mapping is exact, fail-fast default untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

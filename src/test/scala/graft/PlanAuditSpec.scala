@@ -225,6 +225,28 @@ class PlanAuditSpec extends GraftSuite {
     }
   }
 
+  test("p15/p16: the span tables are join-free — the export's shard shuffle + window, nothing more") {
+    Seq(Pipelines.p15ChunkSpans(spark, sf),
+        Pipelines.p16SpanLayout(spark, sf)).foreach { df =>
+      val s = planStr(df)
+      assert(!s.contains("Join"),
+        s"the mask table needs no join at all:\n$s")
+      assert(s.contains("hashpartitioning(shard"),
+        s"offsets must ride the shard exchange:\n$s")
+    }
+  }
+
+  test("t30: novelty df join is a shuffled-hash equi-join over the shingle index") {
+    val df = TextAnalysis.t30NoveltyScan(spark, sf)
+    val s = planStr(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"df lookup must be an equi-join on the shingle hash:\n$s")
+    assert(s.contains("graft_shingles"),
+      s"shingling must be the native expression:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"the Generate output must not pay two sorts (SHUFFLE_HASH hint):\n$s")
+  }
+
   test("t29: threshold fan-out is a sequence-explode, never a window or nested loop") {
     val s = planStr(TextAnalysis.t29VocabGrowth(spark, sf))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

@@ -958,6 +958,44 @@ class TextAnalysisSpec extends GraftSuite {
       s"50% subset carries only ${half._4}/$vocab of the vocabulary")
   }
 
+  test("t30: novelty scan matches a driver df-recompute; exact dups score zero novelty") {
+    import org.apache.spark.sql.functions._
+    val P = 1000000007L
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.trim.split("\\s+").length >= 3)
+      .map { case (id, src, text) =>
+        val tv = text.trim.split("\\s+").map(dTokenVal)
+        val sh = tv.sliding(3).map(w =>
+          (w(0) * 1000003L + w(1) * 31L + w(2)) % P).toSeq.distinct
+        (id, src, sh)
+      }
+    val dfOf = docs.flatMap(_._3).groupBy(identity).map { case (h, xs) => h -> xs.size }
+    val perSource = docs.map { case (_, src, sh) =>
+      val uniq = sh.count(h => dfOf(h) == 1)
+      val flagged = uniq.toLong * 1000000L / sh.size < TextAnalysis.NoveltyFlagPpm
+      (src, sh.size.toLong, uniq.toLong, flagged)
+    }.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.size.toLong, xs.count(_._4).toLong,
+        xs.map(_._2).sum, xs.map(_._3).sum)
+    }
+    val got = TextAnalysis.t30NoveltyScan(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_flagged"),
+          r.getAs[Long]("sh_total"), r.getAs[Long]("sh_unique"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    perSource.foreach { case (src, (nd, nf, st, su)) =>
+      val g = got(src)
+      assert((g._1, g._2, g._3, g._4) == ((nd, nf, st, su)),
+        s"$src diverged: got $g want ($nd,$nf,$st,$su)")
+      assert(g._5 == su * 1000000L / st)
+    }
+    // the corpus's planted exact-dup docs share EVERY shingle with
+    // their twin, so at least one source must carry flagged docs
+    assert(got.values.map(_._2).sum > 0, "exact dups must surface as low-novelty")
+  }
+
   // ─────────────── p13: classifier-score-tiered sampling ────────────────
 
   /** Driver tokenVal — TF.tokenVal's formula, codepoint semantics. */
