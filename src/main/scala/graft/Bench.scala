@@ -93,7 +93,12 @@ object Bench {
                 discarded(name) = discarded.getOrElse(name, Nil) :+ v.max
                 name -> (v.sortBy(-_).drop(1) :+ t)
               } else name -> v
-            case _ => name -> v
+            case _ =>
+              // a FAILED retry is provenance too (−1 sentinel): the
+              // query whose retry errored is exactly the one a
+              // consumer must not mistake for "never retried"
+              retries(name) = retries.getOrElse(name, Nil) :+ -1.0
+              name -> v
           }
         case kv => kv
       }
@@ -145,9 +150,10 @@ object Bench {
         s"\"" + k + "\":" + v.map(d => f"$d%.4f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       // Per-query repair provenance: which vectors were scrubbed, every
-      // retry timing taken (including unfavorable ones that were NOT
-      // used), and the samples they displaced — consumers can
-      // reconstruct the raw measurement set as samples ∪ discarded.
+      // retry taken (unfavorable retries included; a retry that FAILED
+      // records a −1 sentinel), and the samples they displaced —
+      // consumers can reconstruct the raw measurement set as
+      // samples ∪ discarded.
       val repairs =
         if (retries.isEmpty) ""
         else ",\"repairs\":" + retries.keys.toSeq.sorted.map { k =>

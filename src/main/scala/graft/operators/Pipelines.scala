@@ -270,19 +270,26 @@ object Pipelines {
     * (p12's BPE units stay rows-only because the merge table is
     * corpus-dependent — this op hash-gates everything else about the
     * export). */
-  def p14ShardLayout(spark: SparkSession, dir: String): DataFrame = {
+  /** The WHITESPACE-unit (doc_id, key, shard, n_ids) doc relation
+    * shared by the gated p14 audit and the gated p16 span table — one
+    * definition of the epoch key and shard binning in whitespace
+    * units, so the two gated mirrors can never desync (the p12DocCols
+    * rule applied to the tokenizer-independent side). */
+  private def p14Docs(spark: SparkSession, dir: String): DataFrame = {
     val P = TF.HashMod
     val m = java.lang.Math.floorMod(Sampling.EpochA + Sampling.EpochB, P)
     val key = (pmod(col("doc_id"), lit(P)) * lit(m)) % lit(P)
-    shardLayoutAudit(
-      Tables.documents(spark, dir)
-        .filter(length(trim(col("text"))) > 0)
-        .withColumn("n_ids", size(TF.tokens(col("text"))).cast("long"))
-        .withColumn("key", key)
-        .withColumn("shard",
-          expr(s"(key * ${Sampling.ShuffleShards}L) div ${P}L"))
-        .select("doc_id", "key", "shard", "n_ids"))
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("n_ids", size(TF.tokens(col("text"))).cast("long"))
+      .withColumn("key", key)
+      .withColumn("shard",
+        expr(s"(key * ${Sampling.ShuffleShards}L) div ${P}L"))
+      .select("doc_id", "key", "shard", "n_ids")
   }
+
+  def p14ShardLayout(spark: SparkSession, dir: String): DataFrame =
+    shardLayoutAudit(p14Docs(spark, dir))
 
   /** One shard's packed chunks as (chunk, token_ids) — the replay
     * surface the spec verifies token-for-token. Ids come from
@@ -387,19 +394,8 @@ object Pipelines {
     * hash-matches DuckDB at every SF — the mask-table machinery is
     * under the hash gate, BPE units stay rows-only only because the
     * merge table is corpus-dependent. */
-  def p16SpanLayout(spark: SparkSession, dir: String): DataFrame = {
-    val P = TF.HashMod
-    val m = java.lang.Math.floorMod(Sampling.EpochA + Sampling.EpochB, P)
-    val key = (pmod(col("doc_id"), lit(P)) * lit(m)) % lit(P)
-    chunkSpans(
-      Tables.documents(spark, dir)
-        .filter(length(trim(col("text"))) > 0)
-        .withColumn("n_ids", size(TF.tokens(col("text"))).cast("long"))
-        .withColumn("key", key)
-        .withColumn("shard",
-          expr(s"(key * ${Sampling.ShuffleShards}L) div ${TF.HashMod}L"))
-        .select("doc_id", "key", "shard", "n_ids"))
-  }
+  def p16SpanLayout(spark: SparkSession, dir: String): DataFrame =
+    chunkSpans(p14Docs(spark, dir))
 
   /** CROSS-CORPUS tokenizer application — the OOV contract made
     * explicit. p12's same-corpus export fails fast on an out-of-vocab

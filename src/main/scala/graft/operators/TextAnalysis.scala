@@ -1344,7 +1344,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         explode(graft.functions.NativeFunctions.shingleHashes(col("toks"))).as("h"))
     val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val perDoc = ex.hint("SHUFFLE_HASH").join(dfTab, "h")
+    // hint the AGGREGATED side: it is the strictly smaller relation
+    // (≤ |ex|, much smaller on duplicate-heavy corpora), so it becomes
+    // the hash-join build side — the exploded corpus side streams
+    val perDoc = ex.join(dfTab.hint("SHUFFLE_HASH"), "h")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))

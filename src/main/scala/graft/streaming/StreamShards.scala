@@ -35,13 +35,24 @@ object StreamShards {
   /** One micro-batch's per-doc assignments — the exact batch semantics,
     * exposed for the spec and the foreachBatch body. `docs` needs
     * (doc_id, text); `rules`/`vocab` are the frozen tokenizer
-    * artifacts ([[graft.operators.Pipelines.p12Rules]]/`p12Vocab`). */
+    * artifacts ([[graft.operators.Pipelines.p12Rules]]/`p12Vocab`).
+    * `unkId` is the `graft_sym_ids` OOV contract knob: the STREAMING
+    * default is the CROSS-CORPUS mode (OOV → the reserved vocab.size
+    * sentinel) because arriving text is by definition text the frozen
+    * tokenizer never saw — p12's same-corpus fail-fast would let ONE
+    * exotic character kill the whole streaming query and drop every
+    * later arrival; pass a negative unkId to opt back into fail-fast
+    * when the stream is contractually same-alphabet. In-vocab
+    * documents get identical ids under both modes, so batch parity is
+    * unchanged (spec-pinned). */
   private[graft] def assignments(docs: DataFrame,
       rules: Seq[(String, String)], vocab: IndexedSeq[String],
-      epoch: Long = 1L, shards: Int = Sampling.ShuffleShards): DataFrame =
+      epoch: Long = 1L, shards: Int = Sampling.ShuffleShards,
+      unkId: Option[Int] = None): DataFrame =
     Pipelines.p12DocCols(docs, rules, epoch, shards)
       .withColumn("token_ids",
-        graft.functions.NativeFunctions.symIds(col("enc"), vocab))
+        graft.functions.NativeFunctions.symIds(col("enc"), vocab,
+          unkId.getOrElse(vocab.size)))
       .select("doc_id", "key", "shard", "n_ids", "token_ids")
 
   /** Start assigning the `docs` stream against the frozen tokenizer;
@@ -49,12 +60,12 @@ object StreamShards {
     * (doc_id, key, shard, n_ids, token_ids) rows. */
   def run(docs: DataFrame, rules: Seq[(String, String)],
       vocab: IndexedSeq[String], epoch: Long = 1L,
-      shards: Int = Sampling.ShuffleShards)(
+      shards: Int = Sampling.ShuffleShards, unkId: Option[Int] = None)(
       onBatch: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        onBatch(assignments(batch.toDF(), rules, vocab, epoch, shards))
+        onBatch(assignments(batch.toDF(), rules, vocab, epoch, shards, unkId))
       }
       .start()
 }

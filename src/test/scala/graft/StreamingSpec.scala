@@ -333,8 +333,15 @@ class StreamingSpec extends GraftSuite {
           r.getSeq[Int](r.fieldIndex("token_ids")).toList))
       }
     }
-    // three micro-batches
-    try docs.grouped(30).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    // three micro-batches; the last also carries a doc with characters
+    // the frozen tokenizer never saw — the streaming OOV default must
+    // map it to the UNK sentinel, NOT kill the query (one poisoned
+    // arrival must not drop every later one)
+    val exotic = (999999L, "αβγ the δεζ")
+    try docs.grouped(30).zipWithIndex.foreach { case (b, i) =>
+      input.addData(if (i == 2) b.toSeq :+ exotic else b.toSeq)
+      q.processAllAvailable()
+    }
     finally q.stop()
     // deterministic rules + integer arithmetic ⇒ streamed assignments
     // equal the BATCH export surface (p12TokenizedDocs + graft_sym_ids)
@@ -346,11 +353,17 @@ class StreamingSpec extends GraftSuite {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("key"),
         r.getAs[Long]("shard"), r.getAs[Long]("n_ids"),
         r.getSeq[Int](r.fieldIndex("token_ids")).toList)).toSet
-    assert(got.toSet == want,
+    val gotCorpus = got.toSet.filter(_._1 != exotic._1)
+    assert(gotCorpus == want,
       s"streamed shard assignment diverged from batch:\n" +
-        s"extra=${(got.toSet -- want).take(3)}\nmissing=${(want -- got.toSet).take(3)}")
+        s"extra=${(gotCorpus -- want).take(3)}\nmissing=${(want -- gotCorpus).take(3)}")
     // the stream genuinely spreads across shards (range binning active)
     assert(got.map(_._3).distinct.size > 1, "stream must hit multiple shards")
+    // the exotic doc survived ingest with OOV mapped to the sentinel
+    val exoticRows = got.filter(_._1 == exotic._1)
+    assert(exoticRows.size == 1, "exotic doc must stream through, not kill the query")
+    assert(exoticRows.head._5.contains(vocab.size),
+      "OOV symbols must map to the reserved vocab.size sentinel")
   }
 
   test("cms sketch aggregates incrementally over a stream (complete mode)") {
