@@ -62,7 +62,8 @@ object ScaleProbe {
       // r10 additions: exact-substring pairs (per-position index — the
       // probe measures the density-vs-exactness cost next to d11),
       // novelty scan (df join over the shingle index), span mask table
-      "d17_exact_substring", "t30_novelty_scan", "p16_span_layout")
+      "d17_exact_substring", "t30_novelty_scan", "p16_span_layout",
+      "s18_filtered_knn")
 
     val spark = SparkSession.builder()
       .master("local[32]")

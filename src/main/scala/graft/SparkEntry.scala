@@ -130,6 +130,7 @@ object SparkEntry {
     "d15_paragraph_dedup" -> (Dedup.d15ParagraphDedup _),
     "d16_benchmark_decontam" -> ((s, d) => Dedup.d16BenchmarkDecontam(s, d)),
     "a03_asof_forward" -> (Temporal.a03AsofForward _),
+    "a04_asof_tolerance" -> ((s, d) => Temporal.a04AsofTolerance(s, d)),
     "s01_knn_brute" -> (Similarity.s01KnnBrute _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _), // rows-only: KMeans not DuckDB-expressible
@@ -148,6 +149,7 @@ object SparkEntry {
     "s15_sq8_mips" -> (Similarity.s15Sq8Mips _), // GATED: integer SQ8 dot is one cross-engine semantics
     "s16_pca_recall" -> ((s, d) => Similarity.s16PcaRecall(s, d)), // rows-only: audits the PCA-fit s14 across the shortlist sweep
     "s17_sq8_recall" -> (Similarity.s17Sq8Recall _), // rows-only: float-IP reference ranking can tie within an ulp
+    "s18_filtered_knn" -> (Similarity.s18FilteredKnn _),
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),

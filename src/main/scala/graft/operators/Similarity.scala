@@ -882,6 +882,35 @@ object Similarity {
     recallAuditOf(s17ExactIpTop3(spark, dir),
       s15Sq8Mips(spark, dir).select(col("query_id"), col("neighbor_id")))
 
+  /** s18: FILTERED k-NN — the production vector-search feature every
+    * serving tier grows next (search WITHIN a metadata predicate:
+    * tenant, language, license class, freshness): exact top-3 cosine
+    * among corpus vectors satisfying the filter — here `label % 2 = 0`,
+    * the stand-in for any metadata predicate. The at-scale point is
+    * WHERE the filter runs: BELOW the scoring, at the parquet scan
+    * (PushedFilters — plan-pinned), so the scored population is the
+    * filtered slice, never the corpus; the naive alternative
+    * (post-filter a top-k) UNDER-FILLS results whenever the filter is
+    * selective (k survivors of a filtered top-k < k true filtered
+    * neighbors — the classic filtered-ANN correctness trap,
+    * spec-pinned against exactly that form). Same broadcast-queries +
+    * TopKPerGroup shape as s01, fully hash-gated. The IVF composition
+    * needs no new operator: s03's candidate stage is a DataFrame, so
+    * the same predicate applied to the persisted assigned table before
+    * the list join IS filtered ANN at IVF cost. */
+  def s18FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+  }
+
   /** Exact float-IP top-3 per query — s17's reference ranking. */
   private[graft] def s17ExactIpTop3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -1664,6 +1693,19 @@ object Similarity {
           FROM e3 LEFT JOIN a3 ON e3.query_id = a3.query_id
             AND e3.neighbor_id = a3.neighbor_id
           GROUP BY 1 ORDER BY 1""",
+    "s18_filtered_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < $NumQueries),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                  ${VS.cosine("qv", "e.embedding")} AS cos
+                FROM embeddings e, q
+                WHERE e.vec_id <> query_id AND e.label % 2 = 0),
+          r AS (SELECT query_id, neighbor_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rk
+                FROM s)
+          SELECT query_id, rk, neighbor_id, round(cos, 4) AS cosine
+          FROM r WHERE rk <= 3 ORDER BY query_id, rk""",
     "s01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < $NumQueries),

@@ -81,6 +81,38 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** a04 freshness bound, seconds (1 day — sized to the corpus's gap
+    * distribution so both verdicts populate at every test SF: the
+    * median view→purchase gap at sf0.1 is ~1.4 days). */
+  val AsofToleranceSec = 86400L
+
+  /** a04: as-of join WITH TOLERANCE — a01's latest-prior-state
+    * enrichment bounded by a freshness window, the contract every
+    * production as-of enrichment actually carries (state older than the
+    * tolerance must NOT enrich: last week's quote is not "the current
+    * price"; a session attributed to a week-old page view is noise).
+    * Built ON a01 — the same single-shuffle union-and-carry plan, with
+    * the tolerance applied as a map-side CASE after the carry — so the
+    * match semantics can never drift from the unbounded form: a stale
+    * match degrades to the no-match NULLs, and the explicit `fresh`
+    * flag separates "no prior view ever" from "prior view too old"
+    * downstream without re-deriving the gap. All-integer microsecond
+    * comparison — no float boundary on the tolerance edge. */
+  def a04AsofTolerance(spark: SparkSession, dir: String): DataFrame =
+    a04AsofTolerance(spark, dir, AsofToleranceSec)
+
+  def a04AsofTolerance(spark: SparkSession, dir: String,
+      tolSec: Long): DataFrame = {
+    val tolUs = tolSec * 1000000L
+    val fresh = col("gap_us").isNotNull && col("gap_us") <= tolUs
+    a01AsofJoin(spark, dir)
+      .select(col("user_id"), col("event_id"), col("purchase_us"),
+        when(fresh, col("view_us")).as("view_us"),
+        when(fresh, col("gap_us")).as("gap_us"),
+        fresh.as("fresh"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Band width for a02, seconds. */
   val BandSec = 300L
 
@@ -139,6 +171,25 @@ object Temporal {
           FROM v ASOF LEFT JOIN p
             ON v.user_id = p.user_id AND v.neg_us >= p.neg_us
           ORDER BY v.user_id, v.event_id""",
+    "a04_asof_tolerance" ->
+      s"""WITH p AS (SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+                FROM events WHERE event_type = 'view'),
+          base AS (
+            SELECT p.user_id, p.event_id,
+              epoch_us(p.ts) AS purchase_us,
+              epoch_us(v.ts) AS view_us,
+              epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts)
+          SELECT user_id, event_id, purchase_us,
+            CASE WHEN gap_us <= ${AsofToleranceSec * 1000000L}
+                 THEN view_us END AS view_us,
+            CASE WHEN gap_us <= ${AsofToleranceSec * 1000000L}
+                 THEN gap_us END AS gap_us,
+            COALESCE(gap_us <= ${AsofToleranceSec * 1000000L}, FALSE) AS fresh
+          FROM base ORDER BY user_id, event_id""",
     "a02_band_join" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                  epoch_us(ts) // 1000000 AS sec FROM events)

@@ -247,6 +247,28 @@ class PlanAuditSpec extends GraftSuite {
       s"the Generate output must not pay two sorts (SHUFFLE_HASH hint):\n$s")
   }
 
+  test("s18: the metadata filter reaches the parquet scan, below the scoring") {
+    val df = Similarity.s18FilteredKnn(spark, sf)
+    val s = planStr(df)
+    // the whole point of the operator: the scored population is the
+    // filtered slice — the predicate must be a data filter at the scan,
+    // not a post-scoring filter
+    assert(s.contains("PushedFilters") && s.contains("label"),
+      s"label predicate must reach the corpus scan:\n$s")
+    val heaps = df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t
+    }
+    assert(heaps.nonEmpty, "filtered ranking must still ride the heap")
+  }
+
+  test("a04: tolerance adds no join or shuffle beyond a01's single window pass") {
+    val s = planStr(Temporal.a04AsofTolerance(spark, sf))
+    assert(!s.contains("Join"), s"the tolerance is a map-side CASE, not a join:\n$s")
+    assert("Window".r.findAllIn(s).size >= 1, s"expected a01's carry window:\n$s")
+    assert(shuffles(Temporal.a04AsofTolerance(spark, sf)) <= 2,
+      "a04 must keep a01's one user shuffle (+ presentation sort)")
+  }
+
   test("t29: threshold fan-out is a sequence-explode, never a window or nested loop") {
     val s = planStr(TextAnalysis.t29VocabGrowth(spark, sf))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),

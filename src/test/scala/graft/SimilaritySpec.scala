@@ -764,6 +764,49 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("s18: filtered k-NN matches a driver recompute and beats the post-filter trap") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getAs[Number](2).longValue))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until Similarity.NumQueries.toLong).flatMap { q =>
+      val qv = vecs.find(_._1 == q).get._2
+      vecs.filter(v => v._1 != q && v._3 % 2 == 0)
+        .map(v => (v._1, cos(qv, v._2)))
+        .sortBy { case (nid, c) =>
+          (-BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, _), i) => (q, i + 1L, nid) }
+    }.toSet
+    val rows = Similarity.s18FilteredKnn(spark, sf).collect()
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == want, s"filtered top-3 diverged:\nextra ${got -- want}\nmissing ${want -- got}")
+    // every result satisfies the predicate
+    val evenIds = vecs.filter(_._3 % 2 == 0).map(_._1).toSet
+    rows.foreach(r => assert(evenIds(r.getAs[Long]("neighbor_id")),
+      "neighbor outside the filter predicate"))
+    // the naive form (filter AFTER a top-k) under-fills: for at least
+    // one query, s01's unfiltered top-5 keeps fewer than 3 even-label
+    // survivors — the correctness trap the pushed-down filter avoids
+    val s01Top = Similarity.s01KnnBrute(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val underfilled = s01Top.count { case (_, rs) =>
+      rs.count(r => evenIds(r.getAs[Long]("neighbor_id"))) < 3
+    }
+    assert(underfilled > 0,
+      "fixture no longer demonstrates the post-filter under-fill trap")
+  }
+
   test("graft_dot equals the declarative float-IP fold on every pair") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)

@@ -366,6 +366,52 @@ class StreamingSpec extends GraftSuite {
       "OOV symbols must map to the reserved vocab.size sentinel")
   }
 
+  test("stream_enrich: as-of enrichment at ingest equals the batch a04 join under in-order arrival") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Temporal
+    val events = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
+      .collect()
+      .map(r => EnrichEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      // the order contract: per-user event-time order across batches —
+      // a global (ts, side, id) sort satisfies it for every user
+      .sortBy(e => (e.ts_us, e.side, e.event_id))
+    val input = MemoryStream[EnrichEvent]
+    val q = StreamEnrich.enrich(input.toDS())
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("enrich_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5))).toMap
+    val want = Temporal.a04AsofTolerance(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("event_id"))) ->
+        (r.getLong(r.fieldIndex("purchase_us")),
+          if (r.isNullAt(r.fieldIndex("view_us"))) None else Some(r.getLong(r.fieldIndex("view_us"))),
+          if (r.isNullAt(r.fieldIndex("gap_us"))) None else Some(r.getLong(r.fieldIndex("gap_us"))),
+          r.getBoolean(r.fieldIndex("fresh")))).toMap
+    assert(got.size == want.size,
+      s"streamed enrichment emitted ${got.size} purchases, batch has ${want.size}")
+    assert(got == want, {
+      val diff = want.keySet.filter(k => got.get(k) != want.get(k)).take(3)
+      s"streamed enrichment diverged from batch a04 on $diff"
+    })
+    // both verdicts flow through the stream
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "stream must carry both fresh and stale/no-match verdicts")
+  }
+
   test("cms sketch aggregates incrementally over a stream (complete mode)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

@@ -69,6 +69,41 @@ class TemporalSpec extends GraftSuite {
     assert(got.nonEmpty && got == naive, s"banded=$got naive=$naive")
   }
 
+  test("a04: tolerance degrades stale matches to the no-match NULLs, nothing else changes") {
+    val tolUs = Temporal.AsofToleranceSec * 1000000L
+    val base = Temporal.a01AsofJoin(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("event_id"))) ->
+        (r.getLong(r.fieldIndex("purchase_us")),
+          if (r.isNullAt(r.fieldIndex("view_us"))) None else Some(r.getLong(r.fieldIndex("view_us"))),
+          if (r.isNullAt(r.fieldIndex("gap_us"))) None else Some(r.getLong(r.fieldIndex("gap_us")))))
+      .toMap
+    val got = Temporal.a04AsofTolerance(spark, sf).collect()
+    assert(got.length == base.size, "a04 must keep every a01 purchase row")
+    var freshN = 0; var staleN = 0; var noneN = 0
+    got.foreach { r =>
+      val k = (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("event_id")))
+      val (pUs, view, gap) = base(k)
+      assert(r.getLong(r.fieldIndex("purchase_us")) == pUs)
+      val fresh = r.getBoolean(r.fieldIndex("fresh"))
+      gap match {
+        case Some(g) if g <= tolUs =>
+          freshN += 1
+          assert(fresh && r.getLong(r.fieldIndex("view_us")) == view.get &&
+            r.getLong(r.fieldIndex("gap_us")) == g, s"$k: fresh match must pass through")
+        case Some(_) =>
+          staleN += 1
+          assert(!fresh && r.isNullAt(r.fieldIndex("view_us")) &&
+            r.isNullAt(r.fieldIndex("gap_us")), s"$k: stale match must null out")
+        case None =>
+          noneN += 1
+          assert(!fresh && r.isNullAt(r.fieldIndex("view_us")), s"$k: no-match stays null")
+      }
+    }
+    // the tolerance is sized so BOTH verdicts populate on this corpus
+    assert(freshN > 0 && staleN > 0,
+      s"fixture must exercise both fresh ($freshN) and stale ($staleN) paths")
+  }
+
   test("cms estimates upper-bound exact counts; absent tokens near zero") {
     val rows = operators.TextAnalysis.t08CmsCounts(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq == operators.TextAnalysis.cmsQueryTokens.sorted)
