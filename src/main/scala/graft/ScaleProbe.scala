@@ -63,7 +63,11 @@ object ScaleProbe {
       // probe measures the density-vs-exactness cost next to d11),
       // novelty scan (df join over the shingle index), span mask table
       "d17_exact_substring", "t30_novelty_scan", "p16_span_layout",
-      "s18_filtered_knn")
+      "s18_filtered_knn",
+      // the nightly incremental shape: the probe grows the WHOLE corpus
+      // N× (old and new in d18's fixed 4:1 ratio), so linear wall here
+      // plus the old×old-free join shape is the 100 TB claim
+      "d18_incremental_neardup")
 
     val spark = SparkSession.builder()
       .master("local[32]")

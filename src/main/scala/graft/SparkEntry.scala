@@ -122,6 +122,7 @@ object SparkEntry {
     "d11_winnowed_dup" -> ((s, d) => Dedup.d11WinnowedDup(s, d)),
     "d12_semdedup" -> (Dedup.d12SemDedup _),
     "d17_exact_substring" -> ((s, d) => Dedup.d17ExactSubstring(s, d)),
+    "d18_incremental_neardup" -> ((s, d) => Dedup.d18IncrementalNeardup(s, d)),
     "d12b_semdedup_ivf" -> // rows-only: cluster-first candidates ride a k-means fit (s03's rule)
       (Dedup.d12bSemDedupIvf _),
     "d13_semantic_decontamination" ->

@@ -944,6 +944,97 @@ object Dedup {
       .orderBy("doc_i", "doc_j")
   }
 
+  /** Which documents play the NEW-batch role in the gated d18 entry:
+    * doc_id % [[IncrementalNewMod]] == [[IncrementalNewRem]] (~20% of
+    * the corpus); the rest are the already-indexed base corpus. */
+  val IncrementalNewMod = 5L
+  val IncrementalNewRem = 3L
+
+  /** d02's exploded (doc_id, n, h) inverted shingle index over an
+    * arbitrary `doc_id`+`text` relation — the shape [[d18BuildIndex]]
+    * persists and the incremental join consumes. One definition shared
+    * with the full-corpus path so the at-rest artifact cannot drift
+    * from what d02 would compute. */
+  private[graft] def shingleIndexRows(docs: DataFrame): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+
+  /** Write the base corpus's shingle index to `path` — the nightly
+    * dedup's at-rest artifact: built ONCE per corpus release, it spares
+    * every subsequent batch both the re-tokenization of the base corpus
+    * and (the asymptotic point) the old×old half of the pair join. On a
+    * cluster with a catalog, write it bucketed by `h` instead: the
+    * nightly probe join then shuffles only the arrivals. */
+  def d18BuildIndex(docs: DataFrame, path: String): Unit =
+    shingleIndexRows(docs).write.mode("overwrite").parquet(path)
+
+  /** INCREMENTAL near-dup pairs: arrivals against (base index ∪
+    * arrivals) in ONE equi-join on the shingle hash — new×old and
+    * new×new candidates, never old×old. The base side carries an
+    * `is_new` tag so new×new pairs keep d02's `doc_id <` dedup while
+    * every new×old pair survives exactly once (the arrival is always
+    * the probe row). Contract: arrival doc_ids are disjoint from the
+    * base corpus (a re-crawled id belongs in a base-index rebuild, not
+    * the batch). The [[dfCapped]] stop-shingle cap runs on the build
+    * side only — a hot shingle's probe rows then find zero partners,
+    * which is result-identical to d02's both-side cap (spec-pinned)
+    * without a second df pass over the arrivals. */
+  private[graft] def incrementalPairs(baseIndex: DataFrame, newDocs: DataFrame,
+      maxDf: Long): DataFrame = {
+    val exNew = shingleIndexRows(newDocs)
+    val rhs = dfCapped(
+      baseIndex.withColumn("is_new", lit(false))
+        .unionByName(exNew.withColumn("is_new", lit(true))),
+      "h", maxDf)
+    exNew.as("a").hint("SHUFFLE_HASH").join(rhs.as("b"),
+        col("a.h") === col("b.h") &&
+          (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(col("a.doc_id").as("di"), col("b.doc_id").as("dj"),
+        col("a.n").as("ni"), col("b.n").as("nj"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared") / (col("ni") + col("nj") - col("shared")))
+      .filter(atLeast(col("jaccard"), 0.2))
+      .select(least(col("di"), col("dj")).as("doc_i"),
+        greatest(col("di"), col("dj")).as("doc_j"), col("jaccard"))
+  }
+
+  /** d18: incremental near-dup — the production NIGHTLY shape d02
+    * cannot serve at 100 TB: when a new snapshot lands, the base corpus
+    * is already deduped and already indexed, so the only pairs worth
+    * computing are new×old and new×new. d02 re-pays the old×old join
+    * every run (quadratic in corpus history); d18's cost is
+    * |batch shingles| probe rows against the persisted index — linear
+    * in the BATCH, constant in how many snapshots preceded it. Result
+    * ⊆ d02: exactly d02's pairs that touch a new doc (spec-pinned both
+    * as the set equality and through the DuckDB gate, whose oracle is
+    * d02's with the touch-a-new-doc restriction). The gated form
+    * derives the base index inline from the same corpus (old =
+    * doc_id % 5 ≠ 3) so the gate exercises the identical join; the
+    * production overload reads the at-rest index. */
+  def d18IncrementalNeardup(spark: SparkSession, dir: String): DataFrame =
+    d18IncrementalNeardup(spark, dir, NoDfCap)
+
+  def d18IncrementalNeardup(spark: SparkSession, dir: String,
+      maxDf: Long): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew =
+      col("doc_id") % lit(IncrementalNewMod) === lit(IncrementalNewRem)
+    present18(incrementalPairs(
+      shingleIndexRows(docs.filter(!isNew)), docs.filter(isNew), maxDf))
+  }
+
+  /** Production form: pair `newDocs` against the at-rest index written
+    * by [[d18BuildIndex]]. */
+  def d18FromIndex(spark: SparkSession, indexPath: String,
+      newDocs: DataFrame, maxDf: Long = NoDfCap): DataFrame =
+    present18(incrementalPairs(spark.read.parquet(indexPath), newDocs, maxDf))
+
+  private def present18(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_i", "doc_j")
+
   /** d12: SemDeDup-style semantic dedup decision over d05's BANDED
     * candidates — the hash-gated form (the sign-LSH signature is
     * explicit integer math, so DuckDB reproduces the full drop set).
@@ -1285,6 +1376,23 @@ object Dedup {
                   GROUP BY 1, 2, 3, 4)
             SELECT doc_i, doc_j, round(shared / (ni + nj - shared), 4) AS jaccard
             FROM p WHERE shared / (ni + nj - shared) >= 0.2
+            ORDER BY doc_i, doc_j""",
+      // d18's oracle IS d02's restricted to pairs touching a new doc:
+      // the semantics under test is "the incremental join loses nothing
+      // and invents nothing vs the full pair join" — the Spark side
+      // never computes old×old, the oracle computes everything and
+      // filters, and the hash gate holds them equal.
+      "d18_incremental_neardup" ->
+        s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM d),
+            p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.n AS ni, b.n AS nj,
+                    COUNT(*) AS shared
+                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+            SELECT doc_i, doc_j, round(shared / (ni + nj - shared), 4) AS jaccard
+            FROM p WHERE shared / (ni + nj - shared) >= 0.2
+              AND (doc_i % $IncrementalNewMod = $IncrementalNewRem
+                OR doc_j % $IncrementalNewMod = $IncrementalNewRem)
             ORDER BY doc_i, doc_j""",
       "d09_containment" ->
         s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),

@@ -740,4 +740,60 @@ class DedupSpec extends GraftSuite {
     assert(got == expect, "native d17 diverged from the declarative recompute")
     assert(got.nonEmpty, "sf corpus must surface exact-substring pairs (exact dups exist)")
   }
+
+  private def d18PairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) ->
+      r.getAs[Double]("jaccard")).toMap
+
+  test("d18: incremental pairs are exactly d02's pairs touching a new doc") {
+    // the decomposition contract: full-corpus pairs = old-corpus pairs
+    // (the PREVIOUS run's output) ∪ incremental pairs — so d18 must
+    // equal d02 restricted to pairs with at least one new member, with
+    // identical jaccard values (same integer operands, same division)
+    def isNew(id: Long) =
+      id % Dedup.IncrementalNewMod == Dedup.IncrementalNewRem
+    val full = d18PairSet(Dedup.d02NgramJaccard(spark, sf))
+    val expect = full.filter { case ((i, j), _) => isNew(i) || isNew(j) }
+    val got = d18PairSet(Dedup.d18IncrementalNeardup(spark, sf))
+    assert(got == expect, "incremental join diverged from the d02 restriction")
+    assert(got.nonEmpty, "sf corpus must surface new×old or new×new pairs")
+    assert(got.size < full.size,
+      "restriction must be proper: old×old pairs exist and are skipped")
+  }
+
+  test("d18: at-rest index round trip serves the identical pair set") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val isNew =
+      col("doc_id") % Dedup.IncrementalNewMod === Dedup.IncrementalNewRem
+    val idxDir = java.nio.file.Files.createTempDirectory("d18idx").toString
+    Dedup.d18BuildIndex(docs.filter(!isNew), s"$idxDir/shingle_index")
+    val fromDisk = d18PairSet(
+      Dedup.d18FromIndex(spark, s"$idxDir/shingle_index", docs.filter(isNew)))
+    assert(fromDisk == d18PairSet(Dedup.d18IncrementalNeardup(spark, sf)),
+      "persisted-index path diverged from the inline build")
+  }
+
+  test("d18: build-side-only df cap is result-identical to d02's both-side cap") {
+    // the cap coherence claim in incrementalPairs's doc: capping only
+    // the union build side removes the same pairs as capping d02's
+    // whole index, because an uncapped probe row over a hot shingle
+    // finds zero partners. Pick a cap that actually bites (some shingle
+    // df exceeds it) so the equality is not vacuous.
+    import org.apache.spark.sql.functions._
+    val maxDf = 3L
+    val dfs = Tables.documents(spark, sf)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(graft.functions.NativeFunctions.shingleHashes(col("toks"))).as("h"))
+      .groupBy("h").count()
+    assert(dfs.filter(col("count") > maxDf).count() > 0,
+      s"cap $maxDf must bite on this corpus or the test is vacuous")
+    def isNew(id: Long) =
+      id % Dedup.IncrementalNewMod == Dedup.IncrementalNewRem
+    val cappedFull = d18PairSet(Dedup.d02NgramJaccard(spark, sf, maxDf))
+      .filter { case ((i, j), _) => isNew(i) || isNew(j) }
+    assert(d18PairSet(Dedup.d18IncrementalNeardup(spark, sf, maxDf)) == cappedFull,
+      "capped incremental join diverged from capped d02's restriction")
+  }
 }

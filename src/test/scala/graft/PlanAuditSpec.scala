@@ -308,6 +308,19 @@ class PlanAuditSpec extends GraftSuite {
     assert(!s.contains("Window"), s"d17 must not plan a window:\n$s")
   }
 
+  test("d18: incremental candidates are ONE hash equi-join probed by the batch") {
+    val s = planStr(Dedup.d18IncrementalNeardup(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"incremental candidates must come from an equi-join on the shingle hash:\n$s")
+    assert(s.contains("ShuffledHashJoin"),
+      s"the nightly join must hash, not sort the exploded index (d02's rule):\n$s")
+    // the new×new dedup + new×old keep-all rule rides the SAME join as
+    // a residual condition — a second join node would mean the old×old
+    // avoidance got restructured into two passes over the index
+    assert(s.split("ShuffledHashJoin").length == 2,
+      s"expected exactly one shuffled-hash candidate join:\n$s")
+  }
+
   test("s16/s17: the promoted recall audits add no geometry beyond their subjects") {
     // s16: every sweep branch keeps s14's heap shortlist (pinned on the
     // LOGICAL plan — AQE's final string hides materialized stage
