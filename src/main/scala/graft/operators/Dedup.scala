@@ -1030,6 +1030,24 @@ object Dedup {
       newDocs: DataFrame, maxDf: Long = NoDfCap): DataFrame =
     present18(incrementalPairs(spark.read.parquet(indexPath), newDocs, maxDf))
 
+  /** Absorb a probed batch into the at-rest index: append the batch's
+    * shingle rows so the NEXT nightly probes against base ∪ batch —
+    * the build→probe→absorb cycle that keeps every night linear in its
+    * own batch forever (the index grows by exactly the batch; nothing
+    * is ever recomputed). Plain parquet append is sound because
+    * arrival doc_ids are disjoint from everything already absorbed
+    * ([[d18FromIndex]]'s contract) and the index rows are per-doc
+    * facts — no merge, no rewrite. Call AFTER the batch's probe ran:
+    * absorbing first would make the probe see the batch on both sides
+    * — each new×new pair's shared count doubles (the index copy and
+    * the arrivals copy both match) and the unordered index copy adds
+    * a mirrored (j,i) row, so the batch's jaccards corrupt, not just
+    * duplicate. Chain-completeness is spec-pinned: base-internal ∪
+    * probe(b1) ∪ probe(b2 after absorbing b1) is a DISJOINT partition
+    * of d02's full pair set. */
+  def d18AbsorbBatch(newDocs: DataFrame, path: String): Unit =
+    shingleIndexRows(newDocs).write.mode("append").parquet(path)
+
   private def present18(pairs: DataFrame): DataFrame =
     pairs
       .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 4).as("jaccard"))

@@ -796,4 +796,40 @@ class DedupSpec extends GraftSuite {
     assert(d18PairSet(Dedup.d18IncrementalNeardup(spark, sf, maxDf)) == cappedFull,
       "capped incremental join diverged from capped d02's restriction")
   }
+
+  test("d18: absorb chain — base-internal + probe(b1) + probe(b2) partition d02") {
+    // the nightly lifecycle: build on the base, probe batch 1, ABSORB
+    // batch 1, probe batch 2 against the grown index. Soundness of the
+    // whole cycle = the three nights' outputs tile d02's full pair set
+    // with no overlap and no gap (each pair reported exactly once, on
+    // the night its newest member arrived)
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val m = col("doc_id") % 5
+    val base = docs.filter(m.isin(0L, 1L, 2L))
+    val b1 = docs.filter(m === 4)
+    val b2 = docs.filter(m === 3)
+    val idx = java.nio.file.Files.createTempDirectory("d18chain").toString +
+      "/shingle_index"
+    Dedup.d18BuildIndex(base, idx)
+    val p1 = d18PairSet(Dedup.d18FromIndex(spark, idx, b1))
+    Dedup.d18AbsorbBatch(b1, idx)
+    val p2 = d18PairSet(Dedup.d18FromIndex(spark, idx, b2))
+    val full = d18PairSet(Dedup.d02NgramJaccard(spark, sf))
+    def in1(id: Long) = id % 5 == 4
+    def in2(id: Long) = id % 5 == 3
+    val exp1 = full.filter { case ((i, j), _) =>
+      (in1(i) || in1(j)) && !in2(i) && !in2(j) }
+    val exp2 = full.filter { case ((i, j), _) => in2(i) || in2(j) }
+    assert(p1 == exp1, "night-1 probe diverged from d02's b1-touching slice")
+    assert(p2 == exp2,
+      "night-2 probe over the absorbed index diverged from d02's b2 slice")
+    assert((p1.keySet & p2.keySet).isEmpty, "a pair was reported twice")
+    val baseInternal = full.filter { case ((i, j), _) =>
+      !in1(i) && !in1(j) && !in2(i) && !in2(j) }
+    assert(baseInternal ++ p1 ++ p2 == full,
+      "the three nights must tile the full pair set with no gap")
+    assert(p1.nonEmpty && p2.nonEmpty && baseInternal.nonEmpty,
+      "each chain stage must be exercised on the sf corpus")
+  }
 }
