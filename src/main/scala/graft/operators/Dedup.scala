@@ -104,7 +104,7 @@ object Dedup {
   private[graft] def ngramJaccardPairsPrefix(spark: SparkSession, dir: String,
       t: Double = 0.2): DataFrame = {
     val sh = docShingles(spark, dir)
-    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    val ex = shingleIndexRows(Tables.documents(spark, dir))
     val df_ = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
     val prefix = ex.join(df_, "h")
@@ -794,9 +794,7 @@ object Dedup {
     * stop-shingle cap bound. */
   private def sharedShingleCounts(spark: SparkSession, dir: String,
       maxDf: Long = NoDfCap): DataFrame = {
-    val ex = dfCapped(docShingles(spark, dir)
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h")),
-      "h", maxDf)
+    val ex = dfCapped(shingleIndexRows(Tables.documents(spark, dir)), "h", maxDf)
     ex.as("a").hint("SHUFFLE_HASH").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
@@ -950,11 +948,12 @@ object Dedup {
   val IncrementalNewMod = 5L
   val IncrementalNewRem = 3L
 
-  /** d02's exploded (doc_id, n, h) inverted shingle index over an
-    * arbitrary `doc_id`+`text` relation — the shape [[d18BuildIndex]]
-    * persists and the incremental join consumes. One definition shared
-    * with the full-corpus path so the at-rest artifact cannot drift
-    * from what d02 would compute. */
+  /** The exploded (doc_id, n, h) inverted shingle index over an
+    * arbitrary `doc_id`+`text` relation — the ONE definition of the
+    * index projection: [[sharedShingleCounts]] (d02/d07/d08/d09), the
+    * PPJoin prefix variant, and the at-rest artifact [[d18BuildIndex]]
+    * persists all consume it, so no path can drift structurally from
+    * what the others compute. */
   private[graft] def shingleIndexRows(docs: DataFrame): DataFrame =
     shingleSets(docs)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
@@ -978,7 +977,18 @@ object Dedup {
     * the batch). The [[dfCapped]] stop-shingle cap runs on the build
     * side only — a hot shingle's probe rows then find zero partners,
     * which is result-identical to d02's both-side cap (spec-pinned)
-    * without a second df pass over the arrivals. */
+    * without a second df pass over the arrivals.
+    *
+    * Cost honesty (the p10/p13 documented-two-pass discipline): the
+    * batch's tokenize+shingle lineage executes twice (probe side and
+    * union build side) — map-side work over the BATCH, deliberately
+    * recomputed rather than checkpointed because the exploded index is
+    * ~an order of magnitude larger than the batch text it derives
+    * from. With `maxDf` set, [[dfCapped]]'s df aggregation adds one
+    * extra SCAN of (base index ∪ batch) — IO linear in history, no
+    * join blowup; a nightly that must stay strictly constant-in-
+    * history should precompute the release's hot-shingle stop list at
+    * build time instead (the cap is then as-of-release). */
   private[graft] def incrementalPairs(baseIndex: DataFrame, newDocs: DataFrame,
       maxDf: Long): DataFrame = {
     val exNew = shingleIndexRows(newDocs)
@@ -1025,7 +1035,16 @@ object Dedup {
   }
 
   /** Production form: pair `newDocs` against the at-rest index written
-    * by [[d18BuildIndex]]. */
+    * by [[d18BuildIndex]].
+    *
+    * A violated disjointness contract (a re-crawled doc_id present in
+    * both the index and the batch) is DETECTABLE in the output: the
+    * stale index copy partners its own probe rows, emitting a
+    * `doc_i == doc_j` row — a shape d02 can never produce (its
+    * residual is strict `<`). Alert on self-pairs rather than
+    * filtering them: the same breach also mixes the stale text into
+    * that id's cross-pairs, so the run needs a rebuild, not a patch
+    * (spec-pinned with a planted re-crawl). */
   def d18FromIndex(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, maxDf: Long = NoDfCap): DataFrame =
     present18(incrementalPairs(spark.read.parquet(indexPath), newDocs, maxDf))
@@ -1044,7 +1063,13 @@ object Dedup {
     * a mirrored (j,i) row, so the batch's jaccards corrupt, not just
     * duplicate. Chain-completeness is spec-pinned: base-internal ∪
     * probe(b1) ∪ probe(b2 after absorbing b1) is a DISJOINT partition
-    * of d02's full pair set. */
+    * of d02's full pair set. The tiling claim is CAP-OFF: with `maxDf`
+    * set, each night's df is computed over the index as of that night,
+    * so a shingle that crosses the cap only after later batches arrive
+    * keeps its earlier nights' pairs — the capped chain is the union
+    * of per-night capped answers, not a capped d02 over the final
+    * corpus (re-run [[d18BuildIndex]] if the release needs the
+    * as-of-now capped answer). */
   def d18AbsorbBatch(newDocs: DataFrame, path: String): Unit =
     shingleIndexRows(newDocs).write.mode("append").parquet(path)
 

@@ -767,11 +767,44 @@ class DedupSpec extends GraftSuite {
     val isNew =
       col("doc_id") % Dedup.IncrementalNewMod === Dedup.IncrementalNewRem
     val idxDir = java.nio.file.Files.createTempDirectory("d18idx").toString
-    Dedup.d18BuildIndex(docs.filter(!isNew), s"$idxDir/shingle_index")
-    val fromDisk = d18PairSet(
-      Dedup.d18FromIndex(spark, s"$idxDir/shingle_index", docs.filter(isNew)))
-    assert(fromDisk == d18PairSet(Dedup.d18IncrementalNeardup(spark, sf)),
-      "persisted-index path diverged from the inline build")
+    try {
+      Dedup.d18BuildIndex(docs.filter(!isNew), s"$idxDir/shingle_index")
+      val fromDisk = d18PairSet(
+        Dedup.d18FromIndex(spark, s"$idxDir/shingle_index", docs.filter(isNew)))
+      assert(fromDisk == d18PairSet(Dedup.d18IncrementalNeardup(spark, sf)),
+        "persisted-index path diverged from the inline build")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idxDir))
+  }
+
+  test("d18: a violated disjointness contract surfaces as self-pair rows") {
+    // d18FromIndex's contract says arrival ids are disjoint from the
+    // index; this pins the documented BREACH SIGNATURE — a re-crawled
+    // id partners its own stale index copy and emits a doc_i == doc_j
+    // row (jaccard 1.0 for unchanged text), a shape d02's strict-<
+    // residual can never produce — so production can alert on it
+    import org.apache.spark.sql.functions.{col, min}
+    val docs = Tables.documents(spark, sf)
+    val isNew =
+      col("doc_id") % Dedup.IncrementalNewMod === Dedup.IncrementalNewRem
+    val dir = java.nio.file.Files.createTempDirectory("d18breach").toString
+    try {
+      // the planted re-crawl: one shingle-bearing batch id is also indexed
+      val breachId = Dedup.shingleIndexRows(docs.filter(isNew))
+        .agg(min("doc_id")).first().getLong(0)
+      Dedup.d18BuildIndex(
+        docs.filter(!isNew || col("doc_id") === breachId), s"$dir/idx")
+      val out = Dedup.d18FromIndex(spark, s"$dir/idx", docs.filter(isNew))
+      val selfPairs = out.filter(col("doc_i") === col("doc_j")).collect()
+      assert(selfPairs.map(_.getAs[Long]("doc_i")).toSet == Set(breachId),
+        "the planted re-crawl must surface as exactly its own self-pair")
+      assert(selfPairs.forall(_.getAs[Double]("jaccard") == 1.0),
+        "unchanged re-crawled text scores 1.0 against its stale copy")
+      val clean = Dedup.d18IncrementalNeardup(spark, sf)
+      assert(clean.filter(col("doc_i") === col("doc_j")).isEmpty,
+        "a contract-clean run must never emit self-pairs")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
   }
 
   test("d18: build-side-only df cap is result-identical to d02's both-side cap") {
@@ -809,27 +842,30 @@ class DedupSpec extends GraftSuite {
     val base = docs.filter(m.isin(0L, 1L, 2L))
     val b1 = docs.filter(m === 4)
     val b2 = docs.filter(m === 3)
-    val idx = java.nio.file.Files.createTempDirectory("d18chain").toString +
-      "/shingle_index"
-    Dedup.d18BuildIndex(base, idx)
-    val p1 = d18PairSet(Dedup.d18FromIndex(spark, idx, b1))
-    Dedup.d18AbsorbBatch(b1, idx)
-    val p2 = d18PairSet(Dedup.d18FromIndex(spark, idx, b2))
-    val full = d18PairSet(Dedup.d02NgramJaccard(spark, sf))
-    def in1(id: Long) = id % 5 == 4
-    def in2(id: Long) = id % 5 == 3
-    val exp1 = full.filter { case ((i, j), _) =>
-      (in1(i) || in1(j)) && !in2(i) && !in2(j) }
-    val exp2 = full.filter { case ((i, j), _) => in2(i) || in2(j) }
-    assert(p1 == exp1, "night-1 probe diverged from d02's b1-touching slice")
-    assert(p2 == exp2,
-      "night-2 probe over the absorbed index diverged from d02's b2 slice")
-    assert((p1.keySet & p2.keySet).isEmpty, "a pair was reported twice")
-    val baseInternal = full.filter { case ((i, j), _) =>
-      !in1(i) && !in1(j) && !in2(i) && !in2(j) }
-    assert(baseInternal ++ p1 ++ p2 == full,
-      "the three nights must tile the full pair set with no gap")
-    assert(p1.nonEmpty && p2.nonEmpty && baseInternal.nonEmpty,
-      "each chain stage must be exercised on the sf corpus")
+    val chainDir = java.nio.file.Files.createTempDirectory("d18chain").toString
+    val idx = chainDir + "/shingle_index"
+    try {
+      Dedup.d18BuildIndex(base, idx)
+      val p1 = d18PairSet(Dedup.d18FromIndex(spark, idx, b1))
+      Dedup.d18AbsorbBatch(b1, idx)
+      val p2 = d18PairSet(Dedup.d18FromIndex(spark, idx, b2))
+      val full = d18PairSet(Dedup.d02NgramJaccard(spark, sf))
+      def in1(id: Long) = id % 5 == 4
+      def in2(id: Long) = id % 5 == 3
+      val exp1 = full.filter { case ((i, j), _) =>
+        (in1(i) || in1(j)) && !in2(i) && !in2(j) }
+      val exp2 = full.filter { case ((i, j), _) => in2(i) || in2(j) }
+      assert(p1 == exp1, "night-1 probe diverged from d02's b1-touching slice")
+      assert(p2 == exp2,
+        "night-2 probe over the absorbed index diverged from d02's b2 slice")
+      assert((p1.keySet & p2.keySet).isEmpty, "a pair was reported twice")
+      val baseInternal = full.filter { case ((i, j), _) =>
+        !in1(i) && !in1(j) && !in2(i) && !in2(j) }
+      assert(baseInternal ++ p1 ++ p2 == full,
+        "the three nights must tile the full pair set with no gap")
+      assert(p1.nonEmpty && p2.nonEmpty && baseInternal.nonEmpty,
+        "each chain stage must be exercised on the sf corpus")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(chainDir))
   }
 }
