@@ -965,7 +965,23 @@ object Dedup {
     * cluster with a catalog, write it bucketed by `h` instead: the
     * nightly probe join then shuffles only the arrivals. */
   def d18BuildIndex(docs: DataFrame, path: String): Unit =
-    shingleIndexRows(docs).write.mode("overwrite").parquet(path)
+    d18BuildIndex(docs, path, NoDfCap)
+
+  /** Build-time stop-shingle cap — the RELEASE-scoped form of the
+    * nightly `maxDf` knob: shingles whose base df exceeds `maxDf`
+    * never enter the at-rest index, so every subsequent night probes
+    * uncapped with ZERO extra df passes (the per-night [[dfCapped]]
+    * knob on [[d18FromIndex]] re-scans the index each night to
+    * aggregate df). The cap basis is the release's df: absorbed
+    * batches append raw rows and are not re-capped — a shingle that
+    * goes hot only across many absorbed batches waits for the next
+    * release rebuild, which applies a fresh cap (batch-internal hot
+    * pairs are bounded by the batch size, not corpus history). The
+    * written artifact physically lacks hot keys (spec-pinned), and a
+    * non-biting cap writes a byte-identical index. */
+  def d18BuildIndex(docs: DataFrame, path: String, maxDf: Long): Unit =
+    dfCapped(shingleIndexRows(docs), "h", maxDf)
+      .write.mode("overwrite").parquet(path)
 
   /** INCREMENTAL near-dup pairs: arrivals against (base index ∪
     * arrivals) in ONE equi-join on the shingle hash — new×old and
@@ -987,8 +1003,9 @@ object Dedup {
     * from. With `maxDf` set, [[dfCapped]]'s df aggregation adds one
     * extra SCAN of (base index ∪ batch) — IO linear in history, no
     * join blowup; a nightly that must stay strictly constant-in-
-    * history should precompute the release's hot-shingle stop list at
-    * build time instead (the cap is then as-of-release). */
+    * history should cap at BUILD time instead — the
+    * `d18BuildIndex(docs, path, maxDf)` overload: hot shingles never
+    * enter the artifact, zero nightly df passes, cap as-of-release. */
   private[graft] def incrementalPairs(baseIndex: DataFrame, newDocs: DataFrame,
       maxDf: Long): DataFrame = {
     val exNew = shingleIndexRows(newDocs)

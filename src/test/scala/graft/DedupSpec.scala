@@ -807,6 +807,45 @@ class DedupSpec extends GraftSuite {
       new java.io.File(dir))
   }
 
+  test("d18: build-time cap writes a stop-shingle-free index — nightly probes need no df pass") {
+    // the release-scoped cap: hot shingles never enter the artifact, so
+    // the probe join is bounded WITHOUT the per-night df aggregation
+    // (whose scan is IO-linear in history). Pins (a) the artifact
+    // physically lacks hot keys, (b) capping only REMOVES evidence —
+    // capped pairs are a subset with jaccard ≤ uncapped (set sizes stay
+    // full, d02's cap semantics), (c) a non-biting cap is a no-op
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val isNew =
+      col("doc_id") % Dedup.IncrementalNewMod === Dedup.IncrementalNewRem
+    val base = docs.filter(!isNew)
+    val batch = docs.filter(isNew)
+    val maxDf = 3L
+    assert(Dedup.shingleIndexRows(base).groupBy("h").count()
+        .filter(col("count") > maxDf).count() > 0,
+      s"cap $maxDf must bite on the base corpus or the test is vacuous")
+    val dir = java.nio.file.Files.createTempDirectory("d18bcap").toString
+    try {
+      Dedup.d18BuildIndex(base, s"$dir/capped", maxDf)
+      assert(spark.read.parquet(s"$dir/capped").groupBy("h").count()
+          .filter(col("count") > maxDf).isEmpty,
+        "the capped artifact must physically lack every hot shingle")
+      Dedup.d18BuildIndex(base, s"$dir/raw")
+      val capped = d18PairSet(Dedup.d18FromIndex(spark, s"$dir/capped", batch))
+      val uncapped = d18PairSet(Dedup.d18FromIndex(spark, s"$dir/raw", batch))
+      assert(capped.keySet.subsetOf(uncapped.keySet),
+        "removing join evidence can only drop pairs, never invent them")
+      assert(capped.forall { case (k, j) => j <= uncapped(k) + 1e-12 },
+        "per-pair jaccard must be monotone non-increasing under the cap")
+      assert(capped != uncapped,
+        "a biting cap must visibly remove evidence on this corpus")
+      Dedup.d18BuildIndex(base, s"$dir/huge", 10000000L)
+      assert(d18PairSet(Dedup.d18FromIndex(spark, s"$dir/huge", batch)) ==
+        uncapped, "a non-biting build-time cap must be a no-op")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("d18: build-side-only df cap is result-identical to d02's both-side cap") {
     // the cap coherence claim in incrementalPairs's doc: capping only
     // the union build side removes the same pairs as capping d02's
