@@ -160,6 +160,7 @@ object ScaleProbe {
     val cap = 4 * baseMaxDf
     println(s"""SCALEPROBE-SKEW-CAP {"base_max_df":$baseMaxDf,"cap":$cap}""")
     var warmed = false
+    var warmed18 = false
     scales.foreach { n =>
       val dir = s"$workDir/skew$n"
       val replicas = (0 until n).map { i =>
@@ -189,6 +190,39 @@ object ScaleProbe {
       val tUncapped = best(graft.operators.Dedup.d02NgramJaccard(spark, dir).count())
       println(f"""SCALEPROBE-SKEW {"scale":$n,"docs":$docs,""" +
         f""""uncapped":$tUncapped%.2f,"capped":$tCapped%.2f}""")
+
+      // d18 nightly under the same skew: the %10==0 plant above never
+      // lands in d18's %5==3 batch, so the incremental join would be
+      // accidentally immune — re-plant on %10 ∈ {0,3} so boilerplate
+      // sits on BOTH sides of the nightly (index and batch), then time
+      // the probe against a raw index (uncapped), with the per-night
+      // dfCapped knob (pays the df re-scan), and against a BUILD-capped
+      // index (d18BuildIndex(_, _, cap): hot keys never in the
+      // artifact, zero nightly df passes). Index builds are per-release
+      // amortized and excluded from the nightly timings.
+      val dir18 = s"$workDir/skew18_$n"
+      replicas.reduce(_ unionAll _)
+        .withColumn("text", when(pmod(col("doc_id"), lit(10)).isin(0L, 3L),
+          concat(col("text"), lit(" " + boiler))).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$dir18/documents.parquet")
+      val full18 = spark.read.parquet(s"$dir18/documents.parquet")
+      val isNew = pmod(col("doc_id"), lit(graft.operators.Dedup.IncrementalNewMod)) ===
+        lit(graft.operators.Dedup.IncrementalNewRem)
+      val batch18 = full18.filter(isNew)
+      graft.operators.Dedup.d18BuildIndex(full18.filter(!isNew), s"$dir18/idx_raw")
+      graft.operators.Dedup.d18BuildIndex(full18.filter(!isNew), s"$dir18/idx_capped", cap)
+      if (!warmed18) {
+        graft.operators.Dedup.d18FromIndex(spark, s"$dir18/idx_capped", batch18).count()
+        warmed18 = true
+      }
+      val tD18U = best(graft.operators.Dedup
+        .d18FromIndex(spark, s"$dir18/idx_raw", batch18).count())
+      val tD18N = best(graft.operators.Dedup
+        .d18FromIndex(spark, s"$dir18/idx_raw", batch18, cap).count())
+      val tD18B = best(graft.operators.Dedup
+        .d18FromIndex(spark, s"$dir18/idx_capped", batch18).count())
+      println(f"""SCALEPROBE-SKEW-D18 {"scale":$n,"docs":$docs,""" +
+        f""""uncapped":$tD18U%.2f,"nightly_cap":$tD18N%.2f,"build_cap":$tD18B%.2f}""")
     }
   }
 }
