@@ -221,8 +221,14 @@ object ScaleProbe {
         .d18FromIndex(spark, s"$dir18/idx_raw", batch18, cap).count())
       val tD18B = best(graft.operators.Dedup
         .d18FromIndex(spark, s"$dir18/idx_capped", batch18).count())
+      // the composed nightly: build-capped index + batch-local cap —
+      // strictly constant-in-history AND bounded under batch boilerplate
+      val tD18C = best(graft.operators.Dedup
+        .d18FromIndex(spark, s"$dir18/idx_capped", batch18,
+          graft.operators.Dedup.NoDfCap, cap).count())
       println(f"""SCALEPROBE-SKEW-D18 {"scale":$n,"docs":$docs,""" +
-        f""""uncapped":$tD18U%.2f,"nightly_cap":$tD18N%.2f,"build_cap":$tD18B%.2f}""")
+        f""""uncapped":$tD18U%.2f,"nightly_cap":$tD18N%.2f,"build_cap":$tD18B%.2f,""" +
+        f""""combo":$tD18C%.2f}""")
     }
   }
 }

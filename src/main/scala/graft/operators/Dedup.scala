@@ -1005,13 +1005,32 @@ object Dedup {
     * join blowup; a nightly that must stay strictly constant-in-
     * history should cap at BUILD time instead — the
     * `d18BuildIndex(docs, path, maxDf)` overload: hot shingles never
-    * enter the artifact, zero nightly df passes, cap as-of-release. */
+    * enter the artifact, zero nightly df passes, cap as-of-release.
+    *
+    * `batchMaxDf` is the BATCH-LOCAL stop-shingle cap — the missing
+    * half of the build-time cap (measured in DEPLOY.md's skew table):
+    * a release-capped index bounds new×old hot pairs, but boilerplate
+    * carried by the ARRIVALS themselves still unions into the build
+    * side and explodes new×new pairs quadratically in the batch. This
+    * knob aggregates df over the batch's shingles ALONE (one cheap
+    * pass over the arrivals, never a scan of the at-rest index) and
+    * drops batch-hot shingles from the batch's BUILD-side rows only —
+    * new×new pairs lose that shingle's evidence while the probe side
+    * stays uncapped, so new×old evidence against index entries that
+    * survived the release cap is preserved (a shingle hot in tonight's
+    * crawl but organic in the corpus keeps its old-doc matches).
+    * Composed with `d18BuildIndex(_, _, cap)` this is the nightly that
+    * is strictly constant-in-history AND immune to a boilerplate-heavy
+    * batch; on a corpus whose hot shingles bite each side's cap
+    * separately it equals the union-df `maxDf` nightly (spec-pinned
+    * with the no-straddler precondition asserted). */
   private[graft] def incrementalPairs(baseIndex: DataFrame, newDocs: DataFrame,
-      maxDf: Long): DataFrame = {
+      maxDf: Long, batchMaxDf: Long = NoDfCap): DataFrame = {
     val exNew = shingleIndexRows(newDocs)
     val rhs = dfCapped(
       baseIndex.withColumn("is_new", lit(false))
-        .unionByName(exNew.withColumn("is_new", lit(true))),
+        .unionByName(dfCapped(exNew, "h", batchMaxDf)
+          .withColumn("is_new", lit(true))),
       "h", maxDf)
     exNew.as("a").hint("SHUFFLE_HASH").join(rhs.as("b"),
         col("a.h") === col("b.h") &&
@@ -1061,10 +1080,18 @@ object Dedup {
     * residual is strict `<`). Alert on self-pairs rather than
     * filtering them: the same breach also mixes the stale text into
     * that id's cross-pairs, so the run needs a rebuild, not a patch
-    * (spec-pinned with a planted re-crawl). */
+    * (spec-pinned with a planted re-crawl).
+    *
+    * `maxDf` re-aggregates df over index ∪ batch each night (IO-linear
+    * in history); `batchMaxDf` caps over the batch alone — pair it
+    * with a build-capped index for the strictly-constant-in-history
+    * nightly that survives boilerplate-carrying batches (see
+    * [[incrementalPairs]] for the exact one-sided semantics). */
   def d18FromIndex(spark: SparkSession, indexPath: String,
-      newDocs: DataFrame, maxDf: Long = NoDfCap): DataFrame =
-    present18(incrementalPairs(spark.read.parquet(indexPath), newDocs, maxDf))
+      newDocs: DataFrame, maxDf: Long = NoDfCap,
+      batchMaxDf: Long = NoDfCap): DataFrame =
+    present18(incrementalPairs(spark.read.parquet(indexPath), newDocs, maxDf,
+      batchMaxDf))
 
   /** Absorb a probed batch into the at-rest index: append the batch's
     * shingle rows so the NEXT nightly probes against base ∪ batch —

@@ -869,6 +869,126 @@ class DedupSpec extends GraftSuite {
       "capped incremental join diverged from capped d02's restriction")
   }
 
+  /** Planted two-sided boilerplate corpus for the batch-local cap
+    * specs: unique per-doc bodies (every organic shingle carries an
+    * id-specific token, so cross-doc organic df stays ≤ the dup
+    * cluster's size), boilerplate appended where `plant(doc_id)`, and
+    * a 3-doc true-dup cluster {48 new, 61 old, 68 new} sharing one
+    * long body. */
+  private def plantedBatchCorpus(dir: String, plant: Long => Boolean): Unit = {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for weekly updates and " +
+      "follow us on every major social platform today"
+    val dupBase = "quick brown foxes jump over lazy dogs near riverbanks " +
+      "while silver moons rise above quiet harbors"
+    val docs = (0L until 60L).map { i =>
+      val body =
+        if (i == 48L || i == 61L || i == 68L) "" // replaced below
+        else s"aa$i bb$i cc$i dd$i ee$i ff$i gg$i hh$i"
+      (i, if (plant(i)) s"$body $boiler" else body)
+    }.filterNot(t => Set(48L, 61L, 68L).contains(t._1)) ++ Seq(
+      (48L, s"$dupBase tail48" + (if (plant(48L)) " " + boiler else "")),
+      (61L, s"$dupBase tail61" + (if (plant(61L)) " " + boiler else "")),
+      (68L, s"$dupBase tail68" + (if (plant(68L)) " " + boiler else "")))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("d18: batch-local cap + build cap equals the union-df nightly under two-sided boilerplate") {
+    // the composed strictly-constant-in-history nightly: release-capped
+    // index (new×old hot pairs) + batchMaxDf over the arrivals alone
+    // (new×new hot pairs, zero index scans). On a corpus whose hot
+    // shingles bite EACH side's cap separately — asserted, with the
+    // no-straddler precondition that scopes the equality claim — the
+    // composition reports exactly the union-df maxDf nightly's pairs.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("d18blcap").toString
+    try {
+      plantedBatchCorpus(dir, i => i % 10 == 0 || i % 10 == 3)
+      val docs = Tables.documents(spark, dir)
+      val isNew =
+        col("doc_id") % Dedup.IncrementalNewMod === Dedup.IncrementalNewRem
+      val (base, batch) = (docs.filter(!isNew), docs.filter(isNew))
+      val cap = 3L
+      def dfOf(side: org.apache.spark.sql.DataFrame) =
+        Dedup.shingleIndexRows(side).groupBy("h").count()
+      assert(dfOf(base).filter(col("count") > cap).count() > 0,
+        "plant must make the cap bite on the BASE side alone")
+      assert(dfOf(batch).filter(col("count") > cap).count() > 0,
+        "plant must make the cap bite on the BATCH side alone")
+      // no-straddler precondition: every union-hot key is hot on a side
+      val straddlers = dfOf(base).withColumnRenamed("count", "dfb")
+        .join(dfOf(batch).withColumnRenamed("count", "dfn"), Seq("h"), "full")
+        .na.fill(0L, Seq("dfb", "dfn"))
+        .filter(col("dfb") <= cap && col("dfn") <= cap &&
+          col("dfb") + col("dfn") > cap)
+      assert(straddlers.isEmpty,
+        "corpus must have no straddler keys or the equality claim is out of scope")
+      Dedup.d18BuildIndex(base, s"$dir/raw")
+      Dedup.d18BuildIndex(base, s"$dir/capped", cap)
+      val combined = d18PairSet(
+        Dedup.d18FromIndex(spark, s"$dir/capped", batch, Dedup.NoDfCap, cap))
+      val nightly = d18PairSet(
+        Dedup.d18FromIndex(spark, s"$dir/raw", batch, cap))
+      assert(combined == nightly,
+        "build cap + batch-local cap diverged from the union-df nightly")
+      val uncapped = d18PairSet(Dedup.d18FromIndex(spark, s"$dir/raw", batch))
+      assert(combined != uncapped, "caps must bite on this corpus")
+      // the true-dup cluster (organic, sub-cap evidence) survives:
+      // 48 and 68 are new (48%5==3, 68%5==3), 61 is old
+      Seq((48L, 61L), (48L, 68L), (61L, 68L)).foreach { p =>
+        assert(combined.contains(p), s"capped nightly lost true dup pair $p")
+      }
+      // non-biting batch cap is a no-op
+      assert(d18PairSet(Dedup.d18FromIndex(spark, s"$dir/raw", batch,
+        Dedup.NoDfCap, 10000000L)) == uncapped,
+        "a non-biting batch-local cap must be a no-op")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  test("d18: batch-local cap is one-sided — new×old evidence for release-organic shingles survives") {
+    // the intentional asymmetry: a shingle hot in tonight's crawl but
+    // organic in the corpus (df ≤ release cap, so the build-capped
+    // index keeps it) loses its new×new evidence but KEEPS its new×old
+    // matches — the probe side is never capped. The union-df maxDf
+    // nightly drops both (union df crosses the cap), which is exactly
+    // why the composed form is not just a cheaper spelling of it.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("d18asym").toString
+    try {
+      // plant on ALL batch docs (%5==3 → 12 of 60) and exactly 2 base
+      // docs (10, 20) — batch df 12 > cap, base df 2 ≤ cap
+      plantedBatchCorpus(dir, i => i % 5 == 3 || i == 10L || i == 20L)
+      val docs = Tables.documents(spark, dir)
+      val isNew =
+        col("doc_id") % Dedup.IncrementalNewMod === Dedup.IncrementalNewRem
+      val (base, batch) = (docs.filter(!isNew), docs.filter(isNew))
+      val cap = 3L
+      Dedup.d18BuildIndex(base, s"$dir/raw")
+      Dedup.d18BuildIndex(base, s"$dir/capped", cap)
+      val uncapped = d18PairSet(Dedup.d18FromIndex(spark, s"$dir/raw", batch))
+      val combined = d18PairSet(
+        Dedup.d18FromIndex(spark, s"$dir/capped", batch, Dedup.NoDfCap, cap))
+      val union = d18PairSet(Dedup.d18FromIndex(spark, s"$dir/raw", batch, cap))
+      // a planted new×old pair: batch doc 3 shares ONLY boilerplate
+      // with base doc 10 — evidence must survive with identical jaccard
+      assert(combined.get((3L, 10L)).contains(uncapped((3L, 10L))),
+        "new×old boilerplate evidence against a sub-release-cap base doc must survive")
+      // a planted new×new pair: docs 3 and 13 share only boilerplate —
+      // batch-hot evidence dropped, pair gone
+      assert(uncapped.contains((3L, 13L)) && !combined.contains((3L, 13L)),
+        "new×new pairs sharing only batch-hot shingles must vanish")
+      // the union-df nightly drops BOTH pairs — the pinned difference
+      assert(!union.contains((3L, 10L)) && !union.contains((3L, 13L)),
+        "union-df cap must drop both shapes (df_base+df_batch > cap)")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("d18: absorb chain — base-internal + probe(b1) + probe(b2) partition d02") {
     // the nightly lifecycle: build on the base, probe batch 1, ABSORB
     // batch 1, probe batch 2 against the grown index. Soundness of the

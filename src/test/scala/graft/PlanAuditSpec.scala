@@ -321,6 +321,47 @@ class PlanAuditSpec extends GraftSuite {
       s"expected exactly one shuffled-hash candidate join:\n$s")
   }
 
+  test("d18: batch-local cap plans ZERO extra scans of the at-rest index") {
+    // the cheap-pass claim made structural: maxDf's df aggregation
+    // re-reads the index (a second scan, IO-linear in history);
+    // batchMaxDf's df pass covers the arrivals alone, so the index
+    // relation appears in the logical plan exactly once — the probe
+    // join's build side. Pinned on the optimized LOGICAL plan: AQE's
+    // executed-plan string hides materialized stage subtrees (the s16
+    // precedent), which would undercount scans.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("d18scan").toString
+    val tag = "d18_at_rest_idx"
+    try {
+      val docs = Tables.documents(spark, sf)
+      val isNew =
+        col("doc_id") % Dedup.IncrementalNewMod === Dedup.IncrementalNewRem
+      Dedup.d18BuildIndex(docs.filter(!isNew), s"$dir/$tag")
+      def idxScans(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation if (lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(tag))
+            case _ => false
+          }) => lr
+        }.size
+      val batch = docs.filter(isNew)
+      assert(idxScans(Dedup.d18FromIndex(spark, s"$dir/$tag", batch)) == 1,
+        "cap-off nightly must scan the index exactly once")
+      assert(idxScans(Dedup.d18FromIndex(spark, s"$dir/$tag", batch,
+          Dedup.NoDfCap, 3L)) == 1,
+        "batch-local cap must not add an index scan")
+      // ≥ 2, not == 2: the optimizer pushes the anti-join through the
+      // union, duplicating the hot-key subtree per branch (3 logical
+      // scans; runtime exchange reuse may dedupe) — the pinned claim
+      // is only that the df pass re-reads history at all
+      assert(idxScans(Dedup.d18FromIndex(spark, s"$dir/$tag", batch, 3L)) >= 2,
+        "union-df cap pays extra index scans (the documented cost)")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("s16/s17: the promoted recall audits add no geometry beyond their subjects") {
     // s16: every sweep branch keeps s14's heap shortlist (pinned on the
     // LOGICAL plan — AQE's final string hides materialized stage
