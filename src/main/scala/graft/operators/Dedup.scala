@@ -1023,7 +1023,10 @@ object Dedup {
     * is strictly constant-in-history AND immune to a boilerplate-heavy
     * batch; on a corpus whose hot shingles bite each side's cap
     * separately it equals the union-df `maxDf` nightly (spec-pinned
-    * with the no-straddler precondition asserted). */
+    * with the no-straddler precondition asserted). The two knobs are
+    * alternatives, not a pipeline: if both are set, `maxDf`'s union df
+    * is aggregated over the ALREADY batch-capped union — a batch-hot
+    * shingle's df contribution is gone before the union cap looks. */
   private[graft] def incrementalPairs(baseIndex: DataFrame, newDocs: DataFrame,
       maxDf: Long, batchMaxDf: Long = NoDfCap): DataFrame = {
     val exNew = shingleIndexRows(newDocs)
@@ -1115,7 +1118,25 @@ object Dedup {
     * corpus (re-run [[d18BuildIndex]] if the release needs the
     * as-of-now capped answer). */
   def d18AbsorbBatch(newDocs: DataFrame, path: String): Unit =
-    shingleIndexRows(newDocs).write.mode("append").parquet(path)
+    d18AbsorbBatch(newDocs, path, NoDfCap)
+
+  /** Capped absorb — the build-cap discipline carried through the
+    * absorb cycle: without it, a build-capped index regrows hot keys
+    * from every absorbed boilerplate batch and the nightly's df²
+    * protection decays until the next release rebuild. `batchMaxDf`'s
+    * df basis is the BATCH alone (matching [[d18FromIndex]]'s
+    * batch-local cap — one cheap pass over the arrivals, zero scans of
+    * the at-rest index), so batch-hot shingles never enter the
+    * artifact; like the build cap, capping only removes evidence, and
+    * a shingle that goes hot only ACROSS absorbed batches still waits
+    * for the release rebuild (per-batch df never sees it). Spec-pinned:
+    * the capped chain's artifact physically lacks hot keys, absorbed
+    * organic evidence still serves the next night's cross-batch pairs,
+    * and a non-biting cap appends row-identical data. */
+  def d18AbsorbBatch(newDocs: DataFrame, path: String,
+      batchMaxDf: Long): Unit =
+    dfCapped(shingleIndexRows(newDocs), "h", batchMaxDf)
+      .write.mode("append").parquet(path)
 
   private def present18(pairs: DataFrame): DataFrame =
     pairs

@@ -989,6 +989,72 @@ class DedupSpec extends GraftSuite {
       new java.io.File(dir))
   }
 
+  test("d18: capped absorb keeps the at-rest artifact hot-free through the build→probe→absorb cycle") {
+    // without it a build-capped index regrows hot keys from every
+    // absorbed boilerplate batch; with it the chain stays df²-safe
+    // forever while absorbed ORGANIC evidence still serves the next
+    // night's cross-batch pairs. Corpus: base = %5∈{0,1,2} (boiler on
+    // %10==0), b1 = %5==4 (boiler on %10==4), b2 = %5==3 (boiler on
+    // %10==3); dup cluster {61 base, 64 b1, 63 b2} shares one body.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d18abscap").toString
+    try {
+      val boiler = "subscribe to our newsletter for weekly updates and " +
+        "follow us on every major social platform today"
+      val dupBase = "quick brown foxes jump over lazy dogs near riverbanks " +
+        "while silver moons rise above quiet harbors"
+      val rows = (0L until 60L).map { i =>
+        val body = s"aa$i bb$i cc$i dd$i ee$i ff$i gg$i hh$i"
+        (i, if (Set(0L, 3L, 4L).contains(i % 10)) s"$body $boiler" else body)
+      } ++ Seq((61L, s"$dupBase tail61"),
+        (63L, s"$dupBase tail63 $boiler"), (64L, s"$dupBase tail64 $boiler"))
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = Tables.documents(spark, dir)
+      val m = col("doc_id") % 5
+      val base = docs.filter(m.isin(0L, 1L, 2L))
+      val b1 = docs.filter(m === 4)
+      val b2 = docs.filter(m === 3)
+      val cap = 3L
+      // uncapped chain: the junk-pair and hot-artifact baselines
+      Dedup.d18BuildIndex(base, s"$dir/raw")
+      Dedup.d18AbsorbBatch(b1, s"$dir/raw")
+      val rawP2 = d18PairSet(Dedup.d18FromIndex(spark, s"$dir/raw", b2))
+      assert(spark.read.parquet(s"$dir/raw").groupBy("h").count()
+          .filter(col("count") > cap).count() > 0,
+        "raw absorb must regrow hot keys on this corpus or the test is vacuous")
+      // capped chain: build cap + capped absorb + batch-local probe cap
+      Dedup.d18BuildIndex(base, s"$dir/capped", cap)
+      Dedup.d18AbsorbBatch(b1, s"$dir/capped", cap)
+      val p2 = d18PairSet(Dedup.d18FromIndex(spark, s"$dir/capped", b2,
+        Dedup.NoDfCap, cap))
+      assert(spark.read.parquet(s"$dir/capped").groupBy("h").count()
+          .filter(col("count") > cap).isEmpty,
+        "the capped chain's artifact must stay physically hot-free")
+      // absorbed organic evidence serves night 2: 63(b2)×64(absorbed b1)
+      // through the capped artifact, 61(base)×63(b2) through the build
+      Seq((61L, 63L), (63L, 64L)).foreach { p =>
+        assert(p2.contains(p), s"capped chain lost true dup pair $p")
+      }
+      // a boiler-only cross-batch pair exists raw and vanishes capped
+      assert(rawP2.contains((3L, 4L)) && !p2.contains((3L, 4L)),
+        "boiler-only b1×b2 junk must exist uncapped and vanish capped")
+      // non-biting absorb cap appends row-identical data
+      Dedup.d18BuildIndex(base, s"$dir/nb")
+      Dedup.d18AbsorbBatch(b1, s"$dir/nb", 10000000L)
+      def rowSet(p: String) = spark.read.parquet(p).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n"),
+          r.getAs[Long]("h"))).sorted.toSeq
+      assert(rowSet(s"$dir/nb") == rowSet(s"$dir/raw"),
+        "a non-biting absorb cap must append identical rows")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("d18: absorb chain — base-internal + probe(b1) + probe(b2) partition d02") {
     // the nightly lifecycle: build on the base, probe batch 1, ABSORB
     // batch 1, probe batch 2 against the grown index. Soundness of the
