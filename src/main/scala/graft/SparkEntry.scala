@@ -151,6 +151,7 @@ object SparkEntry {
     "s16_pca_recall" -> ((s, d) => Similarity.s16PcaRecall(s, d)), // rows-only: audits the PCA-fit s14 across the shortlist sweep
     "s17_sq8_recall" -> (Similarity.s17Sq8Recall _), // rows-only: float-IP reference ranking can tie within an ulp
     "s18_filtered_knn" -> (Similarity.s18FilteredKnn _),
+    "s20_rrf_fusion" -> (Similarity.s20RrfFusion _),
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),

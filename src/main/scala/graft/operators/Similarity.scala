@@ -911,6 +911,78 @@ object Similarity {
       Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
+  /** RRF rank constant (Cormack et al. 2009's k=60 — the published
+    * default every hybrid-search stack ships) and the integer scale:
+    * the fused score is Σ `RrfScale div (k + rank)` over the rankers
+    * that returned the doc — integer division on integer ranks, so the
+    * score is a BIGINT both engines compute bit-identically (the
+    * all-integer rule; 1/(60+r) as a float would hash-diverge on
+    * formatting alone). At RrfScale = 10¹² adjacent ranks differ by
+    * ≥ ~1.5·10⁸ — float-RRF's ordering is preserved exactly for any
+    * rank ≤ 10⁵ per list, far beyond any top-k a fusion stage sees. */
+  val RrfK = 60
+  val RrfScale = 1000000000000L
+
+  /** The s20 fusion query's vector leg: the embedding of `vec_id = 0`
+    * stands in for the externally-encoded query vector a real hybrid
+    * request carries (s18's `label % 2` stand-in rule). */
+  val RrfQueryVec = 0L
+
+  /** s20: HYBRID retrieval — BM25 lexical ranking fused with an
+    * embedding-cosine ranking by reciprocal-rank fusion, the production
+    * RAG-stack retrieval query (a user query arrives as terms AND an
+    * encoded vector; neither ranker alone survives contact with real
+    * queries — RRF is the standard no-training fusion). Leg 1 is t07's
+    * gated BM25 top-20 verbatim (single-sourced — the lexical ranking
+    * cannot drift from its own gate); leg 2 ranks the embedded corpus
+    * slice by exact cosine to the query vector. The embeddings table is
+    * the corpus contract for the embedded SUBSET of `documents`
+    * (`vec_id` = `doc_id` of an embedded doc — every test SF satisfies
+    * max(vec_id) < |documents|), the usual production state where
+    * embeddings exist for the vectorized fraction of the corpus and
+    * lexical search covers all of it — exactly the gap hybrid fusion
+    * papers over.
+    *
+    * Scale shape: the lexical leg is t07's two-tiny-shuffle plan; the
+    * vector leg is ONE map-side cosine pass against the broadcast query
+    * vector feeding `orderBy(...).limit(20)` — Spark plans that as
+    * TakeOrderedAndProject (per-partition top-20 heaps, driver merge of
+    * ≤ 20·partitions rows), the right single-query global top-k at any
+    * corpus size (plan-pinned: no global Sort, no window over the
+    * corpus). Fusion itself touches ≤ 40 rows. All output columns are
+    * integers (ranks, BIGINT RRF score); ties in the fused score break
+    * on doc_id in both engines. */
+  def s20RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lexRanked = Window.partitionBy(lit(0)) // ≤20 rows — intentional
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = TextAnalysis.t07Bm25Search(spark, dir)
+      .withColumn("rank_lex", row_number().over(lexRanked).cast("long"))
+      .select(col("doc_id"), col("rank_lex"))
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === RrfQueryVec)
+      .select(col("embedding").as("qv"))
+    val vecRanked = Window.partitionBy(lit(0)) // ≤20 rows — intentional
+      .orderBy(col("c6").desc, col("doc_id"))
+    val vec = e.filter(col("vec_id") =!= RrfQueryVec)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(VF.cosine(col("qv"), col("embedding")), 6).as("c6"))
+      .orderBy(col("c6").desc, col("doc_id")).limit(20)
+      .withColumn("rank_vec", row_number().over(vecRanked).cast("long"))
+      .select(col("doc_id"), col("rank_vec"))
+    val fusedRanked = Window.partitionBy(lit(0)) // ≤40 rows — intentional
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"${RrfScale}L div (${RrfK}L + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"${RrfScale}L div (${RrfK}L + rank_vec)"), lit(0L)))
+      .withColumn("rk", row_number().over(fusedRanked).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("rk"), col("doc_id"), col("rank_lex"), col("rank_vec"),
+        col("rrf_score"))
+      .orderBy("rk")
+  }
+
   /** Exact float-IP top-3 per query — s17's reference ranking. */
   private[graft] def s17ExactIpTop3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -1706,6 +1778,34 @@ object Similarity {
                 FROM s)
           SELECT query_id, rk, neighbor_id, round(cos, 4) AS cosine
           FROM r WHERE rk <= 3 ORDER BY query_id, rk""",
+    "s20_rrf_fusion" ->
+      // leg 1 embeds t07's gated SQL VERBATIM (single-sourced with the
+      // lexical gate); leg 2 mirrors the engine's round-6 cosine
+      // ordering; the fusion is all-BIGINT integer division.
+      s"""WITH lexbase AS (${TextAnalysis.oracle("t07_bm25_search")}),
+          lex AS (SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+                  FROM lexbase),
+          qv AS (SELECT embedding AS q FROM embeddings
+                 WHERE vec_id = $RrfQueryVec),
+          vecbase AS (SELECT vec_id AS doc_id,
+                        round(${VS.cosine("q", "embedding")}, 6) AS c6
+                      FROM embeddings, qv WHERE vec_id <> $RrfQueryVec
+                      ORDER BY c6 DESC, doc_id LIMIT 20),
+          vec AS (SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY c6 DESC, doc_id) AS rank_vec
+                  FROM vecbase),
+          f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                  rank_lex, rank_vec,
+                  COALESCE($RrfScale // ($RrfK + rank_lex), 0)
+                    + COALESCE($RrfScale // ($RrfK + rank_vec), 0) AS rrf_score
+                FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+          r AS (SELECT doc_id, rank_lex, rank_vec, rrf_score,
+                  ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+                FROM f)
+          SELECT CAST(rk AS BIGINT) AS rk, doc_id, rank_lex, rank_vec,
+            rrf_score
+          FROM r WHERE rk <= 10 ORDER BY rk""",
     "s01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < $NumQueries),

@@ -247,6 +247,19 @@ class PlanAuditSpec extends GraftSuite {
       s"the Generate output must not pay two sorts (SHUFFLE_HASH hint):\n$s")
   }
 
+  test("s20: the vector leg is a partial top-k, never a global corpus sort") {
+    val df = Similarity.s20RrfFusion(spark, sf)
+    val s = planStr(df)
+    // orderBy(...).limit(20) over the scored corpus must plan as
+    // TakeOrderedAndProject (per-partition heaps + driver merge of
+    // <= 20*partitions rows) — a global Sort would shuffle-sort the
+    // whole embedded corpus for a 20-row answer
+    assert(s.contains("TakeOrderedAndProject"),
+      s"vector top-20 must be TakeOrderedAndProject:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"the query vector must broadcast, never a cartesian corpus pair:\n$s")
+  }
+
   test("s18: the metadata filter reaches the parquet scan, below the scoring") {
     val df = Similarity.s18FilteredKnn(spark, sf)
     val s = planStr(df)

@@ -807,6 +807,54 @@ class SimilaritySpec extends GraftSuite {
       "fixture no longer demonstrates the post-filter under-fill trap")
   }
 
+  test("s20: RRF fusion equals a driver recompute from its two legs") {
+    import org.apache.spark.sql.functions._
+    // lexical leg: t07's own (gated) output, ranked as the operator does
+    val lexRanks = graft.operators.TextAnalysis.t07Bm25Search(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+      .sortBy { case (id, b) => (-b, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // vector leg: exact cosine to vec 0, round-6 ordering, top-20
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = vecs.find(_._1 == Similarity.RrfQueryVec).get._2
+    val vecRanks = vecs.filter(_._1 != Similarity.RrfQueryVec)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(qv, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(20).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // integer RRF (Long division = floor on positives, both engines' div)
+    def leg(r: Option[Long]): Long =
+      r.map(rk => Similarity.RrfScale / (Similarity.RrfK + rk)).getOrElse(0L)
+    val want = (lexRanks.keySet ++ vecRanks.keySet).toSeq
+      .map { id =>
+        (id, lexRanks.get(id), vecRanks.get(id),
+          leg(lexRanks.get(id)) + leg(vecRanks.get(id))) }
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .take(10).zipWithIndex
+      .map { case ((id, rl, rv, s), i) => (i + 1L, id, rl, rv, s) }
+    val got = Similarity.s20RrfFusion(spark, sf).collect().map { r =>
+      (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("rank_lex")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("rank_vec")).map(_.longValue),
+        r.getAs[Long]("rrf_score"))
+    }.toSeq
+    assert(got == want, s"fused ranking diverged:\ngot  $got\nwant $want")
+    // the fusion is not degenerate: both legs contribute to the top-10
+    assert(got.exists(_._3.isDefined) && got.exists(_._4.isDefined),
+      "fixture exercises only one leg")
+  }
+
   test("graft_dot equals the declarative float-IP fold on every pair") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
