@@ -151,6 +151,8 @@ object SparkEntry {
     "s16_pca_recall" -> ((s, d) => Similarity.s16PcaRecall(s, d)), // rows-only: audits the PCA-fit s14 across the shortlist sweep
     "s17_sq8_recall" -> (Similarity.s17Sq8Recall _), // rows-only: float-IP reference ranking can tie within an ulp
     "s18_filtered_knn" -> (Similarity.s18FilteredKnn _),
+    "s19_knn_graph" -> ((s, d) => Similarity.s19KnnGraph(s, d)),
+    "s19b_knn_graph_ivf" -> ((s, d) => Similarity.s19bKnnGraphIvf(s, d)), // rows-only: candidate pool rides the k-means fit (s03's rule)
     "s20_rrf_fusion" -> (Similarity.s20RrfFusion _),
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),

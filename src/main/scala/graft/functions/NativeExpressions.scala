@@ -902,6 +902,56 @@ object VecDistUtil {
     }
     best
   }
+
+  /** Indices of the `k` nearest centroid rows by squared euclidean
+    * distance, in increasing (distance, index) order — the multi-probe
+    * list selection loop ([[argminSqDist]] generalized to k > 1; the
+    * k = 1 head equals argminSqDist by construction). Same per-element
+    * float→double cast and left-fold sum; ordering is lexicographic
+    * (distance, index), so ties resolve to the LOWER index at every
+    * rank — op-for-op the declarative array_sort over (dist, idx)
+    * structs (spec-pinned). k-pass selection scan: k is the nProbe
+    * knob (2–8), never large, so k·nLists·d with no allocation beats a
+    * heap at these sizes. Finite inputs assumed (quantizer centroids
+    * and corpus vectors — NaN never enters the index path). */
+  def argminKSqDist(emb: ArrayData, cents: ArrayData, k: Int): ArrayData = {
+    val n = cents.numElements()
+    val d = emb.numElements()
+    val dists = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val c = cents.getArray(j)
+      if (c.numElements() != d) // sqDist's fail-fast rule, per centroid row
+        throw new IllegalArgumentException(
+          s"graft_argmink_sqdist: centroid $j has ${c.numElements()} dims, embedding has $d")
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val df = emb.getFloat(i).toDouble - c.getFloat(i).toDouble
+        s += df * df
+        i += 1
+      }
+      dists(j) = s
+      j += 1
+    }
+    val m = math.min(k, n)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](n)
+    var t = 0
+    while (t < m) {
+      var best = -1
+      var bd = 0.0
+      var p = 0
+      while (p < n) {
+        if (!taken(p) && (best < 0 || dists(p) < bd)) { bd = dists(p); best = p }
+        p += 1
+      }
+      taken(best) = true
+      out(t) = best
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** (array<double>, array<double>) → squared euclidean distance. */
@@ -940,6 +990,31 @@ case class ArgminSqDistExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (e, c) => s"graft.functions.VecDistUtil.argminSqDist($e, $c)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminSqDistExpr =
+    copy(left = l, right = r)
+}
+
+/** (array<float> emb, array<array<float>> centroids) → the `k` nearest
+  * list ids, in increasing (distance, index) order — multi-probe IVF
+  * assignment ([[ArgminSqDistExpr]] widened to k results; `k` is a
+  * plan-time literal, so the codegen'd call sites stay monomorphic). */
+case class ArgminKSqDistExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, s"graft_argmink_sqdist: k must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected (array<float>, array<array<float>>), got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_argmink_sqdist"
+  override protected def nullSafeEval(emb: Any, cents: Any): Any =
+    VecDistUtil.argminKSqDist(
+      emb.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c) => s"graft.functions.VecDistUtil.argminKSqDist($e, $c, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminKSqDistExpr =
     copy(left = l, right = r)
 }
 
@@ -1074,6 +1149,8 @@ object NativeFunctions {
     Shims.column(SqDistExpr(Shims.expression(a), Shims.expression(b)))
   def argminSqDist(emb: Column, cents: Column): Column =
     Shims.column(ArgminSqDistExpr(Shims.expression(emb), Shims.expression(cents)))
+  def argminKSqDist(emb: Column, cents: Column, k: Int): Column =
+    Shims.column(ArgminKSqDistExpr(Shims.expression(emb), Shims.expression(cents), k))
   def pqAdc(codes: Column, qtab: Column): Column =
     Shims.column(PqAdcExpr(Shims.expression(codes), Shims.expression(qtab)))
 

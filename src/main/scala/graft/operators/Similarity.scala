@@ -983,6 +983,93 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** Multi-probe width for the IVF k-NN graph: each vector's candidate
+    * pool is its `S19Probes` nearest inverted lists — a scanned
+    * fraction of nProbe/nLists of the quadratic work. What that buys
+    * DEPENDS ON THE CORPUS GEOMETRY, and the test corpus is the worst
+    * case: its true top-1 cosines sit at 0.37 ± 0.1 (near-orthogonal —
+    * no cluster structure for a locality partition to exploit), so
+    * recall tracks the scanned fraction plus the quantizer's locality
+    * bonus — measured at sf0.001: nProbe 2 → 0.47 (3.7× the 2/16
+    * random-scan floor), 4 → 0.68, 8 → 0.90. The regime the graph is
+    * BUILT for behaves oppositely: a near-dup pair (cosine → 1) lands
+    * in the same list with probability → 1, so SemDeDup-grade edges
+    * survive aggressive pruning (d05/d12b's planted-duplicate specs pin
+    * exactly that). The spec therefore pins the locality bonus (≥ 2×
+    * floor) and probe-monotone recall, not an absolute bar the corpus
+    * geometry owns. */
+  val S19Probes = 2
+
+  /** s19: the exact k-NN GRAPH — top-3 cosine neighbors for EVERY
+    * corpus vector (s01 with the query set widened to the whole
+    * corpus): the curation primitive SemDeDup-style pruning, diversity
+    * sampling, coreset seeding, and label propagation all read. An
+    * exact graph is inherently ALL-PAIRS — no sub-quadratic exact plan
+    * exists — so this gated form is the YARDSTICK: the audit reference
+    * [[s19bKnnGraphIvf]]'s recall is measured against (the s01↔s03
+    * relationship, corpus-wide). At 100 TB you build the graph with
+    * s19b and spot-audit it with s19 on a slice; the all-pairs scan
+    * here keeps s01's shape — one side broadcast, the scored stream
+    * reduced map-side by the TopKPerGroup heap, so ≤ 3 rows per vector
+    * reach the only shuffle (never a corpus-sized sort). */
+  def s19KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+  }
+
+  /** s19b: the k-NN graph at SCALE — candidates from the persisted s03
+    * IVF index instead of all-pairs: every vector probes its
+    * [[S19Probes]] nearest lists (one codegen'd `graft_argmink_sqdist`
+    * pass against the broadcast centroid matrix — the multi-probe
+    * generalization of the assignment argmin), candidates are the
+    * probed lists' members via ONE list_id equi-join, exact cosine +
+    * the same heap top-3 within the pool. Cost: |corpus|·nProbe/nLists
+    * of the quadratic scan (2/16 here — the s03 arithmetic, corpus-
+    * wide); the join is corpus×(corpus·nProbe) on list_id, both sides
+    * shuffle once (SHUFFLE_HASH, built from the unreplicated corpus
+    * side — nothing broadcasts, nothing is quadratic; list populations
+    * are bounded by the quantizer balance + the nLists ≈ √n sizing
+    * rule, and a pathological hot list is d02's maxDf story on
+    * list_id). Probing ALL lists makes the candidate pool the whole
+    * corpus — s19b(nProbe = nLists) ≡ s19 exactly, the spec's equality
+    * pin (no tuning-dependent bar). Rows-only: the pool rides the
+    * k-means fit (s03's rule); coverage, edge soundness, the locality
+    * bonus over the random-scan floor, and probe-monotone recall are
+    * spec-pinned (see [[S19Probes]] for the measured recall curve). */
+  def s19bKnnGraphIvf(spark: SparkSession, dir: String): DataFrame =
+    s19bKnnGraphIvf(spark, dir, nLists = 16, nProbe = S19Probes)
+
+  def s19bKnnGraphIvf(spark: SparkSession, dir: String, nLists: Int,
+      nProbe: Int): DataFrame = {
+    val (assigned, centDf) = s03Index(spark, dir, nLists)
+    // centroid matrix as ONE broadcast row in list_id order (nLists·d
+    // floats — ~25 MB at nLists = 10⁵, s12's broadcastability bound):
+    // probe selection is then a map-side native-expression pass over
+    // the corpus, never a per-row join against the centroid table
+    val centsRow = centDf
+      .agg(transform(array_sort(collect_list(struct(col("list_id"), col("centroid")))),
+        s => s.getField("centroid")).as("cents"))
+    val probes = assigned
+      .crossJoin(broadcast(centsRow))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(graft.functions.NativeFunctions.argminKSqDist(
+          col("embedding"), col("cents"), nProbe)).as("list_id"))
+    val scored = assigned
+      .select(col("list_id"), col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .hint("SHUFFLE_HASH") // build from the unreplicated (1×) corpus side
+      .join(probes, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VF.cosine(col("qv"), col("cv")))
+    ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+  }
+
   /** Exact float-IP top-3 per query — s17's reference ranking. */
   private[graft] def s17ExactIpTop3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -1806,6 +1893,20 @@ object Similarity {
           SELECT CAST(rk AS BIGINT) AS rk, doc_id, rank_lex, rank_vec,
             rrf_score
           FROM r WHERE rk <= 10 ORDER BY rk""",
+    "s19_knn_graph" ->
+      // s01's oracle with the query filter removed: every vector is a
+      // query — the exact corpus-wide neighbor graph
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                  ${VS.cosine("qv", "e.embedding")} AS cos
+                FROM embeddings e, q WHERE e.vec_id <> query_id),
+          r AS (SELECT query_id, neighbor_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rk
+                FROM s)
+          SELECT query_id, rk, neighbor_id, round(cos, 4) AS cosine
+          FROM r WHERE rk <= 3 ORDER BY query_id, rk""",
     "s01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < $NumQueries),

@@ -305,4 +305,55 @@ class NativeExprSpec extends GraftSuite {
         s"sqdist divergence: ${r.getDouble(0)} vs ${r.getDouble(1)}")
     }
   }
+
+  test("native argmink-sqdist equals the declarative (dist, idx) sort on every vector") {
+    // real quantizer centroids against the whole corpus, k = 2 (the
+    // S19Probes default) and k = 5 (a deeper probe): the native k-pass
+    // selection must equal array_sort over (dist, idx) structs —
+    // lexicographic order gives ties-to-lower-index at every rank, the
+    // same rule the native scan's strict < implements
+    val (_, centDf) = graft.operators.Similarity.s03Index(spark, sf, 16)
+    val centsRow = centDf
+      .agg(transform(array_sort(collect_list(struct(col("list_id"), col("centroid")))),
+        s => s.getField("centroid")).as("cents"))
+    def declK(k: Int) = slice(
+      transform(
+        array_sort(transform(col("cents"), (c, i) =>
+          struct(
+            aggregate(zip_with(col("emb"), c,
+              (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+              lit(0.0), (acc, v) => acc + v).as("d"),
+            i.as("i")))),
+        s => s.getField("i")), 1, k)
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .crossJoin(broadcast(centsRow))
+      .select(col("vec_id"),
+        NF.argminKSqDist(col("emb"), col("cents"), 2).as("n2"),
+        declK(2).as("d2"),
+        NF.argminKSqDist(col("emb"), col("cents"), 5).as("n5"),
+        declK(5).as("d5"),
+        NF.argminSqDist(col("emb"), col("cents")).as("a1"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: native k=2 ${r.getSeq[Int](1)} != declarative ${r.getSeq[Int](2)}")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4),
+        s"vec ${r.getLong(0)}: native k=5 ${r.getSeq[Int](3)} != declarative ${r.getSeq[Int](4)}")
+      // the k-head IS the argmin: one selection rule, two expressions
+      assert(r.getSeq[Int](1).head == r.getInt(5),
+        s"vec ${r.getLong(0)}: argmink head ${r.getSeq[Int](1).head} != argmin ${r.getInt(5)}")
+    }
+    // ties resolve to the lower index at EVERY rank, and k >= n returns
+    // the full ordering
+    import spark.implicits._
+    val tie = Seq((Seq(0.0f, 0.0f),
+        Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(2.0f, 0.0f), Seq(1.0f, 0.0f))))
+      .toDF("emb", "cents")
+      .select(NF.argminKSqDist(col("emb"), col("cents"), 9).as("a"))
+      .head().getSeq[Int](0)
+    assert(tie == Seq(0, 1, 3, 2),
+      s"ties must resolve lower-index-first with k clamped to n, got $tie")
+  }
 }

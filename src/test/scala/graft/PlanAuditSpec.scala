@@ -260,6 +260,28 @@ class PlanAuditSpec extends GraftSuite {
       s"the query vector must broadcast, never a cartesian corpus pair:\n$s")
   }
 
+  test("s19b: graph candidates come from a shuffled equi-join on list_id, probes are one native pass") {
+    val df = Similarity.s19bKnnGraphIvf(spark, sf)
+    val s = planStr(df)
+    // both sides are corpus-sized: the list join must shuffle-hash,
+    // never broadcast a corpus or degenerate to a cartesian pair
+    assert(s.contains("ShuffledHashJoin"),
+      s"the list_id candidate join must be a shuffled hash join:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"the IVF graph must never form a cartesian corpus pair:\n$s")
+    // probe-list selection is the codegen'd argmin-k against the one
+    // broadcast centroid row — an interpreted HOF chain here would pay
+    // the s09-encode mistake on every corpus vector
+    assert(s.contains("graft_argmink_sqdist"),
+      s"probe selection must be the native argmin-k expression:\n$s")
+    // the scored stream reduces through the partial top-k heap before
+    // the rank window ever sees it
+    val topk = df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerGroup => t
+    }
+    assert(topk.nonEmpty, "s19b must rank through TopKPerGroup, not a full sort")
+  }
+
   test("s18: the metadata filter reaches the parquet scan, below the scoring") {
     val df = Similarity.s18FilteredKnn(spark, sf)
     val s = planStr(df)

@@ -855,6 +855,123 @@ class SimilaritySpec extends GraftSuite {
       "fixture exercises only one leg")
   }
 
+  // ---- s19 exact k-NN graph + s19b IVF graph ----
+
+  /** Driver-side exact top-3 graph: the same round-6 ordering / round-4
+    * output contract as the engine's `ranked`. */
+  private def driverExactGraph(): Map[Long, Seq[(Long, Long, Double)]] = {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def rnd(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vecs.map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-rnd(c, 6), n) }
+        .take(3).zipWithIndex
+        .map { case ((n, c), i) => (i + 1L, n, rnd(c, 4)) }.toSeq
+    }.toMap
+  }
+
+  test("s19 exact graph equals a driver recompute for every corpus vector") {
+    val want = driverExactGraph()
+    val got = Similarity.s19KnnGraph(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rk"))
+          .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("neighbor_id"),
+            r.getAs[Double]("cosine"))).toSeq
+      }
+    assert(got.keySet == want.keySet, "graph does not cover the corpus")
+    got.foreach { case (q, edges) =>
+      assert(edges == want(q), s"vector $q: got $edges, want ${want(q)}")
+    }
+  }
+
+  test("s19b with nProbe = nLists is the exact graph (candidate pool = corpus)") {
+    val exact = Similarity.s19KnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    val all = Similarity.s19bKnnGraphIvf(spark, sf, nLists = 16, nProbe = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    assert(all == exact,
+      s"full-probe IVF graph must equal s19: ${(all diff exact).take(5)} / ${(exact diff all).take(5)}")
+  }
+
+  test("s19b default: full coverage, sound edges, locality bonus over the scan floor") {
+    val want = driverExactGraph()
+    val got = Similarity.s19bKnnGraphIvf(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rk"))
+          .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("neighbor_id"),
+            r.getAs[Double]("cosine"))).toSeq
+      }
+    // coverage: every corpus vector gets a full top-3 (2/16 of the
+    // corpus as candidate pool >> 3 at every test SF)
+    assert(got.keySet == want.keySet, "IVF graph does not cover the corpus")
+    // soundness: EVERY reported edge carries the true cosine of its pair
+    // (not just edges that happen to land in the exact top-3)
+    import org.apache.spark.sql.functions._
+    val vecMap = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def trueCos4(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (q, edges) =>
+      assert(edges.map(_._1) == Seq(1L, 2L, 3L), s"vector $q under-filled: $edges")
+      edges.foreach { case (_, n, c) =>
+        val t = trueCos4(vecMap(q), vecMap(n))
+        assert(c == t, s"vector $q -> $n: reported $c, true $t")
+      }
+    }
+    // the test corpus is the adversarial geometry (true top-1 cosines
+    // ~0.37, no cluster structure), so recall tracks the scanned
+    // fraction nProbe/nLists — the pinnable signal is the quantizer's
+    // LOCALITY BONUS over that random-scan floor, not an absolute bar
+    // the corpus geometry owns (measured 0.47 = 3.7x the 2/16 floor)
+    def recallAt(nProbe: Int): Double = {
+      val g = Similarity.s19bKnnGraphIvf(spark, sf, 16, nProbe).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      want.keys.toSeq.map(q => (want(q).map(_._2).toSet & g(q)).size).sum
+        .toDouble / (want.size * 3)
+    }
+    val r2 = {
+      val hits = want.keys.toSeq.map { q =>
+        (want(q).map(_._2).toSet & got(q).map(_._2).toSet).size
+      }.sum
+      hits.toDouble / (want.size * 3)
+    }
+    info(f"s19b recall@3 vs exact graph at nProbe=2: $r2%.4f")
+    assert(r2 >= 2.0 * 2.0 / 16, f"recall $r2%.4f shows no locality bonus over the 2/16 scan floor")
+    // probe sets are nested by construction (argmin-k order), so the
+    // candidate pool grows with nProbe and hits can only increase: a
+    // deeper probe must never lose recall
+    val r4 = recallAt(4)
+    info(f"s19b recall@3 at nProbe=4: $r4%.4f")
+    assert(r4 >= r2, f"recall must be monotone in nProbe: $r4%.4f < $r2%.4f")
+  }
+
   test("graft_dot equals the declarative float-IP fold on every pair") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
