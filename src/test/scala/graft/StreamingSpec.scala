@@ -828,4 +828,67 @@ class StreamingSpec extends GraftSuite {
     assert(out.select("line").collect().map(_.getString(0)).toSet ==
       Set("l1", "l2", "l3", "l4", "l5"))
   }
+
+  test("stream_incdedup: probe+absorb micro-batches tile d02 exactly like the batch nightly") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    // base corpus indexed at rest; three arrival micro-batches carve up
+    // the rest of the corpus so every d02 pair has a well-defined
+    // "arrival batch" (the newest member's) — the d18 chain spec's
+    // tiling argument, with "night" shrunk to "micro-batch"
+    val docs = Tables.documents(spark, sf)
+    val m = col("doc_id") % 5
+    val base = docs.filter(m.isin(0L, 1L, 2L))
+    def batchNo(id: Long): Int =
+      if (id % 5 == 4) 1
+      else if (id % 5 == 3) { if (id % 2 == 0) 2 else 3 }
+      else 0
+    val arrivals = docs.filter(m.isin(3L, 4L))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(t => batchNo(t._1))
+    val dir = java.nio.file.Files.createTempDirectory("sincdedup").toString
+    val idx = dir + "/shingle_index"
+    val got = mutable.Buffer.empty[Set[((Long, Long), Double)]]
+    try {
+      Dedup.d18BuildIndex(base, idx)
+      val input = MemoryStream[(Long, String)]
+      val q = StreamIncDedup.run(input.toDF().toDF("doc_id", "text"), idx) { b =>
+        got.synchronized {
+          got += b.collect().map(r => ((r.getLong(0), r.getLong(1)),
+            r.getAs[Double]("jaccard"))).toSet
+        }
+      }
+      try (1 to 3).foreach { i =>
+        input.addData(arrivals(i).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // per-batch outputs are pairwise disjoint (each pair reported once,
+      // on the micro-batch its newest member arrived) ...
+      assert(got.size == 3, s"expected 3 micro-batch outputs, got ${got.size}")
+      assert((got(0) & got(1)).isEmpty && (got(0) & got(2)).isEmpty &&
+        (got(1) & got(2)).isEmpty, "a pair was reported in two micro-batches")
+      // ... and each equals d02's slice for that batch: all pairs whose
+      // NEWEST member arrived in it (jaccards included — the absorbed
+      // index must serve cross-batch evidence identically to the nightly)
+      val full = Dedup.d02NgramJaccard(spark, sf).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toSet
+      (1 to 3).foreach { i =>
+        val exp = full.filter { case ((a, b), _) =>
+          math.max(batchNo(a), batchNo(b)) == i }
+        assert(got(i - 1) == exp,
+          s"micro-batch $i diverged from d02's slice: " +
+            s"extra=${(got(i - 1) -- exp).take(3)} missing=${(exp -- got(i - 1)).take(3)}")
+      }
+      // the base-internal remainder is exactly what no micro-batch may
+      // report — together the stream + base tile d02 with no gap
+      val baseInternal = full.filter { case ((a, b), _) =>
+        batchNo(a) == 0 && batchNo(b) == 0 }
+      assert(baseInternal ++ got(0) ++ got(1) ++ got(2) == full,
+        "stream outputs + base-internal pairs must tile d02's full set")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
 }
