@@ -1093,8 +1093,17 @@ object Dedup {
   def d18FromIndex(spark: SparkSession, indexPath: String,
       newDocs: DataFrame, maxDf: Long = NoDfCap,
       batchMaxDf: Long = NoDfCap): DataFrame =
-    present18(incrementalPairs(spark.read.parquet(indexPath), newDocs, maxDf,
-      batchMaxDf))
+    d18FromIndex(spark.read.parquet(indexPath), newDocs, maxDf, batchMaxDf)
+
+  /** DataFrame-index form of [[d18FromIndex]] — for callers whose
+    * at-rest index is not one flat parquet path: a catalog-bucketed
+    * table (the [[d18BuildIndex]] doc's at-scale layout) or a union of
+    * committed per-batch generation dirs (stream_incdedup's
+    * replay-idempotent layout). Same join, same caps, same contract —
+    * the path overload delegates here. */
+  def d18FromIndex(index: DataFrame, newDocs: DataFrame, maxDf: Long,
+      batchMaxDf: Long): DataFrame =
+    present18(incrementalPairs(index, newDocs, maxDf, batchMaxDf))
 
   /** Absorb a probed batch into the at-rest index: append the batch's
     * shingle rows so the NEXT nightly probes against base ∪ batch —

@@ -1,35 +1,49 @@
 package graft.streaming
 
 import graft.operators.Dedup
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** SURVEY §2.G — d18's nightly dedup cycle AT INGEST: each arriving
   * micro-batch of documents is probed against the at-rest shingle index
   * ([[graft.operators.Dedup.d18FromIndex]] — new×old + new×new pairs,
-  * never old×old) and then ABSORBED into it
-  * ([[graft.operators.Dedup.d18AbsorbBatch]]) so the grown index serves
+  * never old×old) and then ABSORBED into it so the grown index serves
   * the next micro-batch: the build→probe→absorb cycle with "night"
   * shrunk to "micro-batch". Single-sourced with the batch surface — the
-  * foreachBatch body calls the PUBLIC d18 functions, so streamed pairs
-  * cannot drift from the nightly's (stream_shards' frozen-artifact rule,
-  * applied to an at-rest index instead of driver values).
+  * body calls the PUBLIC d18 functions, so streamed pairs cannot drift
+  * from the nightly's (stream_shards' frozen-artifact rule, applied to
+  * an at-rest index instead of driver values).
   *
-  * Ordering hazard, made structural: d18FromIndex's DataFrame is LAZY
-  * and reads the index path — if the absorb appended first, the probe
-  * would see the batch on both sides and corrupt every new×new jaccard
-  * (d18AbsorbBatch's documented contract). The body therefore
-  * materializes the probe through an EAGER localCheckpoint (pair output
-  * is report-sized, never corpus-sized) before the absorb touches disk.
+  * Replay-idempotence (foreachBatch is AT-LEAST-ONCE): a plain append
+  * absorb would corrupt on the crash-between-absorb-and-offset-commit
+  * replay — the re-run's probe would see the batch's own rows in the
+  * index (self-pairs + doubled new×new shared counts, exactly the
+  * corruption [[graft.operators.Dedup.d18AbsorbBatch]]'s doc warns
+  * absorb-before-probe causes) and the second append would duplicate
+  * index rows forever. So the index is a GENERATION TREE, not one flat
+  * dir (stream_vecindex/stream_rollup's versioned-commit rule):
+  * `indexRoot/base` (written once by
+  * [[graft.operators.Dedup.d18BuildIndex]]) plus one `batch-<id>` dir
+  * per absorbed micro-batch. The probe reads base ∪ committed
+  * (`_SUCCESS`-marked) generations EXCLUDING the current batch id — a
+  * replayed batch never sees its own previous attempt, committed or
+  * partial — and the absorb DELETES any `batch-<id>` leftover before
+  * rewriting it, so a replay produces byte-identical state and output.
   *
-  * State story: NO state store — the at-rest parquet index IS the state,
+  * Ordering hazard, made structural: d18FromIndex's DataFrame is lazy —
+  * the body materializes the probe through an EAGER localCheckpoint
+  * (pair output is report-sized, never corpus-sized) before the absorb
+  * touches disk.
+  *
+  * State story: NO state store — the at-rest parquet tree IS the state,
   * exactly as the nightly leaves it, so a restarted query resumes from
-  * the index as of the last absorbed batch (contrast stream_neardup,
-  * whose LSH bucket lists live in the state store and die with the
-  * checkpoint: that form owns the low-latency in-flight window, this
-  * form owns durable corpus history). `batchMaxDf` carries the
-  * batch-local stop-shingle cap through BOTH the probe and the absorb
-  * (the capped-cycle discipline: a boilerplate-carrying micro-batch can
+  * the last committed generation (contrast stream_neardup, whose LSH
+  * bucket lists live in the state store and die with the checkpoint:
+  * that form owns the low-latency in-flight window, this form owns
+  * durable corpus history). `batchMaxDf` carries the batch-local
+  * stop-shingle cap through BOTH the probe and the absorb (the
+  * capped-cycle discipline: a boilerplate-carrying micro-batch can
   * neither melt its own new×new join nor regrow hot keys in the
   * artifact).
   *
@@ -39,26 +53,50 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * contract instead of a raw copy. */
 object StreamIncDedup {
 
+  /** One micro-batch's probe + absorb against the generation tree —
+    * the exact body `run` executes, exposed so specs can drive a
+    * REPLAYED batch id directly and pin idempotence. Returns the
+    * materialized (doc_i, doc_j, jaccard) pairs. */
+  private[graft] def processBatch(b: DataFrame, indexRoot: String,
+      batchId: Long, batchMaxDf: Long): DataFrame = {
+    val spark = b.sparkSession
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val own = new Path(root, s"batch-$batchId")
+    // committed generations only, never this batch's own prior attempt:
+    // a dir without _SUCCESS is a crashed append's debris (deleted below
+    // if it is ours; a concurrent writer's in-flight dir otherwise)
+    val gens = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName != own.getName &&
+        (p.getName == "base" || (p.getName.startsWith("batch-") &&
+          fs.exists(new Path(p, "_SUCCESS")))))
+      .sortBy(_.getName)
+    val index = gens.map(p => spark.read.parquet(p.toString))
+      .reduce(_ unionByName _)
+    val pairs = Dedup.d18FromIndex(index, b, Dedup.NoDfCap, batchMaxDf)
+      .localCheckpoint(true)
+    if (fs.exists(own)) fs.delete(own, true) // replay: drop the old attempt
+    Dedup.d18AbsorbBatch(b, own.toString, batchMaxDf)
+    pairs
+  }
+
   /** Start probing the `docs` stream (needs doc_id + text) against the
-    * index at `indexPath` (built once by
-    * [[graft.operators.Dedup.d18BuildIndex]]); `onBatch` receives each
-    * micro-batch's materialized (doc_i, doc_j, jaccard) pairs. Arrival
-    * doc_ids must be disjoint from everything already in the index
-    * (d18FromIndex's contract — a breach surfaces as doc_i == doc_j
-    * self-pairs, the documented alert shape). */
-  def run(docs: DataFrame, indexPath: String,
+    * generation tree rooted at `indexRoot` (base corpus pre-built at
+    * `indexRoot/base` by [[graft.operators.Dedup.d18BuildIndex]]);
+    * `onBatch` receives each micro-batch's materialized
+    * (doc_i, doc_j, jaccard) pairs. Arrival doc_ids must be disjoint
+    * from everything already in the tree (d18FromIndex's contract — a
+    * breach surfaces as doc_i == doc_j self-pairs, the documented alert
+    * shape). */
+  def run(docs: DataFrame, indexRoot: String,
       batchMaxDf: Long = Dedup.NoDfCap)(
       onBatch: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.toDF()
-        if (!b.isEmpty) {
-          val pairs = Dedup.d18FromIndex(b.sparkSession, indexPath, b,
-            batchMaxDf = batchMaxDf).localCheckpoint(true)
-          onBatch(pairs)
-          Dedup.d18AbsorbBatch(b, indexPath, batchMaxDf)
-        }
+        if (!b.isEmpty)
+          onBatch(processBatch(b, indexRoot, batchId, batchMaxDf))
       }
       .start()
 }

@@ -919,14 +919,22 @@ class DedupSpec extends GraftSuite {
         "plant must make the cap bite on the BASE side alone")
       assert(dfOf(batch).filter(col("count") > cap).count() > 0,
         "plant must make the cap bite on the BATCH side alone")
-      // no-straddler precondition: every union-hot key is hot on a side
+      // no-straddler precondition, in FULL: the equality claim needs
+      // every union-hot key to cross BOTH sides' caps (or be absent
+      // from a side) — not just "hot on some side". A key hot on one
+      // side but present sub-cap on the other diverges by design: the
+      // union-df nightly drops all its rows while the composed form
+      // keeps the sub-cap side's (the one-sided asymmetry the next
+      // test pins as the intended difference). So exclude any key with
+      // union df > cap whose presence on a side is nonzero-but-sub-cap.
       val straddlers = dfOf(base).withColumnRenamed("count", "dfb")
         .join(dfOf(batch).withColumnRenamed("count", "dfn"), Seq("h"), "full")
         .na.fill(0L, Seq("dfb", "dfn"))
-        .filter(col("dfb") <= cap && col("dfn") <= cap &&
-          col("dfb") + col("dfn") > cap)
+        .filter(col("dfb") + col("dfn") > cap &&
+          ((col("dfb") > 0 && col("dfb") <= cap) ||
+            (col("dfn") > 0 && col("dfn") <= cap)))
       assert(straddlers.isEmpty,
-        "corpus must have no straddler keys or the equality claim is out of scope")
+        "corpus must have no straddler keys (every union-hot key hot-or-absent on BOTH sides) or the equality claim is out of scope")
       Dedup.d18BuildIndex(base, s"$dir/raw")
       Dedup.d18BuildIndex(base, s"$dir/capped", cap)
       val combined = d18PairSet(

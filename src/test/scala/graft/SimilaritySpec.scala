@@ -4,6 +4,23 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends GraftSuite {
 
+  /** The driver-side reference cosine every similarity spec recomputes
+    * against: float→double per element, one left-fold — the engine's
+    * native accumulation order. ONE definition, so a change to the
+    * reference math cannot silently fork the specs. */
+  private def driverCos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Spark/DuckDB `round` semantics (HALF_UP on the exact double). */
+  private def rnd(v: Double, s: Int): Double =
+    BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("s01 returns exactly 5 ranked neighbors per query, cosine descending") {
     val rows = Similarity.s01KnnBrute(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
@@ -770,14 +787,7 @@ class SimilaritySpec extends GraftSuite {
       .select(col("vec_id"), col("embedding"), col("label")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
         r.getAs[Number](2).longValue))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y; i += 1
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double = driverCos(a, b)
     val want = (0L until Similarity.NumQueries.toLong).flatMap { q =>
       val qv = vecs.find(_._1 == q).get._2
       vecs.filter(v => v._1 != q && v._3 % 2 == 0)
@@ -819,14 +829,7 @@ class SimilaritySpec extends GraftSuite {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y; i += 1
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double = driverCos(a, b)
     val qv = vecs.find(_._1 == Similarity.RrfQueryVec).get._2
     val vecRanks = vecs.filter(_._1 != Similarity.RrfQueryVec)
       .map { case (id, v) =>
@@ -864,16 +867,7 @@ class SimilaritySpec extends GraftSuite {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y; i += 1
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def rnd(v: Double, s: Int): Double =
-      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = driverCos(a, b)
     vecs.map { case (q, qv) =>
       q -> vecs.filter(_._1 != q)
         .map { case (n, nv) => (n, cos(qv, nv)) }
@@ -928,15 +922,8 @@ class SimilaritySpec extends GraftSuite {
     val vecMap = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def trueCos4(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y; i += 1
-      }
-      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    def trueCos4(a: Array[Float], b: Array[Float]): Double =
+      rnd(driverCos(a, b), 4)
     got.foreach { case (q, edges) =>
       assert(edges.map(_._1) == Seq(1L, 2L, 3L), s"vector $q under-filled: $edges")
       edges.foreach { case (_, n, c) =>

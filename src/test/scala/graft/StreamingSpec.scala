@@ -853,7 +853,7 @@ class StreamingSpec extends GraftSuite {
     val idx = dir + "/shingle_index"
     val got = mutable.Buffer.empty[Set[((Long, Long), Double)]]
     try {
-      Dedup.d18BuildIndex(base, idx)
+      Dedup.d18BuildIndex(base, s"$idx/base")
       val input = MemoryStream[(Long, String)]
       val q = StreamIncDedup.run(input.toDF().toDF("doc_id", "text"), idx) { b =>
         got.synchronized {
@@ -888,6 +888,23 @@ class StreamingSpec extends GraftSuite {
         batchNo(a) == 0 && batchNo(b) == 0 }
       assert(baseInternal ++ got(0) ++ got(1) ++ got(2) == full,
         "stream outputs + base-internal pairs must tile d02's full set")
+      // REPLAY idempotence (foreachBatch is at-least-once): re-running
+      // the LAST micro-batch's body under its own batch id — the
+      // crash-between-absorb-and-offset-commit case — must ignore the
+      // previous attempt's committed generation (no self-pairs, no
+      // doubled shared counts), reproduce the identical pair output,
+      // and leave the index tree's row count unchanged
+      val rowsBefore = spark.read.parquet(s"$idx/batch-2").count()
+      val replayed = StreamIncDedup.processBatch(
+        arrivals(3).toSeq.toDF("doc_id", "text"), idx, batchId = 2L,
+        Dedup.NoDfCap).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(replayed == got(2),
+        s"replayed batch diverged: extra=${(replayed -- got(2)).take(3)} " +
+          s"missing=${(got(2) -- replayed).take(3)}")
+      assert(spark.read.parquet(s"$idx/batch-2").count() == rowsBefore,
+        "replay must rewrite its generation, not duplicate rows")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir))
   }
