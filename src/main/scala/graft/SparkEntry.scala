@@ -123,6 +123,7 @@ object SparkEntry {
     "d12_semdedup" -> (Dedup.d12SemDedup _),
     "d17_exact_substring" -> ((s, d) => Dedup.d17ExactSubstring(s, d)),
     "d18_incremental_neardup" -> ((s, d) => Dedup.d18IncrementalNeardup(s, d)),
+    "d19_dup_spans" -> ((s, d) => Dedup.d19DupSpans(s, d)),
     "d12b_semdedup_ivf" -> // rows-only: cluster-first candidates ride a k-means fit (s03's rule)
       (Dedup.d12bSemDedupIvf _),
     "d13_semantic_decontamination" ->
@@ -154,6 +155,10 @@ object SparkEntry {
     "s19_knn_graph" -> ((s, d) => Similarity.s19KnnGraph(s, d)),
     "s19b_knn_graph_ivf" -> ((s, d) => Similarity.s19bKnnGraphIvf(s, d)), // rows-only: candidate pool rides the k-means fit (s03's rule)
     "s20_rrf_fusion" -> (Similarity.s20RrfFusion _),
+    "s21_graph_refine" -> // rows-only: refines the IVF-seeded graph (k-means fit, s03's rule)
+      ((s, d) => Similarity.s21GraphRefine(s, d)),
+    "s22_cluster_profile" -> // rows-only: list assignments ride the k-means fit (s03's rule)
+      ((s, d) => Similarity.s22ClusterProfile(s, d)),
 
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
@@ -169,6 +174,7 @@ object SparkEntry {
     "p15_chunk_spans" -> // rows-only: BPE counts ride the corpus-dependent merge table (p12's rule)
       (Pipelines.p15ChunkSpans _),
     "p16_span_layout" -> (Pipelines.p16SpanLayout _),
+    "p17_filter_funnel" -> (Pipelines.p17FilterFunnel _),
     "t30_novelty_scan" -> (TextAnalysis.t30NoveltyScan _),
   )
 

@@ -386,7 +386,15 @@ object WinnowUtil {
     * Docs shorter than w + k − 1 codepoints have no full window and
     * yield an empty array (explode drops them), mirroring the
     * declarative filter. NativeExprSpec pins set equality per doc. */
-  def fingerprints(text: UTF8String, w: Int, k: Int): ArrayData = {
+  /** Per-POSITION top-60-bit MD5 window hashes — the rolling pass both
+    * detectors share: index j holds the hash of the w-codepoint window
+    * starting at codepoint j (0-based; the declarative/DuckDB mirrors
+    * are 1-based, so their position i = j + 1). [[fingerprints]] is
+    * this followed by the winnow k-minimum + DISTINCT; the d19 span
+    * extractor consumes it raw because span surgery needs every
+    * position, not a sampled-or-deduped set. Docs shorter than w
+    * codepoints yield an empty array. */
+  def windowHashes(text: UTF8String, w: Int): Array[Long] = {
     val bytes = text.getBytes
     // codepoint -> byte offset index (UTF-8 lead bytes); offsets(nChars)
     // = bytes.length sentinel so window byte-length lookups are uniform
@@ -398,7 +406,7 @@ object WinnowUtil {
       nChars += 1
     }
     val m = nChars - w + 1 // number of w-char windows
-    if (m < k) return new GenericArrayData(Array.empty[Long])
+    if (m <= 0) return Array.empty[Long]
     val offsets = new Array[Int](nChars + 1)
     var ci = 0
     off = 0
@@ -422,13 +430,20 @@ object WinnowUtil {
         ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
       j += 1
     }
+    hv
+  }
+
+  def fingerprints(text: UTF8String, w: Int, k: Int): ArrayData = {
+    val hv = windowHashes(text, w)
+    val m = hv.length
+    if (m < k) return new GenericArrayData(Array.empty[Long])
     // sliding-window minimum over windows [j, j+k-1], j in 0..m-k,
     // via monotonic deque of candidate indices
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val deque = new Array[Int](m)
     var head = 0
     var tail = 0 // deque is deque[head until tail]
-    j = 0
+    var j = 0
     while (j < m) {
       while (tail > head && hv(deque(tail - 1)) >= hv(j)) tail -= 1
       deque(tail) = j
@@ -460,6 +475,33 @@ case class WinnowFpsExpr(child: Expression, w: Int, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.WinnowUtil.fingerprints($c, $w, $k)")
   override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
+/** string text → array<long> PER-POSITION w-char window hashes
+  * (element j = hash of the window at codepoint j; no winnow minimum,
+  * no dedup) — the [[WinnowUtil.windowHashes]] rolling pass exposed
+  * raw for span-level surgery (d19): `posexplode` turns it into the
+  * (position, hash) occurrence relation the duplicated-span extractor
+  * joins on. Same top-60-bit MD5 value as the declarative
+  * `conv(substring(md5(substr(text, i, w)), 1, 15), 16, 10)` chain and
+  * its DuckDB mirror (NativeExprSpec pins per-position equality). */
+case class WindowHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WinnowUtil.windowHashes(input.asInstanceOf[UTF8String], w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.WinnowUtil.windowHashes($c, $w))")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
     copy(child = newChild)
 }
 
@@ -1129,6 +1171,8 @@ object NativeFunctions {
     Shims.column(DotProductExpr(Shims.expression(a), Shims.expression(b)))
   def winnowFps(text: Column, w: Int, k: Int): Column =
     Shims.column(WinnowFpsExpr(Shims.expression(text), w, k))
+  def windowHashes(text: Column, w: Int): Column =
+    Shims.column(WindowHashesExpr(Shims.expression(text), w))
   def phash63(text: Column): Column =
     Shims.column(Phash63Expr(Shims.expression(text)))
   def bpeApply(toks: Column, rules: Seq[(String, String)]): Column =

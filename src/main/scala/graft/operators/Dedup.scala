@@ -942,6 +942,78 @@ object Dedup {
       .orderBy("doc_i", "doc_j")
   }
 
+  /** d19: duplicated-SPAN extraction — the other half of the Lee et al.
+    * 2022 ExactSubstr recipe. d17 answers "which doc PAIRS share a
+    * ≥63-char verbatim span"; production dedup does not drop either
+    * doc — it CUTS the repeated span and keeps the rest (most docs
+    * carrying boilerplate are otherwise unique). This computes the cut
+    * list: every maximal character interval whose ≥[[ExactSpanChars]]
+    * windows ALL occur elsewhere in the corpus (any other position of
+    * any doc, within-doc repeats included), with the corpus-wide FIRST
+    * occurrence — min (doc_id, position) per window hash — kept as the
+    * canonical copy so exactly one copy of every duplicated string
+    * survives the surgery.
+    *
+    * Shape (and the reason this beats pair-based detectors at 100 TB):
+    * strictly LINEAR — no pair join anywhere.
+    *   1. occurrence relation (doc_id, i, fp): `posexplode` of the raw
+    *      per-position [[graft.functions.NativeFunctions.windowHashes]]
+    *      rolling pass (d11/d17's hash, winnowing degenerated away —
+    *      surgery needs every position);
+    *   2. per-fp df + canonical occurrence in ONE partial-aggregating
+    *      groupBy (`min(struct(doc_id, i))` — structs order
+    *      lexicographically, matching the oracle's ORDER BY doc_id, i);
+    *   3. join back on fp (each occurrence row meets exactly ONE fp
+    *      row — a hot boilerplate fp has huge df but join output stays
+    *      |occurrences|: the quadratic d02/d17 pay is structurally
+    *      absent, no cap needed); non-canonical occurrences of df ≥ 2
+    *      hashes are the marked positions;
+    *   4. per-DOC island merge: marked windows [i, i+L−1] chain into
+    *      one span while the position gap ≤ L (overlap or adjacency);
+    *      the window is partitioned by doc_id — bounded by document
+    *      length, the t24/sessionize precedent, never corpus-wide.
+    * Emits (doc_id, span_start, span_end, n_windows) per maximal span,
+    * 1-based inclusive codepoint offsets; `substring` surgery on the
+    * consumer side is a map. A span's windows may have DIFFERENT
+    * canonical homes (two boilerplate fragments abutting) — the merge
+    * is deliberately per-position, like the reference recipe, so
+    * chained duplication cuts as one interval.
+    *
+    * 60-bit MD5 collisions can mark a position falsely; both engines
+    * hash identically so the gate is exact (the d11/d17 rule). */
+  def d19DupSpans(spark: SparkSession, dir: String): DataFrame =
+    d19DupSpans(spark, dir, ExactSpanChars)
+
+  def d19DupSpans(spark: SparkSession, dir: String, spanLen: Int): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= spanLen)
+      .select(col("doc_id"),
+        posexplode(graft.functions.NativeFunctions.windowHashes(col("text"), spanLen)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("fp"))
+    val stats = occ.groupBy(col("fp")).agg(
+      count(lit(1)).as("df"),
+      min(struct(col("doc_id"), col("i"))).as("canon"))
+    // hash-build on the stats side (≤ one row per distinct duplicated
+    // fp — always the narrower relation; sort-merge would sort the full
+    // occurrence index twice for nothing)
+    val marked = occ
+      .join(stats.filter(col("df") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
+      .filter(!(col("doc_id") === col("canon.doc_id") && col("i") === col("canon.i")))
+      .select(col("doc_id"), col("i"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    marked
+      .withColumn("prev", lag(col("i"), 1).over(byDoc))
+      .withColumn("isl", sum(
+        when(col("prev").isNull || col("i") - col("prev") > spanLen, 1L)
+          .otherwise(0L)).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + spanLen - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Which documents play the NEW-batch role in the gated d18 entry:
     * doc_id % [[IncrementalNewMod]] == [[IncrementalNewRem]] (~20% of
     * the corpus); the rest are the already-indexed base corpus. */
@@ -1436,6 +1508,41 @@ object Dedup {
               FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_i, doc_j, n_shared FROM pairs ORDER BY doc_i, doc_j""",
+      // d19 mirror: same per-position hash as d17's `sel` but WITHOUT
+      // DISTINCT (every occurrence counts), canonical-first via a
+      // ROW_NUMBER over (doc_id, i) — rn >= 2 ⟺ "df >= 2 and not the
+      // min(struct(doc_id, i)) occurrence", the engine's agg+join form —
+      // then the gaps-and-islands merge with the gap > span-length rule.
+      "d19_dup_spans" ->
+        s"""WITH pos AS (
+              SELECT doc_id, text,
+                unnest(generate_series(1, len(text) - $ExactSpanChars + 1)) AS i
+              FROM documents WHERE len(text) >= $ExactSpanChars),
+            occ AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                CAST(('0x' || substr(md5(substr(text, CAST(i AS INT),
+                  $ExactSpanChars)), 1, 15)) AS BIGINT) AS fp
+              FROM pos),
+            mk AS (
+              SELECT doc_id, i,
+                ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
+              FROM occ),
+            marked AS (SELECT doc_id, i FROM mk WHERE rn >= 2),
+            lagd AS (
+              SELECT doc_id, i,
+                LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM marked),
+            isl AS (
+              SELECT doc_id, i,
+                SUM(CASE WHEN prev IS NULL OR i - prev > $ExactSpanChars
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS island
+              FROM lagd)
+            SELECT doc_id, MIN(i) AS span_start,
+              MAX(i) + $ExactSpanChars - 1 AS span_end,
+              CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
       "d10_cross_split_leakage" ->
         s"""WITH d AS (
               SELECT doc_id,

@@ -16,17 +16,31 @@ import org.apache.spark.sql.functions._
   * would want at 100 TB. */
 object Pipelines {
 
+  /** The clean pipeline's knobs and per-doc expressions, single-sourced
+    * between [[cleanCorpus]] (and through it p03/p10/p11) and the p17
+    * funnel report — the attribution table can never disagree with the
+    * pipeline it explains. */
+  val CleanLangs: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+  val CleanMinTokens: Int = 10
+  val CleanMinQuality: Double = 0.3
+  private[graft] val cleanNTok: Column = size(col("toks"))
+  private[graft] val cleanQuality: Column =
+    least(cleanNTok / 100.0, lit(1.0)) * 0.5 +
+      (TF.stopwordHits(col("toks")) / cleanNTok) * 0.5
+  private[graft] val cleanNorm: Column =
+    lower(regexp_replace(trim(col("text")), "\\s+", " "))
+
   /** Clean + split: drop short/low-quality docs, keep requested langs,
     * collapse exact dups to their canonical doc, assign train/val/test.
     * Returns the cleaned corpus with `quality`, `fingerprint`, `split`. */
   def cleanCorpus(spark: SparkSession, dir: String,
-      langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
-      minTokens: Int = 10, minQuality: Double = 0.3): DataFrame = {
+      langs: Seq[String] = CleanLangs,
+      minTokens: Int = CleanMinTokens,
+      minQuality: Double = CleanMinQuality): DataFrame = {
     val toks: Column = TF.tokens(col("text"))
-    val nTok: Column = size(col("toks"))
-    val quality: Column =
-      least(nTok / 100.0, lit(1.0)) * 0.5 + (TF.stopwordHits(col("toks")) / nTok) * 0.5
-    val norm: Column = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val nTok: Column = cleanNTok
+    val quality: Column = cleanQuality
+    val norm: Column = cleanNorm
     val bucket: Column = pmod(col("fingerprint"), lit(100L))
     val w = Window.partitionBy(col("dup_group"))
 
@@ -130,6 +144,66 @@ object Pipelines {
         (count(lit(1)) - sum(coalesce(col("dropped"), lit(0L))))
           .as("n_docs_after"))
       .orderBy("split")
+  }
+
+  /** p17: filter-funnel ATTRIBUTION — the observability report a
+    * production cleaning run ships beside its output: per stage of
+    * [[cleanCorpus]] (lang → min-tokens → quality → exact-dedup), how
+    * many docs entered, survived, dropped — AND, order-free, how many
+    * docs each predicate kills SOLELY (fail this filter, pass every
+    * other): the waterfall says where docs die in the configured order;
+    * the sole-fail column says which knob to turn (a filter with large
+    * waterfall drops but near-zero sole kills is shadowed by earlier
+    * stages — retuning it changes nothing). Flags come from the same
+    * single-sourced expressions/knobs the pipeline runs
+    * ([[CleanLangs]]/[[CleanMinTokens]]/[[CleanMinQuality]],
+    * `cleanQuality`, `cleanNorm`), so the report cannot drift from the
+    * pipeline it explains.
+    *
+    * Shape at 100 TB: one scan pass computes every flag map-side; the
+    * waterfall is ONE global aggregate (partial-agg to a single row)
+    * plus a count-distinct over the full-pass docs' dup-group hash for
+    * the dedup stage (canonical-per-group = 1 ⟹ survivors = distinct
+    * groups — no window, no join); `stack` fans the 1-row aggregate into
+    * 4 report rows on the driver-sized result. The quality flag guards
+    * the n_tok = 0 division (ANSI mode errors on it; [[cleanCorpus]]
+    * never evaluates quality there thanks to its filter order, and the
+    * oracle mirrors the guard). Sole-fail is NULL for the dedup stage —
+    * "sole" is a per-doc-predicate notion; a dup group's kill count is
+    * relational by nature. */
+  def p17FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val passAll = col("pass_lang") && col("pass_tok") && col("pass_q")
+    val flagged = Tables.documents(spark, dir)
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("n_tok", cleanNTok)
+      .withColumn("pass_lang", col("lang").isin(CleanLangs: _*))
+      .withColumn("pass_tok", col("n_tok") >= CleanMinTokens)
+      .withColumn("pass_q", coalesce(
+        when(col("n_tok") > 0, round(cleanQuality, 4)) >= CleanMinQuality,
+        lit(false)))
+    val a = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("pass_lang"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("pass_lang") && col("pass_tok"), 1L).otherwise(0L)).as("n2"),
+      sum(when(passAll, 1L).otherwise(0L)).as("n3"),
+      countDistinct(when(passAll, md5(cleanNorm))).as("n4"),
+      sum(when(!col("pass_lang") && col("pass_tok") && col("pass_q"), 1L)
+        .otherwise(0L)).as("sole_lang"),
+      sum(when(col("pass_lang") && !col("pass_tok") && col("pass_q"), 1L)
+        .otherwise(0L)).as("sole_tok"),
+      sum(when(col("pass_lang") && col("pass_tok") && !col("pass_q"), 1L)
+        .otherwise(0L)).as("sole_q"))
+    a.select(expr(
+        "stack(4, " +
+          "1, 'lang_filter', n0, n1, sole_lang, " +
+          "2, 'min_tokens',  n1, n2, sole_tok, " +
+          "3, 'quality',     n2, n3, sole_q, " +
+          "4, 'exact_dedup', n3, n4, CAST(NULL AS BIGINT)) " +
+          "AS (stage, stage_name, n_in, n_kept, n_sole_fail)"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+      .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),
+        col("n_dropped"), col("n_sole_fail"))
+      .orderBy("stage")
   }
 
   // ─────────────── p12: training-shard export (the final mile) ──────────
@@ -537,6 +611,44 @@ object Pipelines {
             SELECT lang, split, COUNT(*) AS n_docs,
               COUNT(DISTINCT source) AS n_sources
             FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+      // p17 mirror: the same flags p03's WHERE clause conjoins, kept as
+      // booleans; the CASE guard on quality mirrors the engine's
+      // n_tok > 0 guard (division by zero)
+      "p17_filter_funnel" ->
+        s"""WITH f AS (
+              SELECT doc_id,
+                lang IN ('en', 'es', 'de', 'fr', 'zh') AS pass_lang,
+                len($toks) >= 10 AS pass_tok,
+                COALESCE(CASE WHEN len($toks) > 0 THEN $quality END >= 0.3,
+                  FALSE) AS pass_q,
+                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS grp
+              FROM documents),
+            a AS (
+              SELECT COUNT(*) AS n0,
+                SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS n1,
+                SUM(CASE WHEN pass_lang AND pass_tok THEN 1 ELSE 0 END) AS n2,
+                SUM(CASE WHEN pass_lang AND pass_tok AND pass_q
+                  THEN 1 ELSE 0 END) AS n3,
+                COUNT(DISTINCT CASE WHEN pass_lang AND pass_tok AND pass_q
+                  THEN grp END) AS n4,
+                SUM(CASE WHEN NOT pass_lang AND pass_tok AND pass_q
+                  THEN 1 ELSE 0 END) AS sole_lang,
+                SUM(CASE WHEN pass_lang AND NOT pass_tok AND pass_q
+                  THEN 1 ELSE 0 END) AS sole_tok,
+                SUM(CASE WHEN pass_lang AND pass_tok AND NOT pass_q
+                  THEN 1 ELSE 0 END) AS sole_q
+              FROM f)
+            SELECT CAST(stage AS INT) AS stage, stage_name,
+              CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept,
+              CAST(n_in - n_kept AS BIGINT) AS n_dropped,
+              CAST(n_sole_fail AS BIGINT) AS n_sole_fail
+            FROM (
+              SELECT 1 AS stage, 'lang_filter' AS stage_name, n0 AS n_in,
+                n1 AS n_kept, sole_lang AS n_sole_fail FROM a
+              UNION ALL SELECT 2, 'min_tokens', n1, n2, sole_tok FROM a
+              UNION ALL SELECT 3, 'quality', n2, n3, sole_q FROM a
+              UNION ALL SELECT 4, 'exact_dedup', n3, n4, NULL FROM a)
+            ORDER BY stage""",
       "p10_neardup_corpus" -> {
         val sh = TS.shingleHashes(toks)
         val P = graft.functions.TextFunctions.HashMod

@@ -1070,6 +1070,159 @@ object Similarity {
       Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
   }
 
+  /** s21 reverse-edge cap: NN-Descent's reverse-neighbor SAMPLE knob.
+    * Forward degree is k by construction, but reverse degree is
+    * unbounded (a hub vector can be half the corpus's nearest
+    * neighbor); capping the reverse list at the same k by cosine keeps
+    * every vertex's expansion pool ≤ (2k)² + 2k — the bound that makes
+    * the refinement linear in |corpus| at any scale. */
+  val S21ReverseCap = 3
+
+  /** s21: k-NN-graph REFINEMENT — one NN-Descent iteration (Dong et
+    * al., WWW 2011) over [[s19bKnnGraphIvf]]'s approximate graph: a
+    * neighbor of my neighbor is probably my neighbor, so each vertex
+    * re-scores candidates = own edges ∪ capped REVERSE edges ∪ the
+    * 2-hop expansion of both, exact cosine, heap top-3. This is how a
+    * production graph build actually converges: the IVF pass seeds
+    * locality cheaply (nProbe/nLists of the quadratic scan), then
+    * refinement rounds push recall toward 1 WITHOUT touching the
+    * quantizer — candidates come from the graph itself, so a recall
+    * miss that straddles a list boundary (exactly s19b's divergence
+    * mode, the d12b straddler story) is recovered through any shared
+    * neighbor on either side of the boundary.
+    *
+    * Recall is MONOTONE by construction: the candidate pool contains
+    * the current edges, and best-3-of-a-superset can only move toward
+    * the exact top-3 (anything displacing a true top-3 member scores
+    * higher, hence is itself true top-3) — the spec pins both the
+    * guarantee (per-query best cosine never drops) and the measured
+    * improvement on the adversarial near-orthogonal test corpus
+    * (recall@3 vs the exact graph: 0.465 → 0.593 in ONE round at
+    * nProbe = 2 — a quarter of s19b's miss mass recovered without
+    * widening the probe).
+    *
+    * Scale shape: edge lists are k-bounded (forward k, reverse capped
+    * at [[S21ReverseCap]] via the same heap), the 2-hop expansion is an
+    * equi-join of two ≤2k-degree edge lists (≤(2k)² candidate rows per
+    * vertex — linear in |corpus|, never quadratic), re-scoring joins
+    * the embedding table twice on its key (shuffle-hash, linear), and
+    * the final top-3 is the map-side TopKPerGroup heap. `rounds` > 1
+    * iterates the cycle (each round re-derives reverse edges from the
+    * refined graph); lineage grows per round, so a many-round build on
+    * a real cluster checkpoints between rounds — d07's rule. */
+  def s21GraphRefine(spark: SparkSession, dir: String): DataFrame =
+    s21GraphRefine(spark, dir, nLists = 16, nProbe = S19Probes, rounds = 1)
+
+  def s21GraphRefine(spark: SparkSession, dir: String, nLists: Int,
+      nProbe: Int, rounds: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    var g = s19bKnnGraphIvf(spark, dir, nLists, nProbe)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    var r = 0
+    while (r < rounds) {
+      val fwd = g.select(col("query_id"), col("neighbor_id"))
+      val rev = graft.plans.TopK.perGroup(
+        g.select(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("cosine")),
+        Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), S21ReverseCap)
+        .select(col("query_id"), col("neighbor_id"))
+      val und = fwd.unionByName(rev)
+      val hop2 = und.as("e1").join(und.as("e2"),
+          col("e1.neighbor_id") === col("e2.query_id"))
+        .select(col("e1.query_id").as("query_id"),
+          col("e2.neighbor_id").as("cand_id"))
+      val cands = und.select(col("query_id"), col("neighbor_id").as("cand_id"))
+        .unionByName(hop2)
+        .filter(col("query_id") =!= col("cand_id"))
+        .distinct()
+      val scored = cands
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          Seq("query_id"))
+        .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+          Seq("cand_id"))
+        .select(col("query_id"), col("cand_id").as("neighbor_id"),
+          VF.cosine(col("qv"), col("cv")).as("cos"))
+      g = graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
+          Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3)
+        .withColumn("cosine", round(col("cos"), 4))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      r += 1
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    g.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** s22: corpus CLUSTER PROFILE — the "what is in my 100 TB corpus"
+    * domain-discovery report every curation run starts from (the
+    * cluster-then-inspect recipe behind SemDeDup's clusters and
+    * DCLM-style domain weighting): one row per IVF list of the
+    * PERSISTED s03 index — population, the majority embedding label
+    * with its share (cluster/label agreement = is the geometry finding
+    * real structure), and the cluster's most DISTINCTIVE tokens from
+    * the linked documents, scored cluster-tf × log-inverse-cluster-
+    * frequency (a token appearing in every cluster scores 0 — plain
+    * counts would crown corpus-wide boilerplate in all 16 rows).
+    *
+    * Scale shape: reuses the build-once assigned table (zero fit cost
+    * here); label join + per-(list, label) partial agg is linear; the
+    * term pass is one tokenize scan, a (list, token) partial agg, a
+    * token-level cluster-frequency agg joined back (broadcast-sized:
+    * ≤ distinct tokens), and a per-list top-3 through the TopKPerGroup
+    * heap — no shuffle carries more than the (list, token) aggregate.
+    * Output is nLists rows — driver-sized by construction. Rows-only:
+    * list assignments ride the k-means fit (s03's rule); the spec pins
+    * the accounting against a driver recompute and the label-share
+    * arithmetic exactly. */
+  def s22ClusterProfile(spark: SparkSession, dir: String): DataFrame =
+    s22ClusterProfile(spark, dir, nLists = 16)
+
+  def s22ClusterProfile(spark: SparkSession, dir: String, nLists: Int): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val (assigned, _) = s03Index(spark, dir, nLists)
+    val av = assigned.select(col("vec_id"), col("list_id"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    val sizes = av.groupBy(col("list_id")).agg(count(lit(1)).as("n_vectors"))
+    val topLab = graft.plans.TopK.perGroup(
+        av.groupBy(col("list_id"), col("label")).agg(count(lit(1)).as("n")),
+        Seq(col("list_id")), Seq(col("n").desc, col("label").asc), 1)
+      .select(col("list_id"), col("label").as("top_label"),
+        col("n").as("n_top_label"))
+    // distinctive terms: per-doc DISTINCT tokens (presence, not raw
+    // counts — one spammy doc must not own the cluster's description),
+    // stopwords out, tf × log(nLists / cluster-frequency)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TF.tokens(col("text")))).as("tok"))
+      .filter(!col("tok").isin(TF.stopwords: _*) && length(col("tok")) > 1)
+    val listToks = toks
+      .join(av.select(col("vec_id").as("doc_id"), col("list_id")), Seq("doc_id"))
+      .groupBy(col("list_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val clusterFreq = listToks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("ncl"))
+    val top3 = graft.plans.TopK.perGroup(
+        listToks.join(clusterFreq, Seq("tok"))
+          .withColumn("score",
+            col("tf") * log(lit(nLists.toDouble) / col("ncl"))),
+        Seq(col("list_id")),
+        Seq(col("score").desc, col("tok").asc), 3)
+      .groupBy(col("list_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct((-col("score")).as("s"), col("tok")))),
+        s => s.getField("tok"))).as("top_terms"))
+    sizes.join(topLab, Seq("list_id"))
+      .join(top3, Seq("list_id"), "left")
+      .select(col("list_id"), col("n_vectors"), col("top_label"),
+        col("n_top_label"),
+        expr("n_top_label * 100 div n_vectors").as("label_share_pct"),
+        coalesce(col("top_terms"), lit("")).as("top_terms"))
+      .orderBy("list_id")
+  }
+
   /** Exact float-IP top-3 per query — s17's reference ranking. */
   private[graft] def s17ExactIpTop3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -741,6 +741,89 @@ class DedupSpec extends GraftSuite {
     assert(got.nonEmpty, "sf corpus must surface exact-substring pairs (exact dups exist)")
   }
 
+  test("d19: copies lose exactly the planted span; the first occurrence keeps it; within-doc repeats cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    val L = Dedup.ExactSpanChars
+    def filler(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(30)("uniq" + rnd.nextInt(1000000)).mkString(" ")
+    }
+    // 80-char ASCII span (distinct flanks per occurrence so no window
+    // extends past it); 80 chars ⇒ 80 − 63 + 1 = 18 marked windows
+    val s = (0 until 80).map(i => if (i % 7 == 6) ' ' else ('a' + (i * 31 + 5) % 26).toChar).mkString
+    val fA = filler(1); val fB = filler(3); val fC = filler(5); val fC2 = filler(6)
+    val docs = Seq(
+      (200L, s"${fA}X${s}Y${filler(2)}"),                      // canonical: lowest (doc_id, i)
+      (201L, s"${fB}Q${s}R${filler(4)}"),                      // one copy
+      (202L, s"${fC}U${s}V${fC2}W${s}Z${filler(7)}"))          // two copies, far apart
+    val dir = java.nio.file.Files.createTempDirectory("d19span").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.d19DupSpans(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"))).toSet
+    val pB = fB.length + 2L // 1-based start of s inside doc 201 (after filler + 'Q')
+    val pC1 = fC.length + 2L
+    val pC2 = fC.length + 1 + s.length + 1 + fC2.length + 2L
+    val expect = Set(
+      (201L, pB, pB + s.length - 1, (s.length - L + 1).toLong),
+      (202L, pC1, pC1 + s.length - 1, (s.length - L + 1).toLong),
+      (202L, pC2, pC2 + s.length - 1, (s.length - L + 1).toLong))
+    assert(got == expect,
+      s"d19 cut list wrong:\n got    $got\n expect $expect")
+    // doc 200 keeps its text untouched — exactly one copy of the
+    // duplicated string survives corpus-wide
+    assert(!got.exists(_._1 == 200L), "canonical occurrence must not be cut")
+  }
+
+  test("d19 equals the declarative per-position window-rank recompute on the sf corpus") {
+    import org.apache.spark.sql.functions._
+    val L = Dedup.ExactSpanChars
+    // independent recompute: declarative per-position hashes (no native
+    // expression), canonical-first via row_number over fp — the oracle's
+    // form, vs the engine's min(struct)+join form
+    val occ = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        explode(sequence(lit(1), length(col("text")) - L + 1)).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        conv(substring(md5(col("text").substr(col("i"), lit(L))), 1, 15), 16, 10)
+          .cast("long").as("fp"))
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"), col("i"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val expect = occ.withColumn("rn", row_number().over(byFp))
+      .filter(col("rn") >= 2).select(col("doc_id"), col("i"))
+      .withColumn("prev", lag(col("i"), 1).over(byDoc))
+      .withColumn("isl", sum(
+        when(col("prev").isNull || col("i") - col("prev") > L, 1L).otherwise(0L))
+        .over(byDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("span_start"), (max(col("i")) + L - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = Dedup.d19DupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, "d19 diverged from the declarative recompute")
+    assert(got.nonEmpty, "sf corpus must surface duplicated spans (exact dups exist)")
+    // consistency with the pair detector: the LATER doc of every d17
+    // pair holds a non-canonical occurrence, so it must appear in the
+    // cut list (the converse is false: within-doc repeats and d17's
+    // n_shared >= 1 vs span-merge granularity differ by design)
+    val d17Later = Dedup.d17ExactSubstring(spark, sf).collect()
+      .map(_.getAs[Long]("doc_j")).toSet
+    val cutDocs = got.map(_._1)
+    assert(d17Later.subsetOf(cutDocs),
+      s"d17 later-docs missing from d19 cut list: ${d17Later -- cutDocs}")
+  }
+
   private def d18PairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
     .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) ->
       r.getAs[Double]("jaccard")).toMap

@@ -249,6 +249,40 @@ class NativeExprSpec extends GraftSuite {
     assert(nat == declNA, "non-ASCII winnow divergence")
   }
 
+  test("native per-position window hashes: positional parity with the declarative chain; winnow k=1 is its distinct") {
+    import spark.implicits._
+    val w = 8
+    // multibyte text exercises codepoint alignment; an exactly-w doc has
+    // one window; a shorter doc none
+    val docs = Seq((1L, ("é漢🎯 abc déf ghi " * 8) + "tail"),
+      (2L, "short"), (3L, "abcdefgh")).toDF("doc_id", "text")
+    val nat = docs.select(col("doc_id"),
+        posexplode(NF.windowHashes(col("text"), w)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("hv"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val decl = docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - w + 1)).as("i"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(col("text").substr(col("i"), lit(w))), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(nat == decl, "per-position window hashes != declarative chain")
+    assert(!nat.keySet.exists(_._1 == 2L), "doc shorter than w must emit no windows")
+    assert(nat.keySet.count(_._1 == 3L) == 1, "doc of exactly w chars has one window")
+    // winnowFps at k=1 is exactly the distinct of the raw position pass
+    // (shared core: fingerprints = windowHashes → deque minimum → dedup)
+    val rawSets = Tables.documents(spark, sf)
+      .select(col("doc_id"), NF.windowHashes(col("text"), w).as("hs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val fpSets = Tables.documents(spark, sf)
+      .select(col("doc_id"), NF.winnowFps(col("text"), w, 1).as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(rawSets.nonEmpty && rawSets == fpSets,
+      "winnowFps(w, 1) must equal distinct per-position hashes")
+  }
+
   test("extensions expose graft_cosine / graft_shingles in SQL") {
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
     val c = spark.sql(

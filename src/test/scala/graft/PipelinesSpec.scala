@@ -32,6 +32,47 @@ class PipelinesSpec extends GraftSuite {
     assert(scans == 1, s"pipeline should read documents exactly once:\n$plan")
   }
 
+  test("p17 funnel: waterfall reconciles with the pipeline; sole-fail bounded by stage drops") {
+    val rows = Pipelines.p17FilterFunnel(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("stage")).toSeq == Seq(1, 2, 3, 4))
+    val byStage = rows.map(r => r.getAs[Int]("stage") -> r).toMap
+    // chaining: each stage's survivors are the next stage's input
+    (1 to 3).foreach { s =>
+      assert(byStage(s).getAs[Long]("n_kept") == byStage(s + 1).getAs[Long]("n_in"),
+        s"stage $s survivors != stage ${s + 1} input")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_kept"))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_in"))
+    }
+    // stage 1 input is the whole corpus; stage 4 survivors are exactly
+    // the pipeline's output (the report explains cleanCorpus, row-exact)
+    assert(byStage(1).getAs[Long]("n_in") ==
+      Tables.documents(spark, sf).count())
+    assert(byStage(4).getAs[Long]("n_kept") ==
+      Pipelines.cleanCorpus(spark, sf).count(),
+      "funnel's final survivors must equal the pipeline output")
+    // sole-fail (order-free) can never exceed the filter's waterfall
+    // drop when it runs FIRST — for lang (stage 1) they are comparable;
+    // later stages' sole counts are bounded by docs failing ANYWHERE
+    assert(byStage(1).getAs[Long]("n_sole_fail") <=
+      byStage(1).getAs[Long]("n_dropped"))
+    val totalDropped = (1 to 3).map(byStage(_).getAs[Long]("n_dropped")).sum
+    (1 to 3).foreach { s =>
+      assert(byStage(s).getAs[Long]("n_sole_fail") <= totalDropped,
+        s"stage $s sole-fail exceeds all predicate drops")
+    }
+    assert(byStage(4).isNullAt(byStage(4).fieldIndex("n_sole_fail")),
+      "dedup stage has no per-doc sole-fail notion")
+    // the funnel is one scan of documents (flags fuse map-side; the
+    // distinct-group count rides the same aggregate)
+    val plan = Pipelines.p17FilterFunnel(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"funnel should read documents exactly once:\n$plan")
+  }
+
   test("p10 near-dup build: keep rule, accounting, and drop set match a driver recompute") {
     val cleaned = Pipelines.cleanCorpus(spark, sf).cache()
     try {
