@@ -960,9 +960,16 @@ object Dedup {
     *      per-position [[graft.functions.NativeFunctions.windowHashes]]
     *      rolling pass (d11/d17's hash, winnowing degenerated away —
     *      surgery needs every position);
-    *   2. per-fp df + canonical occurrence in ONE partial-aggregating
-    *      groupBy (`min(struct(doc_id, i))` — structs order
-    *      lexicographically, matching the oracle's ORDER BY doc_id, i);
+    *   2. per-fp df + canonical occurrence in TWO stacked HASH
+    *      aggregations — (fp, doc_id) → min position/count, then fp →
+    *      df + min doc + `min_by(min_i, doc_id)` (all-long buffers, so
+    *      both stages stay in HashAggregate with map-side partials; the
+    *      direct `min(struct(doc_id, i))` form is one exchange fewer
+    *      but its struct buffer falls back to SortAggregate — a
+    *      per-partition SORT of the full position index, the wrong
+    *      trade at 100 TB, and the plan pin guards against regressing
+    *      to it). Lexicographic canonical = min doc, then min i within
+    *      it — exactly the oracle's ORDER BY doc_id, i;
     *   3. join back on fp (each occurrence row meets exactly ONE fp
     *      row — a hot boilerplate fp has huge df but join output stays
     *      |occurrences|: the quadratic d02/d17 pay is structurally
@@ -990,15 +997,18 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.NativeFunctions.windowHashes(col("text"), spanLen)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("fp"))
-    val stats = occ.groupBy(col("fp")).agg(
-      count(lit(1)).as("df"),
-      min(struct(col("doc_id"), col("i"))).as("canon"))
+    val perDoc = occ.groupBy(col("fp"), col("doc_id"))
+      .agg(min(col("i")).as("min_i"), count(lit(1)).as("cnt"))
+    val stats = perDoc.groupBy(col("fp")).agg(
+      sum(col("cnt")).as("df"),
+      min(col("doc_id")).as("canon_doc"),
+      min_by(col("min_i"), col("doc_id")).as("canon_i"))
     // hash-build on the stats side (≤ one row per distinct duplicated
     // fp — always the narrower relation; sort-merge would sort the full
     // occurrence index twice for nothing)
     val marked = occ
       .join(stats.filter(col("df") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
-      .filter(!(col("doc_id") === col("canon.doc_id") && col("i") === col("canon.i")))
+      .filter(!(col("doc_id") === col("canon_doc") && col("i") === col("canon_i")))
       .select(col("doc_id"), col("i"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     marked

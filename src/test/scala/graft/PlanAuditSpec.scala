@@ -247,6 +247,22 @@ class PlanAuditSpec extends GraftSuite {
       s"the Generate output must not pay two sorts (SHUFFLE_HASH hint):\n$s")
   }
 
+  test("d19: canonical stats stay in hash aggregation; probe is a shuffled-hash equi-join") {
+    val df = Dedup.d19DupSpans(spark, sf)
+    val s = planStr(df)
+    // the min(struct) canonical form regresses to SortAggregate — a
+    // per-partition SORT of the full per-position index; the stacked
+    // min_by(long, long) form keeps every stats stage in HashAggregate
+    assert(!s.contains("SortAggregate"),
+      s"canonical-occurrence stats must hash-aggregate, not sort:\n$s")
+    assert(s.contains("ShuffledHashJoin"),
+      s"the occurrence->stats probe must be a shuffled-hash equi-join:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"no pair join anywhere in the span extractor:\n$s")
+    assert(s.contains("graft_window_hashes"),
+      s"positions must come from the native rolling-hash expression:\n$s")
+  }
+
   test("s20: the vector leg is a partial top-k, never a global corpus sort") {
     val df = Similarity.s20RrfFusion(spark, sf)
     val s = planStr(df)
