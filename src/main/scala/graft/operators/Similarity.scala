@@ -952,22 +952,31 @@ object Similarity {
     * corpus). Fusion itself touches ≤ 40 rows. All output columns are
     * integers (ranks, BIGINT RRF score); ties in the fused score break
     * on doc_id in both engines. */
+  /** The vector leg's top-20 candidate list — (doc_id, round-6 cosine
+    * to the stand-in query vector), the TakeOrderedAndProject partial
+    * top-k over the embedded corpus. Single-sourced between [[s20RrfFusion]]
+    * (which ranks it) and [[s23MmrRerank]] (which diversifies it) so
+    * the two retrieval stages can never disagree on the pool. */
+  private[graft] def s20VecCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === RrfQueryVec)
+      .select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= RrfQueryVec)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(VF.cosine(col("qv"), col("embedding")), 6).as("c6"))
+      .orderBy(col("c6").desc, col("doc_id")).limit(20)
+  }
+
   def s20RrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val lexRanked = Window.partitionBy(lit(0)) // ≤20 rows — intentional
       .orderBy(col("bm25").desc, col("doc_id"))
     val lex = TextAnalysis.t07Bm25Search(spark, dir)
       .withColumn("rank_lex", row_number().over(lexRanked).cast("long"))
       .select(col("doc_id"), col("rank_lex"))
-    val e = Tables.embeddings(spark, dir)
-    val qv = e.filter(col("vec_id") === RrfQueryVec)
-      .select(col("embedding").as("qv"))
     val vecRanked = Window.partitionBy(lit(0)) // ≤20 rows — intentional
       .orderBy(col("c6").desc, col("doc_id"))
-    val vec = e.filter(col("vec_id") =!= RrfQueryVec)
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id").as("doc_id"),
-        round(VF.cosine(col("qv"), col("embedding")), 6).as("c6"))
-      .orderBy(col("c6").desc, col("doc_id")).limit(20)
+    val vec = s20VecCandidates(spark, dir)
       .withColumn("rank_vec", row_number().over(vecRanked).cast("long"))
       .select(col("doc_id"), col("rank_vec"))
     val fusedRanked = Window.partitionBy(lit(0)) // ≤40 rows — intentional
@@ -982,6 +991,85 @@ object Similarity {
         col("rrf_score"))
       .orderBy("rk")
   }
+
+  /** s23 knobs: MMR trade-off λ (0.7 = the relevance-leaning default
+    * the Carbonell & Goldstein 1998 paper popularized) and the
+    * diversified result depth. */
+  val MmrLambda = 0.7
+  val MmrK = 5
+
+  /** s23: MMR diversity RE-RANK — the retrieval stack's final stage
+    * (Carbonell & Goldstein, SIGIR 1998): greedily select from the
+    * [[s20VecCandidates]] top-20 pool by maximal marginal relevance
+    * `λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` — a near-duplicate of an
+    * already-selected result is DEMOTED (it reappears once its novelty
+    * penalty clears), so the user-facing top-k covers the query's
+    * facets instead of repeating its best match k times. The production
+    * RAG answer-context builder: k near-identical passages waste k−1
+    * context slots.
+    *
+    * Scale shape: the distributed work is s20's leg — one map-side
+    * cosine pass planned as TakeOrderedAndProject (plan-pinned there);
+    * the greedy loop is INHERENTLY SEQUENTIAL (each pick changes every
+    * remaining score) and runs driver-side on the ≤20-row candidate
+    * list — bounded by the candidate limit, never by the corpus (the
+    * s08/s03 driver-bounded-fit rule; at 100 TB the pool is still 20
+    * rows). First pick = pure relevance (max-sim term is 0 while S is
+    * empty); ties break on doc_id in every step. Rows-only: the greedy
+    * recursion is not SQL-expressible; the spec recomputes the whole
+    * selection independently and pins the planted demote-then-return
+    * behavior. */
+  def s23MmrRerank(spark: SparkSession, dir: String): DataFrame =
+    s23MmrRerank(spark, dir, MmrK, MmrLambda)
+
+  def s23MmrRerank(spark: SparkSession, dir: String, k: Int,
+      lam: Double): DataFrame = {
+    val cand = s20VecCandidates(spark, dir)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .orderBy(col("c6").desc, col("doc_id"))
+      .collect() // ≤ 20 rows — the candidate limit, never corpus-sized
+    val ids = cand.map(_.getAs[Long]("doc_id"))
+    val rel = cand.map(_.getAs[Double]("c6"))
+    val emb = cand.map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val n = ids.length
+    // -inf, not 0: the max-similarity-to-selected term is a true max of
+    // cosines and can be NEGATIVE (an anti-correlated candidate earns a
+    // bonus, per the paper) — a zero floor would silently erase it
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val picked = Array.fill(n)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Double)]
+    var step = 0
+    while (step < math.min(k, n)) {
+      val simTerm = (i: Int) => if (step == 0) 0.0 else maxSim(i)
+      val best = (0 until n).filterNot(picked)
+        .map(i => (i, lam * rel(i) - (1 - lam) * simTerm(i)))
+        .minBy { case (i, s) => (-s, ids(i)) }
+      val (bi, bs) = best
+      picked(bi) = true
+      out += ((step + 1L, ids(bi), rnd4(rel(bi)), rnd4(simTerm(bi)), rnd4(bs)))
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) maxSim(i) = math.max(maxSim(i), cos(emb(i), emb(bi)))
+        i += 1
+      }
+      step += 1
+    }
+    val sq = spark
+    import sq.implicits._
+    out.toSeq.toDF("rk", "doc_id", "relevance", "max_sim_selected", "mmr_score")
+      .orderBy("rk")
+  }
+
+  private def rnd4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Multi-probe width for the IVF k-NN graph: each vector's candidate
     * pool is its `S19Probes` nearest inverted lists — a scanned

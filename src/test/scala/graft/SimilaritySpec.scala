@@ -1054,6 +1054,61 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("s23 MMR matches an independent driver recompute of the greedy selection") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.s23MmrRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("relevance"), r.getAs[Double]("max_sim_selected"),
+        r.getAs[Double]("mmr_score")))
+    // independent recompute from the raw tables
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    val q = vecs(Similarity.RrfQueryVec)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val pool = vecs.toSeq.filter(_._1 != Similarity.RrfQueryVec)
+      .map { case (id, v) => (id, rnd(cos(q, v), 6), v) }
+      .sortBy { case (id, c, _) => (-c, id) }.take(20)
+    var sel = Seq.empty[(Long, Array[Double])]
+    val want = (1 to Similarity.MmrK).map { rk =>
+      val scored = pool.filterNot(p => sel.exists(_._1 == p._1)).map { case (id, c, v) =>
+        val ms = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, s._2)).max
+        (id, c, ms, Similarity.MmrLambda * c - (1 - Similarity.MmrLambda) * ms)
+      }
+      val best = scored.minBy { case (id, _, _, s) => (-s, id) }
+      sel :+= ((best._1, pool.find(_._1 == best._1).get._3))
+      (rk.toLong, best._1, rnd(best._2, 4), rnd(best._3, 4), rnd(best._4, 4))
+    }
+    assert(got.toSeq == want, s"MMR selection diverged:\n got  ${got.toSeq}\n want $want")
+  }
+
+  test("s23 demotes a planted near-duplicate out of the top ranks and readmits it later") {
+    import spark.implicits._
+    // query (vec 0) at (1,0,0,0); vecs 1 and 2 are EXACT duplicates at
+    // relevance 0.8; vec 3 mirrors them across the query axis (same
+    // relevance, mutual cosine 0.28); vecs 4-5 are low-relevance filler
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.8f, 0.6f, 0f, 0f), 0),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f), 0),
+      (3L, Seq(0.8f, -0.6f, 0f, 0f), 0),
+      (4L, Seq(0.1f, 0f, 0.9f, 0f), 0),
+      (5L, Seq(0.1f, 0f, 0f, 0.9f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("s23mmr").toString
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val mmr = Similarity.s23MmrRerank(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id")).toSeq
+    // pure relevance would rank (1, 2, 3, ...): the duplicate sits at 2.
+    // MMR puts the mirror vector second (novelty beats redundancy) and
+    // readmits the duplicate at 3 once its penalty is the worst around
+    assert(mmr.take(3) == Seq(1L, 3L, 2L),
+      s"MMR should order planted candidates (1, 3, 2), got $mmr")
+  }
+
   test("graft_dot equals the declarative float-IP fold on every pair") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
