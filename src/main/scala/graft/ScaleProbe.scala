@@ -67,7 +67,14 @@ object ScaleProbe {
       // the nightly incremental shape: the probe grows the WHOLE corpus
       // N× (old and new in d18's fixed 4:1 ratio), so linear wall here
       // plus the old×old-free join shape is the 100 TB claim
-      "d18_incremental_neardup")
+      "d18_incremental_neardup",
+      // span surgery: the per-position occurrence index is the largest
+      // relation in the repo (~|chars| rows) but the claim is strict
+      // linearity — no pair join exists in the plan, so N× corpus must
+      // be ~N× wall even though each replica's duplicated spans are
+      // found in full (replica-disjoint window hashes keep cross-replica
+      // fps from colliding, per-replica span structure constant)
+      "d19_dup_spans")
 
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -124,6 +124,7 @@ object SparkEntry {
     "d17_exact_substring" -> ((s, d) => Dedup.d17ExactSubstring(s, d)),
     "d18_incremental_neardup" -> ((s, d) => Dedup.d18IncrementalNeardup(s, d)),
     "d19_dup_spans" -> ((s, d) => Dedup.d19DupSpans(s, d)),
+    "d20_span_surgery" -> (Dedup.d20SpanSurgery _),
     "d12b_semdedup_ivf" -> // rows-only: cluster-first candidates ride a k-means fit (s03's rule)
       (Dedup.d12bSemDedupIvf _),
     "d13_semantic_decontamination" ->

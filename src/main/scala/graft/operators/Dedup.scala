@@ -754,6 +754,42 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** The d19 span chain as a DuckDB CTE block (through `sp`, the
+    * per-doc maximal-span relation) — shared verbatim by the d19 and
+    * d20 oracles so the two gates can never test different surgery
+    * semantics. */
+  private def d19SpanCtes: String =
+    s"""pos AS (
+              SELECT doc_id, text,
+                unnest(generate_series(1, len(text) - $ExactSpanChars + 1)) AS i
+              FROM documents WHERE len(text) >= $ExactSpanChars),
+            occ AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                CAST(('0x' || substr(md5(substr(text, CAST(i AS INT),
+                  $ExactSpanChars)), 1, 15)) AS BIGINT) AS fp
+              FROM pos),
+            mk AS (
+              SELECT doc_id, i,
+                ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
+              FROM occ),
+            marked AS (SELECT doc_id, i FROM mk WHERE rn >= 2),
+            lagd AS (
+              SELECT doc_id, i,
+                LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM marked),
+            isl AS (
+              SELECT doc_id, i,
+                SUM(CASE WHEN prev IS NULL OR i - prev > $ExactSpanChars
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS island
+              FROM lagd),
+            sp AS (
+              SELECT doc_id, MIN(i) AS span_start,
+                MAX(i) + $ExactSpanChars - 1 AS span_end,
+                CAST(COUNT(*) AS BIGINT) AS n_windows
+              FROM isl GROUP BY doc_id, island)"""
+
   /** No-cap sentinel for the stop-shingle knobs below. */
   val NoDfCap: Long = Long.MaxValue
 
@@ -986,6 +1022,13 @@ object Dedup {
     * is deliberately per-position, like the reference recipe, so
     * chained duplication cuts as one interval.
     *
+    * Cost honesty (the p10 documented-two-pass rule): the occurrence
+    * relation feeds both the stats aggregate and the probe side, so the
+    * documents scan + rolling-hash pass runs twice — map-side work,
+    * deliberately not cached: the exploded index is ~|chars| rows, the
+    * largest relation in the repo, and persisting it to save one
+    * columnar scan is the wrong trade at every scale.
+    *
     * 60-bit MD5 collisions can mark a position falsely; both engines
     * hash identically so the gate is exact (the d11/d17 rule). */
   def d19DupSpans(spark: SparkSession, dir: String): DataFrame =
@@ -1022,6 +1065,62 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** d20: span surgery ACCOUNTING — d19's cut list folded back onto the
+    * corpus: per source, docs touched, spans cut, characters removed
+    * against the total — the release-build report that says what the
+    * surgery would do before anyone runs it (and the integer summary
+    * the run itself ships). All-integer and derivable from (documents ⟕
+    * d19) alone, so the whole d19 pipeline INCLUDING the island merge
+    * lands under the hash gate a second way. One extra broadcast-free
+    * left join + a ≤|sources| rollup on top of d19's linear plan. */
+  def d20SpanSurgery(spark: SparkSession, dir: String): DataFrame = {
+    val cut = d19DupSpans(spark, dir).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("span_end") - col("span_start") + 1).as("chars_cut"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+      .join(cut, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans").isNotNull, 1L).otherwise(0L)).as("docs_affected"),
+        coalesce(sum(col("n_spans")), lit(0L)).as("spans_cut"),
+        coalesce(sum(col("chars_cut")), lit(0L)).as("chars_removed"),
+        sum(col("len")).as("chars_total"))
+      .orderBy("source")
+  }
+
+  /** The surgery EXECUTED: the corpus with every d19 span excised —
+    * what a release build writes beside the [[d20SpanSurgery]] report.
+    * Per doc, the kept segments are the complement of the (disjoint,
+    * sorted) span intervals — `[1, s₁−1], [e₁+1, s₂−1], …, [e_N+1,
+    * len]` — spliced back in position order: one collect_list per doc
+    * (bounded by the doc's own span count), one zip_with/substr pass,
+    * no shuffle beyond the span rollup. Exactly one copy of every
+    * duplicated string survives (the canonical occurrence is never
+    * marked); the splice can create NEW adjacencies across a cut — the
+    * reference recipe (Lee et al. 2022) accepts this, and re-running
+    * the detector on the output converges (spec-pinned on the planted
+    * fixture). */
+  def d20CleanedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val spanArr = d19DupSpans(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("sp"))
+    Tables.documents(spark, dir)
+      .join(spanArr, Seq("doc_id"), "left")
+      .withColumn("cleaned", when(col("sp").isNull, col("text")).otherwise(
+        array_join(zip_with(
+          concat(array(lit(1L)),
+            transform(col("sp"), s => s.getField("span_end") + 1)),
+          concat(transform(col("sp"), s => s.getField("span_start") - 1),
+            array(length(col("text")).cast("long"))),
+          (s, e) => when(e >= s,
+            col("text").substr(s.cast("int"), (e - s + 1).cast("int")))
+            .otherwise(lit(""))), "")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("cleaned").as("text"))
   }
 
   /** Which documents play the NEW-batch role in the gated d18 entry:
@@ -1521,38 +1620,28 @@ object Dedup {
       // d19 mirror: same per-position hash as d17's `sel` but WITHOUT
       // DISTINCT (every occurrence counts), canonical-first via a
       // ROW_NUMBER over (doc_id, i) — rn >= 2 ⟺ "df >= 2 and not the
-      // min(struct(doc_id, i)) occurrence", the engine's agg+join form —
+      // min (doc_id, i) occurrence", the engine's agg+join form —
       // then the gaps-and-islands merge with the gap > span-length rule.
       "d19_dup_spans" ->
-        s"""WITH pos AS (
-              SELECT doc_id, text,
-                unnest(generate_series(1, len(text) - $ExactSpanChars + 1)) AS i
-              FROM documents WHERE len(text) >= $ExactSpanChars),
-            occ AS (
-              SELECT doc_id, CAST(i AS BIGINT) AS i,
-                CAST(('0x' || substr(md5(substr(text, CAST(i AS INT),
-                  $ExactSpanChars)), 1, 15)) AS BIGINT) AS fp
-              FROM pos),
-            mk AS (
-              SELECT doc_id, i,
-                ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
-              FROM occ),
-            marked AS (SELECT doc_id, i FROM mk WHERE rn >= 2),
-            lagd AS (
-              SELECT doc_id, i,
-                LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-              FROM marked),
-            isl AS (
-              SELECT doc_id, i,
-                SUM(CASE WHEN prev IS NULL OR i - prev > $ExactSpanChars
-                    THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY doc_id ORDER BY i
-                        ROWS UNBOUNDED PRECEDING) AS island
-              FROM lagd)
-            SELECT doc_id, MIN(i) AS span_start,
-              MAX(i) + $ExactSpanChars - 1 AS span_end,
-              CAST(COUNT(*) AS BIGINT) AS n_windows
-            FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+        s"""WITH $d19SpanCtes
+            SELECT doc_id, span_start, span_end, n_windows
+            FROM sp ORDER BY doc_id, span_start""",
+      // d20 mirror: the identical span chain folded back onto documents
+      // — per-source surgery accounting (one LEFT JOIN + rollup)
+      "d20_span_surgery" ->
+        s"""WITH $d19SpanCtes,
+            cut AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                CAST(SUM(span_end - span_start + 1) AS BIGINT) AS chars_cut
+              FROM sp GROUP BY doc_id)
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN cut.doc_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS docs_affected,
+              CAST(COALESCE(SUM(cut.n_spans), 0) AS BIGINT) AS spans_cut,
+              CAST(COALESCE(SUM(cut.chars_cut), 0) AS BIGINT) AS chars_removed,
+              CAST(SUM(len(d.text)) AS BIGINT) AS chars_total
+            FROM documents d LEFT JOIN cut ON d.doc_id = cut.doc_id
+            GROUP BY d.source ORDER BY d.source""",
       "d10_cross_split_leakage" ->
         s"""WITH d AS (
               SELECT doc_id,

@@ -824,6 +824,64 @@ class DedupSpec extends GraftSuite {
       s"d17 later-docs missing from d19 cut list: ${d17Later -- cutDocs}")
   }
 
+  test("d20 surgery: planted fixture cleaned exactly, canonical kept, detector converges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    def filler(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(30)("uniq" + rnd.nextInt(1000000)).mkString(" ")
+    }
+    val s = (0 until 80).map(i => if (i % 7 == 6) ' ' else ('a' + (i * 31 + 5) % 26).toChar).mkString
+    val fA = filler(1); val fB = filler(3); val fC = filler(5); val fC2 = filler(6)
+    val tA = s"${fA}X${s}Y${filler(2)}"
+    val tB = s"${fB}Q${s}R${filler(4)}"
+    val tC = s"${fC}U${s}V${fC2}W${s}Z${filler(7)}"
+    val dir = java.nio.file.Files.createTempDirectory("d20srg").toString
+    Seq((200L, tA), (201L, tB), (202L, tC)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val cleaned = Dedup.d20CleanedCorpus(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // canonical doc untouched; copies lose exactly the planted interval
+    assert(cleaned(200L) == tA, "canonical doc must be untouched")
+    assert(cleaned(201L) == s"${fB}QR${filler(4)}",
+      s"doc 201 must lose exactly the span: '${cleaned(201L).take(80)}...'")
+    assert(cleaned(202L) == s"${fC}UV${fC2}WZ${filler(7)}",
+      "doc 202 must lose both copies")
+    // exactly one copy of the duplicated string survives corpus-wide
+    assert(cleaned.values.count(_.contains(s)) == 1, "one canonical copy must survive")
+    // convergence: the detector on the cleaned corpus finds nothing
+    val dir2 = java.nio.file.Files.createTempDirectory("d20srg2").toString
+    Dedup.d20CleanedCorpus(spark, dir).withColumn("n_chars", length($"text"))
+      .write.parquet(s"$dir2/documents.parquet")
+    assert(Dedup.d19DupSpans(spark, dir2).count() == 0,
+      "surgery output must be span-free on the planted fixture")
+    // the gated accounting reconciles with the span table
+    val acct = Dedup.d20SpanSurgery(spark, dir).collect()
+    assert(acct.length == 1)
+    val a = acct.head
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("docs_affected") == 2 &&
+      a.getAs[Long]("spans_cut") == 3 &&
+      a.getAs[Long]("chars_removed") == 3L * s.length &&
+      a.getAs[Long]("chars_total") == (tA.length + tB.length + tC.length).toLong,
+      s"surgery accounting wrong: $a")
+  }
+
+  test("d20 cleaned corpus reconciles with the accounting on the sf corpus") {
+    import org.apache.spark.sql.functions._
+    val before = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")).cast("long"))).head().getLong(0)
+    val after = Dedup.d20CleanedCorpus(spark, sf)
+      .agg(sum(length(col("text")).cast("long"))).head().getLong(0)
+    val acct = Dedup.d20SpanSurgery(spark, sf).collect()
+    val removed = acct.map(_.getAs[Long]("chars_removed")).sum
+    assert(acct.map(_.getAs[Long]("chars_total")).sum == before)
+    assert(before - after == removed,
+      s"cleaned length delta ${before - after} != accounted removal $removed")
+    assert(removed > 0, "sf corpus has planted dups; surgery must cut something")
+  }
+
   private def d18PairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
     .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) ->
       r.getAs[Double]("jaccard")).toMap
