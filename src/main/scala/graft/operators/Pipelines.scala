@@ -171,16 +171,24 @@ object Pipelines {
     * oracle mirrors the guard). Sole-fail is NULL for the dedup stage —
     * "sole" is a per-doc-predicate notion; a dup group's kill count is
     * relational by nature. */
-  def p17FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def p17FilterFunnel(spark: SparkSession, dir: String): DataFrame =
+    p17FunnelOf(p17Flags(Tables.documents(spark, dir)))
+
+  /** The funnel's per-doc flag columns over any `lang`+`text` relation —
+    * split out so the batch report and the stream_funnel ingest twin run
+    * the IDENTICAL predicate set. */
+  private[graft] def p17Flags(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", TF.tokens(col("text")))
+    .withColumn("n_tok", cleanNTok)
+    .withColumn("pass_lang", col("lang").isin(CleanLangs: _*))
+    .withColumn("pass_tok", col("n_tok") >= CleanMinTokens)
+    .withColumn("pass_q", coalesce(
+      when(col("n_tok") > 0, round(cleanQuality, 4)) >= CleanMinQuality,
+      lit(false)))
+
+  /** The funnel aggregation + 4-row fan-out over a flagged relation. */
+  private[graft] def p17FunnelOf(flagged: DataFrame): DataFrame = {
     val passAll = col("pass_lang") && col("pass_tok") && col("pass_q")
-    val flagged = Tables.documents(spark, dir)
-      .withColumn("toks", TF.tokens(col("text")))
-      .withColumn("n_tok", cleanNTok)
-      .withColumn("pass_lang", col("lang").isin(CleanLangs: _*))
-      .withColumn("pass_tok", col("n_tok") >= CleanMinTokens)
-      .withColumn("pass_q", coalesce(
-        when(col("n_tok") > 0, round(cleanQuality, 4)) >= CleanMinQuality,
-        lit(false)))
     val a = flagged.agg(
       count(lit(1)).as("n0"),
       sum(when(col("pass_lang"), 1L).otherwise(0L)).as("n1"),

@@ -269,6 +269,45 @@ class StreamingSpec extends GraftSuite {
       "both verdict classes should appear on this corpus")
   }
 
+  test("stream_funnel previews p17's report per micro-batch, equal to the batch operator on each slice") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Pipelines
+    import graft.streaming.StreamFunnel
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text").orderBy("doc_id").limit(90)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val input = MemoryStream[(Long, String, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[(Int, String, Long, Long, Long, Option[Long])]]
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map { r =>
+      (r.getAs[Int]("stage"), r.getAs[String]("stage_name"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"),
+        if (r.isNullAt(r.fieldIndex("n_sole_fail"))) None
+        else Some(r.getAs[Long]("n_sole_fail")))
+    }
+    val q = StreamFunnel.run(
+      input.toDF().toDF("doc_id", "lang", "source", "text")) { (id, b) =>
+      got.synchronized { got(id) = rows(b) }
+    }
+    val slices = docs.grouped(30).toSeq
+    try slices.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.size == slices.size, s"expected ${slices.size} batch reports, got ${got.size}")
+    // each batch's report equals the BATCH operator run over that slice
+    // through its own independent path (temp dir -> Tables.documents)
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"sfunnel$i").toString
+      slice.toSeq.toDF("doc_id", "lang", "source", "text")
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+        .write.parquet(s"$dir/documents.parquet")
+      val want = rows(Pipelines.p17FilterFunnel(spark, dir))
+      assert(got(i.toLong) == want,
+        s"batch $i funnel diverged:\n got  ${got(i.toLong)}\n want $want")
+    }
+    // stage-1 inputs tile the stream: no doc lost or double-counted
+    assert(got.values.map(_.head._3).sum == docs.length.toLong)
+  }
+
   test("stream_sample decides tier and keep/drop at ingest exactly like the batch sampler") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
