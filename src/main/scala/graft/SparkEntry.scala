@@ -179,6 +179,7 @@ object SparkEntry {
     "p16_span_layout" -> (Pipelines.p16SpanLayout _),
     "p17_filter_funnel" -> (Pipelines.p17FilterFunnel _),
     "t30_novelty_scan" -> (TextAnalysis.t30NoveltyScan _),
+    "t31_source_drift" -> (TextAnalysis.t31SourceDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -189,18 +189,20 @@ object Pipelines {
   /** The funnel aggregation + 4-row fan-out over a flagged relation. */
   private[graft] def p17FunnelOf(flagged: DataFrame): DataFrame = {
     val passAll = col("pass_lang") && col("pass_tok") && col("pass_q")
+    // coalesce every sum: a no-group agg over an EMPTY relation yields
+    // count = 0 but sum = NULL — an empty micro-batch through the
+    // stream_funnel twin must report an all-zero funnel, not null rows
+    def cnt(c: Column): Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val a = flagged.agg(
       count(lit(1)).as("n0"),
-      sum(when(col("pass_lang"), 1L).otherwise(0L)).as("n1"),
-      sum(when(col("pass_lang") && col("pass_tok"), 1L).otherwise(0L)).as("n2"),
-      sum(when(passAll, 1L).otherwise(0L)).as("n3"),
+      cnt(col("pass_lang")).as("n1"),
+      cnt(col("pass_lang") && col("pass_tok")).as("n2"),
+      cnt(passAll).as("n3"),
       countDistinct(when(passAll, md5(cleanNorm))).as("n4"),
-      sum(when(!col("pass_lang") && col("pass_tok") && col("pass_q"), 1L)
-        .otherwise(0L)).as("sole_lang"),
-      sum(when(col("pass_lang") && !col("pass_tok") && col("pass_q"), 1L)
-        .otherwise(0L)).as("sole_tok"),
-      sum(when(col("pass_lang") && col("pass_tok") && !col("pass_q"), 1L)
-        .otherwise(0L)).as("sole_q"))
+      cnt(!col("pass_lang") && col("pass_tok") && col("pass_q")).as("sole_lang"),
+      cnt(col("pass_lang") && !col("pass_tok") && col("pass_q")).as("sole_tok"),
+      cnt(col("pass_lang") && col("pass_tok") && !col("pass_q")).as("sole_q"))
     a.select(expr(
         "stack(4, " +
           "1, 'lang_filter', n0, n1, sole_lang, " +

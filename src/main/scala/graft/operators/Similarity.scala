@@ -1194,10 +1194,14 @@ object Similarity {
     * equi-join of two ≤2k-degree edge lists (≤(2k)² candidate rows per
     * vertex — linear in |corpus|, never quadratic), re-scoring joins
     * the embedding table twice on its key (shuffle-hash, linear), and
-    * the final top-3 is the map-side TopKPerGroup heap. `rounds` > 1
-    * iterates the cycle (each round re-derives reverse edges from the
-    * refined graph); lineage grows per round, so a many-round build on
-    * a real cluster checkpoints between rounds — d07's rule. */
+    * the final top-3 is the map-side TopKPerGroup heap. Lineage
+    * honesty (the p10 rule): within a round the current graph feeds
+    * BOTH the forward and the capped-reverse leg, so its plan executes
+    * twice — ≤3 rows/vertex of recompute, deliberately not cached;
+    * `rounds` > 1 iterates the cycle (each round re-derives reverse
+    * edges from the refined graph) and lineage grows per round, so a
+    * many-round build on a real cluster checkpoints between rounds —
+    * d07's rule. */
   def s21GraphRefine(spark: SparkSession, dir: String): DataFrame =
     s21GraphRefine(spark, dir, nLists = 16, nProbe = S19Probes, rounds = 1)
 

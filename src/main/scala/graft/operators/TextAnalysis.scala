@@ -1363,9 +1363,80 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t31: per-SOURCE distribution DRIFT — the mixture monitor a
+    * multi-source corpus build runs per release: how far each source's
+    * unigram distribution sits from the corpus blend, as the INTEGER-ppm
+    * L1 distance Σ_t |ppm_src(t) − ppm_corpus(t)| over the corpus vocab
+    * (2× total-variation). A source drifting across releases (crawler
+    * regression, new boilerplate, language shift) moves this number
+    * before any downstream eval does; the per-source row also carries
+    * the doc/token mass that weighs the drift.
+    *
+    * Why L1-in-ppm and not KL: KL needs log(), and libm-vs-JVM last-bit
+    * differences would make a float gate flaky (SURVEY §6); integer ppm
+    * via `div` truncation is bit-identical in both engines, so the
+    * whole statistic hash-gates. The absent-token mass is folded in by
+    * RESIDUAL — Σ_{t∉src} ppm_c(t) = 10⁶ − Σ_{t∈src} ppm_c(t) — which
+    * avoids the |sources| × |vocab| outer join entirely (the residual
+    * inherits each ppm's truncation; that is the DEFINITION of the
+    * statistic, mirrored exactly in the oracle). Everything is one
+    * (source, token) partial agg, a token-level corpus rollup joined
+    * back (hash build on the aggregated side), two broadcast-sized
+    * total joins, and a ≤|sources| rollup — linear, skew-free (a hot
+    * token is ONE aggregate row per source). Long math holds to ~10¹²
+    * tokens × 10⁶ ppm; past that, widen to decimal. */
+  def t31SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val srcTok = Tables.documents(spark, dir)
+      .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val srcTot = srcTok.groupBy(col("source")).agg(sum(col("n")).as("src_total"))
+    val corpTok = srcTok.groupBy(col("tok")).agg(sum(col("n")).as("nc"))
+    val corpTot = srcTot.agg(sum(col("src_total")).as("corp_total"))
+    val perSrc = srcTok
+      .join(corpTok.hint("SHUFFLE_HASH"), Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"),
+        abs(expr("n * 1000000 div src_total - nc * 1000000 div corp_total")).as("d"),
+        expr("nc * 1000000 div corp_total").as("ppm_c"))
+      .groupBy(col("source"))
+      .agg(sum(col("d")).as("present_l1"), sum(col("ppm_c")).as("present_mass"))
+    val docs = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    docs.join(srcTot, Seq("source")).join(perSrc, Seq("source"))
+      .select(col("source"), col("n_docs"), col("src_total").as("n_tokens"),
+        (col("present_l1") + (lit(1000000L) - col("present_mass"))).as("l1_ppm"))
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     Map(
+      "t31_source_drift" ->
+        s"""WITH st AS (
+              SELECT source, tok, COUNT(*) AS n FROM (
+                SELECT source, unnest($toks) AS tok FROM documents)
+              GROUP BY 1, 2),
+            stot AS (SELECT source, SUM(n) AS src_total FROM st GROUP BY 1),
+            ct AS (SELECT tok, SUM(n) AS nc FROM st GROUP BY 1),
+            ctot AS (SELECT SUM(n) AS corp_total FROM st),
+            j AS (
+              SELECT st.source,
+                ABS(st.n * 1000000 // stot.src_total
+                  - ct.nc * 1000000 // ctot.corp_total) AS d,
+                ct.nc * 1000000 // ctot.corp_total AS ppm_c
+              FROM st JOIN ct USING (tok) JOIN stot USING (source)
+                CROSS JOIN ctot),
+            ps AS (SELECT source, SUM(d) AS present_l1,
+                     SUM(ppm_c) AS present_mass
+                   FROM j GROUP BY 1),
+            nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+            SELECT nd.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+              CAST(stot.src_total AS BIGINT) AS n_tokens,
+              CAST(ps.present_l1 + (1000000 - ps.present_mass) AS BIGINT)
+                AS l1_ppm
+            FROM nd JOIN stot USING (source) JOIN ps USING (source)
+            ORDER BY source""",
       "t30_novelty_scan" ->
         s"""WITH d AS (
               SELECT doc_id, source, ${TS.shingleHashes(toks)} AS sh

@@ -71,6 +71,15 @@ class PipelinesSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"funnel should read documents exactly once:\n$plan")
+    // empty-relation robustness (the stream twin's empty micro-batch):
+    // count = 0 but sum = NULL on an empty no-group agg — the report
+    // must come back all-zero, never null
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val z = Pipelines.p17FunnelOf(Pipelines.p17Flags(empty)).collect()
+    assert(z.length == 4 && z.forall(r => r.getAs[Long]("n_in") == 0 &&
+      r.getAs[Long]("n_kept") == 0 && r.getAs[Long]("n_dropped") == 0),
+      s"empty input must yield an all-zero funnel: ${z.toSeq}")
   }
 
   test("p10 near-dup build: keep rule, accounting, and drop set match a driver recompute") {

@@ -958,6 +958,50 @@ class TextAnalysisSpec extends GraftSuite {
       s"50% subset carries only ${half._4}/$vocab of the vocabulary")
   }
 
+  test("t31: source drift matches a driver recompute; a disjoint-vocab source maximizes drift") {
+    // independent integer recompute of the full statistic on the sf corpus
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val st = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (src, text) =>
+      text.trim.split("\\s+").foreach(t => st((src, t)) = st.getOrElse((src, t), 0L) + 1)
+    }
+    val srcTotal = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val corpTok = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val corpTotal = srcTotal.values.sum
+    val want = srcTotal.keys.map { src =>
+      val present = st.collect { case ((`src`, t), n) => (t, n) }
+      val l1 = present.map { case (t, n) =>
+        math.abs(n * 1000000L / srcTotal(src) - corpTok(t) * 1000000L / corpTotal)
+      }.sum
+      val mass = present.map { case (t, _) => corpTok(t) * 1000000L / corpTotal }.sum
+      src -> (docs.count(_._1 == src).toLong, srcTotal(src), l1 + (1000000L - mass))
+    }.toMap
+    val got = TextAnalysis.t31SourceDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("l1_ppm"))).toMap
+    assert(got == want, s"drift diverged:\n got  $got\n want $want")
+    // planted fixture: a source sharing the corpus blend vs one with a
+    // fully DISJOINT vocabulary — drift must separate them decisively
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    val blend = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, "a", blend), (2L, "a", blend), (3L, "b", blend),
+      (4L, "weird", (1 to 20).map(i => s"alien$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("t31drift").toString
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val fx = TextAnalysis.t31SourceDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("l1_ppm")).toMap
+    assert(fx("weird") > fx("a") && fx("weird") > fx("b"),
+      s"disjoint-vocab source must drift most: $fx")
+    // a fully-disjoint source: every own token at ppm_c = its corpus
+    // share, plus the full absent mass — 1.5e6 at a 1/4 doc share
+    assert(fx("weird") > 1200000L, s"disjoint source drift too low: ${fx("weird")}")
+  }
+
   test("t30: novelty scan matches a driver df-recompute; exact dups score zero novelty") {
     import org.apache.spark.sql.functions._
     val P = 1000000007L
