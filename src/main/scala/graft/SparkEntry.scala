@@ -156,6 +156,8 @@ object SparkEntry {
     "s19_knn_graph" -> ((s, d) => Similarity.s19KnnGraph(s, d)),
     "s19b_knn_graph_ivf" -> ((s, d) => Similarity.s19bKnnGraphIvf(s, d)), // rows-only: candidate pool rides the k-means fit (s03's rule)
     "s20_rrf_fusion" -> (Similarity.s20RrfFusion _),
+    "s24_graph_recall" -> // rows-only: audits the k-means-fit graph builds (s03's rule)
+      (Similarity.s24GraphRecall _),
     "s23_mmr_rerank" -> // rows-only: the greedy MMR recursion is not SQL-expressible
       ((s, d) => Similarity.s23MmrRerank(s, d)),
     "s21_graph_refine" -> // rows-only: refines the IVF-seeded graph (k-means fit, s03's rule)

