@@ -74,7 +74,13 @@ object ScaleProbe {
       // be ~N× wall even though each replica's duplicated spans are
       // found in full (replica-disjoint window hashes keep cross-replica
       // fps from colliding, per-replica span structure constant)
-      "d19_dup_spans")
+      "d19_dup_spans",
+      // late-r10 additions: funnel + drift are single-scan/partial-agg
+      // shapes (the claim is flat-per-byte), the release diff's digest
+      // join moves ~40 B/doc, code routing is one regexp strip pass,
+      // d21 rides d07's components + one score join
+      "p17_filter_funnel", "t31_source_drift", "p18_release_diff",
+      "t32_code_detect", "d21_quality_canonical")
 
     val spark = SparkSession.builder()
       .master("local[32]")

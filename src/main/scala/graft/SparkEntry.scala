@@ -125,6 +125,7 @@ object SparkEntry {
     "d18_incremental_neardup" -> ((s, d) => Dedup.d18IncrementalNeardup(s, d)),
     "d19_dup_spans" -> ((s, d) => Dedup.d19DupSpans(s, d)),
     "d20_span_surgery" -> (Dedup.d20SpanSurgery _),
+    "d21_quality_canonical" -> (Dedup.d21QualityCanonical _),
     "d12b_semdedup_ivf" -> // rows-only: cluster-first candidates ride a k-means fit (s03's rule)
       (Dedup.d12bSemDedupIvf _),
     "d13_semantic_decontamination" ->
@@ -156,6 +157,7 @@ object SparkEntry {
     "s19_knn_graph" -> ((s, d) => Similarity.s19KnnGraph(s, d)),
     "s19b_knn_graph_ivf" -> ((s, d) => Similarity.s19bKnnGraphIvf(s, d)), // rows-only: candidate pool rides the k-means fit (s03's rule)
     "s20_rrf_fusion" -> (Similarity.s20RrfFusion _),
+    "s25_label_prop" -> ((s, d) => Similarity.s25LabelProp(s, d)),
     "s24_graph_recall" -> // rows-only: audits the k-means-fit graph builds (s03's rule)
       (Similarity.s24GraphRecall _),
     "s23_mmr_rerank" -> // rows-only: the greedy MMR recursion is not SQL-expressible
@@ -180,8 +182,10 @@ object SparkEntry {
       (Pipelines.p15ChunkSpans _),
     "p16_span_layout" -> (Pipelines.p16SpanLayout _),
     "p17_filter_funnel" -> (Pipelines.p17FilterFunnel _),
+    "p18_release_diff" -> ((s, d) => Pipelines.p18ReleaseDiff(s, d)),
     "t30_novelty_scan" -> (TextAnalysis.t30NoveltyScan _),
     "t31_source_drift" -> (TextAnalysis.t31SourceDrift _),
+    "t32_code_detect" -> (TextAnalysis.t32CodeDetect _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -790,6 +790,27 @@ object Dedup {
                 CAST(COUNT(*) AS BIGINT) AS n_windows
               FROM isl GROUP BY doc_id, island)"""
 
+  /** The d07 connected-component chain as a DuckDB CTE block (through
+    * `lab`, the doc_id → cluster relation) — shared verbatim by the d07
+    * and d21 oracles so the two gates can never test different cluster
+    * semantics. */
+  private def d07CcCtes: String = {
+    val toks = TS.toks
+    val sh = TS.shingleHashes(toks)
+    s"""d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM d),
+            p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, a.n, b.n
+                  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.2),
+            e AS (SELECT doc_i AS s, doc_j AS t FROM p
+                  UNION SELECT doc_j, doc_i FROM p),
+            r(s, t) AS (SELECT s, t FROM e
+                        UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s),
+            lab AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster
+                    FROM r GROUP BY s)"""
+  }
+
   /** No-cap sentinel for the stop-shingle knobs below. */
   val NoDfCap: Long = Long.MaxValue
 
@@ -1121,6 +1142,47 @@ object Dedup {
             .otherwise(lit(""))), "")))
       .select(col("doc_id"), col("lang"), col("source"),
         col("cleaned").as("text"))
+  }
+
+  /** d21: quality-aware CANONICAL selection — which member of each
+    * near-dup cluster the release KEEPS. d07 names the clusters;
+    * p03/p10 keep a hash- or id-ordered representative; a production
+    * release keeps the BEST one (Gopher/RefinedWeb keep the
+    * highest-quality member so dedup never trades a clean original for
+    * its mangled scrape). Per d07 cluster: size, the canonical doc =
+    * argmax of an all-integer quality score (stopword-density ppm —
+    * the t02/p03 signal reduced to integer arithmetic so the gate has
+    * no float boundary), ties broken to the SMALLEST doc_id, and the
+    * canonical's score.
+    *
+    * Shape at 100 TB: d07's pointer-jumping labels (O(log d) rounds,
+    * linear shuffles), one map-side score pass over documents, an
+    * id-keyed join, and a per-cluster aggregate whose buffer is one
+    * (score, -id) struct max — no window, no sort, partial-aggregable.
+    * Fully hash-gated (the oracle replays the same clusters through
+    * d07's recursive CTE and picks by ROW_NUMBER over the same
+    * (score DESC, doc_id ASC) order). */
+  def d21QualityCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = connectedComponents(spark,
+      ngramJaccardPairs(spark, dir).select(col("doc_i"), col("doc_j")), None)
+    val q = Tables.documents(spark, dir)
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        TF.stopwordHits(col("toks")).cast("long").as("sw"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .withColumn("q_ppm", expr("(sw * 1000000) div n_tok"))
+      .select(col("doc_id"), col("q_ppm"))
+    labels.join(q, Seq("doc_id"))
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        // lexicographic struct max = max score, then max(-id) = MIN id:
+        // one partial-aggregable buffer instead of a per-cluster window
+        max(struct(col("q_ppm"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("m.neg_id")).as("canonical_doc"),
+        col("m.q_ppm").as("canonical_q_ppm"))
+      .orderBy("cluster_id")
   }
 
   /** Which documents play the NEW-batch role in the gated d18 entry:
@@ -1805,22 +1867,29 @@ object Dedup {
             SELECT doc_i, doc_j, hamming FROM cand WHERE hamming <= 8
             ORDER BY doc_i, doc_j""",
       "d07_dup_clusters" ->
-        s"""WITH RECURSIVE
-            d AS (SELECT doc_id, $sh AS sh FROM documents WHERE len($toks) >= 3),
-            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM d),
-            p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
-                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2, a.n, b.n
-                  HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.2),
-            e AS (SELECT doc_i AS s, doc_j AS t FROM p
-                  UNION SELECT doc_j, doc_i FROM p),
-            r(s, t) AS (SELECT s, t FROM e
-                        UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s),
-            lab AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster
-                    FROM r GROUP BY s)
+        s"""WITH RECURSIVE $d07CcCtes
             SELECT cluster AS cluster_id, COUNT(*) AS n_docs,
               MAX(doc_id) AS max_doc
             FROM lab GROUP BY cluster ORDER BY cluster_id""",
+      // d21 mirror: the identical cluster chain, canonical picked by
+      // ROW_NUMBER over the same (q_ppm DESC, doc_id ASC) order the
+      // engine's lexicographic (q_ppm, -doc_id) struct max encodes
+      "d21_quality_canonical" ->
+        s"""WITH RECURSIVE $d07CcCtes,
+            q AS (
+              SELECT doc_id,
+                ${TS.markerHits(toks, TF.stopwords)} * 1000000
+                  // len($toks) AS q_ppm
+              FROM documents WHERE len($toks) >= 3),
+            lq AS (
+              SELECT lab.cluster, lab.doc_id, q.q_ppm,
+                ROW_NUMBER() OVER (PARTITION BY lab.cluster
+                  ORDER BY q.q_ppm DESC, lab.doc_id ASC) AS rn
+              FROM lab JOIN q USING (doc_id))
+            SELECT cluster AS cluster_id, COUNT(*) AS n_docs,
+              MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+              MAX(CASE WHEN rn = 1 THEN q_ppm END) AS canonical_q_ppm
+            FROM lq GROUP BY cluster ORDER BY cluster_id""",
       "d05_embedding_dup" -> d05Sql,
       "d12_semdedup" ->
         s"""WITH pairs AS ($d05Sql),

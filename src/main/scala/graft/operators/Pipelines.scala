@@ -216,6 +216,82 @@ object Pipelines {
       .orderBy("stage")
   }
 
+  /** p18 gate-fixture residue classes: which docs the DERIVED previous
+    * release drops, rewrites, or retires (mod [[DiffMod]] of doc_id).
+    * The fixture is the d16 pattern — a deterministic stand-in both
+    * engines derive identically; production calls the two-DataFrame
+    * overload on real release snapshots. */
+  val DiffMod = 13
+  val DiffAdded = 2 // absent from prev → "added" in the current release
+  val DiffChanged = 5 // prev carries the draft suffix → "changed"
+  val DiffRemoved = 7 // prev holds a retired negative-id twin → "removed"
+  private val DiffSuffix = " draft"
+
+  /** The narrow per-doc digest the diff join actually shuffles:
+    * (doc_id, source, length, content hash). At 100 TB this is the
+    * whole point — release snapshots are compared by CHECKSUM, so the
+    * full-outer join moves ~40 bytes/doc instead of document bodies
+    * (text is consumed map-side by the hash and never reaches the
+    * exchange). */
+  private def p18Digest(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("len"), md5(col("text")).as("h"))
+
+  /** p18: corpus RELEASE DIFF — the report every corpus release ships:
+    * what changed since the last snapshot, per source — docs added,
+    * removed, rewritten, untouched, with the character-mass delta each
+    * bucket contributes (the "why did the corpus grow 4%" answer, and
+    * the tripwire for a source silently vanishing from a crawl).
+    *
+    * Shape at 100 TB: ONE full-outer join on doc_id between the two
+    * narrow digest relations (ids are unique — no skew; snapshots
+    * bucketed by doc_id make it co-located), then a ≤|sources|×4
+    * rollup. Linear, text never shuffles. Statuses partition the id
+    * space: added (no prev row), removed (no curr row), changed
+    * (hash differs), unchanged. */
+  def p18ReleaseDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val p = p18Digest(prev).withColumnRenamed("source", "p_source")
+      .withColumnRenamed("len", "p_len").withColumnRenamed("h", "p_h")
+    val c = p18Digest(curr).withColumnRenamed("source", "c_source")
+      .withColumnRenamed("len", "c_len").withColumnRenamed("h", "c_h")
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("c_source"), col("p_source")).as("source"),
+        when(col("p_h").isNull, "added")
+          .when(col("c_h").isNull, "removed")
+          .when(col("p_h") =!= col("c_h"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("p_len"), lit(0L)).as("lp"),
+        coalesce(col("c_len"), lit(0L)).as("lc"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lp")).as("chars_prev"),
+        sum(col("lc")).as("chars_curr"))
+      .withColumn("chars_delta", col("chars_curr") - col("chars_prev"))
+      .orderBy("source", "status")
+  }
+
+  /** The gated entry: current release = the documents table; previous
+    * release DERIVED from it by the [[DiffMod]] residue classes (drop
+    * the added class, append [[DiffSuffix]] to the changed class's
+    * text, add a retired negative-id twin for the removed class —
+    * `-doc_id - 1` can never collide with the real non-negative id
+    * space). Both engines derive the same fixture, so the whole diff
+    * machinery sits under the hash gate; production use is the
+    * two-DataFrame overload above on real snapshots. */
+  def p18ReleaseDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prevKept = docs
+      .filter(col("doc_id") % DiffMod =!= DiffAdded)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % DiffMod === DiffChanged,
+          concat(col("text"), lit(DiffSuffix)))
+          .otherwise(col("text")).as("text"))
+    val retired = docs.filter(col("doc_id") % DiffMod === DiffRemoved)
+      .select((-col("doc_id") - 1).as("doc_id"), col("source"), col("text"))
+    p18ReleaseDiff(prevKept.unionByName(retired), docs)
+  }
+
   // ─────────────── p12: training-shard export (the final mile) ──────────
 
   /** The tokenized, shard-assigned per-doc relation every p12 surface
@@ -624,6 +700,36 @@ object Pipelines {
       // p17 mirror: the same flags p03's WHERE clause conjoins, kept as
       // booleans; the CASE guard on quality mirrors the engine's
       // n_tok > 0 guard (division by zero)
+      // p18 mirror: the identical derived-previous-release fixture
+      // (drop the added class, draft-suffix the changed class, retire a
+      // negative-id twin for the removed class), digests compared
+      // through the same full-outer join + per-(source, status) rollup
+      "p18_release_diff" ->
+        s"""WITH prev AS (
+              SELECT doc_id, source,
+                CASE WHEN doc_id % $DiffMod = $DiffChanged
+                     THEN text || '$DiffSuffix' ELSE text END AS text
+              FROM documents WHERE doc_id % $DiffMod <> $DiffAdded
+              UNION ALL
+              SELECT -doc_id - 1, source, text FROM documents
+              WHERE doc_id % $DiffMod = $DiffRemoved),
+            p AS (SELECT doc_id, source, len(text) AS len, md5(text) AS h
+                  FROM prev),
+            c AS (SELECT doc_id, source, len(text) AS len, md5(text) AS h
+                  FROM documents),
+            j AS (
+              SELECT COALESCE(c.source, p.source) AS source,
+                CASE WHEN p.h IS NULL THEN 'added'
+                     WHEN c.h IS NULL THEN 'removed'
+                     WHEN p.h <> c.h THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                COALESCE(p.len, 0) AS lp, COALESCE(c.len, 0) AS lc
+              FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id)
+            SELECT source, status, COUNT(*) AS n_docs,
+              CAST(SUM(lp) AS BIGINT) AS chars_prev,
+              CAST(SUM(lc) AS BIGINT) AS chars_curr,
+              CAST(SUM(lc) - SUM(lp) AS BIGINT) AS chars_delta
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
       "p17_filter_funnel" ->
         s"""WITH f AS (
               SELECT doc_id,

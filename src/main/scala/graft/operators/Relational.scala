@@ -748,10 +748,13 @@ object Relational {
     val local = parted.withColumn("lrn", row_number().over(wLocal).cast("long"))
     // per-slice counts: ≤ #partitions rows; the prefix window is over
     // that bounded relation, not the data. Constant-partitioned ON
-    // PURPOSE (t22's rule): the literal key marks the window as
-    // intentionally single-partition, so the "no partition defined"
-    // warning only ever flags accidents.
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("pid"))
+    // PURPOSE (t22's rule): the single-partition key marks the window
+    // as intentionally global, so the "no partition defined" warning
+    // only ever flags accidents. NON-FOLDABLE on purpose — Spark 4's
+    // EliminateWindowPartitions folds a literal key away, which put the
+    // warning back; `pid % 1` is constant 0 but column-derived, so it
+    // survives optimization.
+    val wOff = Window.partitionBy(col("pid") % 1).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))

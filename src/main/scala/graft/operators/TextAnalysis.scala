@@ -937,11 +937,14 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     // constant-partitioned ON PURPOSE: this window runs over the k
-    // already-limited rows, and the literal partition key marks it as
+    // already-limited rows, and the partition key marks it as
     // intentionally single-partition — the "no partition defined"
     // warning then uniquely flags ACCIDENTAL unpartitioned windows in
-    // the logs (r8 verdict's log-hygiene rule).
-    val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("token"))
+    // the logs (r8 verdict's log-hygiene rule). NON-FOLDABLE on
+    // purpose: Spark 4's EliminateWindowPartitions folds a literal key
+    // away (which put the warning back); `cnt % 1` is constant 0 but
+    // column-derived, so it survives optimization.
+    val w = Window.partitionBy(col("cnt") % 1).orderBy(col("cnt").desc, col("token"))
     counts.orderBy(col("cnt").desc, col("token")).limit(k)
       .withColumn("rank", row_number().over(w))
       .withColumn("cum", sum(col("cnt")).over(
@@ -1318,6 +1321,66 @@ object TextAnalysis {
         (col("w_sum") + lit(interceptQ) > 0).as("flagged")): _*)
   }
 
+  /** t32 knobs: the code-symbol character class (braces, semicolons,
+    * assignment/comparison/comment characters — the densest surface
+    * difference between code and prose), the flag threshold in integer
+    * ppm of document characters, and the gate fixture's planted-residue
+    * class + snippet. 40000 ppm (4%) sits ≥2× below the planted
+    * snippet's worst-case density and far above prose (word-soup text
+    * carries none of the class — measured 0 ppm corpus-wide). */
+  val CodeSymClass = "[{}();=<>#/]"
+  val CodeFlagPpm = 40000L
+  val CodePlantMod = 29
+  val CodePlantRem = 11
+  private val CodeSnippet = " {x=1;} //"
+
+  /** t32: CODE detection / routing — the source-mix report a mixed
+    * crawl runs before training: code and prose want different
+    * pipelines (different dedup spans, different tokenizers, different
+    * quality filters), so intake ROUTES on a cheap structural signal —
+    * the density of code-surface characters ([[CodeSymClass]]) in
+    * integer ppm of document length. Per source: docs, docs flagged as
+    * code, the flagged share and the mean symbol density (both integer
+    * ppm — no float boundary anywhere).
+    *
+    * Shape at 100 TB: the symbol count is ONE map-side
+    * length-difference against a regexp strip (codegen'd, no explode —
+    * cost linear in characters like any scan), then a ≤|sources|
+    * rollup. The gate fixture is the d16/t18 planted pattern: the
+    * synthetic corpus contains no code, so docs in the
+    * [[CodePlantMod]]/[[CodePlantRem]] residue class get a
+    * length-proportional snippet appended (both engines derive the
+    * identical fixture — the detector, threshold arithmetic, and
+    * rollup all sit under the hash gate); production calls
+    * [[t32CodeDetectOf]] on a real corpus. */
+  def t32CodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val planted = graft.Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % CodePlantMod === CodePlantRem,
+          concat(col("text"), repeat(lit(CodeSnippet),
+            (length(col("text")) / 64 + 1).cast("int"))))
+          .otherwise(col("text")).as("text"))
+    t32CodeDetectOf(planted)
+  }
+
+  /** The production detector over any `source`+`text` relation. */
+  def t32CodeDetectOf(docs: DataFrame): DataFrame = docs
+    .select(col("source"),
+      length(col("text")).cast("long").as("len"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), CodeSymClass, "")))
+        .cast("long").as("sym"))
+    .withColumn("sym_ppm", expr("sym * 1000000 div len"))
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(when(col("sym_ppm") >= CodeFlagPpm, 1L).otherwise(0L)).as("n_code"),
+      sum(col("sym_ppm")).as("ppm_sum"))
+    .select(col("source"), col("n_docs"), col("n_code"),
+      expr("n_code * 1000000 div n_docs").as("code_share_ppm"),
+      expr("ppm_sum div n_docs").as("mean_sym_ppm"))
+    .orderBy("source")
+
   /** t30 flag threshold: a doc is LOW-NOVELTY when fewer than half of
     * its distinct shingles are unique to it corpus-wide (novelty ppm
     * < 500000) — integer ppm on integer counts, no float boundary. */
@@ -1459,6 +1522,32 @@ object TextAnalysis {
                 AS l1_ppm
             FROM nd JOIN stot USING (source) JOIN ps USING (source)
             ORDER BY source""",
+      // t32 mirror: identical planted fixture (length-proportional
+      // snippet on the residue class), identical strip-and-diff symbol
+      // count and integer-ppm threshold/rollup arithmetic
+      "t32_code_detect" ->
+        s"""WITH d AS (
+              SELECT source,
+                CASE WHEN doc_id % $CodePlantMod = $CodePlantRem
+                     THEN text || repeat('$CodeSnippet', CAST(
+                       len(text) // 64 + 1 AS INT))
+                     ELSE text END AS text
+              FROM documents WHERE len(text) > 0),
+            s AS (
+              SELECT source, CAST(len(text) AS BIGINT) AS len,
+                CAST(len(text) - len(regexp_replace(text,
+                  '$CodeSymClass', '', 'g')) AS BIGINT) AS sym
+              FROM d),
+            p AS (
+              SELECT source, len, sym, sym * 1000000 // len AS sym_ppm
+              FROM s)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN sym_ppm >= $CodeFlagPpm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_code,
+              CAST(SUM(CASE WHEN sym_ppm >= $CodeFlagPpm THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS code_share_ppm,
+              CAST(SUM(sym_ppm) // COUNT(*) AS BIGINT) AS mean_sym_ppm
+            FROM p GROUP BY source ORDER BY source""",
       "t30_novelty_scan" ->
         s"""WITH d AS (
               SELECT doc_id, source, ${TS.shingleHashes(toks)} AS sh

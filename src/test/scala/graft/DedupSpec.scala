@@ -110,6 +110,43 @@ class DedupSpec extends GraftSuite {
     assert(got == truth, s"cluster structure mismatch: $got vs $truth")
   }
 
+  test("d21 canonical pick: best quality per d07 cluster, recomputed on the driver") {
+    val pairs = Dedup.d02NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")))
+    // union-find ground truth over the same pair graph d07 labels
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = label.getOrElse(x, x); if (p == x) x else { val r = find(p); label(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) label(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // integer stopword-density ppm, exactly the engine's arithmetic
+    val qOf = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .filter(_._2.length >= 3)
+      .map { case (id, toks) =>
+        id -> toks.count(graft.functions.TextFunctions.stopwords.contains)
+          .toLong * 1000000L / toks.length
+      }.toMap
+    val truth = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+      .map { case (cid, members) =>
+        val canon = members.minBy(d => (-qOf(d), d))
+        cid -> (members.length.toLong, canon, qOf(canon))
+      }
+    val got = Dedup.d21QualityCanonical(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("canonical_doc"),
+          r.getAs[Long]("canonical_q_ppm"))).toMap
+    assert(got == truth, s"canonical selection diverged:\ngot  $got\nwant $truth")
+    // the pick is genuinely quality-aware somewhere: at least one
+    // cluster's canonical is NOT its minimum doc_id (else this operator
+    // would be indistinguishable from an id-ordered pick on this corpus)
+    val minPick = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+      .map { case (cid, m) => cid -> m.min }
+    assert(got.exists { case (cid, (_, canon, _)) => canon != minPick(cid) },
+      "fixture too weak: every canonical equals the min-id pick")
+  }
+
   test("d07 with a reliable checkpoint dir matches the localCheckpoint result") {
     // an executor loss mid-iteration kills the local-checkpoint path on a
     // real cluster; the reliable mode must be result-identical

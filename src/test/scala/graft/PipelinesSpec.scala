@@ -26,6 +26,49 @@ class PipelinesSpec extends GraftSuite {
     } finally out.unpersist()
   }
 
+  test("p18 release diff: statuses tile the id space, deltas reconcile per bucket") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Pipelines.p18ReleaseDiff(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("status"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("chars_prev"),
+        r.getAs[Long]("chars_curr"), r.getAs[Long]("chars_delta")))
+    def tot(st: String): (Long, Long) = {
+      val b = rows.filter(_._2 == st)
+      (b.map(_._3).sum, b.map(_._6).sum)
+    }
+    val m = Pipelines.DiffMod
+    // bucket populations match the residue classes directly
+    assert(tot("added")._1 == docs.count(_._1 % m == Pipelines.DiffAdded))
+    assert(tot("changed")._1 == docs.count(_._1 % m == Pipelines.DiffChanged))
+    assert(tot("removed")._1 == docs.count(_._1 % m == Pipelines.DiffRemoved))
+    // every doc of the union id space lands in exactly one status: curr
+    // docs (added/changed/unchanged) + the retired prev-only twins
+    assert(rows.map(_._3).sum ==
+      docs.length + docs.count(_._1 % m == Pipelines.DiffRemoved))
+    // delta reconciliation: added contributes its full current mass,
+    // removed its full (negated) prev mass, changed exactly the 6-char
+    // draft suffix per doc, unchanged zero
+    assert(tot("added")._2 ==
+      docs.filter(_._1 % m == Pipelines.DiffAdded).map(_._2).sum)
+    assert(tot("removed")._2 ==
+      -docs.filter(_._1 % m == Pipelines.DiffRemoved).map(_._2).sum)
+    assert(tot("changed")._2 == -6L * tot("changed")._1)
+    assert(rows.filter(_._2 == "unchanged").forall(r => r._6 == 0L && r._4 == r._5))
+    // chars_delta is derived, never independently aggregated
+    assert(rows.forall(r => r._6 == r._5 - r._4))
+  }
+
+  test("p18 production overload: a release diffed against itself is all-unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Pipelines.p18ReleaseDiff(docs, docs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("status") == "unchanged"))
+    assert(rows.forall(_.getAs[Long]("chars_delta") == 0L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
   test("cleanCorpus fuses map stages into one scan (single pre-window shuffle)") {
     val plan = Pipelines.cleanCorpus(spark, sf).queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllIn(plan).size

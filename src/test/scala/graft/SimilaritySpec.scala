@@ -1054,6 +1054,79 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("s25 label propagation matches a driver recompute of both rounds") {
+    import org.apache.spark.sql.functions._
+    val graph = driverExactGraph().map { case (q, es) => q -> es.map(_._2) }
+    val trueLab = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    var labels = trueLab.keys.filter(_ % Similarity.S25SeedMod == 0)
+      .map(v => v -> (trueLab(v), 0)).toMap
+    (1 to Similarity.S25Rounds).foreach { r =>
+      val cand = graph.keys.filterNot(labels.contains).flatMap { q =>
+        val votes = graph(q).flatMap(n => labels.get(n).map(_._1))
+        if (votes.isEmpty) None
+        else {
+          val counts = votes.groupBy(identity).map { case (l, v) => (l, v.size) }
+          Some(q -> (counts.minBy { case (l, c) => (-c, l) }._1, r))
+        }
+      }.toMap
+      labels = labels ++ cand
+    }
+    val want = labels.toSeq.groupBy(_._2._1).map { case (lab, xs) =>
+      val seed = xs.count(_._2._2 == 0).toLong
+      val prop = xs.count(_._2._2 > 0).toLong
+      val corr = xs.count { case (v, (l, r)) => r > 0 && l == trueLab(v) }.toLong
+      lab -> (seed, prop, corr, corr * 1000000L / math.max(1L, prop))
+    }
+    val got = Similarity.s25LabelProp(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> (r.getAs[Long]("n_seed"),
+        r.getAs[Long]("n_propagated"), r.getAs[Long]("n_correct"),
+        r.getAs[Long]("acc_ppm"))).toMap
+    assert(got == want, s"propagation diverged:\ngot  $got\nwant $want")
+    // the graph must genuinely spread labels; on THIS corpus labels are
+    // random w.r.t. geometry, so accuracy is honestly near-chance —
+    // that reading is the audit's purpose, and the structured case is
+    // pinned by the planted-fixture test below
+    assert(got.values.map(_._2).sum > 0, "no labels propagated")
+  }
+
+  test("s25 on a label-clustered space propagates near-perfectly") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    // 3 exact clusters in 4-d: every vector of cluster c IS axis c (+ a
+    // tiny common floor), so cluster-mates tie at cosine 1 and the
+    // (cos DESC, id ASC) order makes each vector's top-3 its three
+    // smallest-id mates — every non-seed reaches a seed within 2 hops
+    val vecs = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.fill(4)(0.01f)
+      base(c) = 1.0f
+      (i, base.toSeq, c)
+    }
+    val e = vecs.map { case (i, _, c) => (i, c) }.toDF("vec_id", "label")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    val g = vecs.flatMap { case (q, qv, _) =>
+      vecs.filter(_._1 != q)
+        .map { case (n, nv, _) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3)
+        .map { case (n, _) => (q, n) }
+    }.toDF("query_id", "neighbor_id")
+    val rows = Similarity.s25Of(e, g, Similarity.S25Rounds).collect()
+    val prop = rows.map(_.getAs[Long]("n_propagated")).sum
+    val corr = rows.map(_.getAs[Long]("n_correct")).sum
+    // full coverage: all 24 non-seeds labeled within the 2 rounds
+    assert(prop == 24L, s"expected full propagation, got $prop")
+    assert(corr == prop,
+      s"cluster-pure neighborhoods must propagate perfectly: $corr/$prop")
+    assert(rows.forall(_.getAs[Long]("acc_ppm") == 1000000L))
+  }
+
   test("s24 graph-recall audit matches a driver recompute; refinement row dominates") {
     val want = driverExactGraph()
     def recallPpm(g: Map[Long, Set[Long]]): (Long, Long, Long) = {

@@ -269,6 +269,47 @@ class StreamingSpec extends GraftSuite {
       "both verdict classes should appear on this corpus")
   }
 
+  test("stream_route: per-batch code/prose routing equals the batch t32 core on each slice") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamRoute
+    // plant the code snippet on the driver so the stream carries BOTH
+    // routing classes (the production core never plants — fixture here)
+    val snippet = " {x=1;} //"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").orderBy("doc_id").limit(90)
+      .collect().map { r =>
+        val (id, src, t) = (r.getLong(0), r.getString(1), r.getString(2))
+        (id, src, if (id % 7 == 3 && t.nonEmpty)
+          t + snippet * (t.length / 64 + 1) else t)
+      }.filter(_._3.nonEmpty)
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(String, Long, Long, Long, Long)]]
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet.map {
+      (r: org.apache.spark.sql.Row) =>
+        (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_code"), r.getAs[Long]("code_share_ppm"),
+          r.getAs[Long]("mean_sym_ppm"))
+    }
+    val q = StreamRoute.run(
+      input.toDF().toDF("doc_id", "source", "text")) { (id, b) =>
+      got.synchronized { got(id) = rows(b) }
+    }
+    val slices = docs.grouped(30).toSeq
+    try slices.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.size == slices.size)
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val want = rows(graft.operators.TextAnalysis.t32CodeDetectOf(
+        slice.toSeq.toDF("doc_id", "source", "text")))
+      assert(got(i.toLong) == want,
+        s"batch $i routing diverged:\n got  ${got(i.toLong)}\n want $want")
+    }
+    // the fixture exercised both classes and no doc was lost
+    assert(got.values.flatten.map(_._3).sum > 0, "no code-routed docs")
+    assert(got.values.flatten.map(_._2).sum == docs.length.toLong)
+  }
+
   test("stream_funnel previews p17's report per micro-batch, equal to the batch operator on each slice") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

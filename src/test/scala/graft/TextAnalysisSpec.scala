@@ -1002,6 +1002,49 @@ class TextAnalysisSpec extends GraftSuite {
     assert(fx("weird") > 1200000L, s"disjoint source drift too low: ${fx("weird")}")
   }
 
+  test("t32: code detection matches a driver recompute; flags exactly the planted class") {
+    import org.apache.spark.sql.functions._
+    val snippet = " {x=1;} //"
+    val symSet = "{}();=<>#/".toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.nonEmpty)
+    val model = docs.map { case (id, src, text) =>
+      val t = if (id % TextAnalysis.CodePlantMod == TextAnalysis.CodePlantRem)
+        text + snippet * (text.length / 64 + 1) else text
+      val sym = t.count(symSet)
+      (id, src, sym.toLong * 1000000L / t.length)
+    }
+    val perSource = model.groupBy(_._2).map { case (src, xs) =>
+      src -> (xs.size.toLong,
+        xs.count(_._3 >= TextAnalysis.CodeFlagPpm).toLong,
+        xs.map(_._3).sum)
+    }
+    val got = TextAnalysis.t32CodeDetect(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_code"),
+          r.getAs[Long]("code_share_ppm"), r.getAs[Long]("mean_sym_ppm"))).toMap
+    perSource.foreach { case (src, (nd, nc, ppmSum)) =>
+      val g = got(src)
+      assert(g == ((nd, nc, nc * 1000000L / nd, ppmSum / nd)),
+        s"$src diverged: got $g want ($nd, $nc, ...)")
+    }
+    // the flag is DECISIVE: every planted doc flags, nothing else does
+    val planted = model.filter(_._1 % TextAnalysis.CodePlantMod ==
+      TextAnalysis.CodePlantRem)
+    assert(planted.nonEmpty)
+    assert(planted.forall(_._3 >= 2 * TextAnalysis.CodeFlagPpm),
+      "planted snippet density must clear the threshold with 2x margin")
+    assert(got.values.map(_._2).sum == planted.size.toLong,
+      "flag set must be exactly the planted class")
+    // and the PRODUCTION entry on the unplanted corpus flags zero:
+    // prose carries none of the code-symbol class
+    val natural = TextAnalysis.t32CodeDetectOf(
+      Tables.documents(spark, sf).filter(length(col("text")) > 0)).collect()
+    assert(natural.map(_.getAs[Long]("n_code")).sum == 0L)
+  }
+
   test("t30: novelty scan matches a driver df-recompute; exact dups score zero novelty") {
     import org.apache.spark.sql.functions._
     val P = 1000000007L
