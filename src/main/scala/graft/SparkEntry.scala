@@ -158,6 +158,7 @@ object SparkEntry {
     "s19b_knn_graph_ivf" -> ((s, d) => Similarity.s19bKnnGraphIvf(s, d)), // rows-only: candidate pool rides the k-means fit (s03's rule)
     "s20_rrf_fusion" -> (Similarity.s20RrfFusion _),
     "s25_label_prop" -> ((s, d) => Similarity.s25LabelProp(s, d)),
+    "s26_knn_outlier" -> (Similarity.s26KnnOutlier _),
     "s24_graph_recall" -> // rows-only: audits the k-means-fit graph builds (s03's rule)
       (Similarity.s24GraphRecall _),
     "s23_mmr_rerank" -> // rows-only: the greedy MMR recursion is not SQL-expressible

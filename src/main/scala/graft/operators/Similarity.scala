@@ -1347,6 +1347,52 @@ object Similarity {
       .orderBy("variant")
   }
 
+  /** s26 flag threshold: a vector is an OUTLIER when the sum of its
+    * top-3 neighbor cosines in 10⁻⁴ units stays under this — i.e. its
+    * BEST three neighbors average below ~0.29 cosine. On the
+    * adversarial near-orthogonal corpus the isolation sum ranges
+    * ~8000–13000 with p5 ≈ 8850 at every test SF (measured), so this
+    * flags the genuine bottom few percent without flagging the mass —
+    * a production run re-derives the cut from its own q20b sketch. */
+  val S26IsolationMicro = 8800L
+
+  /** s26: k-NN OUTLIER scan — embedding-space isolation pruning, the
+    * curation step CLIP-filter-style pipelines run before training
+    * (garbled decodes, wrong-modality rows, and corrupt embeddings
+    * land far from everything; their k-NN neighborhood is empty in
+    * cosine terms even though brute-force always returns SOMETHING).
+    * Isolation score per vector = Σ of its top-3 neighbor cosines in
+    * integer micro-units; flag when under [[S26IsolationMicro]]. Per
+    * label: vectors, flagged count, and the mean isolation (integer
+    * div) — the tail report a release reads before pruning.
+    *
+    * Float honesty (SURVEY §6): the only float is s19's round(cos, 4),
+    * which already hash-gates — the micro conversion re-rounds that
+    * gated double (ROUND(c4 × 10⁴), >10⁵ ULPs from any .5 boundary)
+    * and everything after is integer, so the whole report gates. The
+    * sum is over a vector's OWN ≤3 edges (collected per group, not
+    * float-accumulated across partitions — no order sensitivity).
+    * Shape: the gated graph + one per-vector agg + a ≤|labels| rollup
+    * — linear in edges. */
+  def s26KnnOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val micro = s19KnnGraph(spark, dir)
+      .select(col("query_id"),
+        round(col("cosine") * 10000).cast("long").as("micro"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("micro")).as("iso_micro"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(micro, Seq("query_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("iso_micro") < S26IsolationMicro, 1L).otherwise(0L))
+          .as("n_outliers"),
+        sum(col("iso_micro")).as("iso_sum"))
+      .select(col("label"), col("n_vecs"), col("n_outliers"),
+        expr("iso_sum div n_vecs").as("mean_iso_micro"))
+      .orderBy("label")
+  }
+
   /** s25 knobs: the seed residue class (vec_id % [[S25SeedMod]] = 0 —
     * 20% of the corpus plays the curated-labels role) and the bounded
     * round count. */
@@ -2259,6 +2305,27 @@ object Similarity {
                 FROM s)
           SELECT query_id, rk, neighbor_id, round(cos, 4) AS cosine
           FROM r WHERE rk <= 3 ORDER BY query_id, rk""",
+    "s26_knn_outlier" ->
+      // s19's graph chain; micro conversion re-rounds the gated
+      // round(cos,4) double, all arithmetic after it integer
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings),
+          s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                  ${VS.cosine("qv", "e.embedding")} AS cos
+                FROM embeddings e, q WHERE e.vec_id <> query_id),
+          r AS (SELECT query_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rk
+                FROM s),
+          m AS (SELECT query_id,
+                  SUM(CAST(ROUND(round(cos, 4) * 10000) AS BIGINT)) AS iso
+                FROM r WHERE rk <= 3 GROUP BY 1)
+          SELECT e.label, COUNT(*) AS n_vecs,
+            CAST(SUM(CASE WHEN m.iso < $S26IsolationMicro THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers,
+            CAST(SUM(m.iso) // COUNT(*) AS BIGINT) AS mean_iso_micro
+          FROM embeddings e JOIN m ON e.vec_id = m.query_id
+          GROUP BY 1 ORDER BY 1""",
     "s25_label_prop" ->
       // s19's graph CTE + the two propagation rounds unrolled; the
       // ROW_NUMBER pick (c DESC, plabel ASC) is the engine's

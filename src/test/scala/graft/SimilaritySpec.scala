@@ -1127,6 +1127,33 @@ class SimilaritySpec extends GraftSuite {
     assert(rows.forall(_.getAs[Long]("acc_ppm") == 1000000L))
   }
 
+  test("s26 outlier scan matches a driver recompute of the isolation tail") {
+    import org.apache.spark.sql.functions._
+    val graph = driverExactGraph()
+    val lab = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val iso = graph.map { case (q, es) =>
+      q -> es.map(e => math.round(e._3 * 10000)).sum
+    }
+    // Scala Long `/` and Spark `div` both truncate toward zero — the
+    // mean recompute matches the engine's convention directly
+    val want = iso.toSeq.groupBy { case (q, _) => lab(q) }
+      .map { case (l, xs) =>
+        l -> (xs.size.toLong,
+          xs.count(_._2 < Similarity.S26IsolationMicro).toLong,
+          xs.map(_._2).sum / xs.size)
+      }
+    val got = Similarity.s26KnnOutlier(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_outliers"), r.getAs[Long]("mean_iso_micro"))).toMap
+    assert(got == want, s"outlier scan diverged:\ngot  $got\nwant $want")
+    // the adversarial corpus has a genuine isolated tail
+    assert(got.values.map(_._2).sum > 0, "no outliers flagged")
+    // and not everything is an outlier
+    assert(got.values.map(_._2).sum < got.values.map(_._1).sum / 2)
+  }
+
   test("s24 graph-recall audit matches a driver recompute; refinement row dominates") {
     val want = driverExactGraph()
     def recallPpm(g: Map[Long, Set[Long]]): (Long, Long, Long) = {
