@@ -184,6 +184,7 @@ object SparkEntry {
     "p16_span_layout" -> (Pipelines.p16SpanLayout _),
     "p17_filter_funnel" -> (Pipelines.p17FilterFunnel _),
     "p18_release_diff" -> ((s, d) => Pipelines.p18ReleaseDiff(s, d)),
+    "p19_zorder_layout" -> (Pipelines.p19ZorderLayout _),
     "t30_novelty_scan" -> (TextAnalysis.t30NoveltyScan _),
     "t31_source_drift" -> (TextAnalysis.t31SourceDrift _),
     "t32_code_detect" -> (TextAnalysis.t32CodeDetect _),

@@ -292,6 +292,98 @@ object Pipelines {
     p18ReleaseDiff(prevKept.unionByName(retired), docs)
   }
 
+  /** p19 knobs: logical file (bucket) count and the per-column bit
+    * width of the z-key (8 bits each → 16-bit key, 256 distinct values
+    * per dimension — plenty for source/lang dictionaries). */
+  val ZFiles = 16
+  val ZBits = 8
+
+  /** The bit-interleave: z = … b₁a₁b₀a₀ for a = src rank, b = lang
+    * rank — the Morton key that makes ONE sort order tight on BOTH
+    * columns' per-file min/max. Inputs must be NORMALIZED to the full
+    * [0, 2^ZBits) domain first (rank·2^ZBits div |dict|) — a raw small
+    * dictionary only occupies the LOW bits, the key's high bits stay
+    * zero, and every row lands in bucket 0 (measured; the spec pins
+    * the normalized form's spread). Plain integer shifts/masks
+    * (codegen'd; the oracle mirrors them verbatim). */
+  private def zKey(src: Column, lng: Column): Column =
+    (0 until ZBits).map { i =>
+      (shiftleft(shiftrightunsigned(src, i) % 2, 2 * i + 1) +
+        shiftleft(shiftrightunsigned(lng, i) % 2, 2 * i)).cast("long")
+    }.reduce(_ + _)
+
+  /** p19: Z-ORDER LAYOUT audit — the storage-layout decision a 100 TB
+    * corpus gets right or pays for on every scan: parquet prunes files/
+    * row-groups by min/max stats, and stats are only tight for columns
+    * the data is SORTED by. A single-column sort leaves the second
+    * predicate column scattered (every file spans every lang); the
+    * Morton/z-order key interleaves the bits of both dictionary ranks
+    * so one sort order keeps BOTH columns' per-file ranges narrow —
+    * `WHERE source = X` and `WHERE lang = Y` each touch a fraction of
+    * files. This operator computes the layout and MEASURES the win:
+    * per layout (z-order vs naive id-ranged files), the number of
+    * (predicate value, file) pairs a min/max pruner would scan, in
+    * integer ppm of all pairs — for both predicate columns.
+    *
+    * All-integer (dictionary ranks via dense ranking, bit arithmetic,
+    * bucket = zkey·files div 2¹⁶, min/max + count aggregates) ⇒ fully
+    * hash-gated. Shape at 100 TB: ranks come from two ≤|dict| broadcast
+    * dimension tables, the z-key is map-side, bucketing is a derived
+    * column (the real write is `.repartition(bucket).sortWithin
+    * Partitions(zkey).write.partitionBy(bucket)` — exercised in the
+    * spec with a lossless read-back), and the audit is one per-bucket
+    * aggregate + a dict × buckets overlap count (both driver-small). */
+  def p19ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = p19Keyed(spark, dir)
+      .crossJoin(broadcast(Tables.documents(spark, dir)
+        .agg(max(col("doc_id")).as("max_id"))))
+      .withColumn("nbucket", expr(s"($ZFiles * doc_id) div (max_id + 1)"))
+    def audit(layout: String, bucket: Column): DataFrame = {
+      val stats = keyed.groupBy(bucket.as("b")).agg(
+        min(col("src_rank")).as("s_min"), max(col("src_rank")).as("s_max"),
+        min(col("lang_rank")).as("l_min"), max(col("lang_rank")).as("l_max"))
+      def dim(name: String, rankCol: String): DataFrame =
+        keyed.select(col(rankCol).as("r")).distinct()
+          .crossJoin(stats)
+          .agg(countDistinct(col("b")).as("n_files"),
+            count(lit(1)).as("pairs_total"),
+            sum(when(col("r").between(
+              col(s"${name.take(1)}_min"), col(s"${name.take(1)}_max")),
+              1L).otherwise(0L)).as("pairs_scanned"))
+          .select(lit(layout).as("layout"), lit(name).as("predicate"),
+            col("n_files"), col("pairs_total"), col("pairs_scanned"),
+            expr("pairs_scanned * 1000000 div pairs_total").as("scan_ppm"))
+      dim("source", "src_rank").unionByName(dim("lang", "lang_rank"))
+    }
+    audit("zorder", col("zbucket"))
+      .unionByName(audit("naive_id", col("nbucket")))
+      .orderBy("layout", "predicate")
+  }
+
+  /** The derived per-doc layout columns — split out for the spec's real
+    * write path and any production writer:
+    * `.repartition(col("zbucket")).sortWithinPartitions(col("zkey"))
+    *  .write.partitionBy("zbucket")`. */
+  private[graft] def p19Keyed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val srcRank = docs.select(col("source")).distinct()
+      .withColumn("src_rank",
+        (row_number().over(Window.partitionBy(col("source").isNotNull)
+          .orderBy(col("source"))) - 1).cast("long"))
+    val langRank = docs.select(col("lang")).distinct()
+      .withColumn("lang_rank",
+        (row_number().over(Window.partitionBy(col("lang").isNotNull)
+          .orderBy(col("lang"))) - 1).cast("long"))
+    docs.join(broadcast(srcRank), Seq("source"))
+      .join(broadcast(langRank), Seq("lang"))
+      .crossJoin(broadcast(srcRank.agg(count(lit(1)).as("n_src"))))
+      .crossJoin(broadcast(langRank.agg(count(lit(1)).as("n_lang"))))
+      .withColumn("src_n", expr(s"(src_rank * ${1 << ZBits}) div n_src"))
+      .withColumn("lang_n", expr(s"(lang_rank * ${1 << ZBits}) div n_lang"))
+      .withColumn("zkey", zKey(col("src_n"), col("lang_n")))
+      .withColumn("zbucket", expr(s"($ZFiles * zkey) div ${1 << (2 * ZBits)}"))
+  }
+
   // ─────────────── p12: training-shard export (the final mile) ──────────
 
   /** The tokenized, shard-assigned per-doc relation every p12 surface
@@ -700,6 +792,61 @@ object Pipelines {
       // p17 mirror: the same flags p03's WHERE clause conjoins, kept as
       // booleans; the CASE guard on quality mirrors the engine's
       // n_tok > 0 guard (division by zero)
+      // p19 mirror: identical dictionary ranks, bit-interleave, bucket
+      // division, and min/max-pruning overlap count
+      "p19_zorder_layout" -> {
+        val zk = (0 until ZBits).map(i =>
+          s"(((src_n >> $i) % 2) << ${2 * i + 1})" +
+            s" + (((lang_n >> $i) % 2) << ${2 * i})").mkString(" + ")
+        val dims = for {
+          (layout, st) <- Seq("zorder" -> "zs", "naive_id" -> "ns")
+          (pred, c) <- Seq("source" -> "s", "lang" -> "l")
+        } yield s"""SELECT '$layout' AS layout, '$pred' AS predicate,
+              CAST(COUNT(DISTINCT b) AS BIGINT) AS n_files,
+              CAST(COUNT(*) AS BIGINT) AS pairs_total,
+              CAST(SUM(CASE WHEN r BETWEEN ${c}_min AND ${c}_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS pairs_scanned,
+              CAST(SUM(CASE WHEN r BETWEEN ${c}_min AND ${c}_max
+                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                AS scan_ppm
+            FROM (SELECT DISTINCT ${pred.take(1) match {
+              case "s" => "src_rank"; case _ => "lang_rank" }} AS r FROM k2)
+            CROSS JOIN $st"""
+        s"""WITH sr AS (
+              SELECT source, CAST(DENSE_RANK() OVER (ORDER BY source) - 1
+                AS BIGINT) AS src_rank
+              FROM (SELECT DISTINCT source FROM documents)),
+            lr AS (
+              SELECT lang, CAST(DENSE_RANK() OVER (ORDER BY lang) - 1
+                AS BIGINT) AS lang_rank
+              FROM (SELECT DISTINCT lang FROM documents)),
+            mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+            sc AS (SELECT COUNT(*) AS n_src FROM sr),
+            lc AS (SELECT COUNT(*) AS n_lang FROM lr),
+            k1 AS (
+              SELECT d.doc_id, sr.src_rank, lr.lang_rank,
+                (sr.src_rank * ${1 << ZBits}) // sc.n_src AS src_n,
+                (lr.lang_rank * ${1 << ZBits}) // lc.n_lang AS lang_n,
+                mx.max_id
+              FROM documents d
+                JOIN sr USING (source) JOIN lr USING (lang)
+                CROSS JOIN mx CROSS JOIN sc CROSS JOIN lc),
+            k2 AS (
+              SELECT doc_id, src_rank, lang_rank,
+                ($ZFiles * ($zk)) // ${1 << (2 * ZBits)} AS zbucket,
+                ($ZFiles * doc_id) // (max_id + 1) AS nbucket
+              FROM k1),
+            zs AS (SELECT zbucket AS b,
+                MIN(src_rank) AS s_min, MAX(src_rank) AS s_max,
+                MIN(lang_rank) AS l_min, MAX(lang_rank) AS l_max
+              FROM k2 GROUP BY 1),
+            ns AS (SELECT nbucket AS b,
+                MIN(src_rank) AS s_min, MAX(src_rank) AS s_max,
+                MIN(lang_rank) AS l_min, MAX(lang_rank) AS l_max
+              FROM k2 GROUP BY 1)
+            ${dims.mkString(" UNION ALL ")}
+            ORDER BY layout, predicate"""
+      },
       // p18 mirror: the identical derived-previous-release fixture
       // (drop the added class, draft-suffix the changed class, retire a
       // negative-id twin for the removed class), digests compared

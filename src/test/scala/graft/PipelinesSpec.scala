@@ -69,6 +69,53 @@ class PipelinesSpec extends GraftSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
 
+  test("p19 z-order layout: measured skipping win on both predicate columns") {
+    val rows = Pipelines.p19ZorderLayout(spark, sf).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("predicate")) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("pairs_total"),
+          r.getAs[Long]("pairs_scanned"), r.getAs[Long]("scan_ppm"))).toMap
+    assert(rows.keySet == Set(("zorder", "source"), ("zorder", "lang"),
+      ("naive_id", "source"), ("naive_id", "lang")))
+    rows.foreach { case (k, (nf, pt, ps, ppm)) =>
+      assert(nf > 1, s"$k produced a single file — no pruning possible")
+      assert(ps <= pt && ppm == ps * 1000000L / pt, s"$k arithmetic broken")
+    }
+    // naive id-ranged files are random w.r.t. source/lang: every file
+    // spans (nearly) the full rank range, so nothing prunes; the
+    // z-order layout must beat it decisively on BOTH columns
+    Seq("source", "lang").foreach { p =>
+      val z = rows(("zorder", p))._4
+      val n = rows(("naive_id", p))._4
+      assert(z * 2 <= n,
+        s"z-order should at least halve the scanned pairs for $p: z=$z naive=$n")
+    }
+  }
+
+  test("p19 write path: z-sorted partitioned write is lossless and per-file tight") {
+    import org.apache.spark.sql.functions._
+    val keyed = Pipelines.p19Keyed(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("p19z").toString
+    keyed.repartition(col("zbucket")).sortWithinPartitions(col("zkey"))
+      .write.partitionBy("zbucket").mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    // lossless: same docs, same content hash per doc
+    val a = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = back.select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, "z-layout write lost or mutated documents")
+    // the physical layout delivers what the audit promises: per-bucket
+    // (source, lang) rank spans match the audit's stats input
+    val spans = back.groupBy(col("zbucket"))
+      .agg((max(col("src_rank")) - min(col("src_rank"))).as("ss"),
+        (max(col("lang_rank")) - min(col("lang_rank"))).as("ls"))
+      .collect()
+    val nRanks = keyed.select(col("src_rank")).distinct().count()
+    assert(spans.exists(r => r.getAs[Long]("ss") < nRanks - 1),
+      "no bucket has a narrowed source span — interleave broken")
+  }
+
   test("cleanCorpus fuses map stages into one scan (single pre-window shuffle)") {
     val plan = Pipelines.cleanCorpus(spark, sf).queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllIn(plan).size
