@@ -28,6 +28,11 @@ object Dedup {
   private def normText: Column =
     lower(regexp_replace(trim(col("text")), "\\s+", " "))
 
+  /** d01's exact-dup key over a `text` column — single-sourced with the
+    * stream_exactdedup ingest twin so the durable dedup cannot key
+    * differently from the batch canonical-pick. */
+  private[graft] def d01DupKey: Column = md5(normText)
+
   /** Threshold filter wrapped in coalesce(_, false): same rows (the score
     * is never null), but blocks constraint propagation from inferring
     * isnotnull() on the score's inputs — that inference re-inlines the
@@ -44,7 +49,7 @@ object Dedup {
   def d01ExactDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("dup_group"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(normText).as("dup_group"))
+      .select(col("doc_id"), d01DupKey.as("dup_group"))
       .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
       .orderBy("doc_id")
   }

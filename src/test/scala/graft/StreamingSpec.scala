@@ -958,6 +958,101 @@ class StreamingSpec extends GraftSuite {
       Set("l1", "l2", "l3", "l4", "l5"))
   }
 
+  test("stream_exactdedup: durable seen-before verdicts across batches, replay-idempotent") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamExactDedup
+    // arrivals: 60 corpus docs + planted re-crawls (same text, new id) —
+    // some landing in the SAME batch as their original, some in a LATER
+    // one, so all three verdict classes appear
+    val origs = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val recrawls = origs.filter(_._1 % 7 == 2)
+      .map { case (id, t) => (10000L + id, t) }
+    val all = (origs ++ recrawls).sortBy(_._1)
+    // batch 0: ids < 20 plus the recrawls of ids < 10 (same-batch dups);
+    // batch 1: ids 20..39 plus recrawls of 10..29; batch 2: the rest
+    def batchNo(id: Long): Int = {
+      val base = if (id >= 10000L) id - 10000L else id
+      if (id >= 10000L) { if (base < 10) 0 else if (base < 30) 1 else 2 }
+      else { if (base < 20) 0 else if (base < 40) 1 else 2 }
+    }
+    val slices = all.groupBy(t => batchNo(t._1)).toSeq.sortBy(_._1).map(_._2)
+    val root = java.nio.file.Files.createTempDirectory("sexact").toString
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Map[Long, String]]
+    var nextId = 0L
+    val q = StreamExactDedup.run(
+      input.toDF().toDF("doc_id", "text"), root) { v =>
+      got.synchronized {
+        got(nextId) = v.collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+        nextId += 1
+      }
+    }
+    try slices.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.size == slices.length)
+    // driver model: first arrival (batch order, then doc_id) is novel
+    val seen = scala.collection.mutable.Set.empty[String]
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val inBatch = scala.collection.mutable.Set.empty[String]
+      slice.sortBy(_._1).foreach { case (id, t) =>
+        val k = t.trim.toLowerCase.replaceAll("\\s+", " ")
+        val want =
+          if (seen(k)) "dup_of_history"
+          else if (inBatch(k)) "dup_in_batch"
+          else { inBatch += k; "novel" }
+        assert(got(i.toLong)(id) == want,
+          s"batch $i doc $id: got ${got(i.toLong)(id)}, want $want")
+      }
+      seen ++= inBatch
+    }
+    // all three verdict classes exercised
+    val verdicts = got.values.flatMap(_.values).toSeq
+    assert(verdicts.contains("dup_in_batch") && verdicts.contains("dup_of_history"))
+    // replay the LAST batch id directly: identical verdicts, no state growth
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def genCount = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .count(_.isDirectory)
+    val before = genCount
+    val lastId = got.keys.max
+    val replay = StreamExactDedup.processBatch(
+      slices.last.toSeq.toDF("doc_id", "text"), root, lastId)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(replay == got(lastId), "replayed batch verdicts diverged")
+    assert(genCount == before, "replay grew the generation tree")
+  }
+
+  test("stream_exactdedup: a base-seeded tree flags release re-crawls from batch one") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamExactDedup
+    val docs = Tables.documents(spark, sf).limit(20)
+    val root = java.nio.file.Files.createTempDirectory("sexactb").toString
+    // seed root/base with the release's d01 keys (the production init)
+    docs.select(graft.operators.Dedup.d01DupKey.as("dup_key")).distinct()
+      .write.parquet(s"$root/base")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    var verdicts = Map.empty[Long, String]
+    val q = StreamExactDedup.run(
+      input.toDF().toDF("doc_id", "text"), root) { v =>
+      verdicts = v.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    }
+    try { input.addData(rows.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    assert(verdicts.size == rows.length)
+    assert(verdicts.values.forall(_ == "dup_of_history"),
+      s"every re-crawl of the seeded release must flag: $verdicts")
+  }
+
   test("stream_incdedup: probe+absorb micro-batches tile d02 exactly like the batch nightly") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
