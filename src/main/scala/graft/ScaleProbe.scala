@@ -80,7 +80,7 @@ object ScaleProbe {
       // join moves ~40 B/doc, code routing is one regexp strip pass,
       // d21 rides d07's components + one score join
       "p17_filter_funnel", "t31_source_drift", "p18_release_diff",
-      "t32_code_detect", "d21_quality_canonical")
+      "t32_code_detect", "d21_quality_canonical", "p19_zorder_layout")
 
     val spark = SparkSession.builder()
       .master("local[32]")

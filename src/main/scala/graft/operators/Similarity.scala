@@ -2323,7 +2323,13 @@ object Similarity {
           SELECT e.label, COUNT(*) AS n_vecs,
             CAST(SUM(CASE WHEN m.iso < $S26IsolationMicro THEN 1 ELSE 0 END)
               AS BIGINT) AS n_outliers,
-            CAST(SUM(m.iso) // COUNT(*) AS BIGINT) AS mean_iso_micro
+            -- Spark's `div` truncates toward zero; DuckDB's // floors —
+            -- they agree only on non-negative sums, and a label's iso
+            -- sum CAN go negative (anti-correlated tail), so mirror
+            -- truncation explicitly
+            CAST(CASE WHEN SUM(m.iso) >= 0 THEN SUM(m.iso) // COUNT(*)
+              ELSE -((-SUM(m.iso)) // COUNT(*)) END AS BIGINT)
+              AS mean_iso_micro
           FROM embeddings e JOIN m ON e.vec_id = m.query_id
           GROUP BY 1 ORDER BY 1""",
     "s25_label_prop" ->

@@ -24,6 +24,41 @@ class PlanAuditSpec extends GraftSuite {
   private def shuffles(df: DataFrame): Int =
     executed(df).collect { case s: ShuffleExchangeLike => s }.size
 
+  test("p18: the diff is one full-outer join of narrow digests — text never shuffles") {
+    val s = planStr(Pipelines.p18ReleaseDiff(spark, sf))
+    assert(s.contains("FullOuter"), s"expected a full-outer join:\n$s")
+    assert(!s.contains("BroadcastNestedLoop"),
+      s"diff must stay an equi-join at any snapshot size:\n$s")
+    // the join's projections carry digests, not document bodies: no
+    // exchange row wider than (id, source, len, hash)
+    val ex = executed(Pipelines.p18ReleaseDiff(spark, sf))
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(ex.forall(e => !e.child.output.exists(_.name == "text")),
+      "a shuffle carries the text column — digest projection regressed")
+  }
+
+  test("t32: code routing is one scan + partial agg — no join, no window") {
+    val s = planStr(TextAnalysis.t32CodeDetect(spark, sf))
+    assert(!s.contains("Join") && !s.contains("Window"),
+      s"t32 should be scan→project→aggregate only:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected partial+final aggregation:\n$s")
+  }
+
+  test("d21: canonical pick is a partial-aggregable struct max — no per-cluster window") {
+    val s = planStr(Dedup.d21QualityCanonical(spark, sf))
+    assert(!s.contains("Window"),
+      s"d21's argmax must stay in HashAggregate, not a window sort:\n$s")
+  }
+
+  test("p19: rank dictionaries broadcast; the audit never shuffles the corpus by rank") {
+    val s = planStr(Pipelines.p19ZorderLayout(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"dictionary rank joins should broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no corpus-sized sort-merge join belongs in the layout audit:\n$s")
+  }
+
   test("q02: filter is pushed to the parquet scan and schema is pruned") {
     val s = Relational.q02FilterProject(spark, sf).queryExecution.executedPlan.toString
     assert(s.contains("PushedFilters:") && s.contains("l_shipdate"),
