@@ -298,19 +298,17 @@ object Pipelines {
   val ZFiles = 16
   val ZBits = 8
 
-  /** The bit-interleave: z = … b₁a₁b₀a₀ for a = src rank, b = lang
-    * rank — the Morton key that makes ONE sort order tight on BOTH
-    * columns' per-file min/max. Inputs must be NORMALIZED to the full
-    * [0, 2^ZBits) domain first (rank·2^ZBits div |dict|) — a raw small
-    * dictionary only occupies the LOW bits, the key's high bits stay
-    * zero, and every row lands in bucket 0 (measured; the spec pins
-    * the normalized form's spread). Plain integer shifts/masks
-    * (codegen'd; the oracle mirrors them verbatim). */
+  /** The bit-interleave is SINGLE-SOURCED on
+    * [[graft.sources.Layout.zValue]] (the numeric-column z-order
+    * rewrite utility): `zValue(lang_n, src_n)` puts the src bit at
+    * 2i+1 and the lang bit at 2i — the order the oracle mirrors.
+    * Inputs must be NORMALIZED to the full [0, 2^ZBits) domain first
+    * (rank·2^ZBits div |dict|) — a raw small dictionary only occupies
+    * the LOW bits, the key's high bits stay zero, and every row lands
+    * in bucket 0 (measured; the spec pins the normalized form's
+    * spread). */
   private def zKey(src: Column, lng: Column): Column =
-    (0 until ZBits).map { i =>
-      (shiftleft(shiftrightunsigned(src, i) % 2, 2 * i + 1) +
-        shiftleft(shiftrightunsigned(lng, i) % 2, 2 * i)).cast("long")
-    }.reduce(_ + _)
+    graft.sources.Layout.zValue(lng, src, ZBits)
 
   /** p19: Z-ORDER LAYOUT audit — the storage-layout decision a 100 TB
     * corpus gets right or pays for on every scan: parquet prunes files/
