@@ -297,6 +297,7 @@ object Pipelines {
     * per dimension — plenty for source/lang dictionaries). */
   val ZFiles = 16
   val ZBits = 8
+  private val ZNullSentinel = " <null>"
 
   /** The bit-interleave is SINGLE-SOURCED on
     * [[graft.sources.Layout.zValue]] (the numeric-column z-order
@@ -336,12 +337,29 @@ object Pipelines {
       .crossJoin(broadcast(Tables.documents(spark, dir)
         .agg(max(col("doc_id")).as("max_id"))))
       .withColumn("nbucket", expr(s"($ZFiles * doc_id) div (max_id + 1)"))
-    def audit(layout: String, bucket: Column): DataFrame = {
-      val stats = keyed.groupBy(bucket.as("b")).agg(
+    // ONE corpus pass: per-(zbucket, nbucket) cell min/max of both
+    // ranks — ≤ ZFiles² rows, localCheckpointed (the q36/s16
+    // small-view rule). Everything below derives from the cells: the
+    // per-layout stats are cell rollups, and the rank DOMAINS need no
+    // second corpus scan because dictionary ranks are dense 0..n−1 by
+    // construction (max+1 = the dictionary size, spark.range rebuilds
+    // the distinct-rank relation exactly). The first cut of this
+    // operator re-executed the keyed plan ~7× for the same report —
+    // ~7 redundant corpus scans at the operator's own design point.
+    val cells = keyed.groupBy(col("zbucket"), col("nbucket")).agg(
         min(col("src_rank")).as("s_min"), max(col("src_rank")).as("s_max"),
         min(col("lang_rank")).as("l_min"), max(col("lang_rank")).as("l_max"))
-      def dim(name: String, rankCol: String): DataFrame =
-        keyed.select(col(rankCol).as("r")).distinct()
+      .localCheckpoint()
+    val tops = cells.agg(max(col("s_max")).as("ns"), max(col("l_max")).as("nl"))
+      .collect()
+    require(tops.nonEmpty && !tops.head.isNullAt(0), "empty corpus")
+    val (nSrc, nLang) = (tops.head.getLong(0) + 1, tops.head.getLong(1) + 1)
+    def audit(layout: String, bucket: String): DataFrame = {
+      val stats = cells.groupBy(col(bucket).as("b")).agg(
+        min(col("s_min")).as("s_min"), max(col("s_max")).as("s_max"),
+        min(col("l_min")).as("l_min"), max(col("l_max")).as("l_max"))
+      def dim(name: String, n: Long): DataFrame =
+        spark.range(n).select(col("id").as("r"))
           .crossJoin(stats)
           .agg(countDistinct(col("b")).as("n_files"),
             count(lit(1)).as("pairs_total"),
@@ -351,10 +369,10 @@ object Pipelines {
           .select(lit(layout).as("layout"), lit(name).as("predicate"),
             col("n_files"), col("pairs_total"), col("pairs_scanned"),
             expr("pairs_scanned * 1000000 div pairs_total").as("scan_ppm"))
-      dim("source", "src_rank").unionByName(dim("lang", "lang_rank"))
+      dim("source", nSrc).unionByName(dim("lang", nLang))
     }
-    audit("zorder", col("zbucket"))
-      .unionByName(audit("naive_id", col("nbucket")))
+    audit("zorder", "zbucket")
+      .unionByName(audit("naive_id", "nbucket"))
       .orderBy("layout", "predicate")
   }
 
@@ -363,23 +381,31 @@ object Pipelines {
     * `.repartition(col("zbucket")).sortWithinPartitions(col("zkey"))
     *  .write.partitionBy("zbucket")`. */
   private[graft] def p19Keyed(spark: SparkSession, dir: String): DataFrame = {
+    // NULL dims coalesce to a sentinel BEFORE ranking: the layout is a
+    // REWRITE, and an inner rank join on a raw NULL key would silently
+    // drop NULL-dim documents from the release (and skew the
+    // normalization divisor) — the sentinel keeps the write lossless
+    // and gives NULLs their own rank/bucket. Mirrored in the oracle.
     val docs = Tables.documents(spark, dir)
-    val srcRank = docs.select(col("source")).distinct()
+      .withColumn("zsrc", coalesce(col("source"), lit(ZNullSentinel)))
+      .withColumn("zlng", coalesce(col("lang"), lit(ZNullSentinel)))
+    val srcRank = docs.select(col("zsrc")).distinct()
       .withColumn("src_rank",
-        (row_number().over(Window.partitionBy(col("source").isNotNull)
-          .orderBy(col("source"))) - 1).cast("long"))
-    val langRank = docs.select(col("lang")).distinct()
+        (row_number().over(Window.partitionBy(col("zsrc").isNotNull)
+          .orderBy(col("zsrc"))) - 1).cast("long"))
+    val langRank = docs.select(col("zlng")).distinct()
       .withColumn("lang_rank",
-        (row_number().over(Window.partitionBy(col("lang").isNotNull)
-          .orderBy(col("lang"))) - 1).cast("long"))
-    docs.join(broadcast(srcRank), Seq("source"))
-      .join(broadcast(langRank), Seq("lang"))
+        (row_number().over(Window.partitionBy(col("zlng").isNotNull)
+          .orderBy(col("zlng"))) - 1).cast("long"))
+    docs.join(broadcast(srcRank), Seq("zsrc"))
+      .join(broadcast(langRank), Seq("zlng"))
       .crossJoin(broadcast(srcRank.agg(count(lit(1)).as("n_src"))))
       .crossJoin(broadcast(langRank.agg(count(lit(1)).as("n_lang"))))
       .withColumn("src_n", expr(s"(src_rank * ${1 << ZBits}) div n_src"))
       .withColumn("lang_n", expr(s"(lang_rank * ${1 << ZBits}) div n_lang"))
       .withColumn("zkey", zKey(col("src_n"), col("lang_n")))
       .withColumn("zbucket", expr(s"($ZFiles * zkey) div ${1 << (2 * ZBits)}"))
+      .drop("zsrc", "zlng")
   }
 
   // ─────────────── p12: training-shard export (the final mile) ──────────
@@ -810,14 +836,18 @@ object Pipelines {
             FROM (SELECT DISTINCT ${pred.take(1) match {
               case "s" => "src_rank"; case _ => "lang_rank" }} AS r FROM k2)
             CROSS JOIN $st"""
-        s"""WITH sr AS (
-              SELECT source, CAST(DENSE_RANK() OVER (ORDER BY source) - 1
+        s"""WITH dd AS (
+              SELECT doc_id, COALESCE(source, '$ZNullSentinel') AS zsrc,
+                COALESCE(lang, '$ZNullSentinel') AS zlng
+              FROM documents),
+            sr AS (
+              SELECT zsrc, CAST(DENSE_RANK() OVER (ORDER BY zsrc) - 1
                 AS BIGINT) AS src_rank
-              FROM (SELECT DISTINCT source FROM documents)),
+              FROM (SELECT DISTINCT zsrc FROM dd)),
             lr AS (
-              SELECT lang, CAST(DENSE_RANK() OVER (ORDER BY lang) - 1
+              SELECT zlng, CAST(DENSE_RANK() OVER (ORDER BY zlng) - 1
                 AS BIGINT) AS lang_rank
-              FROM (SELECT DISTINCT lang FROM documents)),
+              FROM (SELECT DISTINCT zlng FROM dd)),
             mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
             sc AS (SELECT COUNT(*) AS n_src FROM sr),
             lc AS (SELECT COUNT(*) AS n_lang FROM lr),
@@ -826,8 +856,8 @@ object Pipelines {
                 (sr.src_rank * ${1 << ZBits}) // sc.n_src AS src_n,
                 (lr.lang_rank * ${1 << ZBits}) // lc.n_lang AS lang_n,
                 mx.max_id
-              FROM documents d
-                JOIN sr USING (source) JOIN lr USING (lang)
+              FROM dd d
+                JOIN sr USING (zsrc) JOIN lr USING (zlng)
                 CROSS JOIN mx CROSS JOIN sc CROSS JOIN lc),
             k2 AS (
               SELECT doc_id, src_rank, lang_rank,

@@ -1332,7 +1332,7 @@ object TextAnalysis {
   val CodeFlagPpm = 40000L
   val CodePlantMod = 29
   val CodePlantRem = 11
-  private val CodeSnippet = " {x=1;} //"
+  private[graft] val CodeSnippet = " {x=1;} //"
 
   /** t32: CODE detection / routing — the source-mix report a mixed
     * crawl runs before training: code and prose want different
@@ -1364,8 +1364,13 @@ object TextAnalysis {
     t32CodeDetectOf(planted)
   }
 
-  /** The production detector over any `source`+`text` relation. */
+  /** The production detector over any `source`+`text` relation.
+    * Empty/NULL texts are excluded HERE (they carry no routing signal,
+    * and the ppm division would hit len = 0 — a job-killing
+    * DIVIDE_BY_ZERO under ANSI mode on any corpus with one blank doc),
+    * so direct callers need no pre-filter. */
   def t32CodeDetectOf(docs: DataFrame): DataFrame = docs
+    .filter(length(col("text")) > 0)
     .select(col("source"),
       length(col("text")).cast("long").as("len"),
       (length(col("text")) -

@@ -71,10 +71,31 @@ object StreamExactDedup {
           .otherwise("novel"))
       .select(col("doc_id"), col("dup_key"), col("verdict"))
       .localCheckpoint(true) // materialize BEFORE the absorb mutates state
-    if (fs.exists(own)) fs.delete(own, true) // replay: drop the old attempt
-    verdicts.filter(col("verdict") === "novel")
+    val novel = verdicts.filter(col("verdict") === "novel")
       .select(col("dup_key")).distinct()
-      .write.mode("overwrite").parquet(own.toString)
+    // A COMMITTED generation under this batch id is either (a) a
+    // genuine at-least-once replay — recomputed content is
+    // byte-identical, nothing to write — or (b) a BATCH-ID COLLISION:
+    // a restarted query with a fresh checkpoint (ids reset to 0)
+    // pointed at an existing tree. Overwriting in case (b) would
+    // silently destroy months of absorbed history, so compare content
+    // and refuse loudly on mismatch: durable state is never deleted on
+    // a guess. Uncommitted debris (no _SUCCESS) is always safe to drop.
+    if (fs.exists(own) && fs.exists(new Path(own, "_SUCCESS"))) {
+      val prior = spark.read.parquet(own.toString).select(col("dup_key"))
+      val differs = prior.exceptAll(novel).limit(1).count() > 0 ||
+        novel.exceptAll(prior).limit(1).count() > 0
+      require(!differs,
+        s"generation ${own.getName} is already committed with DIFFERENT " +
+          "content — batch-id collision (restarted query with a fresh " +
+          "checkpoint against an existing fingerprint tree?). Refusing " +
+          "to overwrite durable dedup history; point the restarted " +
+          "query at a fresh tree or keep its checkpoint.")
+      // identical content: idempotent replay, the commit already stands
+    } else {
+      if (fs.exists(own)) fs.delete(own, true) // uncommitted debris
+      novel.write.mode("overwrite").parquet(own.toString)
+    }
     verdicts
   }
 

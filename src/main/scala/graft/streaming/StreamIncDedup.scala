@@ -75,8 +75,29 @@ object StreamIncDedup {
       .reduce(_ unionByName _)
     val pairs = Dedup.d18FromIndex(index, b, Dedup.NoDfCap, batchMaxDf)
       .localCheckpoint(true)
-    if (fs.exists(own)) fs.delete(own, true) // replay: drop the old attempt
-    Dedup.d18AbsorbBatch(b, own.toString, batchMaxDf)
+    // A COMMITTED generation under this id is a genuine replay only if
+    // its content matches what this batch would absorb; otherwise it is
+    // a BATCH-ID COLLISION (restarted query, fresh checkpoint, ids back
+    // at 0, same tree) and overwriting would destroy absorbed history —
+    // refuse loudly instead (stream_exactdedup's rule). Uncommitted
+    // debris (no _SUCCESS) stays safe to drop.
+    if (fs.exists(own) && fs.exists(new Path(own, "_SUCCESS"))) {
+      val fresh = Dedup.dfCapped(Dedup.shingleIndexRows(b), "h", batchMaxDf)
+      val prior = spark.read.parquet(own.toString)
+        .select(fresh.columns.map(org.apache.spark.sql.functions.col): _*)
+      val differs = prior.exceptAll(fresh).limit(1).count() > 0 ||
+        fresh.exceptAll(prior).limit(1).count() > 0
+      require(!differs,
+        s"generation ${own.getName} is already committed with DIFFERENT " +
+          "content — batch-id collision (restarted query with a fresh " +
+          "checkpoint against an existing index tree?). Refusing to " +
+          "overwrite absorbed history; point the restarted query at a " +
+          "fresh tree or keep its checkpoint.")
+      // identical content: idempotent replay, the commit already stands
+    } else {
+      if (fs.exists(own)) fs.delete(own, true) // uncommitted debris
+      Dedup.d18AbsorbBatch(b, own.toString, batchMaxDf)
+    }
     pairs
   }
 

@@ -21,17 +21,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * starts emitting markup/minified payloads flags within one batch. */
 object StreamRoute {
 
-  /** Start routing the `docs` stream (needs `source`, `text`; empty
-    * texts must be pre-filtered — the batch core divides by length).
-    * `onBatch` receives (batchId, per-source routing report in t32's
-    * exact output schema). */
+  /** Start routing the `docs` stream (needs `source`, `text`; the
+    * batch core excludes empty/NULL texts itself — no routing signal,
+    * and its ppm division needs len > 0). `onBatch` receives
+    * (batchId, per-source routing report in t32's exact output
+    * schema). */
   def run(docs: DataFrame)(onBatch: (Long, DataFrame) => Unit): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        onBatch(id, graft.operators.TextAnalysis.t32CodeDetectOf(
-          batch.filter(org.apache.spark.sql.functions
-            .length(org.apache.spark.sql.functions.col("text")) > 0)))
+        onBatch(id, graft.operators.TextAnalysis.t32CodeDetectOf(batch.toDF()))
       }
       .start()
 }

@@ -51,12 +51,19 @@ class PlanAuditSpec extends GraftSuite {
       s"d21's argmax must stay in HashAggregate, not a window sort:\n$s")
   }
 
-  test("p19: rank dictionaries broadcast; the audit never shuffles the corpus by rank") {
-    val s = planStr(Pipelines.p19ZorderLayout(spark, sf))
-    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
-      s"dictionary rank joins should broadcast:\n$s")
-    assert(!s.contains("SortMergeJoin"),
-      s"no corpus-sized sort-merge join belongs in the layout audit:\n$s")
+  test("p19: rank dictionaries broadcast; the audit derives from the checkpointed cells") {
+    // the corpus-touching plan is p19Keyed (runs ONCE into the ≤ZFiles²
+    // cell checkpoint): its rank joins must broadcast, never sort-merge
+    val k = planStr(Pipelines.p19Keyed(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(k).size >= 2,
+      s"dictionary rank joins should broadcast:\n$k")
+    assert(!k.contains("SortMergeJoin"),
+      s"no corpus-sized sort-merge join belongs in the layout keying:\n$k")
+    // the report plan reads the checkpointed cells — it must NOT
+    // re-scan documents (the first cut re-executed the corpus plan ~7×)
+    val r = planStr(Pipelines.p19ZorderLayout(spark, sf))
+    assert(!r.contains("FileScan parquet"),
+      s"the audit re-scans the corpus instead of reusing the cells:\n$r")
   }
 
   test("q02: filter is pushed to the parquet scan and schema is pruned") {

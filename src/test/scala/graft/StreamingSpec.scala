@@ -275,7 +275,7 @@ class StreamingSpec extends GraftSuite {
     import graft.streaming.StreamRoute
     // plant the code snippet on the driver so the stream carries BOTH
     // routing classes (the production core never plants — fixture here)
-    val snippet = " {x=1;} //"
+    val snippet = graft.operators.TextAnalysis.CodeSnippet
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").orderBy("doc_id").limit(90)
       .collect().map { r =>
@@ -1025,6 +1025,35 @@ class StreamingSpec extends GraftSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
     assert(replay == got(lastId), "replayed batch verdicts diverged")
     assert(genCount == before, "replay grew the generation tree")
+  }
+
+  test("stream_exactdedup: a batch-id collision against foreign committed state refuses, never overwrites") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamExactDedup
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("sexactc").toString
+    // run A commits batch-0 from the first half
+    StreamExactDedup.processBatch(
+      docs.take(10).toSeq.toDF("doc_id", "text"), root, 0L).collect()
+    val committed = spark.read.parquet(s"$root/batch-0").count()
+    // run B (fresh checkpoint, ids reset) arrives with DIFFERENT docs
+    // under the same batch id: the guard must throw and leave run A's
+    // generation byte-identical
+    val ex = intercept[IllegalArgumentException] {
+      StreamExactDedup.processBatch(
+        docs.drop(10).toSeq.toDF("doc_id", "text"), root, 0L).collect()
+    }
+    assert(ex.getMessage.contains("batch-id collision"))
+    assert(spark.read.parquet(s"$root/batch-0").count() == committed,
+      "the guard must not touch the committed generation")
+    // while a GENUINE replay of run A's batch 0 still succeeds, verdict-identical
+    val replay = StreamExactDedup.processBatch(
+      docs.take(10).toSeq.toDF("doc_id", "text"), root, 0L)
+    assert(replay.filter(org.apache.spark.sql.functions
+      .col("verdict") === "novel").count() == committed)
   }
 
   test("stream_exactdedup: a base-seeded tree flags release re-crawls from batch one") {

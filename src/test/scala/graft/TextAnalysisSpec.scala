@@ -1004,7 +1004,7 @@ class TextAnalysisSpec extends GraftSuite {
 
   test("t32: code detection matches a driver recompute; flags exactly the planted class") {
     import org.apache.spark.sql.functions._
-    val snippet = " {x=1;} //"
+    val snippet = TextAnalysis.CodeSnippet
     val symSet = "{}();=<>#/".toSet
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
