@@ -185,6 +185,8 @@ object SparkEntry {
     "p17_filter_funnel" -> (Pipelines.p17FilterFunnel _),
     "p18_release_diff" -> ((s, d) => Pipelines.p18ReleaseDiff(s, d)),
     "p19_zorder_layout" -> (Pipelines.p19ZorderLayout _),
+    "p20_release_build" -> // rows-only: every stage individually gated; the spec pins the composition
+      (Pipelines.p20ReleaseBuild _),
     "t30_novelty_scan" -> (TextAnalysis.t30NoveltyScan _),
     "t31_source_drift" -> (TextAnalysis.t31SourceDrift _),
     "t32_code_detect" -> (TextAnalysis.t32CodeDetect _),

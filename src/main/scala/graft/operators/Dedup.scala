@@ -403,6 +403,18 @@ object Dedup {
       .select(col("doc_id"), col("split"),
         graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
 
+  /** [[d10Prepared]]'s tokenize+shingle stage over docs that ALREADY
+    * carry their release `split` — p20's stage 4 must screen against
+    * the split the release actually shipped, not one re-derived from
+    * post-surgery text (surgery changes the fingerprint, so re-deriving
+    * would silently reassign documents across splits). */
+  private[graft] def d10PreparedKeepSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("split"),
+        graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
+
   /** The DISTINCT train-split shingle index ([[d10Prepared]] rows in,
     * one `h` column out) — built once, reused by batch d10 and as the
     * STATIC side of the streaming decontamination join. */
@@ -1060,8 +1072,14 @@ object Dedup {
   def d19DupSpans(spark: SparkSession, dir: String): DataFrame =
     d19DupSpans(spark, dir, ExactSpanChars)
 
-  def d19DupSpans(spark: SparkSession, dir: String, spanLen: Int): DataFrame = {
-    val occ = Tables.documents(spark, dir)
+  def d19DupSpans(spark: SparkSession, dir: String, spanLen: Int): DataFrame =
+    d19DupSpansOf(Tables.documents(spark, dir), spanLen)
+
+  /** The span-extraction core over any (doc_id, text) relation — split
+    * out so the p20 release build can run the surgery on its own
+    * intermediate corpus, not just the at-rest documents table. */
+  private[graft] def d19DupSpansOf(docsIn: DataFrame, spanLen: Int): DataFrame = {
+    val occ = docsIn
       .filter(length(col("text")) >= spanLen)
       .select(col("doc_id"),
         posexplode(graft.functions.NativeFunctions.windowHashes(col("text"), spanLen)))
@@ -1129,12 +1147,22 @@ object Dedup {
     * reference recipe (Lee et al. 2022) accepts this, and re-running
     * the detector on the output converges (spec-pinned on the planted
     * fixture). */
-  def d20CleanedCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val spanArr = d19DupSpans(spark, dir)
+  def d20CleanedCorpus(spark: SparkSession, dir: String): DataFrame =
+    d20CleanedCorpusOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")))
+
+  /** The surgery core over any (doc_id, lang, source, text) relation —
+    * d19's cut list computed on THAT relation and excised (p20's rule:
+    * the release build runs surgery on its post-dedup corpus). Lineage
+    * honesty: the input plan feeds both the span extraction and the
+    * splice join, so it executes twice — p10's documented two-pass
+    * trade (never cache a corpus-sized relation to save a scan). */
+  private[graft] def d20CleanedCorpusOf(docsIn: DataFrame): DataFrame = {
+    val spanArr = d19DupSpansOf(docsIn, ExactSpanChars)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(
         struct(col("span_start"), col("span_end")))).as("sp"))
-    Tables.documents(spark, dir)
+    docsIn
       .join(spanArr, Seq("doc_id"), "left")
       .withColumn("cleaned", when(col("sp").isNull, col("text")).otherwise(
         array_join(zip_with(

@@ -408,6 +408,75 @@ object Pipelines {
       .drop("zsrc", "zlng")
   }
 
+  /** p20: the RELEASE BUILD — the full production cleaning chain
+    * composed into one call, each stage the library's own gated
+    * primitive: (1) [[cleanCorpus]] (lang → length → quality → exact
+    * dedup → split), (2) near-dup canonical keep (d03's verified pairs
+    * + d07's components + the d01 keep rule — p10's stage), (3)
+    * ExactSubstr span SURGERY on the deduped corpus (d19's cut list
+    * excised via the d20 splice core — duplicated strings survive
+    * exactly once), (4) LEAKAGE repair (d10's detector over the surged
+    * corpus; contaminated non-train docs drop, p11's rule). Returns
+    * the per-stage audit (docs + character mass after each stage);
+    * [[p20ReleaseCorpus]] returns the final corpus itself.
+    *
+    * Rows-only BY DESIGN: every stage's math is individually
+    * hash-gated (p03/p10/d19/d20/d10/p11), and the spec pins the
+    * COMPOSITION — each audit row reconciles against the standalone
+    * gated operator on the same intermediate corpus — so gating the
+    * monster composed SQL a second time would duplicate, not add,
+    * coverage. Lineage honesty: `cleaned` and `surged` each feed two
+    * stages, so their scans run twice (p10's documented trade); a real
+    * release build checkpoints between stages — d07's rule. */
+  def p20ReleaseBuild(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+    val stages = p20Stages(spark, dir)
+    def stageRow(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_chars"))
+    stageRow(0, "raw", raw)
+      .unionByName(stageRow(1, "clean_dedup_split", stages.cleaned))
+      .unionByName(stageRow(2, "neardup_keep", stages.kept))
+      .unionByName(stageRow(3, "span_surgery", stages.surged))
+      .unionByName(stageRow(4, "leakage_repair", stages.repaired))
+      .orderBy("stage")
+  }
+
+  /** The release build's final corpus (doc_id, lang, source, text,
+    * split) — what stage 4 leaves standing. */
+  def p20ReleaseCorpus(spark: SparkSession, dir: String): DataFrame =
+    p20Stages(spark, dir).repaired
+
+  private[graft] case class P20Stages(cleaned: DataFrame, kept: DataFrame,
+      surged: DataFrame, repaired: DataFrame)
+
+  private[graft] def p20Stages(spark: SparkSession, dir: String): P20Stages = {
+    val cleaned = cleanCorpus(spark, dir)
+    val pairs = Dedup.minhashVerifiedPairs(
+        cleaned.select(col("doc_id"), col("text")))
+      .select(col("doc_i"), col("doc_j"))
+    val (labels, _) = Dedup.connectedComponents(spark, pairs, None)
+    val kept = cleaned.join(
+      labels.filter(col("cluster") =!= col("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val surged = Dedup.d20CleanedCorpusOf(
+        kept.select(col("doc_id"), col("lang"), col("source"), col("text")))
+      .join(kept.select(col("doc_id"), col("split")), Seq("doc_id"))
+    // screen against the split the release CARRIES (cleanCorpus's) —
+    // re-deriving it from post-surgery text would silently reassign
+    // documents across splits (the fingerprint changed with the text)
+    val prepared = Dedup.d10PreparedKeepSplit(
+      surged.select(col("doc_id"), col("split"), col("text")))
+    val leaked = Dedup.d10Contamination(
+        prepared.filter(col("split") =!= "train"),
+        Dedup.d10TrainIndex(prepared), 0.3)
+      .select(col("doc_id"))
+    val repaired = surged.join(leaked, Seq("doc_id"), "left_anti")
+    P20Stages(cleaned, kept, surged, repaired)
+  }
+
   // ─────────────── p12: training-shard export (the final mile) ──────────
 
   /** The tokenized, shard-assigned per-doc relation every p12 surface

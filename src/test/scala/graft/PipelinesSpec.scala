@@ -116,6 +116,47 @@ class PipelinesSpec extends GraftSuite {
       "no bucket has a narrowed source span — interleave broken")
   }
 
+  test("p20 release build: every stage reconciles with its standalone gated operator") {
+    import org.apache.spark.sql.functions._
+    val audit = Pipelines.p20ReleaseBuild(spark, sf).collect()
+      .map(r => r.getAs[Int]("stage") ->
+        (r.getAs[String]("stage_name"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_chars"))).toMap
+    assert(audit.keySet == Set(0, 1, 2, 3, 4))
+    // stage 0/1: raw corpus and the gated clean pipeline
+    assert(audit(0)._2 == Tables.documents(spark, sf).count())
+    assert(audit(1)._2 == Pipelines.cleanCorpus(spark, sf).count())
+    // stage 2: near-dup keep equals p10's gated per-group keep total
+    val p10Kept = Pipelines.p10NeardupCorpus(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(audit(2)._2 == p10Kept,
+      s"neardup stage diverged from p10: ${audit(2)._2} vs $p10Kept")
+    // stage 3: surgery never drops docs; its char delta equals d19's
+    // accounted cut mass ON THE KEPT CORPUS
+    assert(audit(3)._2 == audit(2)._2, "surgery must keep every doc")
+    val stages = Pipelines.p20Stages(spark, sf)
+    val cutMass = graft.operators.Dedup.d19DupSpansOf(
+        stages.kept.select(col("doc_id"), col("text")),
+        graft.operators.Dedup.ExactSpanChars)
+      .agg(coalesce(sum(col("span_end") - col("span_start") + 1), lit(0L)))
+      .first().getLong(0)
+    assert(audit(2)._3 - audit(3)._3 == cutMass,
+      s"surgery char delta ${audit(2)._3 - audit(3)._3} != accounted cut $cutMass")
+    // stage 4: only non-train docs drop, and the final corpus matches
+    val dropped = stages.surged.select("doc_id", "split")
+      .join(stages.repaired.select("doc_id"), Seq("doc_id"), "left_anti")
+      .collect()
+    assert(audit(4)._2 == audit(3)._2 - dropped.length)
+    assert(dropped.forall(_.getAs[String]("split") != "train"),
+      "leakage repair must never drop train docs")
+    assert(audit(4)._2 == Pipelines.p20ReleaseCorpus(spark, sf).count())
+    // the chain is monotone and deterministic
+    assert(audit(1)._2 >= audit(2)._2 && audit(3)._2 >= audit(4)._2)
+    val again = Pipelines.p20ReleaseBuild(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again == audit.map { case (k, (_, d, c)) => (k, d, c) }.toSet)
+  }
+
   test("cleanCorpus fuses map stages into one scan (single pre-window shuffle)") {
     val plan = Pipelines.cleanCorpus(spark, sf).queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllIn(plan).size
