@@ -126,6 +126,8 @@ object SparkEntry {
     "d19_dup_spans" -> ((s, d) => Dedup.d19DupSpans(s, d)),
     "d20_span_surgery" -> (Dedup.d20SpanSurgery _),
     "d21_quality_canonical" -> (Dedup.d21QualityCanonical _),
+    "d21b_trained_canonical" -> // rows-only: the score rides t28's distributed fit
+      (Dedup.d21bTrainedCanonical _),
     "d12b_semdedup_ivf" -> // rows-only: cluster-first candidates ride a k-means fit (s03's rule)
       (Dedup.d12bSemDedupIvf _),
     "d13_semantic_decontamination" ->

@@ -1206,16 +1206,44 @@ object Dedup {
         size(col("toks")).cast("long").as("n_tok"))
       .withColumn("q_ppm", expr("(sw * 1000000) div n_tok"))
       .select(col("doc_id"), col("q_ppm"))
-    labels.join(q, Seq("doc_id"))
+    d21Pick(labels, q, "q_ppm", "canonical_q_ppm")
+  }
+
+  /** The shared argmax tail: per cluster, the member maximizing the
+    * score column (ties → smallest doc_id) via one partial-aggregable
+    * (score, −id) struct-max buffer — no window, no sort. */
+  private def d21Pick(labels: DataFrame, scored: DataFrame,
+      scoreCol: String, outCol: String): DataFrame =
+    labels.join(scored, Seq("doc_id"))
       .groupBy(col("cluster").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         // lexicographic struct max = max score, then max(-id) = MIN id:
         // one partial-aggregable buffer instead of a per-cluster window
-        max(struct(col("q_ppm"), (-col("doc_id")).as("neg_id"))).as("m"))
+        max(struct(col(scoreCol), (-col("doc_id")).as("neg_id"))).as("m"))
       .select(col("cluster_id"), col("n_docs"),
         (-col("m.neg_id")).as("canonical_doc"),
-        col("m.q_ppm").as("canonical_q_ppm"))
+        col(s"m.$scoreCol").as(outCol))
       .orderBy("cluster_id")
+
+  /** d21b: d21's PRODUCTION wiring — the canonical pick scored by the
+    * TRAINED quality classifier (t28's exported quantized table,
+    * exactly what DEPLOY.md's d21 row tells a real release to swap in)
+    * instead of the stopword-density stand-in. Same clusters, same
+    * partial-aggregable argmax tail ([[d21Pick]] — the two variants
+    * cannot disagree on tie semantics), integer `score_q` from the
+    * broadcast weight join. Rows-only: the trained weights ride the
+    * distributed LR fit (t28's rule); the spec pins cluster structure
+    * ≡ d21's and the pick ≡ a driver argmax over the spec-pinned
+    * scores. */
+  def d21bTrainedCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = connectedComponents(spark,
+      ngramJaccardPairs(spark, dir).select(col("doc_i"), col("doc_j")), None)
+    val (weights, interceptQ) =
+      TextAnalysis.t28ExportWeights(spark, dir)
+    val scored = TextAnalysis.quantizedDocScores(
+        Tables.documents(spark, dir), weights, interceptQ, carry = Nil)
+      .select(col("doc_id"), col("score_q"))
+    d21Pick(labels, scored, "score_q", "canonical_score_q")
   }
 
   /** Which documents play the NEW-batch role in the gated d18 entry:

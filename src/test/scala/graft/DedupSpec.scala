@@ -147,6 +147,41 @@ class DedupSpec extends GraftSuite {
       "fixture too weak: every canonical equals the min-id pick")
   }
 
+  test("d21b trained-score canonical: same clusters as d21, pick is the score argmax") {
+    import org.apache.spark.sql.functions.col
+    val d21 = Dedup.d21QualityCanonical(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_docs")).toMap
+    val got = Dedup.d21bTrainedCanonical(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("canonical_doc"),
+          r.getAs[Long]("canonical_score_q"))).toMap
+    // identical cluster structure — only the scoring differs
+    assert(got.view.mapValues(_._1).toMap == d21,
+      "d21b must label the same clusters as d21")
+    // the pick is the argmax of the (already spec-pinned) trained
+    // scores: recompute per cluster from the scored table + a driver
+    // union-find over the same pair graph
+    val pairs = Dedup.d02NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")))
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = label.getOrElse(x, x); if (p == x) x else { val r = find(p); label(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) label(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val (weights, interceptQ) =
+      graft.operators.TextAnalysis.t28ExportWeights(spark, sf)
+    val scoreOf = graft.operators.TextAnalysis.quantizedDocScores(
+        Tables.documents(spark, sf), weights, interceptQ, carry = Nil)
+      .select(col("doc_id"), col("score_q")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+      .foreach { case (cid, members) =>
+        val want = members.minBy(d => (-scoreOf(d), d))
+        assert(got(cid)._2 == want && got(cid)._3 == scoreOf(want),
+          s"cluster $cid: got ${got(cid)}, want ($want, ${scoreOf(want)})")
+      }
+  }
+
   test("d07 with a reliable checkpoint dir matches the localCheckpoint result") {
     // an executor loss mid-iteration kills the local-checkpoint path on a
     // real cluster; the reliable mode must be result-identical
