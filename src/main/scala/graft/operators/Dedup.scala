@@ -392,25 +392,27 @@ object Dedup {
     * STREAMING twin ([[graft.streaming.StreamDecontam]]) runs the
     * identical code on each arriving micro-batch. */
   private[graft] def d10Prepared(docs: DataFrame): DataFrame =
-    docs
+    d10ShingleTail(docs
       .withColumn("toks", TF.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
       .withColumn("bucket",
         pmod(graft.functions.NativeFunctions.polyFingerprint(col("toks")), lit(100L)))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
-          .otherwise("test"))
-      .select(col("doc_id"), col("split"),
-        graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))
+          .otherwise("test")))
 
-  /** [[d10Prepared]]'s tokenize+shingle stage over docs that ALREADY
-    * carry their release `split` — p20's stage 4 must screen against
-    * the split the release actually shipped, not one re-derived from
-    * post-surgery text (surgery changes the fingerprint, so re-deriving
-    * would silently reassign documents across splits). */
+  /** [[d10Prepared]] for docs that ALREADY carry their release `split`
+    * — p20's stage 4 must screen against the split the release
+    * actually SHIPPED, not one re-derived from post-surgery text
+    * (surgery changes the fingerprint, so re-deriving would silently
+    * reassign documents across splits). */
   private[graft] def d10PreparedKeepSplit(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", TF.tokens(col("text")))
+    d10ShingleTail(docs.withColumn("toks", TF.tokens(col("text"))))
+
+  /** The single shared min-token filter + shingle projection behind
+    * both prepared forms — one definition, the gated path and the
+    * release build cannot drift. Expects `doc_id`, `split`, `toks`. */
+  private def d10ShingleTail(withToks: DataFrame): DataFrame =
+    withToks
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("split"),
         graft.functions.NativeFunctions.shingleHashes(col("toks")).as("sh"))

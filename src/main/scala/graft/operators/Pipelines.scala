@@ -297,7 +297,14 @@ object Pipelines {
     * per dimension — plenty for source/lang dictionaries). */
   val ZFiles = 16
   val ZBits = 8
-  private val ZNullSentinel = " <null>"
+
+  /** The rank-dictionary stand-in for NULL source/lang. CONTRACT: no
+    * genuine dimension value may equal it — a corpus carrying a literal
+    * " <null>" source would silently merge with NULL-source docs in
+    * ranks and buckets (the leading space makes real collisions
+    * implausible; the spec asserts the test corpus is clean, and a
+    * production onboarding check should do the same). */
+  private[graft] val ZNullSentinel = " <null>"
 
   /** The bit-interleave is SINGLE-SOURCED on
     * [[graft.sources.Layout.zValue]] (the numeric-column z-order
@@ -389,6 +396,10 @@ object Pipelines {
     val docs = Tables.documents(spark, dir)
       .withColumn("zsrc", coalesce(col("source"), lit(ZNullSentinel)))
       .withColumn("zlng", coalesce(col("lang"), lit(ZNullSentinel)))
+    // the isNotNull partition keys are constant TRUE after the coalesce
+    // — they are the q36/t22 non-foldable single-partition markers (a
+    // bare orderBy window would re-trigger the unpartitioned-window
+    // warning), not NULL separation; the windows run over ≤|dict| rows
     val srcRank = docs.select(col("zsrc")).distinct()
       .withColumn("src_rank",
         (row_number().over(Window.partitionBy(col("zsrc").isNotNull)
@@ -428,9 +439,16 @@ object Pipelines {
     * coverage. Lineage honesty: `cleaned` and `surged` each feed two
     * stages, so their scans run twice (p10's documented trade); a real
     * release build checkpoints between stages — d07's rule. */
-  def p20ReleaseBuild(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.documents(spark, dir)
-    val stages = p20Stages(spark, dir)
+  def p20ReleaseBuild(spark: SparkSession, dir: String): DataFrame =
+    p20AuditOf(Tables.documents(spark, dir), p20Stages(spark, dir))
+
+  /** The audit over an already-built stage set — a caller that wants
+    * BOTH the audit and the corpus calls [[p20Stages]] ONCE and feeds
+    * it here plus reads `.repaired`: each convenience wrapper below
+    * otherwise re-executes the whole chain (cleanCorpus + pair join +
+    * components + surgery + d10) end-to-end, the full build twice at
+    * the operator's own design point. */
+  def p20AuditOf(raw: DataFrame, stages: P20Stages): DataFrame = {
     def stageRow(i: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"))
@@ -445,14 +463,17 @@ object Pipelines {
   }
 
   /** The release build's final corpus (doc_id, lang, source, text,
-    * split) — what stage 4 leaves standing. */
+    * split) — what stage 4 leaves standing. Convenience wrapper: for
+    * audit + corpus in one run, use [[p20Stages]] + [[p20AuditOf]]. */
   def p20ReleaseCorpus(spark: SparkSession, dir: String): DataFrame =
     p20Stages(spark, dir).repaired
 
-  private[graft] case class P20Stages(cleaned: DataFrame, kept: DataFrame,
+  /** The four intermediate corpora of one release build — PUBLIC so
+    * audit and corpus can come from a single chain execution. */
+  case class P20Stages(cleaned: DataFrame, kept: DataFrame,
       surged: DataFrame, repaired: DataFrame)
 
-  private[graft] def p20Stages(spark: SparkSession, dir: String): P20Stages = {
+  def p20Stages(spark: SparkSession, dir: String): P20Stages = {
     val cleaned = cleanCorpus(spark, dir)
     val pairs = Dedup.minhashVerifiedPairs(
         cleaned.select(col("doc_id"), col("text")))

@@ -34,8 +34,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * `dup_of_history`, then the absorb appends the batch's novel
   * fingerprints as its own generation. Replay-idempotent exactly like
   * stream_incdedup: the probe excludes the current batch id's
-  * generation (a replayed batch never sees its own previous attempt)
-  * and the absorb deletes-then-rewrites its dir — byte-identical
+  * generation (a replayed batch never sees its own previous attempt),
+  * and the absorb content-compares a COMMITTED generation under its id
+  * — identical means a genuine replay (the commit stands untouched),
+  * different means a batch-id collision from a restarted query with a
+  * fresh checkpoint and the op REFUSES rather than deleting absorbed
+  * history; only uncommitted debris is ever dropped. Byte-identical
   * verdicts and state on the at-least-once replay. */
 object StreamExactDedup {
 

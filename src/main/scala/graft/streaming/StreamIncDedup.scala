@@ -28,8 +28,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * per absorbed micro-batch. The probe reads base ∪ committed
   * (`_SUCCESS`-marked) generations EXCLUDING the current batch id — a
   * replayed batch never sees its own previous attempt, committed or
-  * partial — and the absorb DELETES any `batch-<id>` leftover before
-  * rewriting it, so a replay produces byte-identical state and output.
+  * partial — and the absorb content-compares a COMMITTED leftover
+  * under its id: identical means a genuine replay (the commit stands,
+  * byte-identical state and output), different means a batch-id
+  * collision from a restarted query with a fresh checkpoint and the
+  * op REFUSES rather than deleting absorbed history; only uncommitted
+  * debris is ever dropped.
   *
   * Ordering hazard, made structural: d18FromIndex's DataFrame is lazy —
   * the body materializes the probe through an EAGER localCheckpoint

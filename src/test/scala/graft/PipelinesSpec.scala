@@ -93,6 +93,11 @@ class PipelinesSpec extends GraftSuite {
 
   test("p19 write path: z-sorted partitioned write is lossless and per-file tight") {
     import org.apache.spark.sql.functions._
+    // the NULL sentinel's contract: no genuine dimension value equals it
+    // (a collision would silently merge NULL-dim docs into that rank)
+    assert(Tables.documents(spark, sf)
+      .filter(col("source") === Pipelines.ZNullSentinel ||
+        col("lang") === Pipelines.ZNullSentinel).count() == 0)
     val keyed = Pipelines.p19Keyed(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("p19z").toString
     keyed.repartition(col("zbucket")).sortWithinPartitions(col("zkey"))

@@ -1082,6 +1082,44 @@ class StreamingSpec extends GraftSuite {
       s"every re-crawl of the seeded release must flag: $verdicts")
   }
 
+  test("stream_incdedup: a batch-id collision refuses; a genuine replay stands") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.StreamIncDedup
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 5 <= 2).select("doc_id", "text")
+    val batchA = docs.filter(col("doc_id") % 5 === 3)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batchB = docs.filter(col("doc_id") % 5 === 4)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val root = java.nio.file.Files.createTempDirectory("sincdcoll").toString
+    Dedup.d18BuildIndex(base, s"$root/base")
+    val first = StreamIncDedup.processBatch(
+        batchA.toDF("doc_id", "text"), root, 0L, Dedup.NoDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = spark.read.parquet(s"$root/batch-0").count()
+    // a DIFFERENT batch under the same id must refuse and leave the
+    // committed generation untouched
+    val ex = intercept[IllegalArgumentException] {
+      StreamIncDedup.processBatch(
+        batchB.toDF("doc_id", "text"), root, 0L, Dedup.NoDfCap)
+    }
+    assert(ex.getMessage.contains("batch-id collision"))
+    assert(spark.read.parquet(s"$root/batch-0").count() == committed)
+    // a genuine replay of batch A still succeeds, pair-identical, no growth
+    val replay = StreamIncDedup.processBatch(
+        batchA.toDF("doc_id", "text"), root, 0L, Dedup.NoDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == first, "replayed pairs diverged")
+    assert(spark.read.parquet(s"$root/batch-0").count() == committed)
+  }
+
   test("stream_incdedup: probe+absorb micro-batches tile d02 exactly like the batch nightly") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
