@@ -189,6 +189,8 @@ object SparkEntry {
     "p19_zorder_layout" -> (Pipelines.p19ZorderLayout _),
     "p20_release_build" -> // rows-only: every stage individually gated; the spec pins the composition
       (Pipelines.p20ReleaseBuild _),
+    "p21_corpus_datasheet" -> // rows-only: a union of individually-gated aggregates (p20's rule)
+      (Pipelines.p21CorpusDatasheet _),
     "t30_novelty_scan" -> (TextAnalysis.t30NoveltyScan _),
     "t31_source_drift" -> (TextAnalysis.t31SourceDrift _),
     "t32_code_detect" -> (TextAnalysis.t32CodeDetect _),

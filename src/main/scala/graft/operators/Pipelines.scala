@@ -498,6 +498,72 @@ object Pipelines {
     P20Stages(cleaned, kept, surged, repaired)
   }
 
+  /** p21: the corpus DATASHEET — the release-accompanying summary table
+    * (Gebru et al. 2018's "Datasheets for Datasets", the artifact every
+    * serious corpus release now ships) assembled from the library's OWN
+    * reports so no number can disagree with the operator that owns it:
+    * size (docs/chars/tokens), per-language and per-source composition,
+    * the p17 filter funnel's survivor counts, duplication mass (exact
+    * dup groups via d01's key, corpus novelty ppm via t30's df=1 share,
+    * duplicated-span characters via d19's accounting), the maximum
+    * per-source drift (t31), and the code-routing share (t32's
+    * production core — honest zeros on a prose corpus). One
+    * (section, metric, value) long-integer row per fact.
+    *
+    * Every component is a driver-small aggregate of an individually
+    * hash-gated operator; the datasheet is their union — rows-only
+    * (the union's mega-oracle would duplicate, not add, coverage —
+    * p20's rule), spec pins each metric ≡ its source op. Cost = the
+    * component passes (each linear, documented at its own op); a
+    * release build that already ran them persists their outputs and
+    * derives the sheet from the artifacts instead. */
+  def p21CorpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def rows(section: String, df: DataFrame): DataFrame =
+      df.select(lit(section).as("section"), col("metric"),
+        col("value").cast("long").as("value"))
+    val sizeRows = docs.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"),
+        coalesce(sum(org.apache.spark.sql.functions
+          .size(TF.tokens(col("text"))).cast("long")), lit(0L))
+          .as("n_tokens"))
+      .select(expr("stack(3, 'docs', n_docs, 'chars', n_chars, " +
+        "'whitespace_tokens', n_tokens) AS (metric, value)"))
+    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("value"))
+      .select(concat(lit("docs_lang_"), col("lang")).as("metric"), col("value"))
+    val sources = docs.agg(countDistinct(col("source")).as("value"))
+      .select(lit("sources").as("metric"), col("value"))
+    val funnel = p17FilterFunnel(spark, dir)
+      .select(concat(lit("funnel_kept_"), col("stage_name")).as("metric"),
+        col("n_kept").as("value"))
+    val dupGroups = docs
+      .agg(countDistinct(Dedup.d01DupKey).as("value"))
+      .select(lit("exact_dup_groups").as("metric"), col("value"))
+    val novelty = TextAnalysis.t30NoveltyScan(spark, dir)
+      .agg((sum(col("sh_unique")) * 1000000L).as("num"), sum(col("sh_total")).as("den"))
+      .select(lit("novelty_ppm").as("metric"), expr("num div den").as("value"))
+    val spanChars = Dedup.d20SpanSurgery(spark, dir)
+      .agg(coalesce(sum(col("chars_removed")), lit(0L)).as("value"))
+      .select(lit("duplicated_span_chars").as("metric"), col("value"))
+    val drift = TextAnalysis.t31SourceDrift(spark, dir)
+      .agg(max(col("l1_ppm")).as("value"))
+      .select(lit("max_source_drift_l1_ppm").as("metric"), col("value"))
+    val code = TextAnalysis.t32CodeDetectOf(docs)
+      .agg(coalesce(sum(col("n_code")), lit(0L)).as("value"))
+      .select(lit("code_routed_docs").as("metric"), col("value"))
+    rows("size", sizeRows)
+      .unionByName(rows("composition", langs))
+      .unionByName(rows("composition", sources))
+      .unionByName(rows("cleaning", funnel))
+      .unionByName(rows("duplication", dupGroups))
+      .unionByName(rows("duplication", novelty))
+      .unionByName(rows("duplication", spanChars))
+      .unionByName(rows("distribution", drift))
+      .unionByName(rows("routing", code))
+      .orderBy("section", "metric")
+  }
+
   // ─────────────── p12: training-shard export (the final mile) ──────────
 
   /** The tokenized, shard-assigned per-doc relation every p12 surface

@@ -162,6 +162,46 @@ class PipelinesSpec extends GraftSuite {
     assert(again == audit.map { case (k, (_, d, c)) => (k, d, c) }.toSet)
   }
 
+  test("p21 datasheet: every metric equals the operator that owns it") {
+    import org.apache.spark.sql.functions._
+    val sheet = Pipelines.p21CorpusDatasheet(spark, sf).collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("metric")) ->
+        r.getAs[Long]("value")).toMap
+    val docs = Tables.documents(spark, sf)
+    assert(sheet(("size", "docs")) == docs.count())
+    assert(sheet(("size", "chars")) ==
+      docs.agg(sum(length(col("text")))).first().getLong(0))
+    // per-lang composition covers every doc exactly once
+    val langRows = sheet.filter(_._1._2.startsWith("docs_lang_"))
+    assert(langRows.values.sum == sheet(("size", "docs")))
+    assert(sheet(("composition", "sources")) ==
+      docs.select("source").distinct().count())
+    // funnel survivors mirror p17's rows
+    val p17 = Pipelines.p17FilterFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("stage_name") -> r.getAs[Long]("n_kept")).toMap
+    p17.foreach { case (st, kept) =>
+      assert(sheet(("cleaning", s"funnel_kept_$st")) == kept)
+    }
+    // duplication: exact groups, corpus novelty, span chars — each from
+    // its gated source
+    assert(sheet(("duplication", "exact_dup_groups")) ==
+      graft.operators.Dedup.d01ExactDedup(spark, sf)
+        .select("dup_group").distinct().count())
+    val nov = graft.operators.TextAnalysis.t30NoveltyScan(spark, sf)
+      .agg(sum(col("sh_unique")).as("u"), sum(col("sh_total")).as("t"))
+      .first()
+    assert(sheet(("duplication", "novelty_ppm")) ==
+      nov.getLong(0) * 1000000L / nov.getLong(1))
+    assert(sheet(("duplication", "duplicated_span_chars")) ==
+      graft.operators.Dedup.d20SpanSurgery(spark, sf)
+        .agg(sum(col("chars_removed"))).first().getLong(0))
+    assert(sheet(("distribution", "max_source_drift_l1_ppm")) ==
+      graft.operators.TextAnalysis.t31SourceDrift(spark, sf)
+        .agg(max(col("l1_ppm"))).first().getLong(0))
+    // prose corpus: the routing row is honestly zero
+    assert(sheet(("routing", "code_routed_docs")) == 0L)
+  }
+
   test("cleanCorpus fuses map stages into one scan (single pre-window shuffle)") {
     val plan = Pipelines.cleanCorpus(spark, sf).queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllIn(plan).size
