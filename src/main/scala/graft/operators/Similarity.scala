@@ -1102,8 +1102,25 @@ object Similarity {
     * s19b and spot-audit it with s19 on a slice; the all-pairs scan
     * here keeps s01's shape — one side broadcast, the scored stream
     * reduced map-side by the TopKPerGroup heap, so ≤ 3 rows per vector
-    * reach the only shuffle (never a corpus-sized sort). */
-  def s19KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    * reach the only shuffle (never a corpus-sized sort).
+    *
+    * PERSISTED (the s03 rule, round 11): the graph is a build-once
+    * ARTIFACT, not a per-query computation — s19/s24/s25/s26 all read
+    * the same table via [[s19GraphIndex]] instead of each re-running
+    * the all-pairs scan (previously the four heaviest bench entries
+    * were mostly the SAME scan four times). The build is fully
+    * deterministic (exact cosine, round(cos,6)+id tie-breaks), so
+    * index-served ≡ fresh (spec-pinned, s03's equality rule), and the
+    * gated hash is unchanged. A persisted corpus k-NN graph is itself
+    * the production feature: curation pipelines (SemDeDup pruning,
+    * diversity sampling, s25 propagation, s26 outlier scans) all read
+    * one graph build. */
+  def s19KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    s19GraphIndex(spark, dir).orderBy("query_id", "rk")
+
+  /** The fresh all-pairs build behind [[s19GraphIndex]] — split out so
+    * the spec can pin index-served ≡ fresh. */
+  private[graft] def s19KnnGraphFresh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
@@ -1112,6 +1129,23 @@ object Similarity {
       .withColumn("cos", VF.cosine(col("qv"), col("cv")))
     ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
       Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+  }
+
+  /** The persisted exact-graph artifact: built once per
+    * (corpus dir, row count, content fingerprint) key under the same
+    * crash-safe publish contract as [[s03Index]] (tag `s19graph`, the
+    * k=3 slot reusing the key arithmetic), read everywhere after.
+    * Stored CLUSTERED by query_id so a per-vertex consumer (s25's
+    * edge join, s26's isolation agg) scans contiguous edges. */
+  private[graft] def s19GraphIndex(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val path = ivfIndexPath(spark, dir, "s19graph", 3, n)
+    if (!ivfExists(spark, path))
+      publishIndex(spark, path) { tmp =>
+        s19KnnGraphFresh(spark, dir)
+          .repartition(col("query_id")).write.parquet(tmp + "/graph")
+      }
+    spark.read.parquet(path + "/graph")
   }
 
   /** s19b: the k-NN graph at SCALE — candidates from the persisted s03
@@ -1329,12 +1363,13 @@ object Similarity {
     * ~465k ppm → ~593k ppm for one refinement round, i.e. a round buys
     * more recall than doubling the probe width pays for.
     *
-    * The exact graph is localCheckpointed once and feeds both audits
-    * (≤3 rows/vector — bounded, the s16 precedent); each audit is one
-    * pair-key left join + a single global partial agg. */
+    * The exact reference is the persisted [[s19GraphIndex]] artifact
+    * (build-once, read here — no per-audit all-pairs rebuild) and feeds
+    * both audits; each audit is one pair-key left join + a single
+    * global partial agg. */
   def s24GraphRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = s19KnnGraph(spark, dir)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val exact = s19GraphIndex(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
     def audit(name: String, g: DataFrame): DataFrame =
       exact.join(g.select(col("query_id").as("aq"), col("neighbor_id").as("an")),
           col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
@@ -1373,14 +1408,30 @@ object Similarity {
     * sum is over a vector's OWN ≤3 edges (collected per group, not
     * float-accumulated across partitions — no order sensitivity).
     * Shape: the gated graph + one per-vector agg + a ≤|labels| rollup
-    * — linear in edges. */
-  def s26KnnOutlier(spark: SparkSession, dir: String): DataFrame = {
-    val micro = s19KnnGraph(spark, dir)
+    * — linear in edges.
+    *
+    * Graph-parameterized (s25Of's rule, round 11): the gated entry
+    * reads the persisted exact graph (the only hash-gated build); a
+    * production run at 100 TB feeds [[s26Of]] the LINEAR
+    * [[s19bKnnGraphIvf]] build instead — the scan is then
+    * |corpus|·nProbe/nLists, never quadratic, and nothing broadcasts
+    * the corpus (spec-pinned over the IVF graph; swap documented in
+    * DEPLOY.md). */
+  def s26KnnOutlier(spark: SparkSession, dir: String): DataFrame =
+    s26Of(s19GraphIndex(spark, dir),
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label")))
+
+  /** The isolation scan over ANY (query_id, neighbor_id, cosine) graph
+    * + (vec_id, label) relation — linear in edges whatever graph is
+    * supplied, so the s19b IVF build makes the whole outlier report
+    * sub-quadratic end to end. */
+  private[graft] def s26Of(g: DataFrame, labels: DataFrame): DataFrame = {
+    val micro = g
       .select(col("query_id"),
         round(col("cosine") * 10000).cast("long").as("micro"))
       .groupBy(col("query_id"))
       .agg(sum(col("micro")).as("iso_micro"))
-    Tables.embeddings(spark, dir)
+    labels
       .select(col("vec_id").as("query_id"), col("label"))
       .join(micro, Seq("query_id"))
       .groupBy(col("label"))
@@ -1425,7 +1476,7 @@ object Similarity {
 
   def s25LabelProp(spark: SparkSession, dir: String, rounds: Int): DataFrame =
     s25Of(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
-      s19KnnGraph(spark, dir).select(col("query_id"), col("neighbor_id")),
+      s19GraphIndex(spark, dir).select(col("query_id"), col("neighbor_id")),
       rounds)
 
   /** The propagation core over any (vec_id, label) relation + edge
@@ -1434,8 +1485,34 @@ object Similarity {
     * random w.r.t. geometry, so the gated audit honestly reads
     * near-chance accuracy (exactly the question the audit answers);
     * the fixture proves the machinery reports ~10⁶ ppm when
-    * neighborhoods DO carry label structure. */
-  private[graft] def s25Of(e: DataFrame, g: DataFrame, rounds: Int): DataFrame = {
+    * neighborhoods DO carry label structure.
+    *
+    * Label TYPE contract: the majority tie-break buffer is
+    * max(struct(count, −label)) — partial-aggregable but NUMERIC-only
+    * (the unary minus). Non-numeric labels (quality tiers, licenses —
+    * the production seed sets) are dictionary-encoded to dense integer
+    * codes first: ORDER-PRESERVING (rank over the sorted distinct-label
+    * set, ≤|labels| rows — driver-bounded), so min-code ties ≡
+    * min-label ties and the decoded report is exactly what a native
+    * string propagation would produce (spec-pinned). */
+  private[graft] def s25Of(e: DataFrame, g: DataFrame, rounds: Int): DataFrame =
+    e.schema("label").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => s25OfNumeric(e, g, rounds)
+      case _ =>
+        val codes = e.select(col("label")).distinct()
+          .withColumn("lcode",
+            row_number().over(Window.orderBy(col("label"))).cast("long"))
+        val coded = e.join(broadcast(codes), Seq("label"))
+          .select(col("vec_id"), col("lcode").as("label"))
+        s25OfNumeric(coded, g, rounds)
+          .withColumnRenamed("label", "lcode")
+          .join(broadcast(codes), Seq("lcode"))
+          .select(col("label"), col("n_seed"), col("n_propagated"),
+            col("n_correct"), col("acc_ppm"))
+          .orderBy("label")
+    }
+
+  private def s25OfNumeric(e: DataFrame, g: DataFrame, rounds: Int): DataFrame = {
     var labels = e.filter(col("vec_id") % S25SeedMod === 0)
       .select(col("vec_id"), col("label").as("plabel"), lit(0).as("round"))
     var r = 1

@@ -1181,6 +1181,84 @@ class SimilaritySpec extends GraftSuite {
       s"refinement must not lose recall: $got")
   }
 
+  test("persisted k-NN graph: index-served result is identical to a fresh build") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq.sorted
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    Similarity.dropIvfIndex(spark, sf, "s19graph", 3, n)
+    val fresh = rows(Similarity.s19KnnGraphFresh(spark, sf))
+    val served = rows(Similarity.s19KnnGraph(spark, sf)) // builds, then reads
+    assert(served == fresh, "s19 index-served graph diverged from fresh build")
+    // second call takes the pure read path against the published artifact
+    val again = rows(Similarity.s19KnnGraph(spark, sf))
+    assert(again == fresh, "s19 re-read of the published graph diverged")
+  }
+
+  test("s26 over the s19b IVF graph: the linear production path") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val got = Similarity.s26Of(
+        Similarity.s19bKnnGraphIvf(spark, sf), labels).collect()
+      .map(r => r.getAs[Int]("label") -> (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_outliers"), r.getAs[Long]("mean_iso_micro"))).toMap
+    val exact = Similarity.s26KnnOutlier(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_outliers"), r.getAs[Long]("mean_iso_micro"))).toMap
+    // same per-label corpus accounting whatever graph is supplied
+    assert(got.keySet == exact.keySet &&
+      got.map { case (l, v) => l -> v._1 } == exact.map { case (l, v) => l -> v._1 },
+      s"IVF-graph scan must cover every vector per label:\ngot $got\nexact $exact")
+    // an approximate graph's top-3 cosines are elementwise dominated by
+    // the exact top-3, so isolation can only read LOWER and the flagged
+    // tail can only GROW — per label
+    got.keySet.foreach { l =>
+      assert(got(l)._2 >= exact(l)._2,
+        s"label $l: IVF graph flagged ${got(l)._2} < exact ${exact(l)._2}")
+      assert(got(l)._3 <= exact(l)._3,
+        s"label $l: IVF mean isolation ${got(l)._3} above exact ${exact(l)._3}")
+    }
+  }
+
+  test("s25Of with string labels: dictionary-encoded propagation equals the numeric run decoded") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    // the clustered fixture again, labels as the production shape —
+    // quality-tier STRINGS (order-preserving vs the numeric codes, so
+    // tie-break semantics are identical by construction)
+    val vecs = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.fill(4)(0.01f)
+      base(c) = 1.0f
+      (i, base.toSeq, c)
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    val g = vecs.flatMap { case (q, qv, _) =>
+      vecs.filter(_._1 != q)
+        .map { case (n, nv, _) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3)
+        .map { case (n, _) => (q, n) }
+    }.toDF("query_id", "neighbor_id")
+    val eNum = vecs.map { case (i, _, c) => (i, c) }.toDF("vec_id", "label")
+    val eStr = vecs.map { case (i, _, c) => (i, s"tier_$c") }.toDF("vec_id", "label")
+    val numRows = Similarity.s25Of(eNum, g, Similarity.S25Rounds).collect()
+      .map(r => s"tier_${r.getAs[Int]("label")}" -> (r.getAs[Long]("n_seed"),
+        r.getAs[Long]("n_propagated"), r.getAs[Long]("n_correct"),
+        r.getAs[Long]("acc_ppm"))).toMap
+    val strRows = Similarity.s25Of(eStr, g, Similarity.S25Rounds).collect()
+      .map(r => r.getAs[String]("label") -> (r.getAs[Long]("n_seed"),
+        r.getAs[Long]("n_propagated"), r.getAs[Long]("n_correct"),
+        r.getAs[Long]("acc_ppm"))).toMap
+    assert(strRows == numRows,
+      s"string-label propagation diverged from numeric:\ngot  $strRows\nwant $numRows")
+    assert(strRows.values.map(_._2).sum == 24L && strRows.values.forall(_._4 == 1000000L))
+  }
+
   test("s23 MMR matches an independent driver recompute of the greedy selection") {
     import org.apache.spark.sql.functions._
     val got = Similarity.s23MmrRerank(spark, sf).collect()
