@@ -40,6 +40,47 @@ object Tables {
       }.sum
   }
 
+  /** Total at-rest bytes of a table's parquet data files — one driver
+    * listing (no footer reads, no data pages): the sizing signal for
+    * persist-vs-restream policies (d19's occurrence index). */
+  def parquetBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    leafParquetFiles(root.getFileSystem(conf), root).map(_.getLen).sum
+  }
+
+  /** Footer-statistics (min, max) of an integer column across a table's
+    * parquet files — driver-side O(#files), no data pages (the same
+    * footer the scan planner reads). None when any row group lacks the
+    * statistic (write-side stats disabled) — callers must treat None as
+    * "unbounded" and take their conservative path. Plan-build-time
+    * sizing signal (d19's packed-canonical bit budget). */
+  def parquetLongColumnRange(spark: SparkSession, dir: String, name: String,
+      column: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val ranges = leafParquetFiles(root.getFileSystem(conf), root).flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(st => st != null && st.hasNonNullValue)
+          .flatMap { st =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) => Some((lo.toLong, hi.toLong))
+              case (lo: java.lang.Integer, hi: java.lang.Integer) => Some((lo.toLong, hi.toLong))
+              case _ => None
+            }
+          }
+      } finally r.close()
+    }
+    if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+    else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+  }
+
   /** Leaf `.parquet` data files under a table root — the ONE
     * listing-and-filter rule shared by [[parquetRowCount]] and r01's
     * distributed footer count, so a future listing fix (skipping

@@ -1062,12 +1062,18 @@ object Dedup {
     * is deliberately per-position, like the reference recipe, so
     * chained duplication cuts as one interval.
     *
-    * Cost honesty (the p10 documented-two-pass rule): the occurrence
-    * relation feeds both the stats aggregate and the probe side, so the
-    * documents scan + rolling-hash pass runs twice — map-side work,
-    * deliberately not cached: the exploded index is ~|chars| rows, the
-    * largest relation in the repo, and persisting it to save one
-    * columnar scan is the wrong trade at every scale.
+    * Cost trade, both directions (the p10 two-pass rule, now a KNOB):
+    * the occurrence relation feeds both the stats aggregate and the
+    * probe side. At 100 TB the exploded index is ~|chars| rows — the
+    * largest relation in the repo — and persisting it to save one
+    * columnar re-scan is the wrong trade (`persistOcc = false`, the
+    * scale default: two map-side passes, zero storage pressure). At
+    * sub-TB scale the re-scan DOMINATES wall time (measured 3.3× the
+    * oracle at sf0.1 without the persist, within-bar with it), so the
+    * corpus-dir entry auto-persists when the at-rest documents table is
+    * under [[D19PersistOccMaxBytes]] — MEMORY_AND_DISK, freed by the
+    * ContextCleaner when the plan is collected. Results are identical
+    * either way (spec-pinned equality).
     *
     * 60-bit MD5 collisions can mark a position falsely; both engines
     * hash identically so the gate is exact (the d11/d17 rule). */
@@ -1075,23 +1081,62 @@ object Dedup {
     d19DupSpans(spark, dir, ExactSpanChars)
 
   def d19DupSpans(spark: SparkSession, dir: String, spanLen: Int): DataFrame =
-    d19DupSpansOf(Tables.documents(spark, dir), spanLen)
+    d19DupSpansOf(Tables.documents(spark, dir), spanLen,
+      persistOcc =
+        Tables.parquetBytes(spark, dir, "documents") <= D19PersistOccMaxBytes,
+      packedCanon =
+        Tables.parquetLongColumnRange(spark, dir, "documents", "doc_id")
+          .exists { case (lo, hi) => lo >= 0 && hi < (1L << 31) })
+
+  /** Auto-persist bound for d19's occurrence index, in at-rest DOCUMENT
+    * bytes (the cheap driver-side signal; the index itself explodes to
+    * roughly one row per character, ~24 B/row). 8 GiB of parquet text
+    * inflates to an index that still sits comfortably in a single
+    * modest cluster's storage memory; past that the restream is the
+    * documented default. */
+  val D19PersistOccMaxBytes: Long = 8L << 30
 
   /** The span-extraction core over any (doc_id, text) relation — split
     * out so the p20 release build can run the surgery on its own
-    * intermediate corpus, not just the at-rest documents table. */
-  private[graft] def d19DupSpansOf(docsIn: DataFrame, spanLen: Int): DataFrame = {
-    val occ = docsIn
+    * intermediate corpus, not just the at-rest documents table.
+    * `persistOcc` defaults OFF here: an arbitrary input relation has no
+    * cheap size signal, and the composed consumers (d20 surgery inside
+    * p20's staged build) own their caching decisions.
+    *
+    * `packedCanon`: when doc_id provably fits 31 bits (parquet FOOTER
+    * column stats — the corpus-dir entry checks them, an arbitrary
+    * relation defaults to the safe form), the canonical occurrence is
+    * min(doc_id << 32 | i) — lexicographically IDENTICAL to the
+    * two-stage form (doc_id owns the high bits; i < 2^32 is structural:
+    * a parquet string cell caps at 2^31 bytes) but ONE HashAggregate
+    * exchange instead of two (all-long buffer, never SortAggregate).
+    * Corpora with wider ids (snowflake keys at 10¹¹ docs) keep the
+    * stacked min_by form — same result, one more exchange
+    * (equality spec-pinned). */
+  private[graft] def d19DupSpansOf(docsIn: DataFrame, spanLen: Int,
+      persistOcc: Boolean = false, packedCanon: Boolean = false): DataFrame = {
+    val occRaw = docsIn
       .filter(length(col("text")) >= spanLen)
       .select(col("doc_id"),
         posexplode(graft.functions.NativeFunctions.windowHashes(col("text"), spanLen)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("fp"))
-    val perDoc = occ.groupBy(col("fp"), col("doc_id"))
-      .agg(min(col("i")).as("min_i"), count(lit(1)).as("cnt"))
-    val stats = perDoc.groupBy(col("fp")).agg(
-      sum(col("cnt")).as("df"),
-      min(col("doc_id")).as("canon_doc"),
-      min_by(col("min_i"), col("doc_id")).as("canon_i"))
+    val occ = if (!persistOcc) occRaw
+      else occRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = if (packedCanon) {
+      occ.groupBy(col("fp")).agg(
+        count(lit(1)).as("df"),
+        min(shiftleft(col("doc_id"), 32).bitwiseOR(col("i"))).as("canon"))
+        .select(col("fp"), col("df"),
+          shiftright(col("canon"), 32).as("canon_doc"),
+          col("canon").bitwiseAND(lit((1L << 32) - 1)).as("canon_i"))
+    } else {
+      occ.groupBy(col("fp"), col("doc_id"))
+        .agg(min(col("i")).as("min_i"), count(lit(1)).as("cnt"))
+        .groupBy(col("fp")).agg(
+          sum(col("cnt")).as("df"),
+          min(col("doc_id")).as("canon_doc"),
+          min_by(col("min_i"), col("doc_id")).as("canon_i"))
+    }
     // hash-build on the stats side (≤ one row per distinct duplicated
     // fp — always the narrower relation; sort-merge would sort the full
     // occurrence index twice for nothing)

@@ -896,6 +896,32 @@ class DedupSpec extends GraftSuite {
       s"d17 later-docs missing from d19 cut list: ${d17Later -- cutDocs}")
   }
 
+  test("d19 persistOcc/packedCanon: all four plan variants are result-identical") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val base = rows(Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars))
+    assert(base.nonEmpty)
+    for (p <- Seq(true, false); k <- Seq(true, false)) {
+      val got = rows(Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars,
+        persistOcc = p, packedCanon = k))
+      assert(got == base,
+        s"persistOcc=$p packedCanon=$k changed the cut list — knobs must be plan-only")
+    }
+    // the footer signals actually fire on the test corpus: small + narrow ids
+    assert(graft.Tables.parquetBytes(spark, sf, "documents") <=
+      Dedup.D19PersistOccMaxBytes)
+    val range = graft.Tables.parquetLongColumnRange(spark, sf, "documents", "doc_id")
+    assert(range.exists { case (lo, hi) => lo >= 0 && hi < (1L << 31) },
+      s"expected footer doc_id stats to admit the packed form, got $range")
+    // the persisted occ plans registered with the CacheManager above
+    // would auto-substitute into LATER suites' fresh d19 plans
+    // (plan-fragment matching) — drop them so plan pins see cold shapes
+    spark.catalog.clearCache()
+  }
+
   test("d20 surgery: planted fixture cleaned exactly, canonical kept, detector converges") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{length, lit}

@@ -290,7 +290,12 @@ class PlanAuditSpec extends GraftSuite {
   }
 
   test("d19: canonical stats stay in hash aggregation; probe is a shuffled-hash equi-join") {
-    val df = Dedup.d19DupSpans(spark, sf)
+    // a previously-registered occ cache (any earlier d19DupSpans call in
+    // this JVM) would auto-substitute into the fresh plan — start cold
+    spark.catalog.clearCache()
+    // the 100 TB shape: persistOcc=false — two streamed passes
+    val df = Dedup.d19DupSpansOf(
+      graft.Tables.documents(spark, sf), Dedup.ExactSpanChars)
     val s = planStr(df)
     // the min(struct) canonical form regresses to SortAggregate — a
     // per-partition SORT of the full per-position index; the stacked
@@ -303,6 +308,17 @@ class PlanAuditSpec extends GraftSuite {
       s"no pair join anywhere in the span extractor:\n$s")
     assert(s.contains("graft_window_hashes"),
       s"positions must come from the native rolling-hash expression:\n$s")
+    assert(!s.contains("InMemoryTableScan"),
+      s"the scale path must never cache the occurrence index:\n$s")
+    // the corpus-dir entry at test SF sits under the auto-persist bound:
+    // BOTH consumers read the cached occurrence index, the rolling-hash
+    // pass runs once
+    val sp = planStr(Dedup.d19DupSpans(spark, sf))
+    assert(sp.contains("InMemoryTableScan"),
+      s"sub-bound corpora must serve the occ index from cache:\n$sp")
+    assert(sp.contains("ShuffledHashJoin") && !sp.contains("SortMergeJoin"),
+      s"persisted path keeps the probe join shape:\n$sp")
+    spark.catalog.clearCache() // leave no occ fragment for later pins
   }
 
   test("s20: the vector leg is a partial top-k, never a global corpus sort") {
