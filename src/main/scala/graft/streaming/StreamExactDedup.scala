@@ -53,11 +53,9 @@ object StreamExactDedup {
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootP)) fs.mkdirs(rootP)
     val own = new Path(rootP, s"batch-$batchId")
-    val gens = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName != own.getName &&
-        (p.getName == "base" || (p.getName.startsWith("batch-") &&
-          fs.exists(new Path(p, "_SUCCESS")))))
-      .sortBy(_.getName)
+    // recycled ids below the compaction horizon refuse before any IO
+    GenerationTree.requireAboveHorizon(fs, rootP, batchId)
+    val gens = GenerationTree.liveGenerations(fs, rootP, Some(own.getName))
     val atRest =
       if (gens.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -106,14 +104,27 @@ object StreamExactDedup {
   /** Start the durable dedup over the `docs` stream (needs doc_id +
     * text) against the generation tree at `root` (optionally seeded
     * with the release's keys at `root/base`); `onBatch` receives each
-    * micro-batch's materialized (doc_id, dup_key, verdict) rows. */
-  def run(docs: DataFrame, root: String)(
+    * micro-batch's materialized (doc_id, dup_key, verdict) rows.
+    *
+    * `maxGenerations` is the compaction trigger (stream_incdedup's
+    * rule): past it, [[GenerationTree.compact]] folds all but the
+    * newest committed generation into base — with dedupe ON, since the
+    * fingerprint tree is a SET (the probe distincts anyway; folding
+    * duplicate keys away just shrinks the artifact). */
+  def run(docs: DataFrame, root: String, maxGenerations: Int = 64)(
       onBatch: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.toDF()
-        if (!b.isEmpty) onBatch(processBatch(b, root, batchId))
+        if (!b.isEmpty) {
+          onBatch(processBatch(b, root, batchId))
+          val rootP = new Path(root)
+          val fs = rootP.getFileSystem(b.sparkSession.sessionState.newHadoopConf())
+          if (GenerationTree.committedBatchCount(fs, rootP) > maxGenerations) {
+            val _ = GenerationTree.compact(b.sparkSession, root, dedupe = true)
+          }
+        }
       }
       .start()
 }

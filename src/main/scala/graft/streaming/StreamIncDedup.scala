@@ -67,14 +67,17 @@ object StreamIncDedup {
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val own = new Path(root, s"batch-$batchId")
-    // committed generations only, never this batch's own prior attempt:
-    // a dir without _SUCCESS is a crashed append's debris (deleted below
-    // if it is ours; a concurrent writer's in-flight dir otherwise)
-    val gens = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName != own.getName &&
-        (p.getName == "base" || (p.getName.startsWith("batch-") &&
-          fs.exists(new Path(p, "_SUCCESS")))))
-      .sortBy(_.getName)
+    // an id at or below the compaction horizon can never be a genuine
+    // replay — refuse the recycled id before touching anything
+    GenerationTree.requireAboveHorizon(fs, root, batchId)
+    // committed post-horizon generations only, never this batch's own
+    // prior attempt: a dir without _SUCCESS is a crashed append's debris
+    // (deleted below if it is ours; a concurrent writer's otherwise),
+    // and a dir at or below the horizon is a folded leftover whose rows
+    // already live in base (reading it would double d18's df counts)
+    val gens = GenerationTree.liveGenerations(fs, root, Some(own.getName))
+    require(gens.nonEmpty,
+      s"generation tree at $indexRoot has no base — build it with d18BuildIndex first")
     val index = gens.map(p => spark.read.parquet(p.toString))
       .reduce(_ unionByName _)
     val pairs = Dedup.d18FromIndex(index, b, Dedup.NoDfCap, batchMaxDf)
@@ -112,16 +115,30 @@ object StreamIncDedup {
     * (doc_i, doc_j, jaccard) pairs. Arrival doc_ids must be disjoint
     * from everything already in the tree (d18FromIndex's contract — a
     * breach surfaces as doc_i == doc_j self-pairs, the documented alert
-    * shape). */
+    * shape).
+    *
+    * `maxGenerations` is the compaction trigger: when the committed
+    * batch generations exceed it, [[GenerationTree.compact]] folds all
+    * but the newest into base (dedupe OFF — the shingle index counts
+    * occurrences, every row must survive). Runs inside foreachBatch, so
+    * the quiet-window contract is structural; replay across a
+    * compaction is verdict-identical (spec-pinned). */
   def run(docs: DataFrame, indexRoot: String,
-      batchMaxDf: Long = Dedup.NoDfCap)(
+      batchMaxDf: Long = Dedup.NoDfCap,
+      maxGenerations: Int = 64)(
       onBatch: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.toDF()
-        if (!b.isEmpty)
+        if (!b.isEmpty) {
           onBatch(processBatch(b, indexRoot, batchId, batchMaxDf))
+          val root = new Path(indexRoot)
+          val fs = root.getFileSystem(b.sparkSession.sessionState.newHadoopConf())
+          if (GenerationTree.committedBatchCount(fs, root) > maxGenerations) {
+            val _ = GenerationTree.compact(b.sparkSession, indexRoot)
+          }
+        }
       }
       .start()
 }

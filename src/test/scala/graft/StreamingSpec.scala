@@ -1120,6 +1120,124 @@ class StreamingSpec extends GraftSuite {
     assert(spark.read.parquet(s"$root/batch-0").count() == committed)
   }
 
+  test("generation-tree compaction: replay across a compaction is verdict-identical; folded ids refuse") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{GenerationTree, StreamExactDedup}
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // one re-crawl per decade so history verdicts exercise the fold
+    val slices = docs.grouped(10).toSeq.zipWithIndex.map { case (s, i) =>
+      if (i == 0) s.toSeq
+      else s.toSeq :+ (20000L + i, docs((i - 1) * 10)._2)
+    }
+    val root = java.nio.file.Files.createTempDirectory("sexactcomp").toString
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    def verdicts(b: Seq[(Long, String)], id: Long) =
+      StreamExactDedup.processBatch(b.toDF("doc_id", "text"), root, id)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    val v = slices.zipWithIndex.map { case (s, i) => verdicts(s, i.toLong) }
+    assert(v(3).values.exists(_ == "dup_of_history"))
+    // fold everything but the newest generation into base
+    val (folded, h) = GenerationTree.compact(spark, root, dedupe = true)
+    assert(folded == 3 && h == 2L, s"expected 3 folded, horizon 2: ($folded, $h)")
+    val standing = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(standing == Set("base", "batch-3"), s"unexpected dirs: $standing")
+    // the one replay that can genuinely happen (the newest id) is
+    // verdict-identical across the fold
+    assert(verdicts(slices(3), 3L) == v(3), "replay across compaction diverged")
+    // a folded id can never be a replay — the horizon refuses it
+    val ex = intercept[IllegalArgumentException] { verdicts(slices(1), 1L) }
+    assert(ex.getMessage.contains("compaction horizon"))
+    // a crash between swap and deletes leaves a folded dir standing:
+    // plant one whose keys WOULD flip verdicts if it were read — the
+    // keys of docs never absorbed (they'd wrongly flag as history)
+    val fresh = (0 until 10).map(i =>
+      (40000L + i, s"synthetic never-absorbed text $i for the leftover probe"))
+    fresh.toSeq.toDF("doc_id", "text")
+      .select(graft.operators.Dedup.d01DupKey.as("dup_key"))
+      .write.parquet(s"$root/batch-1")
+    val b4 = slices(0).map { case (id, t) => (30000L + id, t) } ++ fresh
+    val v4 = verdicts(b4, 4L)
+    assert(fresh.forall(f => v4(f._1) == "novel"),
+      s"sub-horizon leftover keys leaked into the probe: $v4")
+    assert(slices(0).forall { case (id, _) => v4(30000L + id) == "dup_of_history" },
+      s"re-crawls of folded history must still flag: $v4")
+    // the next compact sweeps the leftover
+    GenerationTree.compact(spark, root, dedupe = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/batch-1")),
+      "stale sub-horizon leftover must be swept")
+  }
+
+  test("generation-tree compaction preserves d18's occurrence counts (incdedup, dedupe off)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.{GenerationTree, StreamIncDedup}
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 6 <= 1).select("doc_id", "text")
+    def slice(k: Int) = docs.filter(col("doc_id") % 6 === k)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def pairs(root: String, b: Seq[(Long, String)], id: Long) =
+      StreamIncDedup.processBatch(b.toDF("doc_id", "text"), root, id, Dedup.NoDfCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // twin trees fed identically; one compacts after batch 2
+    val rootA = java.nio.file.Files.createTempDirectory("sinccompA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("sinccompB").toString
+    Seq(rootA, rootB).foreach(r => Dedup.d18BuildIndex(base, s"$r/base"))
+    (2 to 4).foreach { k =>
+      val s = slice(k)
+      val a = pairs(rootA, s, (k - 2).toLong)
+      val b = pairs(rootB, s, (k - 2).toLong)
+      assert(a == b)
+    }
+    val (folded, h) = GenerationTree.compact(spark, rootA)
+    assert(folded == 2 && h == 1L)
+    // batch 3 probes the folded tree and the untouched tree identically —
+    // jaccards depend on occurrence COUNTS, so any fold-time dedupe or
+    // double-read would show here
+    val s5 = slice(5).filter(_._2.nonEmpty)
+    val a5 = pairs(rootA, s5, 3L)
+    val b5 = pairs(rootB, s5, 3L)
+    assert(a5 == b5, s"compacted tree diverged: ${(a5 diff b5).take(3)} / ${(b5 diff a5).take(3)}")
+    assert(a5.nonEmpty, "fixture must surface cross-batch pairs")
+  }
+
+  test("generation-tree auto-compaction: run() keeps the tree bounded past maxGenerations") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamExactDedup
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("sexactauto").toString
+    val input = MemoryStream[(Long, String)]
+    var batches = 0
+    val q = StreamExactDedup.run(
+      input.toDF().toDF("doc_id", "text"), root, maxGenerations = 2) { v =>
+      v.collect(); batches += 1
+    }
+    try docs.grouped(8).foreach { s => input.addData(s.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    assert(batches == 5)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs.count(_.startsWith("batch-")) <= 2,
+      s"tree must stay bounded at maxGenerations: $dirs")
+    assert(dirs.contains("base"), s"compaction must have produced a base: $dirs")
+    // the folded key set is complete: every doc re-crawled now flags
+    val v = StreamExactDedup.processBatch(
+      docs.map { case (id, t) => (50000L + id, t) }.toSeq.toDF("doc_id", "text"),
+      root, 100L)
+    assert(v.filter(org.apache.spark.sql.functions.col("verdict") =!= "dup_of_history").count() == 0,
+      "compacted+standing generations must cover the full absorbed history")
+  }
+
   test("stream_incdedup: probe+absorb micro-batches tile d02 exactly like the batch nightly") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
