@@ -1166,11 +1166,21 @@ object Dedup {
     * d19) alone, so the whole d19 pipeline INCLUDING the island merge
     * lands under the hash gate a second way. One extra broadcast-free
     * left join + a ≤|sources| rollup on top of d19's linear plan. */
-  def d20SpanSurgery(spark: SparkSession, dir: String): DataFrame = {
-    val cut = d19DupSpans(spark, dir).groupBy(col("doc_id")).agg(
+  def d20SpanSurgery(spark: SparkSession, dir: String): DataFrame =
+    d20SurgeryReport(Tables.documents(spark, dir), d19DupSpans(spark, dir))
+
+  /** The surgery report over any (doc_id, source, text) relation — the
+    * p21 release datasheet runs it on the RELEASED corpus (post-surgery
+    * residue: splice adjacencies, the Lee-et-al fixpoint caveat). */
+  private[graft] def d20SpanSurgeryOf(docsIn: DataFrame): DataFrame =
+    d20SurgeryReport(docsIn,
+      d19DupSpansOf(docsIn.select(col("doc_id"), col("text")), ExactSpanChars))
+
+  private def d20SurgeryReport(docsIn: DataFrame, spans: DataFrame): DataFrame = {
+    val cut = spans.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_spans"),
       sum(col("span_end") - col("span_start") + 1).as("chars_cut"))
-    Tables.documents(spark, dir)
+    docsIn
       .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
       .join(cut, Seq("doc_id"), "left")
       .groupBy(col("source"))

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 /** SURVEY §2.F — multimodal binary-column plumbing.
   *
   * Media payloads are opaque `binary` columns with typed metadata
-  * alongside. The container has no image/audio codecs, so the decode step
-  * is a clearly-marked deterministic STUB ([[fakeDecode]]); everything
-  * Spark-side — schema, batch iteration via mapPartitions, partition
-  * sizing, typed output — is real and spec-tested, and a real decoder
-  * drops into [[fakeDecode]] without touching the plan shape.
+  * alongside. The decode step parses REAL container headers —
+  * PNG IHDR / JPEG SOF / WAV fmt, zero codec deps ([[decodeHeader]]) —
+  * and falls back to a clearly-marked deterministic stub
+  * ([[fakeDecode]]) on unknown magic (full pixel/sample decode needs
+  * codecs this container doesn't ship). Everything Spark-side — schema,
+  * batch iteration via mapPartitions, partition sizing, typed output —
+  * is real and spec-tested, and a full decoder drops into the same slot
+  * without touching the plan shape.
   */
 object Multimodal {
 
@@ -32,11 +35,13 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
     n_frames: Int, format: String)
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * codec (none ship in this container). Derives plausible metadata from
-    * payload bytes only, so results are stable across runs/partitions.
-    * A real implementation replaces this body with e.g. an ImageIO /
-    * ffmpeg call over the same byte array. */
+  /** STUB decoder — deterministic fallback for payloads whose magic
+    * bytes [[decodeHeader]] does not recognize (the synthetic ASCII
+    * corpus, truncated headers, formats this container can't identify).
+    * Derives plausible metadata from payload bytes only, so results are
+    * stable across runs/partitions. A full codec (pixel decode, not
+    * just headers) would replace this body with an ImageIO/ffmpeg call
+    * over the same byte array. */
   def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
     val b1 = if (payload.length > 1) payload(1) & 0xff else 0
@@ -47,31 +52,105 @@ object Multimodal {
       format = if (b0 % 2 == 0) "png" else "jpeg")
   }
 
+  /** REAL header decode — actual public-container parsing from payload
+    * bytes with zero codec deps (the decode slot as a capability, not a
+    * shape; reference anchor: SampleMapRed.java:35-45's
+    * decode-then-scan):
+    *
+    *  - PNG: 8-byte signature + the IHDR chunk's big-endian
+    *    width/height (PNG spec §11.2.2); single frame.
+    *  - JPEG: SOI then a marker-segment walk to the first frame header
+    *    SOF0/SOF1/SOF2 (baseline/extended/progressive, ITU T.81 §B.2.2)
+    *    — height at offset +5, width at +7, both big-endian; standalone
+    *    markers (TEM/RST/SOI/EOI) carry no length word and skip as 2
+    *    bytes.
+    *  - WAV: RIFF/WAVE chunk walk (fmt's little-endian channels /
+    *    sample-rate / block-align, then the data chunk, padded to even)
+    *    mapped onto the media schema as width = sample rate, height =
+    *    channels, n_frames = data bytes / block align (sample frames).
+    *
+    * Unknown or truncated magic falls back to [[fakeDecode]], so the
+    * gated m02 over the ASCII corpus is byte-for-byte unchanged (the
+    * spec pins that corpus carries no container magic, and pins each
+    * REAL format against hand-assembled payloads). */
+  def decodeHeader(docId: Long, p: Array[Byte]): MediaMeta = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(k => p(i + k) == s(k).toByte)
+    if (p.length >= 24 && u8(0) == 0x89 && tag(1, "PNG") && tag(12, "IHDR"))
+      MediaMeta(docId, p.length.toLong, be32(16).toInt, be32(20).toInt, 1, "png")
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out: MediaMeta = null
+      while (out == null && i + 9 <= p.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xc0 || m == 0xc1 || m == 0xc2)
+          out = MediaMeta(docId, p.length.toLong,
+            width = be16(i + 7), height = be16(i + 5), n_frames = 1, "jpeg")
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2
+        else i += 2 + be16(i + 2)
+      }
+      if (out != null) out else fakeDecode(docId, p)
+    } else if (tag(0, "RIFF") && tag(8, "WAVE")) {
+      var i = 12
+      var channels = 0
+      var rate = 0L
+      var blockAlign = 0
+      var dataLen = -1L
+      while (i + 8 <= p.length) {
+        val len = le32(i + 4)
+        if (tag(i, "fmt ") && i + 24 <= p.length) {
+          channels = le16(i + 10)
+          rate = le32(i + 12)
+          blockAlign = le16(i + 20)
+        } else if (tag(i, "data")) dataLen = len
+        i += 8 + len.toInt + (len.toInt & 1) // chunks pad to even
+      }
+      if (channels > 0 && blockAlign > 0 && dataLen >= 0)
+        MediaMeta(docId, p.length.toLong, width = rate.toInt,
+          height = channels, n_frames = (dataLen / blockAlign).toInt, "wav")
+      else fakeDecode(docId, p)
+    } else fakeDecode(docId, p)
+  }
+
   /** Decode pipeline: binary batches → typed metadata via mapPartitions
     * (one decoder init per partition, streaming iterator — never
     * materializes a partition in memory). Repartitions by doc_id so a
     * 100 TB corpus spreads decode work evenly regardless of input file
     * layout. Spec-only: not DuckDB-expressible. */
-  def decodePipeline(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+  def decodePipeline(spark: SparkSession, dir: String): Dataset[MediaMeta] =
+    decodePipelineOf(spark, Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** The pipeline core over any (doc_id, payload binary) relation — the
+    * spec drives it with hand-assembled REAL container payloads. */
+  def decodePipelineOf(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    docs
       .repartition(col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // real pipelines hoist per-partition codec init here
-        batch.map { case (id, payload) => fakeDecode(id, payload) }
+        batch.map { case (id, payload) => decodeHeader(id, payload) }
       }
   }
 
   /** m02: the decode pipeline under the oracle gate — metadata plus
-    * uniform frame-sample offsets (4 samples over n_frames). Because
-    * [[fakeDecode]] is deterministic byte arithmetic, DuckDB reproduces
-    * it exactly on the ASCII corpus (first/second payload byte =
-    * ascii of first/second char), which gates the REAL pipeline shape:
-    * case-class Encoder, repartition, mapPartitions decode. A real codec
-    * swaps into fakeDecode and this query keeps its plan; only the
-    * oracle (which exists to test the stub) would be retired. */
+    * uniform frame-sample offsets (4 samples over n_frames). The
+    * pipeline runs [[decodeHeader]] — REAL PNG/JPEG/WAV header parsing
+    * (spec-pinned against hand-assembled payloads) — whose unknown-magic
+    * fallback is [[fakeDecode]]'s deterministic byte arithmetic; the
+    * ASCII corpus carries no container magic (spec-pinned), so DuckDB
+    * reproduces the fallback exactly (first/second payload byte = ascii
+    * of first/second char) and the gate covers the REAL pipeline shape:
+    * case-class Encoder, repartition, mapPartitions decode. */
   def m02MediaMeta(spark: SparkSession, dir: String): DataFrame = {
     val nf = col("n_frames")
     decodePipeline(spark, dir).toDF()

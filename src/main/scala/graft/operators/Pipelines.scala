@@ -235,7 +235,12 @@ object Pipelines {
     * exchange). */
   private def p18Digest(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      length(col("text")).cast("long").as("len"), md5(col("text")).as("h"))
+      length(col("text")).cast("long").as("len"), md5(col("text")).as("h"),
+      // explicit presence flag: md5(NULL text) is NULL, so row presence
+      // must never be inferred from hash nullability — a NULL-text doc
+      // present in both snapshots is 'unchanged', not 'added' (the
+      // blank/NULL-text docs t32 anticipates in real corpora)
+      lit(true).as("present"))
 
   /** p18: corpus RELEASE DIFF — the report every corpus release ships:
     * what changed since the last snapshot, per source — docs added,
@@ -252,14 +257,18 @@ object Pipelines {
   def p18ReleaseDiff(prev: DataFrame, curr: DataFrame): DataFrame = {
     val p = p18Digest(prev).withColumnRenamed("source", "p_source")
       .withColumnRenamed("len", "p_len").withColumnRenamed("h", "p_h")
+      .withColumnRenamed("present", "p_present")
     val c = p18Digest(curr).withColumnRenamed("source", "c_source")
       .withColumnRenamed("len", "c_len").withColumnRenamed("h", "c_h")
+      .withColumnRenamed("present", "c_present")
     p.join(c, Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("c_source"), col("p_source")).as("source"),
-        when(col("p_h").isNull, "added")
-          .when(col("c_h").isNull, "removed")
-          .when(col("p_h") =!= col("c_h"), "changed")
+        // presence from the flags, change from a NULL-SAFE hash compare:
+        // NULL→NULL text is 'unchanged', NULL↔text transitions 'changed'
+        when(col("p_present").isNull, "added")
+          .when(col("c_present").isNull, "removed")
+          .when(!(col("p_h") <=> col("c_h")), "changed")
           .otherwise("unchanged").as("status"),
         coalesce(col("p_len"), lit(0L)).as("lp"),
         coalesce(col("c_len"), lit(0L)).as("lc"))
@@ -437,8 +446,10 @@ object Pipelines {
     * gated operator on the same intermediate corpus — so gating the
     * monster composed SQL a second time would duplicate, not add,
     * coverage. Lineage honesty: `cleaned` and `surged` each feed two
-    * stages, so their scans run twice (p10's documented trade); a real
-    * release build checkpoints between stages — d07's rule. */
+    * stages, so their scans run twice (p10's documented trade) — the
+    * STAGED overload below (`workDir`) is the production form: each
+    * stage publishes crash-safe and runs exactly once, and a killed
+    * build resumes from the last committed artifact. */
   def p20ReleaseBuild(spark: SparkSession, dir: String): DataFrame =
     p20AuditOf(Tables.documents(spark, dir), p20Stages(spark, dir))
 
@@ -448,19 +459,19 @@ object Pipelines {
     * otherwise re-executes the whole chain (cleanCorpus + pair join +
     * components + surgery + d10) end-to-end, the full build twice at
     * the operator's own design point. */
-  def p20AuditOf(raw: DataFrame, stages: P20Stages): DataFrame = {
-    def stageRow(i: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"))
-        .select(lit(i).as("stage"), lit(name).as("stage_name"),
-          col("n_docs"), col("n_chars"))
-    stageRow(0, "raw", raw)
-      .unionByName(stageRow(1, "clean_dedup_split", stages.cleaned))
-      .unionByName(stageRow(2, "neardup_keep", stages.kept))
-      .unionByName(stageRow(3, "span_surgery", stages.surged))
-      .unionByName(stageRow(4, "leakage_repair", stages.repaired))
+  def p20AuditOf(raw: DataFrame, stages: P20Stages): DataFrame =
+    p20StageRow(0, "raw", raw)
+      .unionByName(p20StageRow(1, "clean_dedup_split", stages.cleaned))
+      .unionByName(p20StageRow(2, "neardup_keep", stages.kept))
+      .unionByName(p20StageRow(3, "span_surgery", stages.surged))
+      .unionByName(p20StageRow(4, "leakage_repair", stages.repaired))
       .orderBy("stage")
-  }
+
+  private def p20StageRow(i: Int, name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"))
+      .select(lit(i).as("stage"), lit(name).as("stage_name"),
+        col("n_docs"), col("n_chars"))
 
   /** The release build's final corpus (doc_id, lang, source, text,
     * split) — what stage 4 leaves standing. Convenience wrapper: for
@@ -475,26 +486,107 @@ object Pipelines {
 
   def p20Stages(spark: SparkSession, dir: String): P20Stages = {
     val cleaned = cleanCorpus(spark, dir)
+    val kept = p20Keep(spark, cleaned)
+    val surged = p20Surge(kept)
+    val repaired = p20Repair(surged)
+    P20Stages(cleaned, kept, surged, repaired)
+  }
+
+  /** Stage 2: near-dup canonical keep over any cleaned corpus — d03's
+    * verified pairs + d07's components + the d01 keep rule. */
+  private[graft] def p20Keep(spark: SparkSession, cleaned: DataFrame): DataFrame = {
     val pairs = Dedup.minhashVerifiedPairs(
         cleaned.select(col("doc_id"), col("text")))
       .select(col("doc_i"), col("doc_j"))
     val (labels, _) = Dedup.connectedComponents(spark, pairs, None)
-    val kept = cleaned.join(
+    cleaned.join(
       labels.filter(col("cluster") =!= col("doc_id")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    val surged = Dedup.d20CleanedCorpusOf(
+  }
+
+  /** Stage 3: ExactSubstr span surgery on the deduped corpus. */
+  private[graft] def p20Surge(kept: DataFrame): DataFrame =
+    Dedup.d20CleanedCorpusOf(
         kept.select(col("doc_id"), col("lang"), col("source"), col("text")))
       .join(kept.select(col("doc_id"), col("split")), Seq("doc_id"))
-    // screen against the split the release CARRIES (cleanCorpus's) —
-    // re-deriving it from post-surgery text would silently reassign
-    // documents across splits (the fingerprint changed with the text)
+
+  /** Stage 4: leakage repair. Screens against the split the release
+    * CARRIES (cleanCorpus's) — re-deriving it from post-surgery text
+    * would silently reassign documents across splits (the fingerprint
+    * changed with the text). */
+  private[graft] def p20Repair(surged: DataFrame): DataFrame = {
     val prepared = Dedup.d10PreparedKeepSplit(
       surged.select(col("doc_id"), col("split"), col("text")))
     val leaked = Dedup.d10Contamination(
         prepared.filter(col("split") =!= "train"),
         Dedup.d10TrainIndex(prepared), 0.3)
       .select(col("doc_id"))
-    val repaired = surged.join(leaked, Seq("doc_id"), "left_anti")
+    surged.join(leaked, Seq("doc_id"), "left_anti")
+  }
+
+  /** The STAGED release build the p20 doc promised ("a real release
+    * build checkpoints between stages — d07's rule"): each stage's full
+    * corpus publishes CRASH-SAFE under `workDir` (write to a fresh tmp,
+    * rename into `stage<i>-<name>` — readers only ever see a complete,
+    * `_SUCCESS`-marked artifact) and every stage computes FROM THE
+    * PREVIOUS STAGE'S ARTIFACT, never from recomputed lineage — so a
+    * build killed between stages resumes from the last committed stage
+    * byte-identically, and the double-execution the one-shot chain
+    * documents (cleaned/surged each feeding two stages) disappears:
+    * each stage runs exactly once per release. Stage 0 persists the raw
+    * corpus's audit numbers (2 longs), so a resumed AUDIT never
+    * re-reads the source either. Deterministic stages (every one is a
+    * gated operator) make resume ≡ rerun (spec-pinned: the spec kills
+    * the build between stages, deletes the SOURCE corpus, and resumes
+    * to the same bytes). */
+  def p20ReleaseBuild(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = {
+    val st = p20StagesCheckpointed(spark, dir, workDir)
+    spark.read.parquet(s"$workDir/stage0-raw")
+      .select(lit(0).as("stage"), lit("raw").as("stage_name"),
+        col("n_docs"), col("n_chars"))
+      .unionByName(p20StageRow(1, "clean_dedup_split", st.cleaned))
+      .unionByName(p20StageRow(2, "neardup_keep", st.kept))
+      .unionByName(p20StageRow(3, "span_surgery", st.surged))
+      .unionByName(p20StageRow(4, "leakage_repair", st.repaired))
+      .orderBy("stage")
+  }
+
+  /** The staged build's final corpus — served from the stage-4 artifact
+    * (building it first if needed). */
+  def p20ReleaseCorpus(spark: SparkSession, dir: String,
+      workDir: String): DataFrame =
+    p20StagesCheckpointed(spark, dir, workDir).repaired
+
+  private[graft] def p20StagesCheckpointed(spark: SparkSession, dir: String,
+      workDir: String): P20Stages = {
+    val rootP = new org.apache.hadoop.fs.Path(workDir)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(rootP)
+    def artifact(name: String)(make: => DataFrame): DataFrame = {
+      val dst = new org.apache.hadoop.fs.Path(rootP, name)
+      val committed = fs.exists(dst) &&
+        fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
+      if (!committed) {
+        if (fs.exists(dst)) fs.delete(dst, true) // crashed write's debris
+        val tmp = new org.apache.hadoop.fs.Path(rootP,
+          s".tmp-$name-${System.nanoTime()}")
+        try {
+          make.write.parquet(tmp.toString)
+          require(fs.rename(tmp, dst), s"failed to publish $tmp -> $dst")
+        } finally if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+      spark.read.parquet(dst.toString)
+    }
+    val _ = artifact("stage0-raw") {
+      Tables.documents(spark, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"))
+    }
+    val cleaned = artifact("stage1-clean_dedup_split")(cleanCorpus(spark, dir))
+    val kept = artifact("stage2-neardup_keep")(p20Keep(spark, cleaned))
+    val surged = artifact("stage3-span_surgery")(p20Surge(kept))
+    val repaired = artifact("stage4-leakage_repair")(p20Repair(surged))
     P20Stages(cleaned, kept, surged, repaired)
   }
 
@@ -518,10 +610,25 @@ object Pipelines {
     * release build that already ran them persists their outputs and
     * derives the sheet from the artifacts instead. */
   def p21CorpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    def rows(section: String, df: DataFrame): DataFrame =
-      df.select(lit(section).as("section"), col("metric"),
-        col("value").cast("long").as("value"))
+    val funnel = p17FilterFunnel(spark, dir)
+      .select(concat(lit("funnel_kept_"), col("stage_name")).as("metric"),
+        col("n_kept").as("value"))
+    p21SectionsOf(Tables.documents(spark, dir))
+      .unionByName(p21Rows("cleaning", funnel))
+      .orderBy("section", "metric")
+  }
+
+  private def p21Rows(section: String, df: DataFrame): DataFrame =
+    df.select(lit(section).as("section"), col("metric"),
+      col("value").cast("long").as("value"))
+
+  /** The corpus-derivable datasheet sections over any
+    * (doc_id, lang, source, text) relation — UNORDERED (callers append
+    * their own sections and sort once). NULL lang/source bucket under
+    * [[ZNullSentinel]] (p19's discipline — a metric name must never go
+    * NULL and NULL sources must count, or the sheet under-reports
+    * composition on exactly the corpora p19 defends against). */
+  private[graft] def p21SectionsOf(docs: DataFrame): DataFrame = {
     val sizeRows = docs.agg(
         count(lit(1)).as("n_docs"),
         coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"),
@@ -530,37 +637,60 @@ object Pipelines {
           .as("n_tokens"))
       .select(expr("stack(3, 'docs', n_docs, 'chars', n_chars, " +
         "'whitespace_tokens', n_tokens) AS (metric, value)"))
-    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("value"))
+    val langs = docs
+      .groupBy(coalesce(col("lang"), lit(ZNullSentinel)).as("lang"))
+      .agg(count(lit(1)).as("value"))
       .select(concat(lit("docs_lang_"), col("lang")).as("metric"), col("value"))
-    val sources = docs.agg(countDistinct(col("source")).as("value"))
+    val sources = docs
+      .agg(countDistinct(coalesce(col("source"), lit(ZNullSentinel))).as("value"))
       .select(lit("sources").as("metric"), col("value"))
-    val funnel = p17FilterFunnel(spark, dir)
-      .select(concat(lit("funnel_kept_"), col("stage_name")).as("metric"),
-        col("n_kept").as("value"))
     val dupGroups = docs
       .agg(countDistinct(Dedup.d01DupKey).as("value"))
       .select(lit("exact_dup_groups").as("metric"), col("value"))
-    val novelty = TextAnalysis.t30NoveltyScan(spark, dir)
+    val novelty = TextAnalysis.t30NoveltyScanOf(docs)
       .agg((sum(col("sh_unique")) * 1000000L).as("num"), sum(col("sh_total")).as("den"))
       .select(lit("novelty_ppm").as("metric"), expr("num div den").as("value"))
-    val spanChars = Dedup.d20SpanSurgery(spark, dir)
+    val spanChars = Dedup.d20SpanSurgeryOf(docs)
       .agg(coalesce(sum(col("chars_removed")), lit(0L)).as("value"))
       .select(lit("duplicated_span_chars").as("metric"), col("value"))
-    val drift = TextAnalysis.t31SourceDrift(spark, dir)
+    val drift = TextAnalysis.t31SourceDriftOf(docs)
       .agg(max(col("l1_ppm")).as("value"))
       .select(lit("max_source_drift_l1_ppm").as("metric"), col("value"))
     val code = TextAnalysis.t32CodeDetectOf(docs)
       .agg(coalesce(sum(col("n_code")), lit(0L)).as("value"))
       .select(lit("code_routed_docs").as("metric"), col("value"))
-    rows("size", sizeRows)
-      .unionByName(rows("composition", langs))
-      .unionByName(rows("composition", sources))
-      .unionByName(rows("cleaning", funnel))
-      .unionByName(rows("duplication", dupGroups))
-      .unionByName(rows("duplication", novelty))
-      .unionByName(rows("duplication", spanChars))
-      .unionByName(rows("distribution", drift))
-      .unionByName(rows("routing", code))
+    p21Rows("size", sizeRows)
+      .unionByName(p21Rows("composition", langs))
+      .unionByName(p21Rows("composition", sources))
+      .unionByName(p21Rows("duplication", dupGroups))
+      .unionByName(p21Rows("duplication", novelty))
+      .unionByName(p21Rows("duplication", spanChars))
+      .unionByName(p21Rows("distribution", drift))
+      .unionByName(p21Rows("routing", code))
+  }
+
+  /** The datasheet a RELEASE actually ships: p21's sections computed
+    * over the p20 staged build's FINAL corpus (post-surgery,
+    * post-repair numbers — served from the stage-4 artifact), plus a
+    * stage-attributed `build` section from the p20 audit (docs + chars
+    * at every stage, the waterfall the release's README quotes). The
+    * raw-corpus funnel section is deliberately absent — a released
+    * corpus already passed every filter; its cleaning story IS the
+    * build section. Spec pins each metric ≡ its source operator run on
+    * the released corpus. */
+  def p21ReleaseDatasheet(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = {
+    val audit = p20ReleaseBuild(spark, dir, workDir)
+    val buildRows = audit.select(lit("build").as("section"),
+        concat(lit("stage"), col("stage"), lit("_"), col("stage_name"),
+          lit("_docs")).as("metric"),
+        col("n_docs").cast("long").as("value"))
+      .unionByName(audit.select(lit("build").as("section"),
+        concat(lit("stage"), col("stage"), lit("_"), col("stage_name"),
+          lit("_chars")).as("metric"),
+        col("n_chars").cast("long").as("value")))
+    p21SectionsOf(p20ReleaseCorpus(spark, dir, workDir))
+      .unionByName(buildRows)
       .orderBy("section", "metric")
   }
 
@@ -1044,15 +1174,17 @@ object Pipelines {
               UNION ALL
               SELECT -doc_id - 1, source, text FROM documents
               WHERE doc_id % $DiffMod = $DiffRemoved),
-            p AS (SELECT doc_id, source, len(text) AS len, md5(text) AS h
+            p AS (SELECT doc_id, source, len(text) AS len, md5(text) AS h,
+                    TRUE AS present
                   FROM prev),
-            c AS (SELECT doc_id, source, len(text) AS len, md5(text) AS h
+            c AS (SELECT doc_id, source, len(text) AS len, md5(text) AS h,
+                    TRUE AS present
                   FROM documents),
             j AS (
               SELECT COALESCE(c.source, p.source) AS source,
-                CASE WHEN p.h IS NULL THEN 'added'
-                     WHEN c.h IS NULL THEN 'removed'
-                     WHEN p.h <> c.h THEN 'changed'
+                CASE WHEN p.present IS NULL THEN 'added'
+                     WHEN c.present IS NULL THEN 'removed'
+                     WHEN p.h IS DISTINCT FROM c.h THEN 'changed'
                      ELSE 'unchanged' END AS status,
                 COALESCE(p.len, 0) AS lp, COALESCE(c.len, 0) AS lc
               FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id)

@@ -1406,8 +1406,14 @@ object TextAnalysis {
     * (SHUFFLE_HASH — the Generate output defeats the planner's sizing,
     * d02's lesson), a per-doc and a ≤|sources| rollup. All-integer
     * (counts and div-ppm), fully hash-gated. */
-  def t30NoveltyScan(spark: SparkSession, dir: String): DataFrame = {
-    val ex = docsWithTokens(spark, dir)
+  def t30NoveltyScan(spark: SparkSession, dir: String): DataFrame =
+    t30NoveltyScanOf(Tables.documents(spark, dir))
+
+  /** The novelty scan over any (doc_id, source, text) relation — split
+    * out so the p21 release datasheet can score the RELEASED corpus,
+    * not just the at-rest table. */
+  private[graft] def t30NoveltyScanOf(docs: DataFrame): DataFrame = {
+    val ex = docs.withColumn("toks", TF.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("source"),
         explode(graft.functions.NativeFunctions.shingleHashes(col("toks"))).as("h"))
@@ -1453,8 +1459,12 @@ object TextAnalysis {
     * total joins, and a ≤|sources| rollup — linear, skew-free (a hot
     * token is ONE aggregate row per source). Long math holds to ~10¹²
     * tokens × 10⁶ ppm; past that, widen to decimal. */
-  def t31SourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def t31SourceDrift(spark: SparkSession, dir: String): DataFrame =
+    t31SourceDriftOf(Tables.documents(spark, dir))
+
+  /** Same-corpus drift over any `source`+`text` relation (the p21
+    * release-datasheet entry point): blend and scores from one input. */
+  private[graft] def t31SourceDriftOf(docs: DataFrame): DataFrame = {
     val blend = t31Blend(t31TokenCounts(docs))
     t31Drift(docs, blend, blend.agg(sum(col("nc")).as("corp_total")))
   }

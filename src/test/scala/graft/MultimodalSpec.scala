@@ -36,6 +36,51 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("decodeHeader parses real PNG/JPEG/WAV headers; the corpus carries no container magic") {
+    import org.apache.spark.sql.functions.col
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(v: Int) = b(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    def be16(v: Int) = b(v >>> 8, v & 0xff)
+    def le32(v: Int) = b(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, v >>> 24)
+    def le16(v: Int) = b(v & 0xff, (v >>> 8) & 0xff)
+    // minimal valid PNG: signature + IHDR (640x480, 8-bit RGB) + CRC pad
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+      b(8, 2, 0, 0, 0) ++ be32(0)
+    // minimal JPEG: SOI, APP0 (skipped by the walk), SOF0 (480x640), EOI
+    val app0 = b(0xff, 0xe0) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++ b(0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ b(0, 0)
+    val sof0 = b(0xff, 0xc0) ++ be16(17) ++ b(8) ++ be16(480) ++ be16(640) ++
+      b(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val jpeg = b(0xff, 0xd8) ++ app0 ++ sof0 ++ b(0xff, 0xd9)
+    // minimal WAV: RIFF/WAVE, fmt (stereo 44.1 kHz, block align 4), 400-byte data
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(400) ++ Array.fill(400)(0.toByte)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + fmt.length + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    // truncated magic (PNG signature, no IHDR) must fall back, not crash
+    val truncated = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val sess = spark
+    import sess.implicits._
+    val rows = Multimodal.decodePipelineOf(spark,
+        Seq((1L, png), (2L, jpeg), (3L, wav), (4L, truncated))
+          .toDF("doc_id", "payload"))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(rows(1L) == Multimodal.MediaMeta(1L, png.length.toLong, 640, 480, 1, "png"))
+    assert(rows(2L) == Multimodal.MediaMeta(2L, jpeg.length.toLong, 640, 480, 1, "jpeg"))
+    assert(rows(3L) == Multimodal.MediaMeta(3L, wav.length.toLong, 44100, 2, 100, "wav"))
+    assert(rows(4L) == Multimodal.fakeDecode(4L, truncated),
+      "truncated magic must take the documented fallback")
+    // the gate's precondition: no ASCII document starts with container
+    // magic, so m02's oracle (the fallback arithmetic) stays exact
+    val magic = Tables.documents(spark, sf).filter(
+      col("text").startsWith("PNG") ||
+        col("text").startsWith("RIFF") ||
+        org.apache.spark.sql.functions.ascii(col("text")) === 255).count()
+    assert(magic == 0L, "corpus unexpectedly carries container magic")
+  }
+
   test("m04 phash: planted variants detected, hashes match recompute, banding is complete") {
     val pairs = Multimodal.m04PhashNeardup(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) -> r.getAs[Long]("hamming"))

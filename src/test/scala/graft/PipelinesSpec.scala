@@ -202,6 +202,115 @@ class PipelinesSpec extends GraftSuite {
     assert(sheet(("routing", "code_routed_docs")) == 0L)
   }
 
+  test("p20 staged build: checkpointed == one-shot; a killed build resumes byte-identically without the source") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // the source corpus as a DELETABLE copy — resume must never touch it
+    val srcDir = java.nio.file.Files.createTempDirectory("p20src").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.parquet(s"$srcDir/documents.parquet")
+    val work = java.nio.file.Files.createTempDirectory("p20work").toString
+    val audit1 = rows(Pipelines.p20ReleaseBuild(spark, srcDir, work))
+    val corpus1 = rows(Pipelines.p20ReleaseCorpus(spark, srcDir, work))
+    // the staged build equals the one-shot chain on the same content
+    assert(audit1 == rows(Pipelines.p20ReleaseBuild(spark, sf)),
+      "staged audit diverged from the one-shot chain")
+    assert(corpus1 == rows(Pipelines.p20ReleaseCorpus(spark, sf)),
+      "staged corpus diverged from the one-shot chain")
+    // kill between stages: stages 3-4 lost, an uncommitted stage-3 dir
+    // (no _SUCCESS) left behind, and the SOURCE corpus deleted — the
+    // resume must rebuild 3-4 from the stage-2 artifact alone
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/stage3-span_surgery"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/stage4-leakage_repair"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stage3-span_surgery"))
+    fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+    assert(rows(Pipelines.p20ReleaseBuild(spark, srcDir, work)) == audit1,
+      "resumed audit diverged")
+    assert(rows(Pipelines.p20ReleaseCorpus(spark, srcDir, work)) == corpus1,
+      "resumed corpus diverged")
+  }
+
+  test("p21 release datasheet: metrics equal their source operators on the released corpus; build rows mirror the audit") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("p21rel").toString
+    val sheet = Pipelines.p21ReleaseDatasheet(spark, sf, work).collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("metric")) ->
+        r.getAs[Long]("value")).toMap
+    val released = Pipelines.p20ReleaseCorpus(spark, sf, work)
+    assert(sheet(("size", "docs")) == released.count())
+    assert(sheet(("size", "chars")) ==
+      released.agg(sum(length(col("text")))).first().getLong(0))
+    val langRows = sheet.filter(_._1._2.startsWith("docs_lang_"))
+    assert(langRows.values.sum == sheet(("size", "docs")),
+      "per-lang composition must cover every released doc exactly once")
+    assert(sheet(("duplication", "exact_dup_groups")) ==
+      released.select(graft.operators.Dedup.d01DupKey).distinct().count())
+    val nov = graft.operators.TextAnalysis.t30NoveltyScanOf(released)
+      .agg(sum(col("sh_unique")).as("u"), sum(col("sh_total")).as("t")).first()
+    assert(sheet(("duplication", "novelty_ppm")) ==
+      nov.getLong(0) * 1000000L / nov.getLong(1))
+    assert(sheet(("duplication", "duplicated_span_chars")) ==
+      graft.operators.Dedup.d20SpanSurgeryOf(released)
+        .agg(coalesce(sum(col("chars_removed")), lit(0L))).first().getLong(0))
+    assert(sheet(("distribution", "max_source_drift_l1_ppm")) ==
+      graft.operators.TextAnalysis.t31SourceDriftOf(released)
+        .agg(max(col("l1_ppm"))).first().getLong(0))
+    assert(sheet(("routing", "code_routed_docs")) ==
+      graft.operators.TextAnalysis.t32CodeDetectOf(released)
+        .agg(coalesce(sum(col("n_code")), lit(0L))).first().getLong(0))
+    // build section mirrors the staged audit, stage-attributed
+    val audit = Pipelines.p20ReleaseBuild(spark, sf, work).collect()
+    audit.foreach { r =>
+      val (i, nm) = (r.getAs[Int]("stage"), r.getAs[String]("stage_name"))
+      assert(sheet(("build", s"stage${i}_${nm}_docs")) == r.getAs[Long]("n_docs"))
+      assert(sheet(("build", s"stage${i}_${nm}_chars")) == r.getAs[Long]("n_chars"))
+    }
+    // no raw-funnel section on a released corpus (the build section is
+    // its cleaning story)
+    assert(!sheet.keySet.exists(_._1 == "cleaning"))
+  }
+
+  test("p18 diff: NULL-text docs report by presence, not hash nullability") {
+    val sess = spark
+    import sess.implicits._
+    val prev = Seq(
+      (1L, "s", Option("same")), (2L, "s", Option.empty[String]),
+      (3L, "s", Option.empty[String]), (4L, "s", Option("gone")),
+      (6L, "s", Option("was text"))).toDF("doc_id", "source", "text")
+    val curr = Seq(
+      (1L, "s", Option("same")), (2L, "s", Option.empty[String]),
+      (3L, "s", Option("now text")), (5L, "s", Option("new")),
+      (6L, "s", Option.empty[String])).toDF("doc_id", "source", "text")
+    val got = Pipelines.p18ReleaseDiff(prev, curr).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
+    // 1 unchanged, 2 unchanged (NULL→NULL), 3 changed (NULL→text),
+    // 6 changed (text→NULL), 4 removed, 5 added
+    assert(got == Map("unchanged" -> 2L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L), s"diff misclassified NULL text: $got")
+  }
+
+  test("p21 sections: NULL lang/source bucket under the sentinel instead of vanishing") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, Option("en"), Option("web"), "alpha beta gamma delta"),
+      (2L, Option.empty[String], Option.empty[String], "epsilon zeta eta theta"),
+      (3L, Option("en"), Option("web"), "iota kappa lambda mu"))
+      .toDF("doc_id", "lang", "source", "text")
+    val sheet = Pipelines.p21SectionsOf(docs).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    val langRows = sheet.filter(_._1.startsWith("docs_lang_"))
+    assert(langRows.values.sum == 3L,
+      s"NULL-lang docs must still count in composition: $langRows")
+    assert(sheet.contains("docs_lang_ <null>"),
+      s"NULL lang must bucket under the sentinel: ${langRows.keySet}")
+    assert(sheet("sources") == 2L,
+      "NULL source must count as its own sentinel bucket")
+  }
+
   test("cleanCorpus fuses map stages into one scan (single pre-window shuffle)") {
     val plan = Pipelines.cleanCorpus(spark, sf).queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllIn(plan).size
