@@ -7,12 +7,62 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session extensions registering graft's native expressions as SQL
   * functions, so `spark.sql("... graft_cosine(a, b) ...")` works anywhere
-  * the DataFrame API does. Activate with
+  * the DataFrame API does — plus TABLE functions for the top production
+  * operators, so a pure-SQL user can drive the engine end-to-end
+  * (`SELECT * FROM graft_clean_corpus('/data/corpus')`). Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.StringType
+
+  /** A table function over string-literal arguments: the builder runs at
+    * resolution time on the driver, constructs the operator's DataFrame
+    * against the ACTIVE session, and splices its analyzed plan into the
+    * outer query — so the SQL surface gets exactly the Scala surface's
+    * plan (pushdown, hints, native expressions included), never a
+    * re-implementation. */
+  private def tvf(name: String, usage: String, arity: Int)(
+      build: (SparkSession, Seq[String]) => org.apache.spark.sql.DataFrame)
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        if (args.length != arity)
+          throw new IllegalArgumentException(
+            s"$name takes $arity string argument(s) — $usage — got ${args.length}")
+        val strs = args.map {
+          case Literal(v, StringType) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"$name arguments must be string literals ($usage), got $other")
+        }
+        build(SparkSession.active, strs).queryExecution.analyzed
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
+    // ───── SQL table functions: the operator library for pure-SQL users ─────
+    Seq(
+      tvf("graft_clean_corpus", "graft_clean_corpus(corpusDir)", 1)(
+        (s, a) => operators.Pipelines.cleanCorpus(s, a(0))),
+      tvf("graft_filtered_knn", "graft_filtered_knn(corpusDir)", 1)(
+        (s, a) => operators.Similarity.s18FilteredKnn(s, a(0))),
+      tvf("graft_score_sample", "graft_score_sample(corpusDir)", 1)(
+        (s, a) => operators.Sampling.p13ScoreSample(s, a(0))),
+      tvf("graft_knn_graph", "graft_knn_graph(corpusDir)", 1)(
+        (s, a) => operators.Similarity.s19KnnGraph(s, a(0))),
+      tvf("graft_corpus_datasheet", "graft_corpus_datasheet(corpusDir)", 1)(
+        (s, a) => operators.Pipelines.p21CorpusDatasheet(s, a(0))),
+      tvf("graft_d18_probe",
+        "graft_d18_probe(indexPath, arrivalsPath) — arrivals parquet needs (doc_id, text)", 2)(
+        (s, a) => operators.Dedup.d18FromIndex(s, a(0),
+          s.read.parquet(a(1)).select(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))))
+    ).foreach(ext.injectTableFunction)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),

@@ -80,7 +80,14 @@ object ScaleProbe {
       // join moves ~40 B/doc, code routing is one regexp strip pass,
       // d21 rides d07's components + one score join
       "p17_filter_funnel", "t31_source_drift", "p18_release_diff",
-      "t32_code_detect", "d21_quality_canonical", "p19_zorder_layout")
+      "t32_code_detect", "d21_quality_canonical", "p19_zorder_layout",
+      // r11 additions — the GRAPH family's linear path: the IVF
+      // candidate build and one NN-Descent round must stay
+      // sub-quadratic (the gated s19/s24/s25/s26 exact-graph entries
+      // are the DECLARED quadratic yardsticks and are deliberately not
+      // probed; their production consumers are probed below over the
+      // IVF graph instead — the DEPLOY.md swap)
+      "s19b_knn_graph_ivf", "s21_graph_refine")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -131,17 +138,36 @@ object ScaleProbe {
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+      // the s25/s26 production consumers FED THE LINEAR IVF GRAPH
+      // (s25Of/s26Of — the graph is a parameter exactly so this path
+      // exists; flat-over-scale here is the s26 weak-grade closure)
+      def graphExtras: Seq[(String, () => Long)] = {
+        import graft.operators.Similarity
+        def labels = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("label"))
+        Seq(
+          "s25_of_ivf_graph" -> (() => Similarity.s25Of(labels,
+            Similarity.s19bKnnGraphIvf(spark, dir)
+              .select(col("query_id"), col("neighbor_id")),
+            Similarity.S25Rounds).count()),
+          "s26_of_ivf_graph" -> (() => Similarity.s26Of(
+            Similarity.s19bKnnGraphIvf(spark, dir), labels).count()))
+      }
       // one untimed warmup pass before the first measured scale so JIT/
       // codegen/first-touch cost doesn't land in (only) the 1× cells —
       // without this the 8×/1× ratios understate growth
       if (!warmed) {
         queries.foreach(q => SparkEntry.queries(q)(spark, dir).count())
+        graphExtras.foreach(_._2())
         warmed = true
       }
-      val times = queries.map { q =>
+      val cells: Seq[(String, () => Long)] =
+        queries.map(q => q -> (() => SparkEntry.queries(q)(spark, dir).count())) ++
+          graphExtras
+      val times = cells.map { case (q, f) =>
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(q)(spark, dir).count()
+          f()
           (System.nanoTime() - t0) / 1e9
         }
         q -> runs.min

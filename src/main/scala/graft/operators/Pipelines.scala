@@ -405,17 +405,20 @@ object Pipelines {
     val docs = Tables.documents(spark, dir)
       .withColumn("zsrc", coalesce(col("source"), lit(ZNullSentinel)))
       .withColumn("zlng", coalesce(col("lang"), lit(ZNullSentinel)))
-    // the isNotNull partition keys are constant TRUE after the coalesce
-    // — they are the q36/t22 non-foldable single-partition markers (a
-    // bare orderBy window would re-trigger the unpartitioned-window
-    // warning), not NULL separation; the windows run over ≤|dict| rows
+    // single-partition markers for the ≤|dict|-row rank windows, q36/
+    // t22's rule — and they must be GENUINELY non-foldable: the earlier
+    // `isNotNull` keys constant-folded to TRUE once the coalesce made
+    // the column non-nullable, EliminateWindowPartitions then stripped
+    // them, and the unpartitioned-window warning came back (the r10
+    // bench-tail regression). `length(c) % 1` survives every
+    // simplification rule because its child is a live column
     val srcRank = docs.select(col("zsrc")).distinct()
       .withColumn("src_rank",
-        (row_number().over(Window.partitionBy(col("zsrc").isNotNull)
+        (row_number().over(Window.partitionBy(length(col("zsrc")) % 1)
           .orderBy(col("zsrc"))) - 1).cast("long"))
     val langRank = docs.select(col("zlng")).distinct()
       .withColumn("lang_rank",
-        (row_number().over(Window.partitionBy(col("zlng").isNotNull)
+        (row_number().over(Window.partitionBy(length(col("zlng")) % 1)
           .orderBy(col("zlng"))) - 1).cast("long"))
     docs.join(broadcast(srcRank), Seq("zsrc"))
       .join(broadcast(langRank), Seq("zlng"))

@@ -823,9 +823,19 @@ object Relational {
     * HLL, so there is no cross-engine hash); the spec pins every
     * estimate within the configured rsd's ±3σ of q37's exact counts,
     * the exact row/null columns (integer, sketch-free) equal to q37's,
-    * and the no-Expand plan shape. */
+    * and the no-Expand plan shape.
+    *
+    * `rsd` sizes the sketch, and the sketch sizes the PLAN: Spark's
+    * HLL++ is a declarative aggregate whose buffer is 2^p·6/64 long
+    * attributes with p = ⌈2·log₂(1.106/rsd)⌉ — at rsd 0.02 that is
+    * p = 12 → 384 buffer attributes PER PROFILED COLUMN, and the 6-col
+    * profile's serialized stage crossed the 1 MiB large-task-binary
+    * warning (measured 1138 KiB, the r10 bench-tail nit). The default
+    * is Spark's own 0.05 (p = 9 → 48 words/col, ~⅛ the plan mass,
+    * warning gone); a tighter profile stays one `rsd` argument away and
+    * pays its own plan weight knowingly. */
   def q37bProfileApprox(spark: SparkSession, dir: String): DataFrame =
-    q37bProfileApprox(spark, dir, rsd = 0.02)
+    q37bProfileApprox(spark, dir, rsd = 0.05)
 
   def q37bProfileApprox(spark: SparkSession, dir: String, rsd: Double): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

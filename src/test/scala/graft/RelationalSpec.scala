@@ -317,6 +317,16 @@ class RelationalSpec extends GraftSuite {
     val exactPlan = Relational.q37TableProfile(spark, sf)
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"), "q37's documented Expand vanished — update the docs")
+    // the DEFAULT entry (Spark's own rsd = 0.05 — the plan-mass story on
+    // the scaladoc) holds its looser bound too
+    val defRsd = 0.05
+    Relational.q37bProfileApprox(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).foreach { case (c, r) =>
+        val ex = exact(c).getAs[Long]("n_distinct").toDouble
+        val est = r.getAs[Long]("n_distinct_est").toDouble
+        assert(math.abs(est - ex) <= math.max(1.0, 3 * defRsd * ex),
+          s"$c: default-rsd estimate $est outside 3σ of exact $ex")
+      }
   }
 
   test("q38: sequential and order-swapped state merges equal the one-shot rollup") {

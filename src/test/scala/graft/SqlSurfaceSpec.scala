@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Dedup, Pipelines, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL drive of the operator library (GraftExtensions table
+  * functions): every invocation below goes through `spark.sql` ONLY —
+  * the Scala calls exist solely as the equality oracle. */
+class SqlSurfaceSpec extends GraftSuite {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("graft_clean_corpus: the cleaning pipeline drives from SQL alone") {
+    val sql = rows(spark.sql(s"SELECT * FROM graft_clean_corpus('$sf')"))
+    assert(sql == rows(Pipelines.cleanCorpus(spark, sf)))
+    assert(sql.nonEmpty)
+  }
+
+  test("graft_filtered_knn / graft_knn_graph: similarity search drives from SQL alone") {
+    assert(rows(spark.sql(s"SELECT * FROM graft_filtered_knn('$sf')")) ==
+      rows(Similarity.s18FilteredKnn(spark, sf)))
+    assert(rows(spark.sql(s"SELECT * FROM graft_knn_graph('$sf')")) ==
+      rows(Similarity.s19KnnGraph(spark, sf)))
+  }
+
+  test("graft_score_sample / graft_corpus_datasheet: curation reports drive from SQL alone") {
+    assert(rows(spark.sql(s"SELECT * FROM graft_score_sample('$sf')")) ==
+      rows(Sampling.p13ScoreSample(spark, sf)))
+    assert(rows(spark.sql(s"SELECT * FROM graft_corpus_datasheet('$sf')")) ==
+      rows(Pipelines.p21CorpusDatasheet(spark, sf)))
+  }
+
+  test("graft_d18_probe: the nightly dedup probe drives from SQL alone") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val arrivals = docs.filter(col("doc_id") % 3 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("sqld18").toString
+    Dedup.d18BuildIndex(base, s"$root/index")
+    arrivals.write.parquet(s"$root/arrivals")
+    val sql = rows(spark.sql(
+      s"SELECT * FROM graft_d18_probe('$root/index', '$root/arrivals')"))
+    assert(sql == rows(Dedup.d18FromIndex(spark, s"$root/index", arrivals)))
+    assert(sql.nonEmpty, "fixture must surface cross-side pairs")
+  }
+
+  test("table functions COMPOSE with plain SQL: joins, filters, aggregates") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    // the cleaned corpus joined back against the raw table, all in SQL
+    val got = spark.sql(
+      s"""SELECT c.split, COUNT(*) AS n, SUM(length(d.text)) AS raw_chars
+         |FROM graft_clean_corpus('$sf') c JOIN docs_v d USING (doc_id)
+         |GROUP BY c.split ORDER BY c.split""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Pipelines.cleanCorpus(spark, sf)
+      .groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"composed SQL diverged: $got vs $want")
+    // argument validation fails loudly, not silently
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_clean_corpus(42)").collect()
+    }
+    assert(ex.getMessage.contains("string literal"))
+  }
+}
