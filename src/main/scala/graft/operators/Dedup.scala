@@ -1071,9 +1071,16 @@ object Dedup {
     * sub-TB scale the re-scan DOMINATES wall time (measured 3.3× the
     * oracle at sf0.1 without the persist, within-bar with it), so the
     * corpus-dir entry auto-persists when the at-rest documents table is
-    * under [[D19PersistOccMaxBytes]] — MEMORY_AND_DISK, freed by the
-    * ContextCleaner when the plan is collected. Results are identical
-    * either way (spec-pinned equality).
+    * under [[D19PersistOccMaxBytes]]. Persist hygiene: Dataset.persist
+    * registers in the session CacheManager, which holds the entry
+    * STRONGLY until an explicit unpersist (the ContextCleaner never
+    * collects CacheManager entries) — so a ONE-SLOT registry
+    * ([[d19OccSlot]]) unpersists the previous corpus's index when a
+    * different corpus arrives: the pin is bounded to one occ index per
+    * session (columnar cache, measured faster here than an RDD-level
+    * localCheckpoint), repeated same-corpus calls share the one entry,
+    * and same-corpus plan substitution is the intended reuse. Results
+    * are identical either way (spec-pinned equality).
     *
     * 60-bit MD5 collisions can mark a position falsely; both engines
     * hash identically so the gate is exact (the d11/d17 rule). */
@@ -1095,6 +1102,11 @@ object Dedup {
     * modest cluster's storage memory; past that the restream is the
     * documented default. */
   val D19PersistOccMaxBytes: Long = 8L << 30
+
+  /** The one persisted occ index the session holds (persist hygiene —
+    * see the d19DupSpans doc). */
+  private val d19OccSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** The span-extraction core over any (doc_id, text) relation — split
     * out so the p20 release build can run the surgery on its own
@@ -1120,8 +1132,18 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.NativeFunctions.windowHashes(col("text"), spanLen)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("fp"))
-    val occ = if (!persistOcc) occRaw
-      else occRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = if (!persistOcc) occRaw else {
+      val cached = occRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = d19OccSlot.getAndSet(cached)
+      // a DIFFERENT corpus's index frees its slot; an equal-plan call
+      // shares the same CacheManager entry (unpersisting it would drop
+      // the entry both references point at)
+      if (prev != null &&
+          !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+        prev.unpersist(false)
+      cached
+    }
     val stats = if (packedCanon) {
       occ.groupBy(col("fp")).agg(
         count(lit(1)).as("df"),

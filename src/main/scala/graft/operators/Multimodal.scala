@@ -94,24 +94,34 @@ object Multimodal {
         if (m == 0xc0 || m == 0xc1 || m == 0xc2)
           out = MediaMeta(docId, p.length.toLong,
             width = be16(i + 7), height = be16(i + 5), n_frames = 1, "jpeg")
+        // T.81 §B.1.1.2: any number of 0xFF FILL bytes may precede a
+        // marker — consume ONE byte, or the fill would be read as a
+        // marker whose next two bytes are a bogus segment length and
+        // the walk desyncs past the real SOF
+        else if (m == 0xff) i += 1
         else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2
         else i += 2 + be16(i + 2)
       }
       if (out != null) out else fakeDecode(docId, p)
     } else if (tag(0, "RIFF") && tag(8, "WAVE")) {
-      var i = 12
+      // Long cursor: a chunk length is an UNSIGNED u32 (RIFF allows up
+      // to 4 GiB) — truncating it to Int can make the stride zero or
+      // negative, spinning this loop forever (or indexing negative) on
+      // a corrupt/adversarial payload
+      var i = 12L
       var channels = 0
       var rate = 0L
       var blockAlign = 0
       var dataLen = -1L
       while (i + 8 <= p.length) {
-        val len = le32(i + 4)
-        if (tag(i, "fmt ") && i + 24 <= p.length) {
-          channels = le16(i + 10)
-          rate = le32(i + 12)
-          blockAlign = le16(i + 20)
-        } else if (tag(i, "data")) dataLen = len
-        i += 8 + len.toInt + (len.toInt & 1) // chunks pad to even
+        val ii = i.toInt // safe: i + 8 <= p.length <= Int.MaxValue
+        val len = le32(ii + 4)
+        if (tag(ii, "fmt ") && i + 24 <= p.length) {
+          channels = le16(ii + 10)
+          rate = le32(ii + 12)
+          blockAlign = le16(ii + 20)
+        } else if (tag(ii, "data")) dataLen = len
+        i += 8L + len + (len & 1L) // chunks pad to even
       }
       if (channels > 0 && blockAlign > 0 && dataLen >= 0)
         MediaMeta(docId, p.length.toLong, width = rate.toInt,

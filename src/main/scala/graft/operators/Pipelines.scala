@@ -566,6 +566,13 @@ object Pipelines {
     val rootP = new org.apache.hadoop.fs.Path(workDir)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(rootP)
+    // sweep orphaned `.tmp-*` dirs from builds that died mid-write —
+    // each crashed attempt would otherwise leak a partial stage corpus
+    // forever (publishIndex's leftover-sibling rule); safe under the
+    // single-builder contract, and never touches committed stages
+    fs.listStatus(rootP).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach(fs.delete(_, true))
     def artifact(name: String)(make: => DataFrame): DataFrame = {
       val dst = new org.apache.hadoop.fs.Path(rootP, name)
       val committed = fs.exists(dst) &&
@@ -616,7 +623,11 @@ object Pipelines {
     val funnel = p17FilterFunnel(spark, dir)
       .select(concat(lit("funnel_kept_"), col("stage_name")).as("metric"),
         col("n_kept").as("value"))
-    p21SectionsOf(Tables.documents(spark, dir))
+    // the at-rest entry feeds the DIR form of the surgery report so the
+    // span metric rides d19's footer-driven auto knobs (persistOcc /
+    // packedCanon) — the generic Of-form can't see the footers
+    p21SectionsOf(Tables.documents(spark, dir),
+        surgery = Some(Dedup.d20SpanSurgery(spark, dir)))
       .unionByName(p21Rows("cleaning", funnel))
       .orderBy("section", "metric")
   }
@@ -630,8 +641,11 @@ object Pipelines {
     * their own sections and sort once). NULL lang/source bucket under
     * [[ZNullSentinel]] (p19's discipline — a metric name must never go
     * NULL and NULL sources must count, or the sheet under-reports
-    * composition on exactly the corpora p19 defends against). */
-  private[graft] def p21SectionsOf(docs: DataFrame): DataFrame = {
+    * composition on exactly the corpora p19 defends against).
+    * `surgery` overrides the span report when the caller has a
+    * better-planned one (the dir entry's knob-aware d20SpanSurgery). */
+  private[graft] def p21SectionsOf(docs: DataFrame,
+      surgery: Option[DataFrame] = None): DataFrame = {
     val sizeRows = docs.agg(
         count(lit(1)).as("n_docs"),
         coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"),
@@ -653,7 +667,7 @@ object Pipelines {
     val novelty = TextAnalysis.t30NoveltyScanOf(docs)
       .agg((sum(col("sh_unique")) * 1000000L).as("num"), sum(col("sh_total")).as("den"))
       .select(lit("novelty_ppm").as("metric"), expr("num div den").as("value"))
-    val spanChars = Dedup.d20SpanSurgeryOf(docs)
+    val spanChars = surgery.getOrElse(Dedup.d20SpanSurgeryOf(docs))
       .agg(coalesce(sum(col("chars_removed")), lit(0L)).as("value"))
       .select(lit("duplicated_span_chars").as("metric"), col("value"))
     val drift = TextAnalysis.t31SourceDriftOf(docs)

@@ -1494,14 +1494,23 @@ object Similarity {
     * codes first: ORDER-PRESERVING (rank over the sorted distinct-label
     * set, ≤|labels| rows — driver-bounded), so min-code ties ≡
     * min-label ties and the decoded report is exactly what a native
-    * string propagation would produce (spec-pinned). */
-  private[graft] def s25Of(e: DataFrame, g: DataFrame, rounds: Int): DataFrame =
+    * string propagation would produce (spec-pinned).
+    *
+    * NULL-label rows are excluded UP FRONT on both paths: a NULL true
+    * label can neither seed nor be audited, and leaving them only in
+    * the numeric path would make the two paths diverge (the string
+    * dictionary's equi-join drops NULL keys silently). */
+  private[graft] def s25Of(e0: DataFrame, g: DataFrame, rounds: Int): DataFrame = {
+    val e = e0.filter(col("label").isNotNull)
     e.schema("label").dataType match {
       case _: org.apache.spark.sql.types.NumericType => s25OfNumeric(e, g, rounds)
       case _ =>
         val codes = e.select(col("label")).distinct()
           .withColumn("lcode",
-            row_number().over(Window.orderBy(col("label"))).cast("long"))
+            // ≤|labels|-row rank; the marker keeps the window
+            // partitioned (non-foldable, q36/t22/p19's rule)
+            row_number().over(Window.partitionBy(length(col("label")) % 1)
+              .orderBy(col("label"))).cast("long"))
         val coded = e.join(broadcast(codes), Seq("label"))
           .select(col("vec_id"), col("lcode").as("label"))
         s25OfNumeric(coded, g, rounds)
@@ -1511,6 +1520,7 @@ object Similarity {
             col("n_correct"), col("acc_ppm"))
           .orderBy("label")
     }
+  }
 
   private def s25OfNumeric(e: DataFrame, g: DataFrame, rounds: Int): DataFrame = {
     var labels = e.filter(col("vec_id") % S25SeedMod === 0)

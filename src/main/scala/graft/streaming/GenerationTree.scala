@@ -81,6 +81,21 @@ object GenerationTree {
       .sortBy(p => genId(p.getName).getOrElse(-1L))
   }
 
+  /** Crash recovery for the compaction swap, callable from the PROBE
+    * path: a compact() that died between its two renames leaves `bak`
+    * standing and `base` missing — every probe would then see NO base
+    * (horizon −1, folded history invisible) and the restarted query's
+    * replay would wedge on a content-compare mismatch, while the fix
+    * lived only in compact(), unreachable past the throw. Both twins
+    * call this first in processBatch. Safe under the quiet-window
+    * contract (one query, sequential batches — no concurrent swap). */
+  def recover(fs: FileSystem, root: Path): Unit = {
+    val base = new Path(root, "base")
+    val bak = new Path(root, "base_compact_bak")
+    if (fs.exists(bak) && !fs.exists(base))
+      require(fs.rename(bak, base), s"failed to restore $bak -> $base")
+  }
+
   /** The collision guard's compacted half: an id at or below the
     * horizon cannot be a genuine replay, so it is a restarted query
     * with a fresh checkpoint (ids back at 0) pointed at a compacted
@@ -122,8 +137,7 @@ object GenerationTree {
     val tmp = new Path(rootP, "base_compact_tmp")
     val bak = new Path(rootP, "base_compact_bak")
     // recover a run that died between the two renames; clear stale debris
-    if (fs.exists(bak) && !fs.exists(base))
-      require(fs.rename(bak, base), s"failed to restore $bak -> $base")
+    recover(fs, rootP)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(bak)) fs.delete(bak, true)
     val h = horizon(fs, rootP)

@@ -53,7 +53,8 @@ object StreamExactDedup {
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootP)) fs.mkdirs(rootP)
     val own = new Path(rootP, s"batch-$batchId")
-    // recycled ids below the compaction horizon refuse before any IO
+    // roll back a crashed compaction swap, then refuse recycled ids
+    GenerationTree.recover(fs, rootP)
     GenerationTree.requireAboveHorizon(fs, rootP, batchId)
     val gens = GenerationTree.liveGenerations(fs, rootP, Some(own.getName))
     val atRest =

@@ -67,6 +67,10 @@ object StreamIncDedup {
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val own = new Path(root, s"batch-$batchId")
+    // roll back a compaction swap that died between its renames BEFORE
+    // reading anything — otherwise base (and all folded history) is
+    // invisible to this probe
+    GenerationTree.recover(fs, root)
     // an id at or below the compaction horizon can never be a genuine
     // replay — refuse the recycled id before touching anything
     GenerationTree.requireAboveHorizon(fs, root, batchId)

@@ -916,10 +916,18 @@ class DedupSpec extends GraftSuite {
     val range = graft.Tables.parquetLongColumnRange(spark, sf, "documents", "doc_id")
     assert(range.exists { case (lo, hi) => lo >= 0 && hi < (1L << 31) },
       s"expected footer doc_id stats to admit the packed form, got $range")
-    // the persisted occ plans registered with the CacheManager above
-    // would auto-substitute into LATER suites' fresh d19 plans
-    // (plan-fragment matching) — drop them so plan pins see cold shapes
-    spark.catalog.clearCache()
+    // persist hygiene: the one-slot registry means a SECOND corpus's
+    // persist frees the first — drive it with a disjoint relation and
+    // pin that the earlier occ fragment no longer serves from cache
+    val other = docs.limit(10)
+    Dedup.d19DupSpansOf(other, Dedup.ExactSpanChars, persistOcc = true).count()
+    // the full-corpus occ plan must now plan WITHOUT InMemoryTableScan
+    // (its entry was unpersisted when the slot turned over)
+    val replanned = Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars)
+      .queryExecution.executedPlan.toString
+    assert(!replanned.contains("InMemoryTableScan"),
+      "slot turnover must unpersist the previous corpus's occ index")
+    spark.catalog.clearCache() // drop the slot's own entry for later suites
   }
 
   test("d20 surgery: planted fixture cleaned exactly, canonical kept, detector converges") {

@@ -61,10 +61,20 @@ class MultimodalSpec extends GraftSuite {
       "WAVE".getBytes("US-ASCII") ++ fmt ++ data
     // truncated magic (PNG signature, no IHDR) must fall back, not crash
     val truncated = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    // T.81 fill bytes: any number of 0xFF may precede a marker — a
+    // fill before SOF0 must not desync the walk into fakeDecode
+    val jpegFill = b(0xff, 0xd8, 0xff) ++ sof0 ++ b(0xff, 0xd9)
+    // adversarial RIFF: a chunk length of 0xFFFFFFF8 once made the walk
+    // stride 8+(-8)=0 via Int truncation — an infinite executor loop;
+    // must terminate and fall back (no fmt/data parsed)
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      b(0xf8, 0xff, 0xff, 0xff) ++ Array.fill(64)(0.toByte)
     val sess = spark
     import sess.implicits._
     val rows = Multimodal.decodePipelineOf(spark,
-        Seq((1L, png), (2L, jpeg), (3L, wav), (4L, truncated))
+        Seq((1L, png), (2L, jpeg), (3L, wav), (4L, truncated),
+          (5L, jpegFill), (6L, evilWav))
           .toDF("doc_id", "payload"))
       .collect().map(m => m.doc_id -> m).toMap
     assert(rows(1L) == Multimodal.MediaMeta(1L, png.length.toLong, 640, 480, 1, "png"))
@@ -72,6 +82,10 @@ class MultimodalSpec extends GraftSuite {
     assert(rows(3L) == Multimodal.MediaMeta(3L, wav.length.toLong, 44100, 2, 100, "wav"))
     assert(rows(4L) == Multimodal.fakeDecode(4L, truncated),
       "truncated magic must take the documented fallback")
+    assert(rows(5L) == Multimodal.MediaMeta(5L, jpegFill.length.toLong, 640, 480, 1, "jpeg"),
+      "a fill byte before SOF must not desync the marker walk")
+    assert(rows(6L) == Multimodal.fakeDecode(6L, evilWav),
+      "an overflowing chunk length must terminate and fall back")
     // the gate's precondition: no ASCII document starts with container
     // magic, so m02's oracle (the fallback arithmetic) stays exact
     val magic = Tables.documents(spark, sf).filter(

@@ -226,11 +226,18 @@ class PipelinesSpec extends GraftSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$work/stage3-span_surgery"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$work/stage4-leakage_repair"), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/stage3-span_surgery"))
+    // plus an orphaned tmp from a write that died mid-flight — the
+    // resume must sweep it (it would otherwise leak a partial stage
+    // corpus forever)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/.tmp-stage3-span_surgery-123"))
     fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
     assert(rows(Pipelines.p20ReleaseBuild(spark, srcDir, work)) == audit1,
       "resumed audit diverged")
     assert(rows(Pipelines.p20ReleaseCorpus(spark, srcDir, work)) == corpus1,
       "resumed corpus diverged")
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(work))
+      .map(_.getPath.getName).filter(_.startsWith(".tmp-"))
+    assert(leftovers.isEmpty, s"orphaned tmp dirs must sweep: ${leftovers.toSeq}")
   }
 
   test("p21 release datasheet: metrics equal their source operators on the released corpus; build rows mirror the audit") {

@@ -308,11 +308,12 @@ class PlanAuditSpec extends GraftSuite {
       s"no pair join anywhere in the span extractor:\n$s")
     assert(s.contains("graft_window_hashes"),
       s"positions must come from the native rolling-hash expression:\n$s")
-    assert(!s.contains("InMemoryTableScan"),
-      s"the scale path must never cache the occurrence index:\n$s")
+    assert(!s.contains("InMemoryTableScan") && !s.contains("ExistingRDD"),
+      s"the scale path must never materialize the occurrence index:\n$s")
     // the corpus-dir entry at test SF sits under the auto-persist bound:
     // BOTH consumers read the cached occurrence index, the rolling-hash
-    // pass runs once
+    // pass runs once; the one-slot registry bounds the CacheManager pin
+    // to a single corpus (see d19DupSpans' persist-hygiene doc)
     val sp = planStr(Dedup.d19DupSpans(spark, sf))
     assert(sp.contains("InMemoryTableScan"),
       s"sub-bound corpora must serve the occ index from cache:\n$sp")

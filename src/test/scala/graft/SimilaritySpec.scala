@@ -1257,6 +1257,24 @@ class SimilaritySpec extends GraftSuite {
     assert(strRows == numRows,
       s"string-label propagation diverged from numeric:\ngot  $strRows\nwant $numRows")
     assert(strRows.values.map(_._2).sum == 24L && strRows.values.forall(_._4 == 1000000L))
+    // NULL labels are excluded identically on BOTH paths (the string
+    // dictionary's equi-join would otherwise drop them silently while
+    // the numeric path kept them): poison one seed-residue vector
+    val eStrNull = vecs.map { case (i, _, c) =>
+      (i, if (i == 0L) null else s"tier_$c")
+    }.toDF("vec_id", "label")
+    val eNumNull = vecs.map { case (i, _, c) =>
+      (i, if (i == 0L) None else Some(c))
+    }.toDF("vec_id", "label")
+    val sN = Similarity.s25Of(eStrNull, g, Similarity.S25Rounds).collect()
+      .map(r => r.getAs[String]("label") -> (r.getAs[Long]("n_seed"),
+        r.getAs[Long]("n_propagated"))).toMap
+    val nN = Similarity.s25Of(eNumNull, g, Similarity.S25Rounds).collect()
+      .map(r => s"tier_${r.getAs[Int]("label")}" -> (r.getAs[Long]("n_seed"),
+        r.getAs[Long]("n_propagated"))).toMap
+    assert(sN == nN,
+      s"NULL-label exclusion must match across paths:\nstring $sN\nnumeric $nN")
+    assert(!sN.keySet.exists(_ == null), "NULL must never appear as a report label")
   }
 
   test("s23 MMR matches an independent driver recompute of the greedy selection") {

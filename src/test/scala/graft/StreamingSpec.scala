@@ -1207,6 +1207,40 @@ class StreamingSpec extends GraftSuite {
     assert(a5.nonEmpty, "fixture must surface cross-batch pairs")
   }
 
+  test("generation-tree compaction: a swap that died between renames recovers on the PROBE path") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{GenerationTree, StreamExactDedup}
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("sexactrec").toString
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    def verdicts(b: Seq[(Long, String)], id: Long) =
+      StreamExactDedup.processBatch(b.toDF("doc_id", "text"), root, id)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    val original = docs.grouped(10).zipWithIndex
+      .map { case (s, i) => verdicts(s.toSeq, i.toLong) }.toSeq
+    GenerationTree.compact(spark, root, dedupe = true)
+    // simulate the crash window: base renamed aside, tmp never landed
+    require(fs.rename(new org.apache.hadoop.fs.Path(root, "base"),
+      new org.apache.hadoop.fs.Path(root, "base_compact_bak")))
+    // a replay of the newest id must STILL be verdict-identical: the
+    // probe path itself rolls the swap back before reading (without
+    // recovery it would see no history, flip verdicts to novel, and
+    // wedge on the collision compare forever)
+    val replay = verdicts(docs.drop(10).toSeq, 1L)
+    assert(replay == original(1), "replay across the crashed swap diverged")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "base")),
+      "probe must restore base from the crashed swap's bak")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "base_compact_bak")))
+    // folded history is visible again: a re-crawl of batch 0 flags
+    val v = verdicts(docs.take(10).map { case (id, t) => (60000L + id, t) }, 2L)
+    assert(v.values.forall(_ == "dup_of_history"),
+      s"recovered base must serve the folded history: $v")
+  }
+
   test("generation-tree auto-compaction: run() keeps the tree bounded past maxGenerations") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
