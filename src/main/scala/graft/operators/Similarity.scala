@@ -1148,6 +1148,32 @@ object Similarity {
     spark.read.parquet(path + "/graph")
   }
 
+  /** The PRODUCTION graph artifact: the linear IVF candidate build
+    * plus `rounds` NN-Descent refinements, PERSISTED under the same
+    * contract as the exact [[s19GraphIndex]] (content-fingerprint key,
+    * crash-safe publish, clustered by query_id) — the build DEPLOY.md's
+    * swap rule tells a 100 TB pipeline to feed s25Of/s26Of/SemDeDup
+    * instead of the exact yardstick, now build-once-serve-many like
+    * every other index here. Deterministic end to end (the s03 fit is
+    * stride-sampled and seed-fixed; scoring and tie-breaks are exact),
+    * so index-served ≡ fresh (spec-pinned). */
+  def s19bGraphIndex(spark: SparkSession, dir: String): DataFrame =
+    s19bGraphIndex(spark, dir, nLists = 16, nProbe = S19Probes, rounds = 1)
+
+  def s19bGraphIndex(spark: SparkSession, dir: String, nLists: Int,
+      nProbe: Int, rounds: Int): DataFrame = {
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    val path = ivfIndexPath(spark, dir,
+      s"s19bgraph-l${nLists}p${nProbe}r$rounds", 3, n)
+    if (!ivfExists(spark, path))
+      publishIndex(spark, path) { tmp =>
+        val g = if (rounds == 0) s19bKnnGraphIvf(spark, dir, nLists, nProbe)
+          else s21GraphRefine(spark, dir, nLists, nProbe, rounds)
+        g.repartition(col("query_id")).write.parquet(tmp + "/graph")
+      }
+    spark.read.parquet(path + "/graph")
+  }
+
   /** s19b: the k-NN graph at SCALE — candidates from the persisted s03
     * IVF index instead of all-pairs: every vector probes its
     * [[S19Probes]] nearest lists (one codegen'd `graft_argmink_sqdist`

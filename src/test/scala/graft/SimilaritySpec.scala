@@ -1195,6 +1195,28 @@ class SimilaritySpec extends GraftSuite {
     assert(again == fresh, "s19 re-read of the published graph diverged")
   }
 
+  test("persisted production graph (s19b + refinement): index-served equals fresh; consumers read it") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq.sorted
+    val n = Tables.parquetRowCount(spark, sf, "embeddings")
+    Similarity.dropIvfIndex(spark, sf, "s19bgraph-l16p2r1", 3, n)
+    val fresh = rows(Similarity.s21GraphRefine(spark, sf))
+    val served = rows(Similarity.s19bGraphIndex(spark, sf)) // builds, then reads
+    assert(served == fresh, "served production graph diverged from a fresh refine")
+    assert(rows(Similarity.s19bGraphIndex(spark, sf)) == fresh,
+      "re-read of the published production graph diverged")
+    // the DEPLOY swap end-to-end: the outlier scan over the persisted
+    // production artifact runs and covers every vector per label
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val report = Similarity.s26Of(Similarity.s19bGraphIndex(spark, sf), labels)
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("n_vecs")).toMap
+    val want = labels.groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    assert(report == want, s"artifact-served outlier scan coverage: $report vs $want")
+  }
+
   test("s26 over the s19b IVF graph: the linear production path") {
     import org.apache.spark.sql.functions._
     val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
