@@ -21,10 +21,31 @@ object Bench {
     // Load average is sampled at start AND end so a contended run is
     // visible in the artifact itself, not just in cross-round deltas.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Load GATE (r11 verdict: the closing bench started at load 3.73 and
+    // the round's only weak grade plausibly rode on it — "the artifact
+    // of record should be captured idle or Bench should gate/retry on
+    // load"). Block until the 1-minute load average drops under the
+    // threshold, up to a bounded wait; the wait itself is recorded in
+    // the artifact so a run that gave up gating is distinguishable from
+    // one that started idle. SPARK_GRAFT_LOAD_GATE=0 disables (e.g. for
+    // intentionally-contended experiments); the default 1.0 means at
+    // most ~one runnable task on average on a 32-core box — effectively
+    // idle.
+    val gateLimit = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
+    val gateMaxWaitSec = 1800
+    var gateWaitedSec = 0
+    while (gateLimit > 0 && osBean.getSystemLoadAverage > gateLimit &&
+        gateWaitedSec < gateMaxWaitSec) {
+      System.err.println(f"BENCH GATE: load_avg ${osBean.getSystemLoadAverage}%.2f > " +
+        f"$gateLimit%.2f — waiting for the box to quiesce (${gateWaitedSec}s elapsed)")
+      Thread.sleep(15000)
+      gateWaitedSec += 15
+    }
     val loadStart = osBean.getSystemLoadAverage
     def envJson(loadEnd: Double): String = {
       val rt = Runtime.getRuntime
       s""""env":{"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},""" +
+        s""""gate_waited_sec":$gateWaitedSec,""" +
         s""""cpus":${osBean.getAvailableProcessors},"heap_max_mb":${rt.maxMemory / 1048576},""" +
         s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576}}"""
     }

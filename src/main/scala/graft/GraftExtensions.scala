@@ -18,50 +18,108 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   import org.apache.spark.sql.types.StringType
 
-  /** A table function over string-literal arguments: the builder runs at
+  /** A table function over literal arguments: the builder runs at
     * resolution time on the driver, constructs the operator's DataFrame
     * against the ACTIVE session, and splices its analyzed plan into the
     * outer query — so the SQL surface gets exactly the Scala surface's
     * plan (pushdown, hints, native expressions included), never a
-    * re-implementation. */
-  private def tvf(name: String, usage: String, arity: Int)(
-      build: (SparkSession, Seq[String]) => org.apache.spark.sql.DataFrame)
+    * re-implementation.
+    *
+    * Arity is a RANGE (round 12): trailing arguments are the operator's
+    * tuning knobs with the Scala surface's defaults, so a pure-SQL user
+    * can tune k/caps/thresholds without leaving SQL
+    * (`graft_filtered_knn('/data', 5)`). Literals only — the values
+    * parameterize plan CONSTRUCTION (a knob is a plan shape decision,
+    * not a runtime column). Integer literals arrive as Int/Long,
+    * fractional ones as Decimal/Double; [[TvfArgs]] normalizes. */
+  private def tvf(name: String, usage: String, minArity: Int, maxArity: Int)(
+      build: (SparkSession, TvfArgs) => org.apache.spark.sql.DataFrame)
     : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (new FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getName, name),
       (args: Seq[Expression]) => {
-        if (args.length != arity)
+        if (args.length < minArity || args.length > maxArity)
           throw new IllegalArgumentException(
-            s"$name takes $arity string argument(s) — $usage — got ${args.length}")
-        val strs = args.map {
+            s"$name takes $minArity to $maxArity literal argument(s) — " +
+              s"$usage — got ${args.length}")
+        val vals = args.map {
           case Literal(v, StringType) if v != null => v.toString
+          case Literal(v: java.lang.Integer, _) => v
+          case Literal(v: java.lang.Long, _) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v
+          case Literal(v: java.lang.Double, _) => v
           case other => throw new IllegalArgumentException(
-            s"$name arguments must be string literals ($usage), got $other")
+            s"$name arguments must be string/integer/decimal literals ($usage), got $other")
         }
-        build(SparkSession.active, strs).queryExecution.analyzed
+        build(SparkSession.active, new TvfArgs(name, usage, vals)).queryExecution.analyzed
       })
+
+  /** Positional literal accessors with Scala-surface defaults. */
+  private final class TvfArgs(name: String, usage: String, vals: Seq[Any]) {
+    def str(i: Int): String = vals(i) match {
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$name argument ${i + 1} must be a string literal ($usage), got $other")
+    }
+    def int(i: Int, default: Int): Int =
+      if (i >= vals.length) default
+      else vals(i) match {
+        case v: java.lang.Integer => v.intValue
+        case v: java.lang.Long if v.longValue.isValidInt => v.intValue
+        case other => throw new IllegalArgumentException(
+          s"$name argument ${i + 1} must be an integer literal ($usage), got $other")
+      }
+    def long(i: Int, default: Long): Long =
+      if (i >= vals.length) default
+      else vals(i) match {
+        case v: java.lang.Integer => v.longValue
+        case v: java.lang.Long => v.longValue
+        case other => throw new IllegalArgumentException(
+          s"$name argument ${i + 1} must be an integer literal ($usage), got $other")
+      }
+    def dbl(i: Int, default: Double): Double =
+      if (i >= vals.length) default
+      else vals(i) match {
+        case v: java.lang.Integer => v.doubleValue
+        case v: java.lang.Long => v.doubleValue
+        case v: java.lang.Double => v.doubleValue
+        case v: org.apache.spark.sql.types.Decimal => v.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$name argument ${i + 1} must be a numeric literal ($usage), got $other")
+      }
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
     // ───── SQL table functions: the operator library for pure-SQL users ─────
     Seq(
-      tvf("graft_clean_corpus", "graft_clean_corpus(corpusDir)", 1)(
-        (s, a) => operators.Pipelines.cleanCorpus(s, a(0))),
-      tvf("graft_filtered_knn", "graft_filtered_knn(corpusDir)", 1)(
-        (s, a) => operators.Similarity.s18FilteredKnn(s, a(0))),
-      tvf("graft_score_sample", "graft_score_sample(corpusDir)", 1)(
-        (s, a) => operators.Sampling.p13ScoreSample(s, a(0))),
-      tvf("graft_knn_graph", "graft_knn_graph(corpusDir)", 1)(
-        (s, a) => operators.Similarity.s19KnnGraph(s, a(0))),
-      tvf("graft_corpus_datasheet", "graft_corpus_datasheet(corpusDir)", 1)(
-        (s, a) => operators.Pipelines.p21CorpusDatasheet(s, a(0))),
+      tvf("graft_clean_corpus",
+        "graft_clean_corpus(corpusDir[, minTokens, minQuality])", 1, 3)(
+        (s, a) => operators.Pipelines.cleanCorpus(s, a.str(0),
+          operators.Pipelines.CleanLangs,
+          a.int(1, operators.Pipelines.CleanMinTokens),
+          a.dbl(2, operators.Pipelines.CleanMinQuality))),
+      tvf("graft_filtered_knn", "graft_filtered_knn(corpusDir[, k])", 1, 2)(
+        (s, a) => operators.Similarity.s18FilteredKnn(s, a.str(0), a.int(1, 3))),
+      tvf("graft_score_sample", "graft_score_sample(corpusDir)", 1, 1)(
+        (s, a) => operators.Sampling.p13ScoreSample(s, a.str(0))),
+      tvf("graft_knn_graph", "graft_knn_graph(corpusDir[, k])", 1, 2)(
+        (s, a) => operators.Similarity.s19KnnGraph(s, a.str(0), a.int(1, 3))),
+      tvf("graft_corpus_datasheet", "graft_corpus_datasheet(corpusDir)", 1, 1)(
+        (s, a) => operators.Pipelines.p21CorpusDatasheet(s, a.str(0))),
+      tvf("graft_release_datasheet",
+        "graft_release_datasheet(corpusDir, workDir) — the staged p20 release's datasheet", 2, 2)(
+        (s, a) => operators.Pipelines.p21ReleaseDatasheet(s, a.str(0), a.str(1))),
       tvf("graft_d18_probe",
-        "graft_d18_probe(indexPath, arrivalsPath) — arrivals parquet needs (doc_id, text)", 2)(
-        (s, a) => operators.Dedup.d18FromIndex(s, a(0),
-          s.read.parquet(a(1)).select(
+        "graft_d18_probe(indexPath, arrivalsPath[, maxDf, batchMaxDf]) — " +
+          "arrivals parquet needs (doc_id, text)", 2, 4)(
+        (s, a) => operators.Dedup.d18FromIndex(s, a.str(0),
+          s.read.parquet(a.str(1)).select(
             org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text"))))
+            org.apache.spark.sql.functions.col("text")),
+          a.long(2, operators.Dedup.NoDfCap),
+          a.long(3, operators.Dedup.NoDfCap)))
     ).foreach(ext.injectTableFunction)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

@@ -1096,12 +1096,16 @@ object Dedup {
           .exists { case (lo, hi) => lo >= 0 && hi < (1L << 31) })
 
   /** Auto-persist bound for d19's occurrence index, in at-rest DOCUMENT
-    * bytes (the cheap driver-side signal; the index itself explodes to
-    * roughly one row per character, ~24 B/row). 8 GiB of parquet text
-    * inflates to an index that still sits comfortably in a single
-    * modest cluster's storage memory; past that the restream is the
-    * documented default. */
-  val D19PersistOccMaxBytes: Long = 8L << 30
+    * bytes (the cheap driver-side signal). Size the bound from the
+    * EXPLODED footprint, not the compressed input: parquet text
+    * decompresses ~3×, and the index carries ~one 24-byte row per
+    * character, so at-rest bytes inflate ~70× by the time they sit in
+    * MEMORY_AND_DISK. 512 MiB of parquet ⇒ ~35 GiB cached — a real but
+    * reasonable slice of one cluster's storage memory/local disk; the
+    * r10 8 GiB default implied a ~560 GiB pin and could exhaust
+    * executor local disk. Past the bound the two-pass restream is the
+    * documented scale default. */
+  val D19PersistOccMaxBytes: Long = 512L << 20
 
   /** The one persisted occ index the session holds (persist hygiene —
     * see the d19DupSpans doc). */
@@ -1133,21 +1137,35 @@ object Dedup {
         posexplode(graft.functions.NativeFunctions.windowHashes(col("text"), spanLen)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("fp"))
     val occ = if (!persistOcc) occRaw else {
-      val cached = occRaw
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val prev = d19OccSlot.getAndSet(cached)
-      // a DIFFERENT corpus's index frees its slot; an equal-plan call
-      // shares the same CacheManager entry (unpersisting it would drop
-      // the entry both references point at)
+      // same-corpus repeat call: hand back the slot's OWN DataFrame
+      // instead of persisting a fresh equal-plan one — the CacheManager
+      // would share the entry anyway but logs an "already cached"
+      // warning per call (10 of them in the r11 bench tail)
+      val prev = d19OccSlot.get()
+      // storageLevel consults the CacheManager — a slot survivor whose
+      // entry was dropped externally (catalog.clearCache) must re-persist
       if (prev != null &&
-          !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
-        prev.unpersist(false)
-      cached
+          prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+          prev.queryExecution.analyzed.sameResult(occRaw.queryExecution.analyzed)) prev
+      else {
+        val cached = occRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // a DIFFERENT corpus's index frees its slot (one occ index per
+        // session — persist hygiene, see the d19DupSpans doc)
+        d19OccSlot.set(cached)
+        if (prev != null) prev.unpersist(false)
+        cached
+      }
     }
     val stats = if (packedCanon) {
+      // the cast is LOAD-BEARING: ShiftLeft keeps its input's type, so an
+      // INT32 doc_id (which the footer gate explicitly admits via the
+      // Integer stats case) would mask the shift to `<< 0` under Java's
+      // 5-bit shift-count rule — canon = doc_id|i for every fp and the
+      // whole cut list silently wrong. Widen FIRST, then shift.
       occ.groupBy(col("fp")).agg(
         count(lit(1)).as("df"),
-        min(shiftleft(col("doc_id"), 32).bitwiseOR(col("i"))).as("canon"))
+        min(shiftleft(col("doc_id").cast("long"), 32).bitwiseOR(col("i"))).as("canon"))
         .select(col("fp"), col("df"),
           shiftright(col("canon"), 32).as("canon_doc"),
           col("canon").bitwiseAND(lit((1L << 32) - 1)).as("canon_i"))
@@ -1597,11 +1615,23 @@ object Dedup {
     * result-identical on a skew-free corpus (spec-pinned). */
   val D12bMaxList: Long = 1024L
 
+  /** d12b's list count is deliberately NOT footer-auto-sized (unlike
+    * every retrieval-side IVF default — r12's autoNLists): SemDeDup's
+    * candidate generator pairs WITHIN lists only, so nLists here is a
+    * cluster GRANULARITY decision — recall of the exact cosine rule
+    * falls as lists multiply (boundary-straddling near-dup pairs are
+    * the loss, measured: 75-92% at 16 lists vs ~50% at ⌈√n⌉ = 23 on
+    * the test corpus), while the retrieval paths recover boundary loss
+    * with nProbe. Production sizes this by target cluster population
+    * (n / desired docs-per-cluster — the SemDeDup paper's knob), a
+    * semantic choice no footer can make. */
+  val D12bLists: Int = 16
+
   /** d12b's verified within-list candidate pairs (label, vec_i, vec_j)
     * — exposed so the spec can characterize them against the exact
     * all-pairs rule. */
   private[graft] def d12IvfPairs(spark: SparkSession, dir: String,
-      nLists: Int = 16, maxList: Long = D12bMaxList): DataFrame = {
+      nLists: Int = D12bLists, maxList: Long = D12bMaxList): DataFrame = {
     val (assigned, _) = Similarity.s03Index(spark, dir, nLists)
     val d0 = assigned
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
@@ -1626,7 +1656,7 @@ object Dedup {
   }
 
   private[graft] def d12DropsIvf(spark: SparkSession, dir: String,
-      nLists: Int = 16): DataFrame =
+      nLists: Int = D12bLists): DataFrame =
     d12IvfPairs(spark, dir, nLists)
       .select(col("label"), col("vec_j").as("vec_id")).distinct()
 

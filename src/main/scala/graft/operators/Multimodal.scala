@@ -123,9 +123,16 @@ object Multimodal {
         } else if (tag(ii, "data")) dataLen = len
         i += 8L + len + (len & 1L) // chunks pad to even
       }
-      if (channels > 0 && blockAlign > 0 && dataLen >= 0)
+      // u32 fields can exceed Int: a rate or frame count past
+      // Int.MaxValue would wrap NEGATIVE in MediaMeta's Int fields —
+      // garbage metadata feeding m02's frame-sample offsets. Such a
+      // payload is corrupt/adversarial (no real WAV samples above
+      // ~192 kHz), so it takes the unknown-magic fallback instead.
+      val frames = if (blockAlign > 0) dataLen / blockAlign else -1L
+      if (channels > 0 && blockAlign > 0 && dataLen >= 0 &&
+          rate > 0 && rate <= Int.MaxValue && frames <= Int.MaxValue)
         MediaMeta(docId, p.length.toLong, width = rate.toInt,
-          height = channels, n_frames = (dataLen / blockAlign).toInt, "wav")
+          height = channels, n_frames = frames.toInt, "wav")
       else fakeDecode(docId, p)
     } else fakeDecode(docId, p)
   }
@@ -305,10 +312,16 @@ object Multimodal {
     * exactly like d06/d03 (AQE skew-join + the maxDf cap idea cover a
     * degenerate constant-payload corpus), and the 1-word XOR verify
     * touches candidates only. */
-  def m04PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = m04Corpus(spark, dir)
+  def m04PhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    m04BandVerify(m04Corpus(spark, dir)
       .select(col("doc_id"),
-        graft.functions.NativeFunctions.phash63(col("text")).as("fp"))
+        graft.functions.NativeFunctions.phash63(col("text")).as("fp")))
+
+  /** The codec-independent banding + verify half of m04 over any
+    * (doc_id, fp) relation — shared by the gated byte-hash entry and
+    * the decode-aware [[m04PhashNeardupDecoded]] variant, so a decoder
+    * swap can never drift the candidate-generation semantics. */
+  private[graft] def m04BandVerify(fp: DataFrame): DataFrame = {
     val bands = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until PhashBands).map(b =>
         shiftright(col("fp"), b * PhashBandBits)
@@ -325,6 +338,187 @@ object Multimodal {
       .filter(col("hamming") <= PhashMaxHamming)
       .distinct()
       .orderBy("doc_i", "doc_j")
+  }
+
+  /** PNG PIXEL decode with zero codec deps (round 12 — the decode slot
+    * made real where the format's own compression is in the JDK): PNG
+    * image data is zlib (`java.util.zip.Inflater`) over per-scanline
+    * filtered samples, so a full pixel decode is IHDR parse → IDAT
+    * concat → inflate → the five-filter reconstruction pass (None/Sub/
+    * Up/Average/Paeth, PNG spec §9.2) → integer BT.601 luminance.
+    * Returns None — callers fall back to the byte path — for the forms
+    * a header-only look can't cheaply pin down (bit depth ≠ 8,
+    * interlaced, palette) and for anything truncated, oversized, or
+    * corrupt: a DECODER must never throw on adversarial bytes
+    * (m02/WAV's rule). Bounded: dims are capped at [[PngMaxPixels]]
+    * before any allocation, so a forged IHDR can't OOM an executor.
+    * Reference anchor: SampleMapRed.java:35-45's decode-then-scan.
+    *
+    * Why it matters for m04: the byte dHash samples the COMPRESSED
+    * stream, so a re-encode (identical pixels, different zlib level or
+    * filter choice) defeats exactly the near-dup pass that exists to
+    * catch re-encodes; the pixel hash is invariant to it (spec-pinned
+    * on two hand-assembled same-pixel PNGs). */
+  private[graft] def decodePngLuminance(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def tag(i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(k => p(i + k) == s(k).toByte)
+    if (!(p.length >= 33 && u8(0) == 0x89 && tag(1, "PNG") && tag(12, "IHDR")))
+      return None
+    val w = be32(16)
+    val h = be32(20)
+    val bitDepth = u8(24)
+    val colorType = u8(25)
+    val interlace = u8(28)
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // RGBA
+      case _ => return None // palette (3) and invalid types: byte path
+    }
+    if (bitDepth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || w * h > PngMaxPixels) return None
+    // concatenate IDAT payloads with a chunk walk (lengths are u32;
+    // the Long cursor + bounds checks terminate on corrupt lengths)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8L
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= p.length) {
+      val ii = i.toInt
+      val len = be32(ii)
+      if (len < 0 || i + 8 + len > p.length) return None
+      if (tag(ii + 4, "IDAT")) idat.write(p, ii + 8, len.toInt)
+      else if (tag(ii + 4, "IEND")) sawEnd = true
+      i += 12L + len // len + type(4) + crc(4)
+    }
+    val bpp = channels
+    val rowBytes = 1 + w.toInt * bpp
+    val raw = new Array[Byte](rowBytes * h.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val k = try inf.inflate(raw, got, raw.length - got)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (k == 0 && inf.needsInput()) return None // truncated stream
+        got += k
+      }
+      if (got < raw.length) return None
+    } finally inf.end()
+    // filter reconstruction (PNG §9.2): a = left, b = up, c = up-left,
+    // all byte-wise at stride bpp; rows depend on the previous row, so
+    // the pass is inherently sequential per image (and parallel across
+    // images — exactly the mapPartitions decode shape)
+    val wpx = w.toInt
+    val hpx = h.toInt
+    var y = 0
+    while (y < hpx) {
+      val ro = y * rowBytes
+      val ft = raw(ro) & 0xff
+      if (ft > 4) return None
+      var x = 1
+      while (x < rowBytes) {
+        val a = if (x > bpp) raw(ro + x - bpp) & 0xff else 0
+        val b = if (y > 0) raw(ro - rowBytes + x) & 0xff else 0
+        val c = if (y > 0 && x > bpp) raw(ro - rowBytes + x - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => raw(ro + x) & 0xff
+          case 1 => ((raw(ro + x) & 0xff) + a) & 0xff
+          case 2 => ((raw(ro + x) & 0xff) + b) & 0xff
+          case 3 => ((raw(ro + x) & 0xff) + (a + b) / 2) & 0xff
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            ((raw(ro + x) & 0xff) + pred) & 0xff
+        }
+        raw(ro + x) = rec.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // integer BT.601 luminance (gray passes through; alpha ignored —
+    // perceptual reuse detection compares the color signal)
+    val lum = new Array[Int](wpx * hpx)
+    var yy = 0
+    while (yy < hpx) {
+      var xx = 0
+      while (xx < wpx) {
+        val o = yy * rowBytes + 1 + xx * bpp
+        lum(yy * wpx + xx) =
+          if (channels <= 2) raw(o) & 0xff
+          else (77 * (raw(o) & 0xff) + 150 * (raw(o + 1) & 0xff) +
+            29 * (raw(o + 2) & 0xff)) >> 8
+        xx += 1
+      }
+      yy += 1
+    }
+    Some((wpx, hpx, lum))
+  }
+
+  /** Decoded-dimension bound: 2²⁴ pixels (a 4096×4096 frame) decodes to
+    * ≤ 64 MB of RGBA — the largest single allocation a forged IHDR can
+    * induce before the guard refuses. */
+  val PngMaxPixels: Long = 1L << 24
+
+  /** The REAL dHash over a decoded luminance plane: an 8-row × 9-column
+    * sample lattice (nearest-neighbor — deterministic integer indexing,
+    * no float resample), each row contributing its 8 adjacent-column
+    * comparisons, truncated to m04's 63-bit budget so the banding
+    * pigeonhole ([[PhashBands]]×[[PhashBandBits]]) is untouched. The 2D
+    * lattice (not a flat byte stride) is what makes the hash stable
+    * under row-structure-preserving edits — the property the byte-path
+    * stand-in never had. */
+  private[graft] def pixelDhash63(w: Int, h: Int, lum: Array[Int]): Long = {
+    var fp = 0L
+    var i = 0
+    while (i < PhashBits) {
+      val row = i / 8
+      val colI = i % 8
+      def at(gx: Int): Int = {
+        val x = if (w == 1) 0 else (gx.toLong * (w - 1) / 8).toInt
+        val yPix = if (h == 1) 0 else (row.toLong * (h - 1) / 7).toInt
+        lum(yPix * w + x)
+      }
+      if (at(colI + 1) > at(colI)) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** m04, DECODE-AWARE: payloads that parse as a supported PNG are
+    * hashed over their decoded luminance plane ([[pixelDhash63]]);
+    * everything else keeps the byte-stream dHash — so on a corpus with
+    * no container magic this is RESULT-IDENTICAL to the gated
+    * [[m04PhashNeardup]] (spec-pinned), and on real image payloads a
+    * re-encode at a different compression level hashes IDENTICALLY
+    * instead of escaping (spec-pinned on hand-assembled PNGs). Same
+    * banding + verify plan ([[m04BandVerify]]); the decode is one
+    * mapPartitions pass (decodePipeline's shape). Spec-only: the hash
+    * depends on the JDK inflater, not SQL-expressible. */
+  def m04PhashNeardupDecoded(spark: SparkSession, dir: String): DataFrame =
+    m04PhashNeardupDecodedOf(spark,
+      m04Corpus(spark, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** The decode-aware core over any (doc_id, payload binary) relation. */
+  def m04PhashNeardupDecodedOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fp = docs.repartition(col("doc_id")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val f = decodePngLuminance(payload) match {
+            case Some((w, h, lum)) => pixelDhash63(w, h, lum)
+            case None => graft.functions.PhashUtil.dhash63(
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+          }
+          (id, f)
+        }
+      }.toDF("doc_id", "fp")
+    m04BandVerify(fp)
   }
 
   /** m05's frame geometry: fixed-cadence 64-byte aligned segments stand

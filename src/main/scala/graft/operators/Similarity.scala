@@ -129,9 +129,37 @@ object Similarity {
     * `nLists` is a knob with the same sizing rule as the LSH bucket
     * count: per-list size is n/nLists and the centroid table must stay
     * broadcastable, so nLists ≈ √n balances the two (the classic IVF
-    * rule); 16 fits the test corpus, a 100 TB corpus wants 10⁵–10⁶. */
+    * rule) — which is what the no-knob entry now derives from the
+    * parquet footers ([[autoNLists]], round 12); a 100 TB corpus lands
+    * at 10⁵–10⁶ and past [[MaxAutoLists]] the two-level s12 is the
+    * documented path. */
   def s03AnnIvf(spark: SparkSession, dir: String): DataFrame =
-    s03AnnIvf(spark, dir, nLists = 16, nProbe = 2)
+    s03AnnIvf(spark, dir, nLists = autoNLists(spark, dir), nProbe = 2)
+
+  /** Footer-driven IVF sizing (round 12 — d19's footer-knob precedent
+    * applied to the one remaining manual scale decision): the classic
+    * nLists ≈ ⌈√n⌉ balance between per-list population (n/nLists rows
+    * exact-rescanned per probe) and centroid-table broadcastability
+    * (nLists·d floats), derived from parquet FOOTER row counts — a
+    * driver-side metadata pass, no Spark job (memoized per listing
+    * fingerprint inside [[Tables.parquetRowCount]]'s family). Every
+    * no-knob corpus-dir entry point (s03/s10/s12/s19b/s21/s22, d12b)
+    * routes through this, so the s19b graph BUILD is n·√n by default
+    * instead of n²/16; explicit-knob overloads are unchanged — test
+    * fixtures and ScaleProbe pin their knob where a fixed denominator
+    * is the point. Clamped to [[MaxAutoLists]]: past that a single
+    * coarse level shouldn't grow further (fit-sample and broadcast
+    * bounds — see s12's two-level design for why). */
+  def autoNLists(spark: SparkSession, dir: String): Int = {
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    math.min(MaxAutoLists, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
+  /** Single-level auto-size ceiling: 2¹⁶ lists × 768 dims × 4 B ≈
+    * 200 MB of centroids is the edge of comfortable broadcast; corpora
+    * past n ≈ 4×10⁹ (where √n exceeds this) use [[s12AnnIvf2]]'s
+    * two-level quantizer, whose per-query and fit costs stay √nLists. */
+  val MaxAutoLists: Int = 1 << 16
 
   def s03AnnIvf(spark: SparkSession, dir: String, nLists: Int,
       nProbe: Int): DataFrame = {
@@ -532,7 +560,7 @@ object Similarity {
     * centroids. Rows-only (k-means is not DuckDB-expressible);
     * invariants spec-pinned like s03's. */
   def s12AnnIvf2(spark: SparkSession, dir: String): DataFrame =
-    s12AnnIvf2(spark, dir, nLists = 16, nCells = 2, nProbe = 4)
+    s12AnnIvf2(spark, dir, nLists = autoNLists(spark, dir), nCells = 2, nProbe = 4)
 
   def s12AnnIvf2(spark: SparkSession, dir: String, nLists: Int,
       nCells: Int, nProbe: Int): DataFrame = {
@@ -898,7 +926,13 @@ object Similarity {
     * needs no new operator: s03's candidate stage is a DataFrame, so
     * the same predicate applied to the persisted assigned table before
     * the list join IS filtered ANN at IVF cost. */
-  def s18FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+  def s18FilteredKnn(spark: SparkSession, dir: String): DataFrame =
+    s18FilteredKnn(spark, dir, k = 3)
+
+  /** `k` overload (round 12): the depth knob the SQL surface exposes
+    * (`graft_filtered_knn(dir, k)`); the gated entry stays at the
+    * default 3. */
+  def s18FilteredKnn(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -908,7 +942,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VF.cosine(col("qv"), col("cv")))
     ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
-      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), k), k)
   }
 
   /** RRF rank constant (Cormack et al. 2009's k=60 — the published
@@ -1116,11 +1150,19 @@ object Similarity {
     * diversity sampling, s25 propagation, s26 outlier scans) all read
     * one graph build. */
   def s19KnnGraph(spark: SparkSession, dir: String): DataFrame =
-    s19GraphIndex(spark, dir).orderBy("query_id", "rk")
+    s19KnnGraph(spark, dir, k = 3)
+
+  /** `k` overload (round 12): the edge-depth knob the SQL surface
+    * exposes (`graft_knn_graph(dir, k)`); each k is its own persisted
+    * artifact slot (the k is the key's existing arity position), so a
+    * deeper graph never invalidates the gated k=3 build. */
+  def s19KnnGraph(spark: SparkSession, dir: String, k: Int): DataFrame =
+    s19GraphIndex(spark, dir, k).orderBy("query_id", "rk")
 
   /** The fresh all-pairs build behind [[s19GraphIndex]] — split out so
     * the spec can pin index-served ≡ fresh. */
-  private[graft] def s19KnnGraphFresh(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def s19KnnGraphFresh(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
@@ -1128,21 +1170,22 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VF.cosine(col("qv"), col("cv")))
     ranked(graft.plans.TopK.perGroup(scored, Seq(col("query_id")),
-      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), 3), 3)
+      Seq(round(col("cos"), 6).desc, col("neighbor_id").asc), k), k)
   }
 
   /** The persisted exact-graph artifact: built once per
     * (corpus dir, row count, content fingerprint) key under the same
     * crash-safe publish contract as [[s03Index]] (tag `s19graph`, the
-    * k=3 slot reusing the key arithmetic), read everywhere after.
+    * k slot reusing the key arithmetic), read everywhere after.
     * Stored CLUSTERED by query_id so a per-vertex consumer (s25's
     * edge join, s26's isolation agg) scans contiguous edges. */
-  private[graft] def s19GraphIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def s19GraphIndex(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
     val n = Tables.parquetRowCount(spark, dir, "embeddings")
-    val path = ivfIndexPath(spark, dir, "s19graph", 3, n)
+    val path = ivfIndexPath(spark, dir, "s19graph", k, n)
     if (!ivfExists(spark, path))
       publishIndex(spark, path) { tmp =>
-        s19KnnGraphFresh(spark, dir)
+        s19KnnGraphFresh(spark, dir, k)
           .repartition(col("query_id")).write.parquet(tmp + "/graph")
       }
     spark.read.parquet(path + "/graph")
@@ -1158,7 +1201,8 @@ object Similarity {
     * stride-sampled and seed-fixed; scoring and tie-breaks are exact),
     * so index-served ≡ fresh (spec-pinned). */
   def s19bGraphIndex(spark: SparkSession, dir: String): DataFrame =
-    s19bGraphIndex(spark, dir, nLists = 16, nProbe = S19Probes, rounds = 1)
+    s19bGraphIndex(spark, dir, nLists = autoNLists(spark, dir),
+      nProbe = S19Probes, rounds = 1)
 
   def s19bGraphIndex(spark: SparkSession, dir: String, nLists: Int,
       nProbe: Int, rounds: Int): DataFrame = {
@@ -1194,7 +1238,7 @@ object Similarity {
     * bonus over the random-scan floor, and probe-monotone recall are
     * spec-pinned (see [[S19Probes]] for the measured recall curve). */
   def s19bKnnGraphIvf(spark: SparkSession, dir: String): DataFrame =
-    s19bKnnGraphIvf(spark, dir, nLists = 16, nProbe = S19Probes)
+    s19bKnnGraphIvf(spark, dir, nLists = autoNLists(spark, dir), nProbe = S19Probes)
 
   def s19bKnnGraphIvf(spark: SparkSession, dir: String, nLists: Int,
       nProbe: Int): DataFrame = {
@@ -1266,7 +1310,8 @@ object Similarity {
     * many-round build on a real cluster checkpoints between rounds —
     * d07's rule. */
   def s21GraphRefine(spark: SparkSession, dir: String): DataFrame =
-    s21GraphRefine(spark, dir, nLists = 16, nProbe = S19Probes, rounds = 1)
+    s21GraphRefine(spark, dir, nLists = autoNLists(spark, dir),
+      nProbe = S19Probes, rounds = 1)
 
   def s21GraphRefine(spark: SparkSession, dir: String, nLists: Int,
       nProbe: Int, rounds: Int): DataFrame = {
@@ -1333,7 +1378,7 @@ object Similarity {
     * the accounting against a driver recompute and the label-share
     * arithmetic exactly. */
   def s22ClusterProfile(spark: SparkSession, dir: String): DataFrame =
-    s22ClusterProfile(spark, dir, nLists = 16)
+    s22ClusterProfile(spark, dir, nLists = autoNLists(spark, dir))
 
   def s22ClusterProfile(spark: SparkSession, dir: String, nLists: Int): DataFrame = {
     import graft.functions.{TextFunctions => TF}
@@ -2176,7 +2221,7 @@ object Similarity {
     * specs pin the s03-equality limit, shortlist containment, and
     * determinism. */
   def s10IvfPqAnn(spark: SparkSession, dir: String): DataFrame =
-    s10IvfPqAnn(spark, dir, nLists = 16, nProbe = 2,
+    s10IvfPqAnn(spark, dir, nLists = autoNLists(spark, dir), nProbe = 2,
       m = PqSubspaces, k = PqCodebookSize, rescore = 8)
 
   /** s10's PERSISTED combined index — the actual FAISS IVFPQ at-rest

@@ -43,7 +43,7 @@ object GenerationTree {
 
   val BatchPrefix = "batch-"
 
-  private[streaming] def genId(name: String): Option[Long] =
+  private[graft] def genId(name: String): Option[Long] =
     if (!name.startsWith(BatchPrefix)) None
     else scala.util.Try(name.stripPrefix(BatchPrefix).toLong).toOption
 
@@ -168,5 +168,63 @@ object GenerationTree {
     if (hadBase) fs.delete(bak, true)
     fold.foreach(fs.delete(_, true))
     (fold.size, newH)
+  }
+
+  /** Retire the WHOLE tree behind an advanced horizon, keeping zero
+    * rows — for state that was absorbed into an EXTERNAL artifact
+    * (stream_vecindex's refit publishes base ∪ arrivals through the
+    * persisted-index path, so the tree's rows now live there; folding
+    * them into base, [[compact]]'s move, would double-count the next
+    * refit). The new base is a SCHEMA-PRESERVING zero-row parquet plus
+    * the `_horizon-<maxRetiredId>` marker, published with the same
+    * tmp→swap→bak rename dance — so readers see an empty tree, and the
+    * recycled-id refusal ([[requireAboveHorizon]]) SURVIVES the
+    * retirement: a restarted query with a fresh checkpoint pointed at
+    * this tree refuses loudly instead of silently re-absorbing ids the
+    * external artifact already holds. (The pre-r12 version-dir scheme
+    * just deleted the consumed dirs — the same restart would overwrite
+    * history without a sound.) Quiet-window contract as [[compact]];
+    * a genuinely in-flight batch replayed across a retirement also
+    * refuses — its rows are in the external artifact, so a loud wedge
+    * (operator re-points the checkpoint) beats silent duplication.
+    * No-op when the tree holds no committed state. */
+  def retire(spark: SparkSession, root: String): (Int, Long) = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = new Path(rootP, "base")
+    val tmp = new Path(rootP, "base_compact_tmp")
+    val bak = new Path(rootP, "base_compact_bak")
+    recover(fs, rootP)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val h = horizon(fs, rootP)
+    if (!fs.exists(rootP)) return (0, h)
+    // sweep folded leftovers first (compact's rule)
+    fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
+      .filter(p => genId(p.getName).exists(_ <= h))
+      .foreach(fs.delete(_, true))
+    val gens = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath).toSeq
+      .filter(p => genId(p.getName).exists(id => id > h && committed(fs, p)))
+      .sortBy(p => genId(p.getName).get)
+    val hadBase = fs.exists(base)
+    if (gens.isEmpty && !hadBase) return (0, h)
+    val newH = gens.lastOption.flatMap(p => genId(p.getName)).getOrElse(h)
+    val parts = (if (hadBase) Seq(base) else Seq.empty) ++ gens
+    parts.map(p => spark.read.parquet(p.toString))
+      .reduce(_ unionByName _)
+      .limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (newH >= 0)
+      fs.create(new Path(tmp, s"_horizon-$newH"), true).close()
+    if (hadBase)
+      require(fs.rename(base, bak), s"failed to move $base aside to $bak")
+    if (!fs.rename(tmp, base)) {
+      if (hadBase) fs.rename(bak, base)
+      throw new IllegalStateException(
+        s"failed to swap $tmp into $base; original restored")
+    }
+    if (hadBase) fs.delete(bak, true)
+    gens.foreach(fs.delete(_, true))
+    (gens.size, newH)
   }
 }

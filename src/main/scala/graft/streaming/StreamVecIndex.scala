@@ -17,12 +17,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * argmin against the ≤ nLists broadcast centroid literals — the same
   * metric the batch KMeans assignment uses, so streamed rows land in the
   * same lists batch processing would put them in (spec-pinned against a
-  * driver recompute). Each batch writes its own `v=<batchId>` version dir
-  * (StreamRollup's commit rule: parquet _SUCCESS is the marker,
-  * same-version overwrite makes foreachBatch replay idempotent); readers
-  * union all committed versions. At 100 TB/day the version dirs are the
-  * compaction input `sources.Compaction` already handles, and the drift
-  * signal that schedules a quantizer refit is the per-list count skew in
+  * driver recompute).
+  *
+  * At-rest state is a [[GenerationTree]] (round 12 — one audited
+  * mechanism instead of two): each micro-batch commits a `batch-<id>`
+  * generation; readers union base + committed post-horizon generations;
+  * generations past `maxGenerations` fold into base ([[GenerationTree
+  * .compact]], dedupe OFF — rows are per-vector facts that must all
+  * survive). The previous `v=<batchId>` same-version-overwrite scheme
+  * was replay-idempotent but UNGUARDED against the batch-id collision
+  * (a restarted query with a fresh checkpoint, ids back at 0, pointed
+  * at an existing tree silently OVERWROTE absorbed vectors); the tree's
+  * content-compare + horizon manifest refuse that loudly, and the
+  * assignment's determinism makes the genuine-replay compare exact.
+  * After a refit absorbs the tree into the published index, the tree is
+  * [[GenerationTree.retire]]d — emptied BEHIND the advanced horizon, so
+  * the recycled-id refusal survives retirement. The drift signal that
+  * schedules a quantizer refit is the per-list count skew in
   * [[indexStats]]. */
 object StreamVecIndex {
 
@@ -50,34 +61,84 @@ object StreamVecIndex {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** One micro-batch's assignment + commit against the generation tree
+    * — exposed so specs can drive a replayed/colliding batch id
+    * directly (StreamIncDedup's rule). */
+  private[graft] def processVecBatch(batch: DataFrame,
+      cents: IndexedSeq[Array[Float]], indexDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    GenerationTree.recover(fs, root)
+    GenerationTree.requireAboveHorizon(fs, root, batchId)
+    val own = new org.apache.hadoop.fs.Path(root,
+      s"${GenerationTree.BatchPrefix}$batchId")
+    val assigned = batch.select(col("vec_id"), col("embedding"),
+        listIdOf(col("embedding"), cents).as("list_id"))
+      .repartition(col("list_id"))
+    if (fs.exists(own) &&
+        fs.exists(new org.apache.hadoop.fs.Path(own, "_SUCCESS"))) {
+      // assignment is deterministic, so a genuine replay reproduces the
+      // committed generation EXACTLY; different content is the
+      // restarted-query id collision — refuse, never overwrite
+      val prior = spark.read.parquet(own.toString)
+        .select(assigned.columns.map(col): _*)
+      val differs = prior.exceptAll(assigned).limit(1).count() > 0 ||
+        assigned.exceptAll(prior).limit(1).count() > 0
+      require(!differs,
+        s"generation ${own.getName} is already committed with DIFFERENT " +
+          "content — batch-id collision (restarted query with a fresh " +
+          "checkpoint against an existing vector-index tree?). Refusing " +
+          "to overwrite absorbed vectors; point the restarted query at " +
+          "a fresh tree or keep its checkpoint.")
+    } else {
+      if (fs.exists(own)) fs.delete(own, true) // uncommitted debris
+      assigned.write.mode("overwrite").parquet(own.toString)
+    }
+  }
+
   /** Start maintaining `indexDir` from a stream of (vec_id: long,
     * embedding: array<float>) rows, assigning against the given frozen
-    * centroids (ordered by list id — e.g. s03Index's centroid table). */
+    * centroids (ordered by list id — e.g. s03Index's centroid table).
+    * `maxGenerations` is the compaction trigger (the ingest twins'
+    * rule): past it, committed generations fold into base inside
+    * foreachBatch — the quiet window is structural. */
   def maintain(vectors: DataFrame, cents: IndexedSeq[Array[Float]],
-      indexDir: String, checkpointDir: String): StreamingQuery =
+      indexDir: String, checkpointDir: String,
+      maxGenerations: Int = 64): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.select(col("vec_id"), col("embedding"),
-            listIdOf(col("embedding"), cents).as("list_id"))
-          .repartition(col("list_id"))
-          .write.mode("overwrite").parquet(s"$indexDir/v=$batchId")
+        processVecBatch(batch, cents, indexDir, batchId)
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (GenerationTree.committedBatchCount(fs, root) > maxGenerations) {
+          // dedupe OFF: rows are per-vector facts, all must survive
+          val _ = GenerationTree.compact(batch.sparkSession, indexDir)
+        }
         ()
       }
       .start()
 
-  /** All committed streamed index rows (vec_id, embedding, list_id). */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
-    StreamRollup.committedVersions(spark, indexDir) match {
-      case vs if vs.isEmpty =>
+  /** All committed streamed index rows (vec_id, embedding, list_id):
+    * base + committed post-horizon generations. */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    GenerationTree.recover(fs, root)
+    GenerationTree.liveGenerations(fs, root, None) match {
+      case gens if gens.isEmpty =>
         import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("vec_id", LongType),
             StructField("embedding", ArrayType(FloatType)),
             StructField("list_id", IntegerType))))
-      case vs => vs.map(v => spark.read.parquet(s"$indexDir/v=$v"))
+      case gens => gens.map(p => spark.read.parquet(p.toString))
         .reduce(_ unionByName _)
     }
+  }
 
   /** Per-list membership counts of the streamed index — the drift signal
     * that schedules an offline quantizer refit (a hot list means the
@@ -153,12 +214,10 @@ object StreamVecIndex {
       val arrivals = readIndex(spark, indexDir)
         .select(col("vec_id"), col("embedding"))
       val rebuilt = graft.operators.Similarity.refitIndex(spark, dir, arrivals, nLists)
-      // arrivals are now rows of the published index — compact the
-      // consumed version dirs (readers switch to the refit generation)
-      val p = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.startsWith("v=")).foreach(fs.delete(_, true))
+      // arrivals are now rows of the published index — RETIRE the tree
+      // (emptied behind an advanced horizon, so a recycled batch id
+      // still refuses; readers switch to the refit generation)
+      val _ = GenerationTree.retire(spark, indexDir)
       (decision, Some(rebuilt))
     }
   }

@@ -591,7 +591,8 @@ class DedupSpec extends GraftSuite {
     // must ALL straddle list boundaries (the clustering split them) —
     // if any witness shared the drop's list, the IVF form missed a
     // within-list pair, which would be a verify bug
-    val listOf = graft.operators.Similarity.s03Index(spark, sf, 16)._1
+    val listOf = graft.operators.Similarity.s03Index(spark, sf,
+        Dedup.D12bLists)._1
       .select("vec_id", "list_id").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("list_id")).toMap
     (bandDrops -- ivfDrops).foreach { case (l, j) =>
@@ -928,6 +929,56 @@ class DedupSpec extends GraftSuite {
     assert(!replanned.contains("InMemoryTableScan"),
       "slot turnover must unpersist the previous corpus's occ index")
     spark.catalog.clearCache() // drop the slot's own entry for later suites
+  }
+
+  test("d19 packedCanon widens an INT32 doc_id before the shift (r12 advice regression)") {
+    import spark.implicits._
+    // an INT32 doc_id column — exactly what the corpus-dir footer gate
+    // admits via the java.lang.Integer stats case. Pre-fix, ShiftLeft
+    // kept IntegerType and Java masked the shift count to 0, so
+    // canon = doc_id|i and canon_doc = 0 for every fp: NO occurrence
+    // matched its canonical home and the cut list marked the canonical
+    // copies too.
+    val shared = (1 to 60).map(i => s"dupword$i").mkString(" ")
+    def uniq(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(30)("u" + r.nextInt(1000000)).mkString(" ")
+    }
+    val docs = Seq(
+      (7, s"${uniq(1)} $shared ${uniq(2)}"),
+      (9, s"${uniq(3)} $shared ${uniq(4)}"))
+      .toDF("doc_id", "text")
+    assert(docs.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.get(0).asInstanceOf[Number].longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val packed = rows(Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars, packedCanon = true))
+    val plain = rows(Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars))
+    assert(packed == plain,
+      "packed canonical must widen INT32 ids before the shift")
+    assert(packed.nonEmpty && packed.forall(_._1 == 9L),
+      "only the later (non-canonical) doc's copy is cut")
+  }
+
+  test("parquetLongColumnRange memoizes per listing fingerprint, invalidates on rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("rangecache").toString
+    Seq(3L, 9L).toDF("doc_id").withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Tables.parquetLongColumnRange(spark, dir, "documents", "doc_id")
+      == Some((3L, 9L)))
+    // a repeat call answers from the memo (same listing fingerprint)
+    assert(Tables.parquetLongColumnRange(spark, dir, "documents", "doc_id")
+      == Some((3L, 9L)))
+    // a rewrite produces new part-file names — the fingerprint turns
+    // over and the memo must NOT serve the stale range
+    Seq(-5L, 4L).toDF("doc_id").withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Tables.parquetLongColumnRange(spark, dir, "documents", "doc_id")
+      == Some((-5L, 4L)),
+      "rewritten table served a stale memoized range")
   }
 
   test("d20 surgery: planted fixture cleaned exactly, canonical kept, detector converges") {

@@ -70,11 +70,19 @@ class MultimodalSpec extends GraftSuite {
     val evilWav = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
       "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
       b(0xf8, 0xff, 0xff, 0xff) ++ Array.fill(64)(0.toByte)
+    // adversarial fmt: sample rate u32 = 0xFFFFFFFF would wrap NEGATIVE
+    // in MediaMeta's Int width — must clamp-validate and fall back
+    // (r12 advice), not emit garbage metadata into m02's offsets
+    val hugeRateFmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(2) ++ le32(-1) ++ le32(0) ++ le16(4) ++ le16(16)
+    val hugeRateWav = "RIFF".getBytes("US-ASCII") ++
+      le32(4 + hugeRateFmt.length + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++ hugeRateFmt ++ data
     val sess = spark
     import sess.implicits._
     val rows = Multimodal.decodePipelineOf(spark,
         Seq((1L, png), (2L, jpeg), (3L, wav), (4L, truncated),
-          (5L, jpegFill), (6L, evilWav))
+          (5L, jpegFill), (6L, evilWav), (7L, hugeRateWav))
           .toDF("doc_id", "payload"))
       .collect().map(m => m.doc_id -> m).toMap
     assert(rows(1L) == Multimodal.MediaMeta(1L, png.length.toLong, 640, 480, 1, "png"))
@@ -86,6 +94,8 @@ class MultimodalSpec extends GraftSuite {
       "a fill byte before SOF must not desync the marker walk")
     assert(rows(6L) == Multimodal.fakeDecode(6L, evilWav),
       "an overflowing chunk length must terminate and fall back")
+    assert(rows(7L) == Multimodal.fakeDecode(7L, hugeRateWav),
+      "a u32 sample rate above Int.MaxValue must fall back, not wrap negative")
     // the gate's precondition: no ASCII document starts with container
     // magic, so m02's oracle (the fallback arithmetic) stays exact
     val magic = Tables.documents(spark, sf).filter(
@@ -142,6 +152,164 @@ class MultimodalSpec extends GraftSuite {
       if (h <= Multimodal.PhashMaxHamming)
         assert(pairs.contains((i, j)), s"brute pair ($i, $j) at hamming $h missed")
     }
+  }
+
+  // ───────── PNG pixel decode (round 12) ─────────
+
+  /** Hand-assembled PNG encoder for the decode specs: same pixel plane,
+    * selectable per-row filter type and zlib level — the two degrees of
+    * freedom a real re-encode exercises. */
+  private def makePng(w: Int, h: Int, colorType: Int, level: Int,
+      filterType: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length.toLong) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue)
+    }
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    // raw (unfiltered) sample plane
+    val raw = Array.tabulate(h, w * bpp) { (y, i) =>
+      val (r, g, b) = px(i / bpp, y)
+      val v = (i % bpp) match {
+        case 0 => r
+        case 1 => if (colorType == 0) 0 else g
+        case 2 => b
+        case _ => 255 // alpha
+      }
+      v.toByte
+    }
+    // apply the chosen filter per row (the encoder side of §9.2)
+    val scan = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      scan.write(filterType)
+      for (x <- 0 until w * bpp) {
+        val cur = raw(y)(x) & 0xff
+        val a = if (x >= bpp) raw(y)(x - bpp) & 0xff else 0
+        val b = if (y > 0) raw(y - 1)(x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) raw(y - 1)(x - bpp) & 0xff else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        scan.write((cur - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater(level)
+    defl.setInput(scan.toByteArray); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array[Byte]())
+  }
+
+  private def gradient(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 7 + y * 3) % 256, (y * 11 + x) % 256, ((x + y) * 13) % 256)
+
+  test("PNG pixel decode: all five filters reconstruct the same plane; re-encode is hash-invariant") {
+    import java.util.zip.Deflater
+    val w = 40; val h = 30
+    val planes = (0 to 4).map { ft =>
+      val png = makePng(w, h, 2, Deflater.DEFAULT_COMPRESSION, ft, gradient)
+      val got = Multimodal.decodePngLuminance(png)
+      assert(got.isDefined, s"filter $ft failed to decode")
+      got.get
+    }
+    planes.foreach { case (gw, gh, lum) =>
+      assert(gw == w && gh == h && lum.length == w * h)
+      assert(lum.toSeq == planes.head._3.toSeq,
+        "filter reconstruction diverged between filter types")
+    }
+    // luminance formula check on one known pixel
+    val (r, g, b) = gradient(5, 7)
+    assert(planes.head._3(7 * w + 5) == ((77 * r + 150 * g + 29 * b) >> 8))
+    // grayscale and RGBA color types decode to consistent planes
+    val gray = Multimodal.decodePngLuminance(
+      makePng(w, h, 0, Deflater.BEST_COMPRESSION, 1, gradient)).get
+    assert(gray._3.toSeq == (0 until w * h).map { i =>
+      gradient(i % w, i / w)._1
+    }, "grayscale plane must pass luminance through")
+    val rgba = Multimodal.decodePngLuminance(
+      makePng(w, h, 6, Deflater.BEST_SPEED, 4, gradient)).get
+    assert(rgba._3.toSeq == planes.head._3.toSeq,
+      "RGBA must decode to the RGB luminance (alpha ignored)")
+    // THE RE-ENCODE INVARIANT (the r11 verdict's gap): same pixels at a
+    // different zlib level + filter choice — compressed bytes differ,
+    // the byte-stream dHash differs, the pixel dHash is IDENTICAL
+    val encA = makePng(w, h, 2, Deflater.NO_COMPRESSION, 0, gradient)
+    val encB = makePng(w, h, 2, Deflater.BEST_COMPRESSION, 4, gradient)
+    assert(!java.util.Arrays.equals(encA, encB))
+    def byteFp(p: Array[Byte]): Long = graft.functions.PhashUtil.dhash63(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(p))
+    assert(byteFp(encA) != byteFp(encB),
+      "fixture must demonstrate the byte hash being defeated by a re-encode")
+    def pixFp(p: Array[Byte]): Long = {
+      val (pw, ph, lum) = Multimodal.decodePngLuminance(p).get
+      Multimodal.pixelDhash63(pw, ph, lum)
+    }
+    assert(pixFp(encA) == pixFp(encB),
+      "pixel dHash must be invariant under re-encode")
+    // adversarial: truncated IDAT, forged giant dims, palette type —
+    // all refuse (None) instead of throwing or allocating. dropRight(30)
+    // cuts into the IDAT payload (IEND+CRC are only 16 trailing bytes),
+    // so the chunk walk sees a length past EOF
+    assert(Multimodal.decodePngLuminance(encA.dropRight(30)).isEmpty)
+    assert(Multimodal.decodePngLuminance(encA.take(40)).isEmpty)
+    val giant = encA.clone()
+    giant(16) = 0x7f.toByte // width high byte: w ~ 2^30 -> PngMaxPixels refusal
+    assert(Multimodal.decodePngLuminance(giant).isEmpty)
+    val palette = makePng(w, h, 2, Deflater.DEFAULT_COMPRESSION, 0, gradient).clone()
+    palette(25) = 3.toByte // colorType -> palette: header-only look refuses
+    assert(Multimodal.decodePngLuminance(palette).isEmpty)
+  }
+
+  test("m04 decode-aware: re-encoded PNG pair caught; ASCII corpus result-identical to the gate") {
+    import java.util.zip.Deflater
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits._
+    val encA = makePng(64, 48, 2, Deflater.NO_COMPRESSION, 0, gradient)
+    val encB = makePng(64, 48, 2, Deflater.BEST_COMPRESSION, 4, gradient)
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, encA), (2L, encB),
+      (3L, filler.getBytes("US-ASCII")),
+      (4L, (filler + " tail").getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.m04PhashNeardupDecodedOf(spark, docs).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(0L),
+      s"re-encoded PNG pair must verify at hamming 0: $pairs")
+    // the byte-path gate provably MISSES the same pair (the gap the
+    // decoder closes — not just a redundant second detector)
+    val bytePairs = Multimodal.m04BandVerify(
+        docs.select(col("doc_id"), graft.functions.NativeFunctions.phash63(
+          col("payload").cast("string")).as("fp")))
+      .collect().map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    assert(!bytePairs.contains((1L, 2L)),
+      "fixture must demonstrate the byte path missing the re-encode")
+    // on the container-magic-free sf corpus the decode-aware variant is
+    // result-identical to the gated entry (every payload falls back)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"),
+        r.getAs[Long]("hamming"))).toSeq
+    assert(rows(Multimodal.m04PhashNeardupDecoded(spark, sf))
+      == rows(Multimodal.m04PhashNeardup(spark, sf)),
+      "decode-aware variant diverged from the gate on a magic-free corpus")
   }
 
   test("m03 payload dedup audit is internally consistent with the corpus") {

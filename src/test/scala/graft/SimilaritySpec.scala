@@ -269,12 +269,13 @@ class SimilaritySpec extends GraftSuite {
     import org.apache.spark.sql.functions.col
     // build from scratch: drop the combined index so the run covers the
     // publish path before the serve path
-    Similarity.dropIvfIndex(spark, sf, s"ivfpq16x${Similarity.PqSubspaces}",
+    val autoL = Similarity.autoNLists(spark, sf) // the no-knob default
+    Similarity.dropIvfIndex(spark, sf, s"ivfpq${autoL}x${Similarity.PqSubspaces}",
       Similarity.PqCodebookSize,
       Tables.parquetRowCount(spark, sf, "embeddings"))
     // the equality limit: rescore covering every probed member makes the
     // ADC shortlist a no-op, so IVF-PQ must reproduce s03 EXACTLY
-    val full = Similarity.s10IvfPqAnn(spark, sf, 16, 2,
+    val full = Similarity.s10IvfPqAnn(spark, sf, autoL, 2,
       Similarity.PqSubspaces, Similarity.PqCodebookSize,
       rescore = 1000000).collect()
     val s03 = Similarity.s03AnnIvf(spark, sf).collect()
@@ -291,7 +292,7 @@ class SimilaritySpec extends GraftSuite {
     }
     // containment: every bounded-rescore neighbor must be a member of a
     // list its query actually probed — recomputed from the index tables
-    val (assigned, centDf) = Similarity.s03Index(spark, sf, 16)
+    val (assigned, centDf) = Similarity.s03Index(spark, sf, autoL)
     val probed = assigned.select(col("list_id"), col("vec_id"))
       .join(Similarity.ivfProbes(assigned, centDf, nProbe = 2)
         .select(col("list_id"), col("query_id")), Seq("list_id"))
@@ -307,15 +308,16 @@ class SimilaritySpec extends GraftSuite {
     import graft.operators.Similarity
     val n = Tables.parquetRowCount(spark, sf, "embeddings")
     // s03 family: drop, build fresh, then serve from disk — identical
-    Similarity.dropIvfIndex(spark, sf, "s03", 16, n)
+    val autoL = Similarity.autoNLists(spark, sf)
+    Similarity.dropIvfIndex(spark, sf, "s03", autoL, n)
     val fresh = Similarity.s03AnnIvf(spark, sf).collect()
-    val path = Similarity.ivfIndexPath(spark, sf, "s03", 16, n)
+    val path = Similarity.ivfIndexPath(spark, sf, "s03", autoL, n)
     assert(new java.io.File(path, "assigned").exists(),
       s"index not published under $path")
     val served = Similarity.s03AnnIvf(spark, sf).collect()
     assert(fresh.toSeq == served.toSeq, "s03 index-served result diverged from fresh fit")
     // rebuild determinism: drop and refit must reproduce the same index result
-    Similarity.dropIvfIndex(spark, sf, "s03", 16, n)
+    Similarity.dropIvfIndex(spark, sf, "s03", autoL, n)
     val refit = Similarity.s03AnnIvf(spark, sf).collect()
     assert(fresh.toSeq == refit.toSeq, "s03 refit diverged — fit is not deterministic")
     // s06 range family
@@ -333,21 +335,22 @@ class SimilaritySpec extends GraftSuite {
         new java.io.File(sf, "embeddings.parquet"), tmp)
       val dir = tmp.toString
       val n = Tables.parquetRowCount(spark, dir, "embeddings")
+      val autoL = Similarity.autoNLists(spark, dir)
       Similarity.s03AnnIvf(spark, dir).collect()
-      val p1 = Similarity.ivfIndexPath(spark, dir, "s03", 16, n)
+      val p1 = Similarity.ivfIndexPath(spark, dir, "s03", autoL, n)
       assert(new java.io.File(p1, "assigned").exists(), s"gen-1 index missing at $p1")
       // equal-cardinality in-place regeneration: same name+size, new
       // mtime — the r7 ADVICE failure mode the fingerprint key closes
       val f = new java.io.File(tmp, "embeddings.parquet")
       assert(f.setLastModified(f.lastModified() + 65000))
-      val p2 = Similarity.ivfIndexPath(spark, dir, "s03", 16, n)
+      val p2 = Similarity.ivfIndexPath(spark, dir, "s03", autoL, n)
       assert(p1 != p2, "equal-cardinality regeneration must change the index key")
       Similarity.s03AnnIvf(spark, dir).collect()
       assert(new java.io.File(p2, "assigned").exists(), s"gen-2 index missing at $p2")
       assert(!new java.io.File(p1).exists(),
         "superseded index generation must be swept on republish")
       // the key is stable when nothing changed
-      assert(p2 == Similarity.ivfIndexPath(spark, dir, "s03", 16, n))
+      assert(p2 == Similarity.ivfIndexPath(spark, dir, "s03", autoL, n))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
@@ -906,6 +909,9 @@ class SimilaritySpec extends GraftSuite {
 
   test("s19b default: full coverage, sound edges, locality bonus over the scan floor") {
     val want = driverExactGraph()
+    // the no-knob default is footer-auto-sized (r12): pin the SAME
+    // denominator for the floor math and the explicit-probe sweep
+    val autoL = Similarity.autoNLists(spark, sf)
     val got = Similarity.s19bKnnGraphIvf(spark, sf).collect()
       .groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) =>
@@ -937,7 +943,7 @@ class SimilaritySpec extends GraftSuite {
     // LOCALITY BONUS over that random-scan floor, not an absolute bar
     // the corpus geometry owns (measured 0.47 = 3.7x the 2/16 floor)
     def recallAt(nProbe: Int): Double = {
-      val g = Similarity.s19bKnnGraphIvf(spark, sf, 16, nProbe).collect()
+      val g = Similarity.s19bKnnGraphIvf(spark, sf, autoL, nProbe).collect()
         .groupBy(_.getAs[Long]("query_id"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       want.keys.toSeq.map(q => (want(q).map(_._2).toSet & g(q)).size).sum
@@ -950,7 +956,8 @@ class SimilaritySpec extends GraftSuite {
       hits.toDouble / (want.size * 3)
     }
     info(f"s19b recall@3 vs exact graph at nProbe=2: $r2%.4f")
-    assert(r2 >= 2.0 * 2.0 / 16, f"recall $r2%.4f shows no locality bonus over the 2/16 scan floor")
+    assert(r2 >= 2.0 * 2.0 / autoL,
+      f"recall $r2%.4f shows no locality bonus over the 2/$autoL scan floor")
     // probe sets are nested by construction (argmin-k order), so the
     // candidate pool grows with nProbe and hits can only increase: a
     // deeper probe must never lose recall
@@ -1011,7 +1018,7 @@ class SimilaritySpec extends GraftSuite {
 
   test("s22 cluster profile matches a driver recompute end to end") {
     import org.apache.spark.sql.functions._
-    val nLists = 16
+    val nLists = Similarity.autoNLists(spark, sf) // the no-knob default (r12)
     val got = Similarity.s22ClusterProfile(spark, sf).collect()
     val assigned = Similarity.s03Index(spark, sf, nLists)._1
       .select(col("vec_id"), col("list_id")).collect()
@@ -1201,7 +1208,8 @@ class SimilaritySpec extends GraftSuite {
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
         r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq.sorted
     val n = Tables.parquetRowCount(spark, sf, "embeddings")
-    Similarity.dropIvfIndex(spark, sf, "s19bgraph-l16p2r1", 3, n)
+    val autoL = Similarity.autoNLists(spark, sf)
+    Similarity.dropIvfIndex(spark, sf, s"s19bgraph-l${autoL}p2r1", 3, n)
     val fresh = rows(Similarity.s21GraphRefine(spark, sf))
     val served = rows(Similarity.s19bGraphIndex(spark, sf)) // builds, then reads
     assert(served == fresh, "served production graph diverged from a fresh refine")

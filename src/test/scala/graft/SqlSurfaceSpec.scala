@@ -24,6 +24,41 @@ class SqlSurfaceSpec extends GraftSuite {
       rows(Similarity.s19KnnGraph(spark, sf)))
   }
 
+  test("TVF knob arguments: a pure-SQL user tunes k/thresholds (round 12)") {
+    // explicit k, pinned ≡ the Scala call at the same knob — and
+    // genuinely deeper than the default (not a silently-ignored arg)
+    val knn5 = rows(spark.sql(s"SELECT * FROM graft_filtered_knn('$sf', 5)"))
+    assert(knn5 == rows(Similarity.s18FilteredKnn(spark, sf, 5)))
+    assert(knn5.size > rows(spark.sql(
+      s"SELECT * FROM graft_filtered_knn('$sf')")).size,
+      "k = 5 must return deeper result lists than the default 3")
+    assert(rows(spark.sql(s"SELECT * FROM graft_knn_graph('$sf', 5)")) ==
+      rows(Similarity.s19KnnGraph(spark, sf, 5)))
+    // cleaning thresholds from SQL: same rows as the Scala knobs
+    assert(rows(spark.sql(s"SELECT * FROM graft_clean_corpus('$sf', 40, 0.5)")) ==
+      rows(Pipelines.cleanCorpus(spark, sf, Pipelines.CleanLangs, 40, 0.5)))
+    // arity range is validated loudly
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_filtered_knn('$sf', 5, 7)").collect()
+    }
+    assert(ex.getMessage.contains("1 to 2"))
+    // a non-integer knob is refused, not coerced
+    val ex2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_filtered_knn('$sf', 'five')").collect()
+    }
+    assert(ex2.getMessage.contains("integer literal"))
+  }
+
+  test("graft_release_datasheet: the staged release's datasheet drives from SQL alone") {
+    val work = java.nio.file.Files.createTempDirectory("sqlrel").toString
+    // Scala call first: stages the release artifacts; the SQL read then
+    // serves from the same workDir (p20's resume contract)
+    val scala = rows(Pipelines.p21ReleaseDatasheet(spark, sf, work))
+    assert(scala.nonEmpty)
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_release_datasheet('$sf', '$work')")) == scala)
+  }
+
   test("graft_score_sample / graft_corpus_datasheet: curation reports drive from SQL alone") {
     assert(rows(spark.sql(s"SELECT * FROM graft_score_sample('$sf')")) ==
       rows(Sampling.p13ScoreSample(spark, sf)))
@@ -42,6 +77,10 @@ class SqlSurfaceSpec extends GraftSuite {
       s"SELECT * FROM graft_d18_probe('$root/index', '$root/arrivals')"))
     assert(sql == rows(Dedup.d18FromIndex(spark, s"$root/index", arrivals)))
     assert(sql.nonEmpty, "fixture must surface cross-side pairs")
+    // the df caps ride through as trailing knobs (round 12)
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_d18_probe('$root/index', '$root/arrivals', 3, 3)")) ==
+      rows(Dedup.d18FromIndex(spark, s"$root/index", arrivals, 3L, 3L)))
   }
 
   test("table functions COMPOSE with plain SQL: joins, filters, aggregates") {

@@ -184,6 +184,58 @@ class StreamingSpec extends GraftSuite {
     assert(stats.map(_.getAs[Long]("n_vecs")).sum == 9L)
   }
 
+  test("stream_vecindex generation tree (r12): replay idempotent, collision refuses, compact + retire keep the guard") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("vecidx_tree").toString
+    val (_, centDf) = graft.operators.Similarity.s03Index(spark, sf, 16)
+    val cents = centDf.orderBy("list_id").collect()
+      .map(_.getSeq[Float](1).toArray).toIndexedSeq
+    def slice(lo: Int, hi: Int) = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val b0 = slice(0, 6); val b1 = slice(6, 10); val b2 = slice(10, 13)
+    StreamVecIndex.processVecBatch(b0, cents, dir, 0L)
+    val after0 = StreamVecIndex.readIndex(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(after0.size == 6)
+    // genuine replay (same id, same content): idempotent no-op
+    StreamVecIndex.processVecBatch(b0, cents, dir, 0L)
+    assert(StreamVecIndex.readIndex(spark, dir).collect()
+      .map(_.toString).sorted.toSeq == after0)
+    // batch-id collision (same id, DIFFERENT content): loud refusal,
+    // absorbed vectors untouched — the hole the v= overwrite scheme had
+    val ex = intercept[IllegalArgumentException] {
+      StreamVecIndex.processVecBatch(b1, cents, dir, 0L)
+    }
+    assert(ex.getMessage.contains("collision"))
+    assert(StreamVecIndex.readIndex(spark, dir).collect()
+      .map(_.toString).sorted.toSeq == after0)
+    // more generations, then compact: rows conserved, horizon advances
+    StreamVecIndex.processVecBatch(b1, cents, dir, 1L)
+    StreamVecIndex.processVecBatch(b2, cents, dir, 2L)
+    val allRows = StreamVecIndex.readIndex(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(allRows.size == 13)
+    val (folded, h) = GenerationTree.compact(spark, dir)
+    assert(folded == 2 && h == 1L)
+    assert(StreamVecIndex.readIndex(spark, dir).collect()
+      .map(_.toString).sorted.toSeq == allRows,
+      "compaction must fold rows unchanged")
+    // a recycled id at/below the horizon refuses even though its dir is gone
+    intercept[IllegalArgumentException] {
+      StreamVecIndex.processVecBatch(b0, cents, dir, 1L)
+    }
+    // retire (the refit consumed the tree): empty reads, guard SURVIVES
+    val (retired, h2) = GenerationTree.retire(spark, dir)
+    assert(retired == 1 && h2 == 2L)
+    assert(StreamVecIndex.readIndex(spark, dir).count() == 0L)
+    intercept[IllegalArgumentException] {
+      StreamVecIndex.processVecBatch(b0, cents, dir, 2L)
+    }
+    // and the stream continues above the horizon
+    StreamVecIndex.processVecBatch(b0, cents, dir, 3L)
+    assert(StreamVecIndex.readIndex(spark, dir).count() == 6L)
+  }
+
   test("stream_vecindex drift consumer: refit fires on drift, not on a stable stream") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
