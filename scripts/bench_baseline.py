@@ -20,8 +20,13 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 con = duckdb.connect()
+import os as _os
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # driver testdata = single parquet FILE; ScaleGen output = a Spark
+    # parquet DIRECTORY — glob the latter
+    _p = f"{SF_DIR}/{t}.parquet"
+    _src = f"'{_p}/*.parquet'" if _os.path.isdir(_p) else f"'{_p}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {_src}")
 
 oracle = json.load(open(ORACLE))
 times = {name: [] for name in oracle}

@@ -52,7 +52,17 @@ object Bench {
     // JIT/codegen warmup at the smallest SF so measured times reflect
     // steady-state execution, not whichever query runs first; sorted
     // order keeps run-to-run timings comparable.
+    // SPARK_GRAFT_QUERIES (optional, comma-separated name PREFIXES)
+    // scopes the suite — the sf1 relational row benches the q* section
+    // against its A-section-only DuckDB ledger without the document
+    // operators (whose tables don't scale past sf0.1) diluting the
+    // ratio. Unset = the full driver contract, unchanged.
+    val prefixes = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        prefixes.forall(_.exists(name.startsWith))
+      }
     queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }

@@ -387,7 +387,8 @@ object SparkEntry {
            AS INTEGER) AS gid,
          COALESCE(o_orderstatus, 'ALL') AS status,
          COALESCE(o_orderpriority, 'ALL') AS priority,
-         COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY gid, status, priority""",
     "q29_pivot" ->

@@ -511,7 +511,15 @@ object Relational {
         (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
           .cast("int").as("gid"),
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        // sum in exact DECIMAL cents, then one double conversion: a
+        // float SUM's value depends on add order, and at sf1 the
+        // corpus-wide cube cell (~6M addends) straddled a round(,2)
+        // boundary between engines. Per-row double→decimal(2) is
+        // deterministic (a double is never an exact .005 tie — dyadic
+        // rationals), the decimal sum is exact, and both engines
+        // convert the SAME decimal to the same double bit pattern.
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
       .select(col("gid"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
