@@ -51,14 +51,21 @@ object ScaleGen {
   private[graft] def generate(spark: SparkSession, base: String,
       out: String, n: Int): Unit = {
     def raw(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
-    def maxKey(df: DataFrame, c: String): Long =
-      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
-    val custStride = maxKey(raw("customer"), "c_custkey")
-    val suppStride = maxKey(raw("supplier"), "s_suppkey")
-    val partStride = maxKey(raw("part"), "p_partkey")
-    val orderStride = maxKey(raw("orders"), "o_orderkey")
-    val eventStride = maxKey(raw("events"), "event_id")
-    val userStride = maxKey(raw("events"), "user_id")
+    def maxKey(t: String, c: String): Long = {
+      val r = raw(t).agg(max(col(c).cast("long"))).head()
+      // an empty table (or all-NULL key) has no stride to derive —
+      // refuse with the table/column named, not a bare NPE
+      require(!r.isNullAt(0),
+        s"$base/$t.parquet: key column $c has no non-NULL values — " +
+          "cannot derive a replication stride")
+      r.getLong(0) + 1L
+    }
+    val custStride = maxKey("customer", "c_custkey")
+    val suppStride = maxKey("supplier", "s_suppkey")
+    val partStride = maxKey("part", "p_partkey")
+    val orderStride = maxKey("orders", "o_orderkey")
+    val eventStride = maxKey("events", "event_id")
+    val userStride = maxKey("events", "user_id")
 
     def replicate(t: String, shifts: Map[String, Long]): Unit = {
       val df = raw(t)

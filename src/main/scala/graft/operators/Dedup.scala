@@ -1151,9 +1151,15 @@ object Dedup {
         val cached = occRaw
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // a DIFFERENT corpus's index frees its slot (one occ index per
-        // session — persist hygiene, see the d19DupSpans doc)
+        // session — persist hygiene, see the d19DupSpans doc). A
+        // SAME-plan slot survivor (its entry was dropped externally by
+        // catalog.clearCache, which is why we re-persisted) must NOT be
+        // unpersisted: Dataset.unpersist uncaches BY PLAN MATCH, so it
+        // would remove the entry `cached` just created.
         d19OccSlot.set(cached)
-        if (prev != null) prev.unpersist(false)
+        if (prev != null &&
+            !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+          prev.unpersist(false)
         cached
       }
     }

@@ -365,7 +365,8 @@ object Multimodal {
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def tag(i: Int, s: String): Boolean =
       p.length >= i + s.length && s.indices.forall(k => p(i + k) == s(k).toByte)
-    if (!(p.length >= 33 && u8(0) == 0x89 && tag(1, "PNG") && tag(12, "IHDR")))
+    if (p == null ||
+        !(p.length >= 33 && u8(0) == 0x89 && tag(1, "PNG") && tag(12, "IHDR")))
       return None
     val w = be32(16)
     val h = be32(20)
@@ -380,7 +381,11 @@ object Multimodal {
       case _ => return None // palette (3) and invalid types: byte path
     }
     if (bitDepth != 8 || interlace != 0) return None
-    if (w <= 0 || h <= 0 || w * h > PngMaxPixels) return None
+    // bound each DIMENSION before multiplying: w and h are u32-derived
+    // Longs, and (2^32-1)^2 wraps Long negative — a forged IHDR would
+    // sail past a product-only guard into negative row arithmetic
+    if (w <= 0 || h <= 0 || w > PngMaxPixels || h > PngMaxPixels ||
+        w * h > PngMaxPixels) return None
     // concatenate IDAT payloads with a chunk walk (lengths are u32;
     // the Long cursor + bounds checks terminate on corrupt lengths)
     val idat = new java.io.ByteArrayOutputStream()
@@ -404,7 +409,12 @@ object Multimodal {
       while (got < raw.length && !inf.finished()) {
         val k = try inf.inflate(raw, got, raw.length - got)
           catch { case _: java.util.zip.DataFormatException => return None }
-        if (k == 0 && inf.needsInput()) return None // truncated stream
+        // the WHOLE input was handed over up front, so ZERO progress in
+        // any non-finished state is terminal: truncated stream
+        // (needsInput), preset-dictionary stream (needsDictionary —
+        // looping on it would spin this executor task forever), or any
+        // other stall. Refuse, never wait.
+        if (k == 0) return None
         got += k
       }
       if (got < raw.length) return None
@@ -510,10 +520,13 @@ object Multimodal {
     val fp = docs.repartition(col("doc_id")).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, payload) =>
-          val f = decodePngLuminance(payload) match {
+          // NULL payloads are routine in real binary corpora — hash as
+          // empty (dhash63('') = 0) instead of NPE-ing the task
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val f = decodePngLuminance(bytes) match {
             case Some((w, h, lum)) => pixelDhash63(w, h, lum)
             case None => graft.functions.PhashUtil.dhash63(
-              org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
           }
           (id, f)
         }

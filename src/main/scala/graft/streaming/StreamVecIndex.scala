@@ -71,6 +71,7 @@ object StreamVecIndex {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     GenerationTree.recover(fs, root)
+    refuseLegacyVersionDirs(fs, root)
     GenerationTree.requireAboveHorizon(fs, root, batchId)
     val own = new org.apache.hadoop.fs.Path(root,
       s"${GenerationTree.BatchPrefix}$batchId")
@@ -122,12 +123,34 @@ object StreamVecIndex {
       }
       .start()
 
+  /** Upgrade guard: an index dir written by the pre-r12 `v=<batchId>`
+    * version-dir scheme would read as EMPTY under the generation tree
+    * (liveGenerations matches only `base`/`batch-<id>`) — absorbed
+    * vectors silently vanishing is exactly the failure mode the tree
+    * exists to prevent, so refuse loudly with the migration recipe
+    * instead. The migration is a pure rename: `v=<id>` → `batch-<id>`
+    * (contents and `_SUCCESS` markers are already in the tree's
+    * at-rest shape). */
+  private def refuseLegacyVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(root)) return
+    val legacy = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+    require(legacy.isEmpty,
+      s"vector-index dir $root holds pre-generation-tree version dirs " +
+        s"(${legacy.take(3).mkString(", ")}${if (legacy.length > 3) ", …" else ""}) " +
+        "— this release reads batch-<id> generations and would silently " +
+        "ignore them. Migrate by renaming each v=<id> dir to batch-<id> " +
+        "(contents and _SUCCESS markers carry over unchanged).")
+  }
+
   /** All committed streamed index rows (vec_id, embedding, list_id):
     * base + committed post-horizon generations. */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     GenerationTree.recover(fs, root)
+    refuseLegacyVersionDirs(fs, root)
     GenerationTree.liveGenerations(fs, root, None) match {
       case gens if gens.isEmpty =>
         import org.apache.spark.sql.types._

@@ -929,6 +929,17 @@ class DedupSpec extends GraftSuite {
     assert(!replanned.contains("InMemoryTableScan"),
       "slot turnover must unpersist the previous corpus's occ index")
     spark.catalog.clearCache() // drop the slot's own entry for later suites
+    // r12 review regression: a same-plan call AFTER an external
+    // clearCache re-persists — and must NOT unpersist its own fresh
+    // entry through the same-plan slot survivor (Dataset.unpersist
+    // uncaches by plan match, so the pre-fix code silently dropped the
+    // entry it had just created)
+    Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars, persistOcc = true).count()
+    val replanned2 = Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars, persistOcc = true)
+      .queryExecution.executedPlan.toString
+    assert(replanned2.contains("InMemoryTableScan"),
+      "re-persist after clearCache dropped its own fresh cache entry")
+    spark.catalog.clearCache()
   }
 
   test("d19 packedCanon widens an INT32 doc_id before the shift (r12 advice regression)") {
@@ -974,11 +985,19 @@ class DedupSpec extends GraftSuite {
       == Some((3L, 9L)))
     // a rewrite produces new part-file names — the fingerprint turns
     // over and the memo must NOT serve the stale range
-    Seq(-5L, 4L).toDF("doc_id").withColumn("text", lit("x"))
+    Seq(-5L, 4L, 7L).toDF("doc_id").withColumn("text", lit("x"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(Tables.parquetLongColumnRange(spark, dir, "documents", "doc_id")
-      == Some((-5L, 4L)),
+      == Some((-5L, 7L)),
       "rewritten table served a stale memoized range")
+    // parquetRowCount shares the memo discipline (r12 review: the
+    // autoNLists doc's claim made true): repeat serves, rewrite invalidates
+    assert(Tables.parquetRowCount(spark, dir, "documents") == 3L)
+    assert(Tables.parquetRowCount(spark, dir, "documents") == 3L)
+    Seq(1L, 2L).toDF("doc_id").withColumn("text", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Tables.parquetRowCount(spark, dir, "documents") == 2L,
+      "rewritten table served a stale memoized row count")
   }
 
   test("d20 surgery: planted fixture cleaned exactly, canonical kept, detector converges") {

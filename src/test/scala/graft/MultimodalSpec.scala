@@ -274,6 +274,30 @@ class MultimodalSpec extends GraftSuite {
     val palette = makePng(w, h, 2, Deflater.DEFAULT_COMPRESSION, 0, gradient).clone()
     palette(25) = 3.toByte // colorType -> palette: header-only look refuses
     assert(Multimodal.decodePngLuminance(palette).isEmpty)
+    // r12 review regressions:
+    // (a) FDICT zlib stream: Inflater reports zero progress with
+    // needsDictionary — pre-fix the inflate loop spun forever
+    def be32b(v: Long): Array[Byte] = Array((v >>> 24).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk2(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32b(data.length.toLong) ++ typ.getBytes("US-ASCII") ++ data ++ be32b(crc.getValue)
+    }
+    // CMF 0x78, FLG 0x20: FDICT set, (0x7820 % 31) == 0 — a VALID
+    // preset-dictionary zlib header followed by a dict id
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4) ++ Array.fill(16)(0.toByte)
+    val fdictPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk2("IHDR", be32b(4) ++ be32b(4) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk2("IDAT", fdictIdat) ++ chunk2("IEND", Array[Byte]())
+    assert(Multimodal.decodePngLuminance(fdictPng).isEmpty,
+      "a preset-dictionary stream must refuse, not spin")
+    // (b) forged u32 dims whose PRODUCT wraps Long negative must refuse
+    // before any allocation (pre-fix: negative row arithmetic, then an
+    // out-of-bounds index in the pixel hash)
+    val wrapPng = encA.clone()
+    for (i <- 16 until 24) wrapPng(i) = 0xff.toByte // w = h = 0xFFFFFFFF
+    assert(Multimodal.decodePngLuminance(wrapPng).isEmpty)
   }
 
   test("m04 decode-aware: re-encoded PNG pair caught; ASCII corpus result-identical to the gate") {
@@ -287,7 +311,8 @@ class MultimodalSpec extends GraftSuite {
     val docs = Seq(
       (1L, encA), (2L, encB),
       (3L, filler.getBytes("US-ASCII")),
-      (4L, (filler + " tail").getBytes("US-ASCII")))
+      (4L, (filler + " tail").getBytes("US-ASCII")),
+      (5L, null.asInstanceOf[Array[Byte]])) // r12 review: NULL payload must not NPE
       .toDF("doc_id", "payload")
     val pairs = Multimodal.m04PhashNeardupDecodedOf(spark, docs).collect()
       .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) -> r.getAs[Long]("hamming"))

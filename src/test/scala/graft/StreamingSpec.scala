@@ -234,6 +234,17 @@ class StreamingSpec extends GraftSuite {
     // and the stream continues above the horizon
     StreamVecIndex.processVecBatch(b0, cents, dir, 3L)
     assert(StreamVecIndex.readIndex(spark, dir).count() == 6L)
+    // r12 review: a pre-r12 `v=<id>` version dir must REFUSE with the
+    // migration recipe, not silently read as empty
+    val legacyDir = java.nio.file.Files.createTempDirectory("vecidx_legacy").toString
+    b0.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.functions.lit(0).as("list_id"))
+      .write.parquet(s"$legacyDir/v=0")
+    val exLegacy = intercept[IllegalArgumentException] {
+      StreamVecIndex.readIndex(spark, legacyDir).count()
+    }
+    assert(exLegacy.getMessage.contains("batch-<id>"),
+      s"legacy refusal must carry the migration recipe: ${exLegacy.getMessage}")
   }
 
   test("stream_vecindex drift consumer: refit fires on drift, not on a stable stream") {
