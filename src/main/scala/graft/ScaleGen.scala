@@ -26,12 +26,17 @@ import org.apache.spark.sql.functions._
   * then `scripts/check.py <outDir> <dump> --present` — parity at sf1 is
   * the same hash compare as every other SF.
   *
-  * Usage: runMain graft.ScaleGen [baseSfDir] [outDir] [replicas] */
+  * Usage: runMain graft.ScaleGen [baseSfDir] [outDir] [replicas]
+  *    or: runMain graft.ScaleGen --docs [baseSfDir] [outDir] [replicas]
+  * (`--docs` scales the DOCUMENT tables instead — see [[generateDocs]]) */
 object ScaleGen {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val docs = rawArgs.contains("--docs")
+    val args = rawArgs.filterNot(_ == "--docs")
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val out = if (args.length > 1) args(1) else "target/sf1"
-    val n = if (args.length > 2) args(2).toInt else 10
+    val out = if (args.length > 1) args(1)
+      else if (docs) "target/docs4x" else "target/sf1"
+    val n = if (args.length > 2) args(2).toInt else if (docs) 4 else 10
     require(n >= 1, s"replicas must be >= 1: $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -42,7 +47,97 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, base, out, n) finally spark.stop()
+    try {
+      if (docs) generateDocs(spark, base, out, n)
+      else generate(spark, base, out, n)
+    } finally spark.stop()
+  }
+
+  /** `--docs` mode — the DOCUMENT sections' analog of the relational sf1
+    * gate (round 12): replicates `documents`/`embeddings` N× so the
+    * D/T/P/S/M sections can be oracle-gated and benched above the 5k-doc
+    * ceiling the driver testdata stops at. Every other table is copied
+    * verbatim (they are inputs to r01's catalog count and the relational
+    * gate, which has its own sf1 generator above).
+    *
+    * Replication discipline (ScaleProbe's letter-prefix rule, adapted
+    * for a CORRECTNESS gate rather than a timing probe):
+    *  - documents: every non-whitespace token run of replica i is
+    *    prefixed with a distinct letter via one capture-group
+    *    regexp_replace — replicas are disjoint in token/shingle/band
+    *    space (naive copies would make every doc an N-way exact dup and
+    *    gate an N² pair pathology, not the operators), and UNLIKE the
+    *    probe's split-and-rejoin this preserves the original whitespace
+    *    byte-for-byte, so the newline-structured operators (paragraph
+    *    dedup d15, line dedup t20/t24, repetition t11) keep their
+    *    structure at scale instead of degenerating to one-line docs.
+    *    n_chars is carried from the base row (the prefix lengthens text;
+    *    both engines read the same written value, so parity is
+    *    unaffected — only the column's "== length(text)" invariant is
+    *    docs-mode-loose).
+    *  - embeddings: replica i ROLLS the 64-dim float vector left by
+    *    i mod dim (vec_id shifted like every other key). A coordinate
+    *    permutation is orthogonal: all WITHIN-replica dot products — and
+    *    therefore every near-dup/kNN/recall structure the S and D
+    *    sections compute per replica — are preserved bit-for-bit (the
+    *    multiset of addends is unchanged, but their ORDER is not, so
+    *    float sums within a replica can differ in the last ulp from the
+    *    base corpus; both engines see the same rolled floats, so the
+    *    gate compares like with like), while cross-replica pairs
+    *    decorrelate instead of landing as exact duplicates in every LSH
+    *    band. Verbatim vector copies (ScaleProbe's choice, right for a
+    *    FIXED query set's timing) would instead plant an N-way exact-dup
+    *    clique under d05/d12/s19.
+    *
+    * The gate run is the sf1 recipe unchanged: `graft.Verify <out> <dump>
+    * <non-A ids>` then `scripts/check.py <out> <dump> --present`. */
+  private[graft] def generateDocs(spark: SparkSession, base: String,
+      out: String, n: Int): Unit = {
+    // one letter per replica — same [a-z] disjointness bound as ScaleProbe
+    require(n >= 1 && n <= 26,
+      s"docs replicas must be in [1, 26] (letter-prefix disjointness): $n")
+    def raw(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
+    def maxKey(t: String, c: String): Long = {
+      val r = raw(t).agg(max(col(c).cast("long"))).head()
+      require(!r.isNullAt(0),
+        s"$base/$t.parquet: key column $c has no non-NULL values — " +
+          "cannot derive a replication stride")
+      r.getLong(0) + 1L
+    }
+    val docStride = maxKey("documents", "doc_id")
+    val docsDf = raw("documents")
+    (0 until n).map { i =>
+      val ch = ('a' + i).toChar.toString
+      docsDf.select(
+        (col("doc_id") + lit(i * docStride))
+          .cast(docsDf.schema("doc_id").dataType).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", ch + "$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val vecStride = maxKey("embeddings", "vec_id")
+    val emb = raw("embeddings")
+    (0 until n).map { i =>
+      val dim = size(col("embedding"))
+      val k = pmod(lit(i), dim)
+      emb.select(
+        (col("vec_id") + lit(i * vecStride))
+          .cast(emb.schema("vec_id").dataType).as("vec_id"),
+        concat(slice(col("embedding"), k + lit(1), dim - k),
+          slice(col("embedding"), lit(1), k))
+          .cast(emb.schema("embedding").dataType).as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Tables.all.filterNot(Set("documents", "embeddings")).foreach { t =>
+      raw(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"SCALEGEN {" +
+      s""""mode":"docs","base":"$base","out":"$out","replicas":$n,""" +
+      s""""documents_rows":${spark.read.parquet(s"$out/documents.parquet").count()},""" +
+      s""""embeddings_rows":${spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
   }
 
   /** Strides derive from footer-cheap max-key aggregates of the BASE —
@@ -80,7 +175,7 @@ object ScaleGen {
             case None => col(c)
           }
         }: _*)
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
 

@@ -35,7 +35,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(rawArgs: Array[String]): Unit = {
     val skew = rawArgs.contains("--skew")
-    val args = rawArgs.filterNot(_ == "--skew")
+    // --queries=a,b,c: probe only the named cells (targeted re-measures,
+    // e.g. the graph family at 16× without paying the full suite). The
+    // graphExtras consumer cells always run — they are the flat-consumer
+    // half of every graph-family claim.
+    val onlyQueries = rawArgs.find(_.startsWith("--queries="))
+      .map(_.stripPrefix("--queries=").split(",").map(_.trim).toSet)
+    val args = rawArgs.filterNot(a => a == "--skew" || a.startsWith("--queries="))
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val scales = (if (args.length > 2) args(2) else "1,2,4,8")
@@ -88,6 +94,11 @@ object ScaleProbe {
       // probed; their production consumers are probed below over the
       // IVF graph instead — the DEPLOY.md swap)
       "s19b_knn_graph_ivf", "s21_graph_refine")
+        .filter(q => onlyQueries.forall(_.contains(q)))
+    onlyQueries.foreach { only =>
+      val unknown = only -- queries.toSet
+      require(unknown.isEmpty, s"--queries names unprobed cells: $unknown")
+    }
 
     val spark = SparkSession.builder()
       .master("local[32]")
