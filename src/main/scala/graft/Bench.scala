@@ -68,6 +68,12 @@ object Bench {
       .filter { case (name, _) =>
         prefixes.forall(_.exists(name.startsWith))
       }
+    // a typo'd filter must fail loudly, not record a "successful" empty
+    // run (ScaleProbe's --queries rule); every prefix must hit something
+    prefixes.foreach { ps =>
+      val dead = ps.filterNot(p => SparkEntry.queries.keys.exists(_.startsWith(p)))
+      require(dead.isEmpty, s"SPARK_GRAFT_QUERIES matches nothing: $dead")
+    }
     queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }

@@ -19,13 +19,17 @@ import org.apache.spark.sql.SparkSession
   * idempotently, and a committed leftover under the same id
   * content-compares (genuine re-run = no-op, collision = loud refusal).
   *
-  * The batch id is DERIVED from the tree (max committed generation /
-  * horizon + 1), so re-launching a crashed night recomputes the same id
-  * and resumes; re-launching a COMPLETED night gets a fresh id and
-  * re-absorbs the same doc_ids — d18's disjointness-contract breach,
-  * which the output itself flags as `doc_i == doc_j` self-pair rows
-  * (counted in the summary line; alert on nonzero). Pass an explicit id
-  * as the 6th argument when an external scheduler owns id assignment.
+  * The batch id is DERIVED from the tree: max committed generation /
+  * horizon + 1 — UNLESS the newest committed generation content-matches
+  * this batch (the night crashed after its absorb commit, e.g. during
+  * the pairs write or compaction), in which case the night resumes
+  * under its own id and the absorb replays to a no-op. So a crashed
+  * night re-runs idempotently from ANY crash point. Re-launching a
+  * completed night with genuinely NEW arrivals that collide on doc_id
+  * is d18's disjointness-contract breach, which the output itself
+  * flags as `doc_i == doc_j` self-pair rows (counted in the summary
+  * line; alert on nonzero). Pass an explicit id as the 6th argument
+  * when an external scheduler owns id assignment.
   *
   * Usage:
   * {{{
@@ -48,7 +52,7 @@ object Nightly {
       batchMaxDf: Long = operators.Dedup.NoDfCap,
       maxGenerations: Int = 64,
       explicitBatchId: Option[Long] = None): (Long, Long, Long, Int, Long) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     streaming.GenerationTree.recover(fs, root)
@@ -56,19 +60,49 @@ object Nightly {
     // AND the horizon (folded ids must never be recycled) — an
     // UNCOMMITTED leftover's id is deliberately reused so a crashed
     // night resumes under its own id instead of stranding debris
-    val committedMax = streaming.GenerationTree
+    val horizon0 = streaming.GenerationTree.horizon(fs, root)
+    val gensById = streaming.GenerationTree
       .liveGenerations(fs, root, None)
-      .flatMap(p => streaming.GenerationTree.genId(p.getName))
-      .foldLeft(streaming.GenerationTree.horizon(fs, root))(math.max)
-    val batchId = explicitBatchId.getOrElse(committedMax + 1)
+      .flatMap(p => streaming.GenerationTree.genId(p.getName).map(_ -> p))
+    val committedMax = gensById.map(_._1).foldLeft(horizon0)(math.max)
     val arrivals = spark.read.parquet(arrivalsDir)
       .select(col("doc_id"), col("text"))
+    // Crash-window closure (r12 review): a night that died AFTER the
+    // absorb commit (during compaction, the pairs write, or the summary)
+    // must RESUME under its own id on relaunch — committedMax + 1 would
+    // silently re-absorb the same arrivals as a "new" night, doubling
+    // d18's df counts with no refusal firing. Detection reuses
+    // processBatch's replay rule: if the NEWEST committed generation
+    // content-matches what this batch would absorb, this night already
+    // absorbed — replay it (the absorb content-compares to a no-op and
+    // the pair report recomputes identically, because the probe reads
+    // the tree WITHOUT the batch's own generation). Identical content
+    // under two genuinely different nights is impossible within d18's
+    // id-disjointness contract (same rows = same doc_ids = the
+    // re-crawl breach the self-pair alert exists for).
+    val batchId = explicitBatchId.getOrElse {
+      val replayOfLast = committedMax > horizon0 &&
+        gensById.find(_._1 == committedMax).exists { case (_, p) =>
+          val fresh = operators.Dedup.dfCapped(
+            operators.Dedup.shingleIndexRows(arrivals), "h", batchMaxDf)
+          val prior = spark.read.parquet(p.toString)
+            .select(fresh.columns.map(col): _*)
+          prior.exceptAll(fresh).limit(1).count() == 0 &&
+            fresh.exceptAll(prior).limit(1).count() == 0
+        }
+      if (replayOfLast) committedMax else committedMax + 1
+    }
     val pairs = streaming.StreamIncDedup
       .processBatch(arrivals, indexRoot, batchId, batchMaxDf)
     pairs.write.mode("overwrite").parquet(pairsOut)
-    val written = spark.read.parquet(pairsOut)
-    val n = written.count()
-    val selfPairs = written.filter(col("doc_i") === col("doc_j")).count()
+    // one read-back pass over the artifact of record: count and the
+    // self-pair alert in a single aggregation job
+    val row = spark.read.parquet(pairsOut).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("doc_i") === col("doc_j"), 1L).otherwise(0L)).as("self"))
+      .head()
+    val n = row.getLong(0)
+    val selfPairs = if (row.isNullAt(1)) 0L else row.getLong(1)
     val (folded, horizon) =
       if (streaming.GenerationTree.committedBatchCount(fs, root) > maxGenerations)
         // dedupe OFF: the shingle index counts occurrences (d18's df

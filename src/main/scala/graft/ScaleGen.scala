@@ -116,13 +116,18 @@ object ScaleGen {
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    val vecStride = maxKey("embeddings", "vec_id")
+    // vec_id lives in the DOCUMENT key space (`vec_id` = `doc_id` of an
+    // embedded doc — the contract s20/s25/s22's doc-vector joins read),
+    // so replicas shift by the DOCUMENT stride: replica i's vector for
+    // base doc d must land on doc_id d + i*docStride, not on an
+    // embeddings-local stride that would re-attach replica i's vectors
+    // to replica 0's documents.
     val emb = raw("embeddings")
     (0 until n).map { i =>
       val dim = size(col("embedding"))
       val k = pmod(lit(i), dim)
       emb.select(
-        (col("vec_id") + lit(i * vecStride))
+        (col("vec_id") + lit(i * docStride))
           .cast(emb.schema("vec_id").dataType).as("vec_id"),
         concat(slice(col("embedding"), k + lit(1), dim - k),
           slice(col("embedding"), lit(1), k))

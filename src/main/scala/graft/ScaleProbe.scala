@@ -141,10 +141,12 @@ object ScaleProbe {
       // query set probes N×-bigger buckets, which is exactly the linear
       // growth the s01/s02 join shapes are supposed to absorb; replica 0
       // keeps the original ids so the query set itself is unchanged)
+      // vec_id shifts by the DOCUMENT stride — vec_id lives in the
+      // doc_id keyspace (s20/s25/s22 join them), so an embeddings-local
+      // stride would re-attach replica i's vectors to replica 0's docs
       val baseEmb = Tables.embeddings(spark, baseDir)
-      val maxVec = baseEmb.agg(max(col("vec_id"))).head().getLong(0) + 1
       (0 until n).map(i => baseEmb.select(
-          (col("vec_id") + lit(i * maxVec)).as("vec_id"),
+          (col("vec_id") + lit(i * maxId)).as("vec_id"),
           col("embedding"), col("label")))
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

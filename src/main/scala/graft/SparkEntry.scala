@@ -202,12 +202,15 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          ROUND(SUM(l_quantity), 2) AS sum_qty,
-         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+           AS BIGINT)) / 100.0 AS sum_charge,
          ROUND(AVG(l_quantity), 4) AS avg_qty,
-         ROUND(AVG(l_extendedprice), 4) AS avg_price,
-         ROUND(AVG(l_discount), 4) AS avg_disc,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(l_extendedprice), 4) AS avg_price,
+         ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(l_discount), 4) AS avg_disc,
          COUNT(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -223,7 +226,7 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
     "q03_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -244,7 +247,7 @@ object SparkEntry {
          ORDER BY o_orderpriority""",
     "q05_local_supplier" ->
       """SELECT n_name,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -257,7 +260,7 @@ object SparkEntry {
          GROUP BY n_name
          ORDER BY n_name""",
     "q06_forecast_revenue" ->
-      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT)) / 100.0 AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -286,18 +289,18 @@ object SparkEntry {
          ORDER BY l_returnflag""",
     "q10_anti_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
-         ROUND(SUM(o_totalprice), 2) AS sum_price
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders
          WHERE NOT EXISTS (SELECT 1 FROM lineitem
                            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
     "q11_group_having" ->
-      """SELECT p_brand, ROUND(SUM(p_retailprice), 2) AS sum_retail,
+      """SELECT p_brand, CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail,
          COUNT(*) AS n_parts
          FROM part
          GROUP BY p_brand
-         HAVING ROUND(SUM(p_retailprice), 2) > 2000.0
+         HAVING CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) > 2000.0
          ORDER BY p_brand""",
     "q12_case_agg" ->
       """SELECT l_linestatus,
@@ -326,7 +329,8 @@ object SparkEntry {
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
     "q15_union_agg" ->
-      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM (
            SELECT event_type, value FROM events WHERE value > 150.0
            UNION ALL
@@ -335,7 +339,7 @@ object SparkEntry {
          GROUP BY event_type
          ORDER BY event_type""",
     "q16_scalar_subquery" ->
-      """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
          FROM lineitem l
          JOIN (SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
                FROM lineitem GROUP BY l_partkey) a
@@ -343,7 +347,7 @@ object SparkEntry {
          WHERE l.l_quantity < 0.2 * a.avg_qty""",
     "q17_events_sessionize" ->
       """SELECT user_id, session_id, COUNT(*) AS n_events,
-         ROUND(SUM(value), 2) AS sum_value
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM (
            SELECT user_id, value,
              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -369,19 +373,23 @@ object SparkEntry {
          ORDER BY event_type""",
     "q19_date_bucket_agg" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-         COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY 1, 2
          ORDER BY day, event_type""",
     "q27_moving_avg" ->
       """WITH d AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(value) AS day_value
+             SUM(CAST(value AS DECIMAL(18,2))) AS day_value
            FROM events GROUP BY 1, 2)
-         SELECT event_type, day, ROUND(day_value, 2) AS day_value,
-           ROUND(AVG(day_value) OVER (PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-         FROM d ORDER BY event_type, day""",
+         SELECT event_type, day, CAST(day_value AS DOUBLE) AS day_value,
+           ROUND(CAST(SUM(day_value) OVER w AS DOUBLE)
+             / COUNT(day_value) OVER w, 4) AS ma7
+         FROM d
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""",
     "q28_cube" ->
       """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
            AS INTEGER) AS gid,
@@ -417,22 +425,24 @@ object SparkEntry {
          ORDER BY segment""",
     "q31_important_parts" ->
       """WITH p AS (SELECT l_partkey,
-           SUM(l_extendedprice * (1 - l_discount)) AS rev
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+             AS BIGINT)) AS rev
            FROM lineitem GROUP BY 1),
-         m AS (SELECT AVG(rev) AS mean_rev FROM p)
-         SELECT l_partkey, ROUND(rev, 2) AS revenue,
-           ROUND(rev / mean_rev, 4) AS x_mean
-         FROM p, m WHERE rev > 1.3 * mean_rev
+         m AS (SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_rev FROM p)
+         SELECT l_partkey, rev / 100.0 AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / mean_rev, 4) AS x_mean
+         FROM p, m WHERE CAST(rev AS DOUBLE) > 1.3 * mean_rev
          ORDER BY revenue DESC, l_partkey""",
     "q32_range_window" ->
       """WITH d AS (
            SELECT event_type,
              CAST(date_diff('day', DATE '2024-01-01',
                CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS day_num,
-             SUM(value) AS day_value, COUNT(*) AS n_events
+             SUM(CAST(value AS DECIMAL(18,2))) AS day_value,
+             COUNT(*) AS n_events
            FROM events GROUP BY 1, 2)
-         SELECT event_type, day_num, ROUND(day_value, 2) AS day_value,
-           ROUND(SUM(day_value) OVER w, 2) AS wk_value,
+         SELECT event_type, day_num, CAST(day_value AS DOUBLE) AS day_value,
+           CAST(SUM(day_value) OVER w AS DOUBLE) AS wk_value,
            CAST(SUM(n_events) OVER w AS BIGINT) AS wk_events
          FROM d
          WINDOW w AS (PARTITION BY event_type ORDER BY day_num
@@ -644,9 +654,11 @@ object SparkEntry {
          LIMIT 15""",
     "q22_dormant_customers" ->
       """SELECT c_nationkey, COUNT(*) AS n_cust,
-         ROUND(SUM(c_acctbal), 2) AS total_bal
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
          FROM customer c
-         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(c_acctbal)
+                            FROM customer WHERE c_acctbal > 0)
            AND NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
@@ -669,9 +681,11 @@ object SparkEntry {
          FROM u""",
     "q24_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         ROUND(SUM(CASE WHEN n2.n_name = 'NATION_2'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-               / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+         ROUND((SUM(CAST(ROUND(CASE WHEN n2.n_name = 'NATION_2'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                      * 100, 0) AS BIGINT)) / 100.0)
+               / (SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) / 100.0), 4) AS mkt_share
          FROM lineitem
          JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
          JOIN orders ON l_orderkey = o_orderkey
@@ -682,7 +696,8 @@ object SparkEntry {
          JOIN nation n2 ON s_nationkey = n2.n_nationkey
          GROUP BY 1 ORDER BY 1""",
     "q25_disjunctive_revenue" ->
-      """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+           AS BIGINT)) / 100.0 AS revenue,
          COUNT(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_type = 'ECONOMY' AND l_quantity BETWEEN 1 AND 15 AND p_size <= 10)

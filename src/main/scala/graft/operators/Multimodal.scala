@@ -380,7 +380,12 @@ object Multimodal {
       case 6 => 4 // RGBA
       case _ => return None // palette (3) and invalid types: byte path
     }
-    if (bitDepth != 8 || interlace != 0) return None
+    // compression (byte 26) and filter method (byte 27): 0 is the only
+    // value the PNG spec defines for either — a nonzero value means the
+    // zlib stream/filter reconstruction below would decode garbage
+    // confidently; take the deterministic byte-path fallback instead
+    if (bitDepth != 8 || interlace != 0 || u8(26) != 0 || u8(27) != 0)
+      return None
     // bound each DIMENSION before multiplying: w and h are u32-derived
     // Longs, and (2^32-1)^2 wraps Long negative — a forged IHDR would
     // sail past a product-only guard into negative row arithmetic

@@ -16,14 +16,55 @@ import org.apache.spark.sql.functions._
   * design point) carry no hint: AQE picks broadcast when the measured
   * side is small and shuffle join at scale, whereas an explicit hint
   * cannot be overridden and becomes a driver OOM. The fact tables
-  * (lineitem/orders/events) are never broadcast or collected. All doubles
-  * that result from aggregation are rounded on BOTH the Spark and the
-  * DuckDB-oracle side so that floating-point summation order can't flip a
-  * comparison.
+  * (lineitem/orders/events) are never broadcast or collected.
+  *
+  * Float-sum determinism (r12, generalizing q28's sf1 fix): a double
+  * SUM's value depends on add order, so at scale a rounded float sum can
+  * straddle a round(,2) boundary BETWEEN engines — q28's corpus-wide
+  * cube cell did exactly that at ~6M addends. Every money/value SUM or
+  * AVG here therefore accumulates in exact DECIMAL cents ([[dsum]]) and
+  * converts to double once: per-row double→decimal(18,2) is
+  * deterministic (a double is never an exact .005 tie — dyadic
+  * rationals), the decimal sum is exact in any order, and both engines
+  * produce the same double bit pattern. Quantity sums are exempt:
+  * l_quantity is integer-valued and integer double sums are exact in
+  * any order below 2⁵³.
   */
 object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** Order-independent SUM of a RAW 2-decimal-valued double COLUMN:
+    * exact DECIMAL-cents accumulation, one double conversion. The
+    * oracle twin is CAST(SUM(CAST(e AS DECIMAL(18,2))) AS DOUBLE).
+    * Spark widens the sum to decimal(28,2) and DuckDB to decimal(38,2),
+    * so overflow needs a >10²⁶ total — not reachable at any design SF.
+    *
+    * RAW COLUMNS ONLY, never computed expressions: Spark's double→
+    * decimal cast rounds the SHORTEST decimal representation
+    * (BigDecimal of Double.toString) while DuckDB rounds the exact
+    * binary value — on a 2-dec-valued column (within 1e-9 of k.xx)
+    * both give k.xx, but on an arbitrary product (e.g. binary
+    * 2.674999…, shortest repr "2.675") they disagree: 220 of 120k sf1
+    * q06 rows, measured. Products go through [[csum]]. */
+  private[graft] def dsum(e: Column): Column =
+    sum(e.cast("decimal(18,2)")).cast("double")
+
+  /** Order-independent AVG of a raw 2-dec column: [[dsum]] / COUNT(e)
+    * (same NULL semantics as AVG — count of non-nulls), divided as
+    * identical doubles on both engines. */
+  private[graft] def davg(e: Column): Column =
+    dsum(e) / count(e)
+
+  /** Order-independent SUM of a COMPUTED double expression (price
+    * products): per-row ROUND(e·100) to integer cents, exact LONG sum,
+    * one /100.0 — q34/q35's gate-proven idiom made a helper. Portable
+    * where the decimal cast is not (see [[dsum]]): after the ·100 the
+    * product is no longer the nearest double to a half-cent tie, so
+    * shortest-repr (Spark) and exact-binary (DuckDB) rounding agree.
+    * Oracle twin: SUM(CAST(ROUND(e * 100, 0) AS BIGINT)) / 100.0. */
+  private[graft] def csum(e: Column): Column =
+    sum(round(e * lit(100), 0).cast("long")) / lit(100.0)
 
   /** q01: TPC-H Q1-style pricing summary. Partial (map-side) agg then one
     * shuffle on (l_returnflag, l_linestatus) — 6 groups at any scale. */
@@ -33,12 +74,12 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        csum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        csum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(davg(col("l_extendedprice")), 4).as("avg_price"),
+        round(davg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -67,7 +108,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(csum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
   }
@@ -106,7 +147,7 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(csum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("n_name"))
   }
 
@@ -118,7 +159,7 @@ object Relational {
         col("l_shipdate") < ts("1998-01-01 00:00:00") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(csum(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
   /** q07: global top-k — TakeOrderedAndProject, never a full sort. */
   def q07TopkOrders(spark: SparkSession, dir: String): DataFrame =
@@ -157,7 +198,7 @@ object Relational {
     o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -165,7 +206,7 @@ object Relational {
   def q11GroupHaving(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .groupBy(col("p_brand"))
-      .agg(round(sum(col("p_retailprice")), 2).as("sum_retail"),
+      .agg(dsum(col("p_retailprice")).as("sum_retail"),
         count(lit(1)).as("n_parts"))
       .filter(col("sum_retail") > 2000.0)
       .orderBy(col("p_brand"))
@@ -219,7 +260,7 @@ object Relational {
       .select(col("event_type"), col("value"))
     big.unionAll(early)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
   }
 
@@ -232,7 +273,7 @@ object Relational {
       .agg(avg(col("l_quantity")).as("avg_qty"))
     l.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      .agg(round(dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
 
   /** q17: sessionization of the event stream — 30-minute inactivity gap
@@ -250,7 +291,7 @@ object Relational {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        dsum(col("value")).as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -269,7 +310,7 @@ object Relational {
     Tables.events(spark, dir)
       .withColumn("day", to_date(date_trunc("day", col("ts"))))
       .groupBy(col("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
 
   /** q20: exact percentile stats per group — Spark `percentile` and
@@ -383,8 +424,8 @@ object Relational {
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(
-        sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))) / sum(rev),
-        4).as("mkt_share"))
+        csum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0)))
+          / csum(rev), 4).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -406,7 +447,7 @@ object Relational {
       col("p_size") <= 30
     l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(b1 || b2 || b3)
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(csum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -417,7 +458,7 @@ object Relational {
   def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val avgBal = c.filter(col("c_acctbal") > 0)
-      .agg(avg(col("c_acctbal")).as("avg_bal"))
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey"))
@@ -425,7 +466,7 @@ object Relational {
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
       .orderBy(col("c_nationkey"))
   }
 
@@ -485,13 +526,14 @@ object Relational {
     val daily = Tables.events(spark, dir)
       .withColumn("day", to_date(date_trunc("day", col("ts"))))
       .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("value")).as("day_value"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-6, Window.currentRow)
-    daily
-      .withColumn("ma7", round(avg(col("day_value")).over(w), 4))
+    daily // frame mean = exact frame sum / frame count (order-free)
+      .withColumn("ma7", round(sum(col("day_value")).over(w).cast("double")
+        / count(col("day_value")).over(w), 4))
       .select(col("event_type"), col("day"),
-        round(col("day_value"), 2).as("day_value"), col("ma7"))
+        col("day_value").cast("double").as("day_value"), col("ma7"))
       .orderBy("event_type", "day")
   }
 
@@ -559,14 +601,15 @@ object Relational {
       .withColumn("day_num", datediff(to_date(date_trunc("day", col("ts"))),
         lit("2024-01-01").cast("date")))
       .groupBy(col("event_type"), col("day_num"))
-      .agg(sum(col("value")).as("day_value"), count(lit(1)).as("n_events"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"),
+        count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
       .rangeBetween(-6, Window.currentRow)
     daily
-      .withColumn("wk_value", round(sum(col("day_value")).over(w), 2))
+      .withColumn("wk_value", sum(col("day_value")).over(w).cast("double"))
       .withColumn("wk_events", sum(col("n_events")).over(w))
       .select(col("event_type"), col("day_num").cast("int").as("day_num"),
-        round(col("day_value"), 2).as("day_value"),
+        col("day_value").cast("double").as("day_value"),
         col("wk_value"), col("wk_events"))
       .orderBy("event_type", "day_num")
   }
@@ -989,12 +1032,14 @@ object Relational {
   def q31ImportantParts(spark: SparkSession, dir: String): DataFrame = {
     val perPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-    val meanRev = perPart.agg(avg(col("rev")).as("mean_rev"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * lit(100), 0).cast("long")).as("rev")) // exact integer cents
+    val meanRev = perPart // mean stays in cents: exact long sum / count
+      .agg((sum(col("rev")).cast("double") / count(lit(1))).as("mean_rev"))
     perPart.crossJoin(broadcast(meanRev))
-      .filter(col("rev") > lit(1.3) * col("mean_rev"))
-      .select(col("l_partkey"), round(col("rev"), 2).as("revenue"),
-        round(col("rev") / col("mean_rev"), 4).as("x_mean"))
+      .filter(col("rev").cast("double") > lit(1.3) * col("mean_rev"))
+      .select(col("l_partkey"), (col("rev") / lit(100.0)).as("revenue"),
+        round(col("rev").cast("double") / col("mean_rev"), 4).as("x_mean"))
       .orderBy(col("revenue").desc, col("l_partkey"))
   }
 

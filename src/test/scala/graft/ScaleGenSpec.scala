@@ -25,6 +25,10 @@ class ScaleGenSpec extends GraftSuite {
     assert(rep.select("doc_id").distinct().count() === rep.count())
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
     assert(emb.select("vec_id").distinct().count() === emb.count())
+    // the vec_id = doc_id contract survives replication: every vector's
+    // id resolves to a document in the SAME replica
+    val orphans = emb.join(rep, emb("vec_id") === rep("doc_id"), "left_anti")
+    assert(orphans.count() === 0, "vectors detached from their documents")
   }
 
   test("docs replicas are token-disjoint but whitespace-identical") {
@@ -51,7 +55,9 @@ class ScaleGenSpec extends GraftSuite {
 
   test("embedding roll is a coordinate permutation: within-replica dot products exact") {
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
-    val stride = base.agg(max(col("vec_id"))).as[Long].head() + 1L
+    // vec_id shifts by the DOCUMENT stride (vec_id = doc_id keyspace)
+    val stride = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max(col("doc_id"))).as[Long].head() + 1L
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
     // pick two fixed base vectors; for each replica the rolled pair's
     // dot product must equal the base pair's BIT-FOR-BIT (same addends
