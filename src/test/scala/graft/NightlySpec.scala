@@ -55,4 +55,43 @@ class NightlySpec extends GraftSuite {
     assert(self3 > 0,
       "re-absorbing an already-absorbed night must alert as self-pairs")
   }
+
+  test("nightly crash after the absorb commit: relaunch resumes under its own id") {
+    val work = java.nio.file.Files.createTempDirectory("nightly-resume").toString
+    val root = s"$work/tree"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val arr = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.d18BuildIndex(base, s"$root/base")
+    arr.write.parquet(s"$work/arr")
+
+    val (idA, nA, selfA, _, _) =
+      Nightly.runCycle(spark, root, s"$work/arr", s"$work/outA")
+    assert(idA == 0L && selfA == 0L && nA > 0)
+    val pairsA = rows(spark.read.parquet(s"$work/outA"))
+
+    // a crash between the absorb commit and the end of the night leaves
+    // the generation committed and (possibly) the pairs dir missing or
+    // partial; the operator relaunches the SAME command. Before r12's
+    // resume rule the id derived to committedMax+1 and the same
+    // arrivals were silently re-absorbed as a fresh generation (df
+    // counts doubled, every later probe self-paired). Now the newest
+    // committed generation content-matches the batch, so the night
+    // REPLAYS under its own id: absorb no-ops, pairs recompute
+    // byte-identically, no alert fires.
+    val (idB, _, selfB, _, _) =
+      Nightly.runCycle(spark, root, s"$work/arr", s"$work/outB")
+    assert(idB == 0L, s"relaunch must resume under the committed id, got $idB")
+    assert(selfB == 0L, "an idempotent resume must not alert")
+    assert(rows(spark.read.parquet(s"$work/outB")) == pairsA,
+      "resumed night's pair report must equal the crashed night's")
+
+    // and the tree holds ONE committed generation, not two
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = streaming.GenerationTree.liveGenerations(fs,
+      new org.apache.hadoop.fs.Path(root), None)
+      .flatMap(p => streaming.GenerationTree.genId(p.getName))
+    assert(gens == Seq(0L), s"double absorption: $gens")
+  }
 }
