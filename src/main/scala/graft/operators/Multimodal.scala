@@ -480,6 +480,368 @@ object Multimodal {
     * induce before the guard refuses. */
   val PngMaxPixels: Long = 1L << 24
 
+  /** BASELINE JPEG pixel decode with zero codec deps (round 12 — the
+    * JPEG half of [[decodePngLuminance]]'s program: most of a real
+    * crawl's images are JPEG, so a dHash that only survives PNG
+    * re-encodes still misses the dominant re-encode family). Scope is
+    * ITU T.81 baseline sequential, 8-bit, 1 or 3 components, Y
+    * sampling factors ≤ 2×2 with 1×1 chroma (4:4:4 / 4:2:2 / 4:2:0 —
+    * everything the JDK encoder and the overwhelming majority of web
+    * JPEGs emit); progressive (SOF2), arithmetic coding, 12-bit, and
+    * hierarchical forms return None → byte-path fallback, m02's rule.
+    *
+    * m04 needs LUMINANCE only, and in JPEG luma IS the Y component —
+    * so chroma blocks are entropy-decoded (the interleaved MCU stream
+    * can't be advanced otherwise) but never dequantized or
+    * inverse-transformed, and no upsampling or color conversion runs
+    * at all. The bit reader handles stuffed bytes (FF 00) and DRI
+    * restart markers (predictor reset + byte realign); every table
+    * id, sampling factor, dimension, and Huffman code path is bounds-
+    * guarded, dims are capped at [[PngMaxPixels]] before allocation,
+    * and a defensive catch maps any residual adversarial corner to
+    * None — a decoder must never throw on untrusted bytes.
+    * IDCT is the separable double-precision 8-point transform with a
+    * precomputed cosine table — deterministic IEEE arithmetic, no
+    * platform-varying fast paths. */
+  private[graft] def decodeJpegLuminance(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try decodeJpegLuminanceImpl(p) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeJpegLuminanceImpl(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+
+    val qt = Array.ofDim[Int](4, 64) // dequant tables
+    val qtSeen = new Array[Boolean](4)
+    // canonical Huffman tables: per (class 0=DC/1=AC, id 0..3):
+    // minCode/maxCode/valPtr per bit length 1..16 + symbol array
+    val hMin = Array.ofDim[Int](2, 4, 17)
+    val hMax = Array.fill(2, 4, 17)(-1)
+    val hPtr = Array.ofDim[Int](2, 4, 17)
+    val hVal = Array.ofDim[Array[Byte]](2, 4)
+
+    var w = 0; var h = 0
+    var nComp = 0
+    val compId = new Array[Int](3); val compH = new Array[Int](3)
+    val compV = new Array[Int](3); val compQ = new Array[Int](3)
+    var restartInterval = 0
+    var sosAt = -1 // scan header offset once found
+    var i = 2
+    // ---- marker segment walk (T.81 B.2) ----
+    while (sosAt < 0) {
+      // tolerate fill bytes before a marker
+      while (i < p.length && u8(i) == 0xff && i + 1 < p.length && u8(i + 1) == 0xff) i += 1
+      if (i + 3 >= p.length || u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd9) return None // EOI before any scan
+      val len = u16(i + 2)
+      if (len < 2 || i + 2 + len > p.length) return None
+      val seg = i + 4
+      m match {
+        case 0xc0 => // SOF0 baseline; every other SOFn → fallback
+          if (u8(seg) != 8) return None // precision
+          h = u16(seg + 1); w = u16(seg + 3)
+          nComp = u8(seg + 5)
+          if (w <= 0 || h <= 0 || w.toLong * h > PngMaxPixels) return None
+          if (nComp != 1 && nComp != 3) return None
+          if (len < 8 + 3 * nComp) return None
+          var c = 0
+          while (c < nComp) {
+            compId(c) = u8(seg + 6 + 3 * c)
+            val hv = u8(seg + 7 + 3 * c)
+            compH(c) = hv >> 4; compV(c) = hv & 0xf
+            compQ(c) = u8(seg + 8 + 3 * c)
+            if (compQ(c) > 3) return None
+            c += 1
+          }
+          // luma ≤ 2×2; chroma must be 1×1 (the web-JPEG space)
+          if (compH(0) < 1 || compH(0) > 2 || compV(0) < 1 || compV(0) > 2) return None
+          if (nComp == 3 && (compH(1) != 1 || compV(1) != 1 ||
+              compH(2) != 1 || compV(2) != 1)) return None
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf => return None // non-baseline SOF
+        case 0xdb => // DQT: one or more tables in the segment
+          var o = seg
+          while (o < i + 2 + len) {
+            val pq = u8(o) >> 4; val tq = u8(o) & 0xf
+            if (tq > 3 || pq > 1) return None
+            val entryBytes = if (pq == 0) 1 else 2
+            if (o + 1 + 64 * entryBytes > i + 2 + len) return None
+            var k = 0
+            while (k < 64) {
+              qt(tq)(k) = if (pq == 0) u8(o + 1 + k) else u16(o + 1 + 2 * k)
+              k += 1
+            }
+            qtSeen(tq) = true
+            o += 1 + 64 * entryBytes
+          }
+        case 0xc4 => // DHT: one or more tables
+          var o = seg
+          while (o < i + 2 + len) {
+            val tc = u8(o) >> 4; val th = u8(o) & 0xf
+            if (tc > 1 || th > 3) return None
+            if (o + 17 > i + 2 + len) return None
+            var total = 0
+            var l = 1
+            while (l <= 16) { total += u8(o + l); l += 1 }
+            if (total > 256 || o + 17 + total > i + 2 + len) return None
+            val vals = new Array[Byte](total)
+            System.arraycopy(p, o + 17, vals, 0, total)
+            hVal(tc)(th) = vals
+            // canonical code assignment (T.81 C.2)
+            var code = 0; var ptr = 0
+            l = 1
+            while (l <= 16) {
+              hPtr(tc)(th)(l) = ptr
+              hMin(tc)(th)(l) = code
+              val n = u8(o + l)
+              code += n; ptr += n
+              hMax(tc)(th)(l) = code - 1 // -1 marks "no codes at this length"
+              if (n == 0) hMax(tc)(th)(l) = -1
+              code <<= 1
+              l += 1
+            }
+            o += 17 + total
+          }
+        case 0xdd => // DRI
+          if (len < 4) return None
+          restartInterval = u16(seg)
+        case 0xda => sosAt = i // SOS: entropy data follows the header
+        case _ => () // APPn / COM / others: skip
+      }
+      if (sosAt < 0) i += 2 + len
+    }
+    if (w == 0 || nComp == 0) return None
+    // ---- SOS header: per-component entropy table ids ----
+    val sosLen = u16(sosAt + 2)
+    val ns = u8(sosAt + 4)
+    if (ns != nComp || sosLen < 6 + 2 * ns) return None
+    val dcTab = new Array[Int](3); val acTab = new Array[Int](3)
+    var c = 0
+    while (c < ns) {
+      val cs = u8(sosAt + 5 + 2 * c)
+      // components appear in SOF order in every baseline encoder; find by id
+      val ci = compId.indexOf(cs)
+      if (ci < 0 || ci >= nComp) return None
+      val tt = u8(sosAt + 6 + 2 * c)
+      dcTab(ci) = tt >> 4; acTab(ci) = tt & 0xf
+      if (dcTab(ci) > 3 || acTab(ci) > 3 ||
+          hVal(0)(dcTab(ci)) == null || hVal(1)(acTab(ci)) == null) return None
+      c += 1
+    }
+    c = 0
+    while (c < nComp) { if (!qtSeen(compQ(c))) return None; c += 1 }
+
+    // ---- entropy-coded bit reader with stuffing + restart handling ----
+    var pos = sosAt + 2 + sosLen
+    var bitBuf = 0; var bitCnt = 0
+    var hitMarker = false // any non-RST marker = end of data
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (hitMarker || pos >= p.length) return -1
+        var b = u8(pos); pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length) { hitMarker = true; return -1 }
+          val b2 = u8(pos)
+          if (b2 == 0x00) pos += 1 // stuffed
+          else { pos -= 1; hitMarker = true; return -1 } // rewind to the FF
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuff(tc: Int, th: Int): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+        if (hMax(tc)(th)(l) >= 0 && code <= hMax(tc)(th)(l) &&
+            code >= hMin(tc)(th)(l)) {
+          val idx = hPtr(tc)(th)(l) + (code - hMin(tc)(th)(l))
+          val vs = hVal(tc)(th)
+          if (idx >= vs.length) return -1
+          return vs(idx) & 0xff
+        }
+      }
+      -1
+    }
+    def receiveExtend(t: Int): Int = {
+      if (t == 0) return 0
+      var v = 0; var k = 0
+      while (k < t) {
+        val bit = nextBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        k += 1
+      }
+      if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    }
+
+    // ---- MCU geometry ----
+    val hMaxF = compH(0); val vMaxF = compV(0) // chroma is 1×1 ⇒ Y is max
+    val mcuW = 8 * hMaxF; val mcuH = 8 * vMaxF
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    val yW = mcusX * hMaxF * 8 // padded Y plane
+    val yPlane = new Array[Int](yW * mcusY * vMaxF * 8)
+    val dcPred = new Array[Int](3)
+    val blk = new Array[Int](64)
+    val zig = JpegZigzag
+    val idctTmp = new Array[Double](64)
+
+    def decodeBlock(ci: Int, keep: Boolean, outX: Int, outY: Int): Boolean = {
+      val t = decodeHuff(0, dcTab(ci))
+      if (t < 0 || t > 15) return false
+      val diff = receiveExtend(t)
+      if (diff == Int.MinValue) return false
+      dcPred(ci) += diff
+      if (keep) { java.util.Arrays.fill(blk, 0); blk(0) = dcPred(ci) * qt(compQ(ci))(0) }
+      var k = 1
+      while (k < 64) {
+        val rs = decodeHuff(1, acTab(ci))
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0xf
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else k = 64 // EOB
+        } else {
+          k += r
+          if (k > 63) return false
+          val v = receiveExtend(s)
+          if (v == Int.MinValue) return false
+          if (keep) blk(zig(k)) = v * qt(compQ(ci))(k)
+          k += 1
+        }
+      }
+      if (keep) idct8x8(blk, idctTmp, yPlane, outY * yW + outX, yW)
+      true
+    }
+
+    var my = 0
+    var mcuCount = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcuCount == restartInterval) {
+          // byte-align and consume RSTn; predictors reset
+          bitCnt = 0; hitMarker = false
+          while (pos + 1 < p.length && !(u8(pos) == 0xff &&
+            (u8(pos + 1) & 0xf8) == 0xd0)) pos += 1
+          if (pos + 1 >= p.length) return None
+          pos += 2
+          dcPred(0) = 0; dcPred(1) = 0; dcPred(2) = 0
+          mcuCount = 0
+        }
+        var ci = 0
+        while (ci < nComp) {
+          val bh = compH(ci); val bv = compV(ci)
+          var by = 0
+          while (by < bv) {
+            var bx = 0
+            while (bx < bh) {
+              val keep = ci == 0
+              val ox = (mx * bh + bx) * 8 * (hMaxF / bh)
+              val oy = (my * bv + by) * 8 * (vMaxF / bv)
+              // Y always has the max factors here, so ox/oy are exact
+              if (!decodeBlock(ci, keep, if (keep) ox else 0, if (keep) oy else 0))
+                return None
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcuCount += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // crop padded plane to w×h
+    val lum = new Array[Int](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) { lum(yy * w + xx) = yPlane(yy * yW + xx); xx += 1 }
+      yy += 1
+    }
+    Some((w, h, lum))
+  }
+
+  /** T.81 zigzag order: zig(k) = natural (row-major) index of the k-th
+    * coefficient in scan order. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)uπ/16) table for the separable 8-point IDCT. */
+  private val JpegCos: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** Separable 2-D IDCT of one dequantized 8×8 block + level shift +
+    * clamp, written into `out` at `off` with row stride `stride`. */
+  private def idct8x8(in: Array[Int], tmp: Array[Double],
+      out: Array[Int], off: Int, stride: Int): Unit = {
+    val c = JpegCos
+    // rows
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) 0.70710678118654752 else 1.0
+          s += cu * in(y * 8 + u) * c(x * 8 + u)
+          u += 1
+        }
+        tmp(y * 8 + x) = s / 2
+        x += 1
+      }
+      y += 1
+    }
+    // columns
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) 0.70710678118654752 else 1.0
+          s += cv * tmp(v * 8 + x) * c(yy * 8 + v)
+          v += 1
+        }
+        val px = math.round(s / 2).toInt + 128
+        out(off + yy * stride + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Container-dispatching pixel decode: PNG then JPEG by magic, None →
+    * byte-path fallback (the m04 decode slot's single entry point). */
+  private[graft] def decodeLuminance(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+      decodeJpegLuminance(p)
+    else decodePngLuminance(p)
+
   /** The REAL dHash over a decoded luminance plane: an 8-row × 9-column
     * sample lattice (nearest-neighbor — deterministic integer indexing,
     * no float resample), each row contributing its 8 adjacent-column
@@ -505,8 +867,9 @@ object Multimodal {
     fp
   }
 
-  /** m04, DECODE-AWARE: payloads that parse as a supported PNG are
-    * hashed over their decoded luminance plane ([[pixelDhash63]]);
+  /** m04, DECODE-AWARE: payloads that parse as a supported PNG or
+    * baseline JPEG are hashed over their decoded luminance plane
+    * ([[pixelDhash63]]);
     * everything else keeps the byte-stream dHash — so on a corpus with
     * no container magic this is RESULT-IDENTICAL to the gated
     * [[m04PhashNeardup]] (spec-pinned), and on real image payloads a
@@ -528,7 +891,7 @@ object Multimodal {
           // NULL payloads are routine in real binary corpora — hash as
           // empty (dhash63('') = 0) instead of NPE-ing the task
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val f = decodePngLuminance(bytes) match {
+          val f = decodeLuminance(bytes) match {
             case Some((w, h, lum)) => pixelDhash63(w, h, lum)
             case None => graft.functions.PhashUtil.dhash63(
               org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))

@@ -421,4 +421,182 @@ class MultimodalSpec extends GraftSuite {
       .collect().map(_.toString).toSeq
     assert(plain == plainCapped, "cap must be a no-op without a hot frame")
   }
+
+  // ---- JPEG decode fixtures (r12): the JDK's own ImageIO JPEG codec
+  // is the INDEPENDENT encoder + reference decoder — test-only, the
+  // production decoder stays zero-dep ----
+  private def jpegTestImage(w: Int, h: Int, gray: Boolean): java.awt.image.BufferedImage = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(w, h, t)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // lattice-aligned high-contrast bands (dHash samples 9 columns:
+        // alternating ~160-luma steps dwarf any IDCT/quantization noise)
+        // plus a mild gradient so rows are not constant
+        val band = if ((x * 9 / w) % 2 == 0) 40 else 200
+        val v = math.min(255, band + y / 8)
+        // gray: write the raster sample directly — setRGB on
+        // TYPE_BYTE_GRAY routes through an sRGB->linear colorspace
+        // transform that would distort the planted values
+        if (gray) img.getRaster.setSample(x, y, 0, v)
+        else img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def imageIoLuma(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    val gray = img.getColorModel.getNumComponents == 1
+    val lum = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        lum(y * w + x) =
+          if (gray) img.getRaster.getSample(x, y, 0) // raw Y, no CS transform
+          else {
+            val rgb = img.getRGB(x, y)
+            (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff)
+              + 29 * (rgb & 0xff)) >> 8
+          }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, lum)
+  }
+
+  test("JPEG pixel decode matches the JDK's independent decoder within IDCT tolerance") {
+    for (gray <- Seq(false, true); q <- Seq(0.92f, 0.5f)) {
+      val bytes = encodeJpeg(jpegTestImage(64, 48, gray), q)
+      val got = Multimodal.decodeJpegLuminance(bytes)
+      assert(got.isDefined, s"gray=$gray q=$q must decode (baseline JDK output)")
+      val (w, h, lum) = got.get
+      assert(w == 64 && h == 48)
+      val (rw, rh, ref) = imageIoLuma(bytes)
+      assert(rw == w && rh == h)
+      // both decoders reconstruct the same DCT coefficients; residual
+      // differences are IDCT rounding + (color path) the YCbCr<->RGB
+      // round-trip through ImageIO's integer conversion
+      val diffs = lum.indices.map(i => math.abs(lum(i) - ref(i)))
+      val mean = diffs.sum.toDouble / diffs.length
+      assert(mean <= 2.5, s"gray=$gray q=$q mean |diff| $mean")
+      assert(diffs.max <= 12, s"gray=$gray q=$q max |diff| ${diffs.max}")
+    }
+  }
+
+  test("m04 decode-aware: JPEG re-encode pair caught at hamming 0; byte path misses it") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val img = jpegTestImage(64, 48, gray = false)
+    val encA = encodeJpeg(img, 0.92f)
+    val encB = encodeJpeg(img, 0.5f)
+    assert(!java.util.Arrays.equals(encA, encB))
+    // the two encodings genuinely differ in entropy bytes AND decode to
+    // the same perceptual hash
+    def hash(bytes: Array[Byte]): Long = {
+      val (w, h, lum) = Multimodal.decodeJpegLuminance(bytes).get
+      Multimodal.pixelDhash63(w, h, lum)
+    }
+    assert(hash(encA) == hash(encB),
+      "pixel dHash must be invariant under JPEG re-encode")
+    val filler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, encA), (2L, encB), (3L, filler.getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.m04PhashNeardupDecodedOf(spark, docs).collect()
+      .map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(0L),
+      s"re-encoded JPEG pair must verify at hamming 0: $pairs")
+    val bytePairs = Multimodal.m04BandVerify(
+        docs.select(col("doc_id"), graft.functions.NativeFunctions.phash63(
+          col("payload").cast("string")).as("fp")))
+      .collect().map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"))).toSet
+    assert(!bytePairs.contains((1L, 2L)),
+      "fixture must demonstrate the byte path missing the JPEG re-encode")
+  }
+
+  test("JPEG restart markers: hand-assembled DRI stream decodes; missing RST refuses") {
+    // minimal baseline gray 16x8 = two 8x8 MCUs, restart interval 1:
+    // trivial Huffman tables (one 1-bit code each: DC category 0, AC
+    // EOB), so each block is the 2 bits "00" padded to byte 0x3F, and
+    // the two entropy segments are separated by RST0. All-zero
+    // coefficients decode to a flat plane of 128 after level shift.
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val dqt = seg(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(1))
+    val sof = seg(0xc0, Array[Byte](8, 0, 8, 0, 16, 1, 1, 0x11, 0))
+    def dht(tc: Int): Array[Byte] =
+      seg(0xc4, Array[Byte]((tc << 4).toByte, 1) ++ Array.fill[Byte](15)(0)
+        ++ Array[Byte](0))
+    val dri = seg(0xdd, Array[Byte](0, 1))
+    val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    val head = Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++
+      dht(0) ++ dht(1) ++ dri ++ sos
+    val withRst = head ++ Array(0x3f.toByte, 0xff.toByte, 0xd0.toByte,
+      0x3f.toByte, 0xff.toByte, 0xd9.toByte)
+    val got = Multimodal.decodeJpegLuminance(withRst)
+    assert(got.isDefined, "DRI stream must decode")
+    val (w, h, lum) = got.get
+    assert(w == 16 && h == 8 && lum.forall(_ == 128),
+      s"flat-gray DRI decode: w=$w h=$h distinct=${lum.distinct.toSeq}")
+    // same stream with the RST marker dropped: the decoder must refuse
+    // (fall back), never mis-align silently
+    val noRst = head ++ Array(0x3f.toByte, 0x3f.toByte, 0xff.toByte, 0xd9.toByte)
+    assert(Multimodal.decodeJpegLuminance(noRst).isEmpty,
+      "a missing restart marker must refuse, not desync")
+  }
+
+  test("JPEG decode falls back (None) on progressive, truncated, and corrupt streams") {
+    val img = jpegTestImage(64, 48, gray = false)
+    val prog = encodeJpeg(img, 0.8f, progressive = true)
+    assert(Multimodal.decodeJpegLuminance(prog).isEmpty,
+      "progressive (SOF2) is outside baseline scope and must fall back")
+    val base = encodeJpeg(img, 0.8f)
+    assert(Multimodal.decodeJpegLuminance(base.take(base.length / 2)).isEmpty,
+      "truncated entropy data must fall back, not return a partial plane")
+    assert(Multimodal.decodeJpegLuminance(base.take(60)).isEmpty)
+    val junk = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array.tabulate[Byte](500)(i => ((i * 131) % 251).toByte)
+    assert(Multimodal.decodeJpegLuminance(junk).isEmpty,
+      "FFD8-prefixed garbage must fall back")
+    // a forged SOF0 claiming giant dimensions refuses before allocation
+    val giant = base.clone()
+    // find SOF0 and overwrite height/width with 0xFFFF
+    var i = 2
+    var done = false
+    while (!done && i + 4 < giant.length) {
+      if ((giant(i) & 0xff) == 0xff && (giant(i + 1) & 0xff) == 0xc0) {
+        giant(i + 5) = 0xff.toByte; giant(i + 6) = 0xff.toByte
+        giant(i + 7) = 0xff.toByte; giant(i + 8) = 0xff.toByte
+        done = true
+      } else i += 1
+    }
+    assert(done && Multimodal.decodeJpegLuminance(giant).isEmpty)
+  }
 }
