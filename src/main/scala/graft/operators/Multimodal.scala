@@ -631,6 +631,17 @@ object Multimodal {
     }
     c = 0
     while (c < nComp) { if (!qtSeen(compQ(c))) return None; c += 1 }
+    // T.81 A.2.2: a ONE-component scan is always NON-interleaved — data
+    // is plain raster order of ceil(w/8)x ceil(h/8) blocks and the
+    // declared sampling factors are ignored (jpegtran -grayscale keeps
+    // the source's 2x2 luma factors; tiling them as MCUs would
+    // block-scramble the plane)
+    if (ns == 1) { compH(0) = 1; compV(0) = 1 }
+    // baseline scan header must cover the full spectrum with no
+    // successive approximation (Ss=0, Se=63, Ah=Al=0) — anything else
+    // is a partial-spectral scan our table walk would misread
+    if (u8(sosAt + 5 + 2 * ns) != 0 || u8(sosAt + 6 + 2 * ns) != 63 ||
+        u8(sosAt + 7 + 2 * ns) != 0) return None
 
     // ---- entropy-coded bit reader with stuffing + restart handling ----
     var pos = sosAt + 2 + sosLen
@@ -694,16 +705,21 @@ object Multimodal {
 
     def decodeBlock(ci: Int, keep: Boolean, outX: Int, outY: Int): Boolean = {
       val t = decodeHuff(0, dcTab(ci))
-      if (t < 0 || t > 15) return false
+      if (t < 0 || t > 11) return false // 8-bit DC category <= 11 (F.1)
       val diff = receiveExtend(t)
       if (diff == Int.MinValue) return false
       dcPred(ci) += diff
+      // legal 8-bit DC coefficients live in [-2048, 2047]; a predictor
+      // outside that is a crafted stream — refuse (fallback), never
+      // return a wrapped-overflow plane as a successful decode
+      if (dcPred(ci) < -2048 || dcPred(ci) > 2047) return false
       if (keep) { java.util.Arrays.fill(blk, 0); blk(0) = dcPred(ci) * qt(compQ(ci))(0) }
       var k = 1
       while (k < 64) {
         val rs = decodeHuff(1, acTab(ci))
         if (rs < 0) return false
         val r = rs >> 4; val s = rs & 0xf
+        if (s > 10) return false // 8-bit AC category <= 10 (F.2)
         if (s == 0) {
           if (r == 15) k += 16 // ZRL
           else k = 64 // EOB
@@ -763,8 +779,7 @@ object Multimodal {
     val lum = new Array[Int](w * h)
     var yy = 0
     while (yy < h) {
-      var xx = 0
-      while (xx < w) { lum(yy * w + xx) = yPlane(yy * yW + xx); xx += 1 }
+      System.arraycopy(yPlane, yy * yW, lum, yy * w, w)
       yy += 1
     }
     Some((w, h, lum))
@@ -785,7 +800,7 @@ object Multimodal {
     while (x < 8) {
       var u = 0
       while (u < 8) {
-        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+        t(x * 8 + u) = StrictMath.cos((2 * x + 1) * u * math.Pi / 16)
         u += 1
       }
       x += 1
@@ -838,7 +853,8 @@ object Multimodal {
   /** Container-dispatching pixel decode: PNG then JPEG by magic, None →
     * byte-path fallback (the m04 decode slot's single entry point). */
   private[graft] def decodeLuminance(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+    if (p == null) None
+    else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
       decodeJpegLuminance(p)
     else decodePngLuminance(p)
 

@@ -572,6 +572,89 @@ class MultimodalSpec extends GraftSuite {
       "a missing restart marker must refuse, not desync")
   }
 
+  test("JPEG single-component scan is non-interleaved: declared 2x2 factors ignored") {
+    // T.81 A.2.2 (r12 review): a gray JPEG that KEEPS 2x2 luma sampling
+    // factors (jpegtran -grayscale output) still stores its blocks in
+    // plain raster order. 24x8 = three DC-only blocks with distinct
+    // DCs; tiling them as 16x16 MCUs would expect 8 blocks and refuse.
+    // Tables: DC = {cat 0 -> '0' (1 bit), cat 5 -> '10' (2 bits)},
+    // AC = {EOB -> '0'}; each block = '10' + 24 (5 bits) + EOB = 0xB0.
+    // DC-only IDCT gives round(dc/8) + 128: tiles 131, 134, 137.
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val dqt = seg(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(1))
+    val sof = seg(0xc0, Array[Byte](8, 0, 8, 0, 24, 1, 1, 0x22, 0))
+    val dcHt = seg(0xc4, Array[Byte](0x00, 1, 1) ++ Array.fill[Byte](14)(0)
+      ++ Array[Byte](0, 5))
+    val acHt = seg(0xc4, Array[Byte](0x10, 1) ++ Array.fill[Byte](15)(0)
+      ++ Array[Byte](0))
+    val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    val jpeg = Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dcHt ++ acHt ++
+      sos ++ Array(0xb0.toByte, 0xb0.toByte, 0xb0.toByte,
+        0xff.toByte, 0xd9.toByte)
+    val got = Multimodal.decodeJpegLuminance(jpeg)
+    assert(got.isDefined, "raster-order 1-component stream must decode")
+    val (w, h, lum) = got.get
+    assert(w == 24 && h == 8)
+    assert(lum(0) == 131 && lum(8) == 134 && lum(16) == 137,
+      s"tiles must land in raster order: ${lum(0)}, ${lum(8)}, ${lum(16)}")
+    assert(lum(7 * 24 + 23) == 137)
+  }
+
+  test("JPEG adversarial guards: runaway DC predictor and partial-spectral scans refuse") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val dqt = seg(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(1))
+    val sof = seg(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    // DC table holding only category 11 ('0'): every block pushes the
+    // predictor by up to +-2047; two blocks exceed the legal DC range
+    val dcHt = seg(0xc4, Array[Byte](0x00) ++ Array.fill[Byte](10)(0)
+      ++ Array[Byte](1) ++ Array.fill[Byte](5)(0) ++ Array[Byte](11))
+    val acHt = seg(0xc4, Array[Byte](0x10, 1) ++ Array.fill[Byte](15)(0)
+      ++ Array[Byte](0))
+    // 8x16: two blocks, each DC cat 11 with all-ones magnitude (+2047):
+    // first lands at 2047 (legal), second at 4094 -> must refuse
+    val sof2 = seg(0xc0, Array[Byte](8, 0, 16, 0, 8, 1, 1, 0x11, 0))
+    val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // block bits: '0' (cat-11 code, 11 bits all 1) + EOB '0' = 13 bits
+    // two blocks = 26 bits -> 0x7FE7 FE00 padded; assemble bitwise
+    var acc = 0L; var n = 0
+    def push(bits: Int, len: Int): Unit = { acc = (acc << len) | bits; n += len }
+    // DC cat-11 code = the single length-11 canonical code (11 zero
+    // bits), then 11 magnitude bits, then the 1-bit AC EOB
+    push(0, 11); push(0x7ff, 11); push(0, 1) // block 1: +2047
+    push(0, 11); push(0x7ff, 11); push(0, 1) // block 2: +2047 again
+    while (n % 8 != 0) { push(1, 1) }
+    val data = (1 to n / 8).map(i => ((acc >> (n - 8 * i)) & 0xff).toByte).toArray
+    val overflow = Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof2 ++ dcHt ++
+      acHt ++ sos ++ data ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(Multimodal.decodeJpegLuminance(overflow).isEmpty,
+      "a DC predictor outside [-2048, 2047] must refuse, not wrap")
+    // positive control: ONE +2047 block (the legal extreme) decodes —
+    // so the refusal above is the clamp firing on block 2, not an
+    // artifact of the hand-assembled stream
+    var acc1 = 0L; var n1 = 0
+    def push1(bits: Int, len: Int): Unit = { acc1 = (acc1 << len) | bits; n1 += len }
+    push1(0, 11); push1(0x7ff, 11); push1(0, 1)
+    while (n1 % 8 != 0) { push1(1, 1) }
+    val data1 = (1 to n1 / 8).map(i => ((acc1 >> (n1 - 8 * i)) & 0xff).toByte).toArray
+    val legal = Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dcHt ++
+      acHt ++ sos ++ data1 ++ Array(0xff.toByte, 0xd9.toByte)
+    val lg = Multimodal.decodeJpegLuminance(legal)
+    assert(lg.isDefined && lg.get._3.forall(_ == 255),
+      "the legal DC extreme must decode to a saturated plane")
+    // partial-spectral scan header (Ss=1) under an SOF0 frame: refuse
+    val sosBad = seg(0xda, Array[Byte](1, 1, 0x00, 1, 63, 0))
+    val partial = Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dcHt ++
+      acHt ++ sosBad ++ Array(0x00.toByte, 0xff.toByte, 0xd9.toByte)
+    assert(Multimodal.decodeJpegLuminance(partial).isEmpty,
+      "Ss/Se/AhAl outside 0/63/0 is not baseline and must refuse")
+    // and null at the dispatch entry is None, never an NPE
+    assert(Multimodal.decodeLuminance(null).isEmpty)
+  }
+
   test("JPEG decode falls back (None) on progressive, truncated, and corrupt streams") {
     val img = jpegTestImage(64, 48, gray = false)
     val prog = encodeJpeg(img, 0.8f, progressive = true)
