@@ -35,13 +35,15 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(rawArgs: Array[String]): Unit = {
     val skew = rawArgs.contains("--skew")
+    val nightly = rawArgs.contains("--nightly")
     // --queries=a,b,c: probe only the named cells (targeted re-measures,
     // e.g. the graph family at 16× without paying the full suite). The
     // graphExtras consumer cells always run — they are the flat-consumer
     // half of every graph-family claim.
     val onlyQueries = rawArgs.find(_.startsWith("--queries="))
       .map(_.stripPrefix("--queries=").split(",").map(_.trim).toSet)
-    val args = rawArgs.filterNot(a => a == "--skew" || a.startsWith("--queries="))
+    val args = rawArgs.filterNot(a =>
+      a == "--skew" || a == "--nightly" || a.startsWith("--queries="))
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val scales = (if (args.length > 2) args(2) else "1,2,4,8")
@@ -114,6 +116,11 @@ object ScaleProbe {
 
     if (skew) {
       runSkew(spark, baseDir, workDir, scales)
+      spark.stop()
+      return
+    }
+    if (nightly) {
+      runNightly(spark, baseDir, workDir, scales)
       spark.stop()
       return
     }
@@ -193,6 +200,64 @@ object ScaleProbe {
       println(s"""SCALEPROBE {"scale":$n,"docs":$docs,"queries":{$qJson}}""")
     }
     spark.stop()
+  }
+
+  /** `--nightly` mode (round 12): the d18 NIGHTLY cycle's history
+    * trend, measured through the real `graft.Nightly.runCycle` — a
+    * FIXED arrival batch probed + absorbed against a generation tree
+    * whose base corpus grows 1×/4×/16×. Arrivals re-use replica 0's
+    * token space under fresh (disjoint) doc ids, so the PAIR WORK is
+    * constant at every scale (same near-dup structure against the
+    * replica-0 slice); what grows is only the at-rest index. DEPLOY.md
+    * documents the expectation this probe verifies: on an unbucketed
+    * local tree the cycle's wall grows with the INDEX SCAN (the probe
+    * join must read the at-rest shingle rows — the `index_scan` column
+    * attributes exactly that share), while the pair/join work stays
+    * flat (`pairs` constant); a production catalog removes the scan
+    * term by bucketing the at-rest index on `h`, which is a layout
+    * decision, not a plan change. Each scale builds a FRESH tree (the
+    * cycle absorbs; reuse would compound history across cells). */
+  private def runNightly(spark: SparkSession, baseDir: String,
+      workDir: String, scales: Seq[Int]): Unit = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, baseDir)
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // fixed batch: every 10th replica-0 doc, 'a'-prefixed tokens (the
+    // replica-0 space), ids shifted far past any replica (scales ≤ 26)
+    val arrDir = s"$workDir/nightly-arrivals"
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(100L * maxId)).as("doc_id"),
+        array_join(transform(split(trim(col("text")), "\\s+"),
+          t => concat(lit("a"), t)), " ").as("text"))
+      .write.mode("overwrite").parquet(arrDir)
+    var warmed = false
+    scales.foreach { n =>
+      val dir = s"$workDir/nightly-scale$n"
+      val corpus = (0 until n).map { i =>
+        val ch = ('a' + i).toChar.toString
+        docs.select(
+          (col("doc_id") + lit(i * maxId)).as("doc_id"),
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            t => concat(lit(ch), t)), " ").as("text"))
+      }.reduce(_ union _)
+      Dedup.d18BuildIndex(corpus, s"$dir/tree/base")
+      if (!warmed) { // one throwaway cycle: JIT + first-touch outside the timers
+        Dedup.d18BuildIndex(corpus, s"$dir/warmtree/base")
+        Nightly.runCycle(spark, s"$dir/warmtree", arrDir, s"$dir/warmpairs")
+        warmed = true
+      }
+      val t0 = System.nanoTime()
+      val (_, nPairs, selfPairs, _, _) =
+        Nightly.runCycle(spark, s"$dir/tree", arrDir, s"$dir/pairs")
+      val cycleSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val indexRows = spark.read.parquet(s"$dir/tree/base").count()
+      val scanSec = (System.nanoTime() - t1) / 1e9
+      println(f"""SCALEPROBE {"mode":"nightly","scale":$n,"index_rows":$indexRows,""" +
+        f""""cycle_sec":$cycleSec%.2f,"index_scan_sec":$scanSec%.2f,""" +
+        f""""pairs":$nPairs,"self_pairs":$selfPairs}""")
+    }
   }
 
   /** Stop-shingle cap experiment — see the object doc. */
