@@ -136,8 +136,7 @@ object ScaleProbe {
         base.select(
           (col("doc_id") + lit(i * maxId)).as("doc_id"),
           // letter prefix per token: replica token values are disjoint
-          array_join(transform(split(trim(col("text")), "\\s+"),
-            t => concat(lit(ch), t)), " ").as("text"),
+          prefixedText(ch).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }
       replicas.reduce(_ unionAll _)
@@ -202,6 +201,15 @@ object ScaleProbe {
     spark.stop()
   }
 
+
+  /** The letter-prefix token transform every scale experiment's
+    * disjointness argument rests on — single-sourced (r12 review): a
+    * replica's every token gains prefix `ch`, so portable token values
+    * (length/first/last char) never collide across replicas. */
+  private def prefixedText(ch: String): org.apache.spark.sql.Column =
+    array_join(transform(split(trim(col("text")), "\\s+"),
+      t => concat(lit(ch), t)), " ")
+
   /** `--nightly` mode (round 12): the d18 NIGHTLY cycle's history
     * trend, measured through the real `graft.Nightly.runCycle` — a
     * FIXED arrival batch probed + absorbed against a generation tree
@@ -228,8 +236,7 @@ object ScaleProbe {
     val arrDir = s"$workDir/nightly-arrivals"
     docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + lit(100L * maxId)).as("doc_id"),
-        array_join(transform(split(trim(col("text")), "\\s+"),
-          t => concat(lit("a"), t)), " ").as("text"))
+        prefixedText("a").as("text"))
       .write.mode("overwrite").parquet(arrDir)
     var warmed = false
     scales.foreach { n =>
@@ -238,8 +245,7 @@ object ScaleProbe {
         val ch = ('a' + i).toChar.toString
         docs.select(
           (col("doc_id") + lit(i * maxId)).as("doc_id"),
-          array_join(transform(split(trim(col("text")), "\\s+"),
-            t => concat(lit(ch), t)), " ").as("text"))
+          prefixedText(ch).as("text"))
       }.reduce(_ union _)
       Dedup.d18BuildIndex(corpus, s"$dir/tree/base")
       if (!warmed) { // one throwaway cycle: JIT + first-touch outside the timers
@@ -251,8 +257,13 @@ object ScaleProbe {
       val (_, nPairs, selfPairs, _, _) =
         Nightly.runCycle(spark, s"$dir/tree", arrDir, s"$dir/pairs")
       val cycleSec = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
       val indexRows = spark.read.parquet(s"$dir/tree/base").count()
+      // attribution: a GENUINE full read of the index's h column (the
+      // side the probe join streams). A bare count() would be served
+      // from parquet footer metadata without touching a data page
+      // (r12 review) — sum(h) forces every page through the reader.
+      val t1 = System.nanoTime()
+      spark.read.parquet(s"$dir/tree/base").agg(sum(col("h"))).head()
       val scanSec = (System.nanoTime() - t1) / 1e9
       println(f"""SCALEPROBE {"mode":"nightly","scale":$n,"index_rows":$indexRows,""" +
         f""""cycle_sec":$cycleSec%.2f,"index_scan_sec":$scanSec%.2f,""" +
@@ -287,8 +298,7 @@ object ScaleProbe {
         val ch = ('a' + i).toChar.toString
         base.select(
           (col("doc_id") + lit(i * maxId)).as("doc_id"),
-          array_join(transform(split(trim(col("text")), "\\s+"),
-            t => concat(lit(ch), t)), " ").as("text"),
+          prefixedText(ch).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }
       replicas.reduce(_ unionAll _)

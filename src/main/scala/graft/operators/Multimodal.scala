@@ -709,9 +709,11 @@ object Multimodal {
       val diff = receiveExtend(t)
       if (diff == Int.MinValue) return false
       dcPred(ci) += diff
-      // legal 8-bit DC coefficients live in [-2048, 2047]; a predictor
-      // outside that is a crafted stream — refuse (fallback), never
-      // return a wrapped-overflow plane as a successful decode
+      // [-2048, 2047] is the 8-bit DC DIFFERENCE-category envelope
+      // (T.81 F.1.2.1.1) — deliberately looser than the true
+      // coefficient range (~[-1024, 1016]), so no legal stream is ever
+      // refused; a predictor outside it is a crafted stream — refuse
+      // (fallback), never return a wrapped-overflow plane as success
       if (dcPred(ci) < -2048 || dcPred(ci) > 2047) return false
       if (keep) { java.util.Arrays.fill(blk, 0); blk(0) = dcPred(ci) * qt(compQ(ci))(0) }
       var k = 1

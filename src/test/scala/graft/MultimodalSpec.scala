@@ -618,8 +618,9 @@ class MultimodalSpec extends GraftSuite {
     // first lands at 2047 (legal), second at 4094 -> must refuse
     val sof2 = seg(0xc0, Array[Byte](8, 0, 16, 0, 8, 1, 1, 0x11, 0))
     val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
-    // block bits: '0' (cat-11 code, 11 bits all 1) + EOB '0' = 13 bits
-    // two blocks = 26 bits -> 0x7FE7 FE00 padded; assemble bitwise
+    // block bits: cat-11 code (the single length-11 canonical code =
+    // 11 ZERO bits) + 11 magnitude bits + 1-bit AC EOB = 23 bits;
+    // two blocks = 46 bits, padded with 1s to 6 bytes; assemble bitwise
     var acc = 0L; var n = 0
     def push(bits: Int, len: Int): Unit = { acc = (acc << len) | bits; n += len }
     // DC cat-11 code = the single length-11 canonical code (11 zero
