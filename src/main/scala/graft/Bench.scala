@@ -51,6 +51,7 @@ object Bench {
       val rt = Runtime.getRuntime
       s""""env":{"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"$loadEnd%.2f"},""" +
         s""""gate_waited_sec":$gateWaitedSec,""" +
+        s""""warm_pass":${sys.env.getOrElse("SPARK_GRAFT_WARM_PASS", "1") != "0"},""" +
         s""""cpus":${osBean.getAvailableProcessors},"heap_max_mb":${rt.maxMemory / 1048576},""" +
         s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576}}"""
     }
@@ -76,6 +77,22 @@ object Bench {
     }
     queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    // Steady-state warm pass at the BENCH SF (r12 verdict items 1/5):
+    // the sf0.001 loop warms JIT/codegen but not the bench-scale
+    // artifacts the operators are built around (d19's occ cache, the
+    // persisted similarity indexes) — pass 1 of the timed suite was
+    // paying bench-SF first-touch costs that even min-of-3 then
+    // published (d19's r12 samples: 3.17/3.07/2.01 s vs a 1.5 s steady
+    // state). One untimed full pass at sfDir puts every query at the
+    // steady state the in-process DuckDB ledger itself measures; the
+    // pass is declared in the artifact (warm_pass) rather than passed
+    // off as part of the measurement. SPARK_GRAFT_WARM_PASS=0 disables
+    // (cold-start experiments).
+    val warmPass = sys.env.getOrElse("SPARK_GRAFT_WARM_PASS", "1") != "0"
+    if (warmPass) queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     // A failed query is recorded as None (absent from the ledger), NOT as
@@ -111,12 +128,15 @@ object Bench {
     val samples0 = queries.map { case (name, _) =>
       name -> passes.flatMap(_.toMap.apply(name))
     }
-    // Outlier repair: a sample vector spanning >2x min-to-max on an idle
-    // box is contention, not the query — re-time those few queries (the
-    // box has had time to quiesce) and replace their WORST sample, up to
-    // two rounds. Genuine bimodality survives (the retry reproduces the
-    // slow time and the spread stays); transient noise is scrubbed from
-    // the published artifact instead of being archived as signal. Every
+    // Outlier repair: a sample vector spanning >1.5x min-to-max on an
+    // idle, warm-passed box is contention, not the query (r12 verdict
+    // item 5 tightened this from 2x: the suite's own load polluted
+    // early samples and weak-bar calls rode on sample luck) — re-time
+    // those few queries (the box has had time to quiesce) and replace
+    // their WORST sample, up to three rounds. Genuine bimodality
+    // survives (the retry reproduces the slow time and the spread
+    // stays); transient noise is scrubbed from the published artifact
+    // instead of being archived as signal. Every
     // discarded sample AND every retry (favorable or not) is recorded in
     // bench_detail's "repairs" map — a repaired vector is a curated
     // subsample, and the artifact must say so rather than pass it off as
@@ -124,9 +144,9 @@ object Bench {
     // add samples to the min pool, never remove a fast one).
     val discarded = scala.collection.mutable.Map[String, List[Double]]()
     val retries = scala.collection.mutable.Map[String, List[Double]]()
-    val samples = (0 until 2).foldLeft(samples0) { case (ss, _) =>
+    val samples = (0 until 3).foldLeft(samples0) { case (ss, _) =>
       ss.map {
-        case (name, v) if v.nonEmpty && v.max > 2 * v.min =>
+        case (name, v) if v.nonEmpty && v.max > 1.5 * v.min =>
           val fn = queries.toMap.apply(name)
           timed(name, fn) match {
             case Some(t) =>

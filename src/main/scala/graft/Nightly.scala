@@ -80,20 +80,34 @@ object Nightly {
     // under two genuinely different nights is impossible within d18's
     // id-disjointness contract (same rows = same doc_ids = the
     // re-crawl breach the self-pair alert exists for).
+    // Steady-state cost discipline (r12 ADVICE): a HEALTHY night (new
+    // content) must not pay two exceptAll jobs to learn it isn't a
+    // replay. Prior's row count is parquet-footer-served (no data
+    // pages); the shingled arrivals are persisted so the count and the
+    // compare share one shingle pass; and with EQUAL multiset sizes one
+    // empty exceptAll direction already proves multiset equality, so
+    // the second direction is dropped. The verdict is passed into
+    // processBatch so the comparison never runs twice.
+    var verifiedReplay = false
     val batchId = explicitBatchId.getOrElse {
       val replayOfLast = committedMax > horizon0 &&
         gensById.find(_._1 == committedMax).exists { case (_, p) =>
           val fresh = operators.Dedup.dfCapped(
             operators.Dedup.shingleIndexRows(arrivals), "h", batchMaxDf)
-          val prior = spark.read.parquet(p.toString)
-            .select(fresh.columns.map(col): _*)
-          prior.exceptAll(fresh).limit(1).count() == 0 &&
-            fresh.exceptAll(prior).limit(1).count() == 0
+            .persist()
+          try {
+            val prior = spark.read.parquet(p.toString)
+              .select(fresh.columns.map(col): _*)
+            fresh.count() == prior.count() &&
+              prior.exceptAll(fresh).limit(1).count() == 0
+          } finally fresh.unpersist(false)
         }
+      verifiedReplay = replayOfLast
       if (replayOfLast) committedMax else committedMax + 1
     }
     val pairs = streaming.StreamIncDedup
-      .processBatch(arrivals, indexRoot, batchId, batchMaxDf)
+      .processBatch(arrivals, indexRoot, batchId, batchMaxDf,
+        replayVerified = verifiedReplay)
     pairs.write.mode("overwrite").parquet(pairsOut)
     // one read-back pass over the artifact of record: count and the
     // self-pair alert in a single aggregation job

@@ -79,11 +79,12 @@ object ScaleGen {
     *    i mod dim (vec_id shifted like every other key). A coordinate
     *    permutation is orthogonal: all WITHIN-replica dot products — and
     *    therefore every near-dup/kNN/recall structure the S and D
-    *    sections compute per replica — are preserved bit-for-bit (the
-    *    multiset of addends is unchanged, but their ORDER is not, so
-    *    float sums within a replica can differ in the last ulp from the
-    *    base corpus; both engines see the same rolled floats, so the
-    *    gate compares like with like), while cross-replica pairs
+    *    sections compute per replica — are exactly equal AS REAL SUMS
+    *    (the multiset of addend products is unchanged; the roll rotates
+    *    their summation ORDER, so float evaluation can differ from the
+    *    base corpus in the last ulp — identically for both engines,
+    *    which read the same rolled floats, so the gate compares like
+    *    with like), while cross-replica pairs
     *    decorrelate instead of landing as exact duplicates in every LSH
     *    band. Verbatim vector copies (ScaleProbe's choice, right for a
     *    FIXED query set's timing) would instead plant an N-way exact-dup

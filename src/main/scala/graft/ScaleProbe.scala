@@ -253,20 +253,27 @@ object ScaleProbe {
         Nightly.runCycle(spark, s"$dir/warmtree", arrDir, s"$dir/warmpairs")
         warmed = true
       }
-      val t0 = System.nanoTime()
-      val (_, nPairs, selfPairs, _, _) =
-        Nightly.runCycle(spark, s"$dir/tree", arrDir, s"$dir/pairs")
-      val cycleSec = (System.nanoTime() - t0) / 1e9
-      val indexRows = spark.read.parquet(s"$dir/tree/base").count()
       // attribution: a GENUINE full read of the index's h column (the
       // side the probe join streams). A bare count() would be served
       // from parquet footer metadata without touching a data page
       // (r12 review) — sum(h) forces every page through the reader.
+      // Measured BEFORE the cycle on the exact generation set the
+      // cycle's probe reads (fresh tree per scale ⇒ live gens = base;
+      // the cycle excludes its own batch, r13 ADVICE). Caveat stated
+      // where the number is read: d18BuildIndex just wrote these pages,
+      // so the read is OS-page-cache warm — it bounds decode/reader
+      // cost, not cold-device IO.
       val t1 = System.nanoTime()
       spark.read.parquet(s"$dir/tree/base").agg(sum(col("h"))).head()
       val scanSec = (System.nanoTime() - t1) / 1e9
+      val indexRows = spark.read.parquet(s"$dir/tree/base").count()
+      val t0 = System.nanoTime()
+      val (_, nPairs, selfPairs, _, _) =
+        Nightly.runCycle(spark, s"$dir/tree", arrDir, s"$dir/pairs")
+      val cycleSec = (System.nanoTime() - t0) / 1e9
       println(f"""SCALEPROBE {"mode":"nightly","scale":$n,"index_rows":$indexRows,""" +
         f""""cycle_sec":$cycleSec%.2f,"index_scan_sec":$scanSec%.2f,""" +
+        f""""scan_basis":"pre-cycle over the probe's generation set; page-cache warm",""" +
         f""""pairs":$nPairs,"self_pairs":$selfPairs}""")
     }
   }

@@ -468,7 +468,8 @@ object SparkEntry {
            WHERE p_brand = 'Brand#4'),
          st AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sq,
            COUNT(*) AS cnt FROM sel GROUP BY 1)
-         SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+         SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+           AS DOUBLE) / 7.0, 2) AS avg_yearly
          FROM sel JOIN st USING (l_partkey)
          WHERE 5 * qty * cnt < sq""",
     "q35_volume_shipping" ->

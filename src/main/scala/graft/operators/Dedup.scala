@@ -1121,21 +1121,43 @@ object Dedup {
     *
     * `packedCanon`: when doc_id provably fits 31 bits (parquet FOOTER
     * column stats — the corpus-dir entry checks them, an arbitrary
-    * relation defaults to the safe form), the canonical occurrence is
-    * min(doc_id << 32 | i) — lexicographically IDENTICAL to the
-    * two-stage form (doc_id owns the high bits; i < 2^32 is structural:
-    * a parquet string cell caps at 2^31 bytes) but ONE HashAggregate
-    * exchange instead of two (all-long buffer, never SortAggregate).
-    * Corpora with wider ids (snowflake keys at 10¹¹ docs) keep the
-    * stacked min_by form — same result, one more exchange
+    * relation defaults to the safe form), the occurrence index itself
+    * is packed at the explode — rows are (pk = doc_id << 32 | i, fp),
+    * 16 B instead of 24 B through the cache, the stats shuffle and the
+    * probe join-back (r13) — and the canonical occurrence is min(pk),
+    * lexicographically IDENTICAL to the two-stage form (doc_id owns
+    * the high bits; i < 2^32 is structural: a parquet string cell caps
+    * at 2^31 bytes) in ONE HashAggregate exchange instead of two
+    * (all-long buffer, never SortAggregate). Corpora with wider ids
+    * (snowflake keys at 10¹¹ docs) keep the stacked min_by form over
+    * (doc_id, i, fp) rows — same result, one more exchange
     * (equality spec-pinned). */
   private[graft] def d19DupSpansOf(docsIn: DataFrame, spanLen: Int,
       persistOcc: Boolean = false, packedCanon: Boolean = false): DataFrame = {
-    val occRaw = docsIn
+    val exploded = docsIn
       .filter(length(col("text")) >= spanLen)
       .select(col("doc_id"),
         posexplode(graft.functions.NativeFunctions.windowHashes(col("text"), spanLen)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("fp"))
+    // Packed occurrence rows (r12 verdict item 1): when doc_id fits 31
+    // bits, pack (doc_id, i) into ONE long at the explode — the index
+    // is (pk, fp) = 16 B/row instead of (doc_id, i, fp) = 24 B/row
+    // through the persisted cache, the stats shuffle AND the probe
+    // join-back; canonicity is min(pk) directly (doc_id owns the high
+    // bits, so packed order == (doc_id, i) lexicographic order).
+    // The cast is LOAD-BEARING: ShiftLeft keeps its input's type, so an
+    // INT32 doc_id (which the footer gate explicitly admits via the
+    // Integer stats case) would mask the shift to `<< 0` under Java's
+    // 5-bit shift-count rule — pk = doc_id|i for every row and the
+    // whole cut list silently wrong. Widen FIRST, then shift.
+    val occRaw =
+      if (packedCanon)
+        exploded.select(
+          shiftleft(col("doc_id").cast("long"), 32)
+            .bitwiseOR((col("pos") + 1).cast("long")).as("pk"),
+          col("col").as("fp"))
+      else
+        exploded.select(col("doc_id"),
+          (col("pos") + 1).cast("long").as("i"), col("col").as("fp"))
     val occ = if (!persistOcc) occRaw else {
       // same-corpus repeat call: hand back the slot's OWN DataFrame
       // instead of persisting a fresh equal-plan one — the CacheManager
@@ -1163,33 +1185,30 @@ object Dedup {
         cached
       }
     }
-    val stats = if (packedCanon) {
-      // the cast is LOAD-BEARING: ShiftLeft keeps its input's type, so an
-      // INT32 doc_id (which the footer gate explicitly admits via the
-      // Integer stats case) would mask the shift to `<< 0` under Java's
-      // 5-bit shift-count rule — canon = doc_id|i for every fp and the
-      // whole cut list silently wrong. Widen FIRST, then shift.
-      occ.groupBy(col("fp")).agg(
-        count(lit(1)).as("df"),
-        min(shiftleft(col("doc_id").cast("long"), 32).bitwiseOR(col("i"))).as("canon"))
-        .select(col("fp"), col("df"),
-          shiftright(col("canon"), 32).as("canon_doc"),
-          col("canon").bitwiseAND(lit((1L << 32) - 1)).as("canon_i"))
+    // hash-build on the stats side (≤ one row per distinct duplicated
+    // fp — always the narrower relation; sort-merge would sort the full
+    // occurrence index twice for nothing)
+    val marked = if (packedCanon) {
+      // canonical = min packed occurrence; the non-canonical filter is
+      // ONE long compare, and (doc_id, i) unpack happens only on the
+      // surviving (duplicated, non-canonical) rows after the join
+      val stats = occ.groupBy(col("fp")).agg(
+        count(lit(1)).as("df"), min(col("pk")).as("canon"))
+      occ.join(stats.filter(col("df") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
+        .filter(col("pk") =!= col("canon"))
+        .select(shiftright(col("pk"), 32).as("doc_id"),
+          col("pk").bitwiseAND(lit((1L << 32) - 1)).as("i"))
     } else {
-      occ.groupBy(col("fp"), col("doc_id"))
+      val stats = occ.groupBy(col("fp"), col("doc_id"))
         .agg(min(col("i")).as("min_i"), count(lit(1)).as("cnt"))
         .groupBy(col("fp")).agg(
           sum(col("cnt")).as("df"),
           min(col("doc_id")).as("canon_doc"),
           min_by(col("min_i"), col("doc_id")).as("canon_i"))
+      occ.join(stats.filter(col("df") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
+        .filter(!(col("doc_id") === col("canon_doc") && col("i") === col("canon_i")))
+        .select(col("doc_id"), col("i"))
     }
-    // hash-build on the stats side (≤ one row per distinct duplicated
-    // fp — always the narrower relation; sort-merge would sort the full
-    // occurrence index twice for nothing)
-    val marked = occ
-      .join(stats.filter(col("df") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
-      .filter(!(col("doc_id") === col("canon_doc") && col("i") === col("canon_i")))
-      .select(col("doc_id"), col("i"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     marked
       .withColumn("prev", lag(col("i"), 1).over(byDoc))

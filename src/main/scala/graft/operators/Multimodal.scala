@@ -617,12 +617,19 @@ object Multimodal {
     val ns = u8(sosAt + 4)
     if (ns != nComp || sosLen < 6 + 2 * ns) return None
     val dcTab = new Array[Int](3); val acTab = new Array[Int](3)
+    // a repeated scan selector would map two scan slots to one
+    // component and leave another's entropy tables defaulted — with
+    // ns == nComp enforced above, refusing duplicates also guarantees
+    // (pigeonhole) every frame component is selected exactly once
+    val compSeen = new Array[Boolean](3)
     var c = 0
     while (c < ns) {
       val cs = u8(sosAt + 5 + 2 * c)
       // components appear in SOF order in every baseline encoder; find by id
       val ci = compId.indexOf(cs)
       if (ci < 0 || ci >= nComp) return None
+      if (compSeen(ci)) return None
+      compSeen(ci) = true
       val tt = u8(sosAt + 6 + 2 * c)
       dcTab(ci) = tt >> 4; acTab(ci) = tt & 0xf
       if (dcTab(ci) > 3 || acTab(ci) > 3 ||

@@ -670,7 +670,10 @@ object Relational {
       .withColumnRenamed("l_partkey", "st_key")
     sel.join(st, col("l_partkey") === col("st_key"))
       .filter(lit(5L) * col("qty") * col("cnt") < col("sq"))
-      .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+      // dsum, not sum: l_extendedprice is a raw 2-dec column, so the
+      // exact decimal sum is order-independent on both engines; the
+      // /7.0 then divides identical doubles (r12's q28 flake class).
+      .agg(round(dsum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
   }
 
   /** q35: TPC-H Q7 shape — bilateral trade volume: revenue shipped

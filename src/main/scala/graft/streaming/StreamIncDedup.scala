@@ -62,7 +62,8 @@ object StreamIncDedup {
     * REPLAYED batch id directly and pin idempotence. Returns the
     * materialized (doc_i, doc_j, jaccard) pairs. */
   private[graft] def processBatch(b: DataFrame, indexRoot: String,
-      batchId: Long, batchMaxDf: Long): DataFrame = {
+      batchId: Long, batchMaxDf: Long,
+      replayVerified: Boolean = false): DataFrame = {
     val spark = b.sparkSession
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -93,11 +94,16 @@ object StreamIncDedup {
     // refuse loudly instead (stream_exactdedup's rule). Uncommitted
     // debris (no _SUCCESS) stays safe to drop.
     if (fs.exists(own) && fs.exists(new Path(own, "_SUCCESS"))) {
-      val fresh = Dedup.dfCapped(Dedup.shingleIndexRows(b), "h", batchMaxDf)
-      val prior = spark.read.parquet(own.toString)
-        .select(fresh.columns.map(org.apache.spark.sql.functions.col): _*)
-      val differs = prior.exceptAll(fresh).limit(1).count() > 0 ||
-        fresh.exceptAll(prior).limit(1).count() > 0
+      // `replayVerified` = the caller (graft.Nightly) already ran this
+      // exact content comparison to pick the batch id — don't re-shingle
+      // the arrivals and re-run it (r12 ADVICE)
+      val differs = !replayVerified && {
+        val fresh = Dedup.dfCapped(Dedup.shingleIndexRows(b), "h", batchMaxDf)
+        val prior = spark.read.parquet(own.toString)
+          .select(fresh.columns.map(org.apache.spark.sql.functions.col): _*)
+        prior.exceptAll(fresh).limit(1).count() > 0 ||
+          fresh.exceptAll(prior).limit(1).count() > 0
+      }
       require(!differs,
         s"generation ${own.getName} is already committed with DIFFERENT " +
           "content — batch-id collision (restarted query with a fresh " +
