@@ -174,6 +174,7 @@ object SparkEntry {
     "m02_media_meta" -> (Multimodal.m02MediaMeta _),
     "m03_binary_dedup" -> (Multimodal.m03BinaryDedup _),
     "m04_phash_neardup" -> (Multimodal.m04PhashNeardup _),
+    "m04_phash_neardup_px" -> (Multimodal.m04PhashNeardupPx _),
     "m05_frame_reuse" -> (Multimodal.m05FrameReuse _),
     "p03_clean_corpus" -> (Pipelines.p03CleanCorpus _),
     "p10_neardup_corpus" -> (Pipelines.p10NeardupCorpus _),

@@ -927,6 +927,121 @@ object Multimodal {
     m04BandVerify(fp)
   }
 
+  /** Planted-plane geometry for the driver-gated pixel entry: a 9×8
+    * value grid blown up to 72×64 so (a) every dHash lattice sample
+    * ([[pixelDhash63]]'s gx·(w−1)/8, row·(h−1)/7 indexing) lands inside
+    * a distinct constant 8×8 patch, and (b) every patch is exactly one
+    * JPEG block — constant blocks quantize to DC-only, so a q50
+    * re-encode decodes within ±(DC quant/2) ≈ ±12 luma of the plant. */
+  private[graft] val PxW = 72
+  private[graft] val PxH = 64
+
+  /** The three plane levels. Adjacent lattice cells ALWAYS differ (the
+    * walk below never steps 0 mod 3), so every dHash comparison sits on
+    * a ≥ 98-luma gap — an order of magnitude past both JPEG-q50 DC
+    * error and the IDCT's rounding, which is what makes the planted
+    * fingerprint an exact, engine-independent function of doc_id. A
+    * two-level design would leave equal-valued neighbours whose
+    * comparison flips on ±1 codec noise. */
+  private val PxLevels = Array(30, 128, 226)
+
+  /** splitmix64 finalizer — the per-(doc, row) bit source. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e9b5L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The deterministic luminance plane for `docId`: per grid row, a
+    * 9-cell walk over [[PxLevels]] as a ring (start cell + 8 doc-keyed
+    * ±steps, never 0 mod 3) — ~9.6 information bits per row, so planes
+    * (and their fingerprints) are effectively unique per doc and two
+    * DIFFERENT docs never band-join into a false pair. */
+  private[graft] def pxPlane(docId: Long): Array[Int] = {
+    val lum = new Array[Int](PxW * PxH)
+    var r = 0
+    while (r < 8) {
+      val bits = mix64(docId * 8 + r)
+      var s = (((bits >>> 58) & 0x3f) % 3).toInt
+      var g = 0
+      while (g < 9) {
+        if (g > 0) s = (s + (if (((bits >>> (g - 1)) & 1L) == 1L) 1 else 2)) % 3
+        val v = PxLevels(s)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) { lum((r * 8 + yy) * PxW + g * 8 + xx) = v; xx += 1 }
+          yy += 1
+        }
+        g += 1
+      }
+      r += 1
+    }
+    lum
+  }
+
+  /** The m04px corpus: REAL encodes planted from doc_id alone (the
+    * oracle predicts pair structure from the same arithmetic without
+    * decoding anything). Every %29 doc carries a base encode AND a
+    * re-encode of the SAME plane under the sign-disjoint −1 − doc_id
+    * id (m04Corpus's collision-proof rule); %31 docs are unpaired
+    * distractor images (a false pair against one of them breaks the
+    * gate). Codec splits on doc parity: even → PNG re-encoded across
+    * colorType (RGB vs gray), deflate level AND filter choice; odd →
+    * baseline JPEG q92 vs q50 — the exact re-encode forms the byte
+    * dHash provably misses (spec-pinned) and the pixel decode is for. */
+  private[graft] def m04PxCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 0 &&
+        (pmod(col("doc_id"), lit(29)) === 0 || pmod(col("doc_id"), lit(31)) === 0))
+      .select(col("doc_id"), (pmod(col("doc_id"), lit(29)) === 0).as("paired"))
+    ids.repartition(col("doc_id")).as[(Long, Boolean)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, paired) =>
+          val lum = pxPlane(id)
+          def gray(x: Int, y: Int): (Int, Int, Int) = {
+            val v = lum(y * PxW + x); (v, v, v)
+          }
+          val png = id % 2 == 0
+          val base =
+            if (png) PixelCodecs.makePng(PxW, PxH, 2,
+              java.util.zip.Deflater.NO_COMPRESSION, ((id / 2) % 5).toInt, gray)
+            else PixelCodecs.encodeJpeg(
+              PixelCodecs.grayImage(PxW, PxH, lum), 0.92f)
+          val out = Seq((id, base))
+          if (!paired) out
+          else out :+ ((-1L - id,
+            if (png) PixelCodecs.makePng(PxW, PxH, 0,
+              java.util.zip.Deflater.BEST_COMPRESSION,
+              ((id / 2 + 3) % 5).toInt, gray)
+            else PixelCodecs.encodeJpeg(
+              PixelCodecs.grayImage(PxW, PxH, lum), 0.5f)))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** m04px, DRIVER-GATED (r13 — the r12 decoders were reachable only
+    * from spec fixtures): the decode-aware near-dup pass over a corpus
+    * of real PNG/JPEG payloads. Each planted pair is two encodes of one
+    * plane, so a CORRECT decoder yields identical fingerprints (PNG:
+    * lossless; JPEG: every comparison sits on a ≥ 98-luma gap vs ≤ ~12
+    * of codec error) and the pair list is exactly the planted set —
+    * which the DuckDB oracle derives from doc_id arithmetic alone. A
+    * decoder regression (wrong filter reconstruction, Huffman drift,
+    * IDCT bug) decorrelates some pair's two fingerprints and drops it
+    * from the result: hash mismatch. The hamming column is projected
+    * OUT (it is structurally 0 here; keeping it would gate the codecs'
+    * sub-threshold noise instead of the pair semantics). */
+  def m04PhashNeardupPx(spark: SparkSession, dir: String): DataFrame =
+    m04PhashNeardupDecodedOf(spark, m04PxCorpus(spark, dir)
+      .select(col("doc_id"), col("payload")))
+      .select(col("doc_i"), col("doc_j"),
+        when(pmod(col("doc_j"), lit(2)) === 0, lit("png"))
+          .otherwise(lit("jpeg")).as("codec"))
+      .orderBy("doc_i", "doc_j")
+
   /** m05's frame geometry: fixed-cadence 64-byte aligned segments stand
     * in for keyframes (a real decoder emits frames at a fixed cadence;
     * the segment digest is where its keyframe hash drops in — the
@@ -1004,6 +1119,18 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // The px gate's oracle never decodes anything: the corpus plants
+    // each pair as two REAL encodes of one doc_id-keyed plane, so a
+    // correct decoder reproduces identical fingerprints pair-wise and
+    // the result is exactly the planted pair list — which IS doc_id
+    // arithmetic. Any decode regression decorrelates a pair's two
+    // fingerprints and the row disappears: hash mismatch.
+    "m04_phash_neardup_px" ->
+      """SELECT -1 - doc_id AS doc_i, doc_id AS doc_j,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec
+         FROM documents
+         WHERE doc_id >= 0 AND doc_id % 29 = 0
+         ORDER BY doc_i, doc_j""",
     "m05_frame_reuse" ->
       s"""WITH base AS (
             SELECT doc_id, text FROM documents

@@ -159,62 +159,11 @@ class MultimodalSpec extends GraftSuite {
   /** Hand-assembled PNG encoder for the decode specs: same pixel plane,
     * selectable per-row filter type and zlib level — the two degrees of
     * freedom a real re-encode exercises. */
+  // delegated to main (r13): the encoder moved into operators/PixelCodecs
+  // so the driver-gated px corpus and these fixtures share ONE writer
   private def makePng(w: Int, h: Int, colorType: Int, level: Int,
-      filterType: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-    def be32(v: Long): Array[Byte] = Array(
-      (v >>> 24).toByte, ((v >>> 16) & 0xff).toByte,
-      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val crc = new java.util.zip.CRC32()
-      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
-      be32(data.length.toLong) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue)
-    }
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
-    // raw (unfiltered) sample plane
-    val raw = Array.tabulate(h, w * bpp) { (y, i) =>
-      val (r, g, b) = px(i / bpp, y)
-      val v = (i % bpp) match {
-        case 0 => r
-        case 1 => if (colorType == 0) 0 else g
-        case 2 => b
-        case _ => 255 // alpha
-      }
-      v.toByte
-    }
-    // apply the chosen filter per row (the encoder side of §9.2)
-    val scan = new java.io.ByteArrayOutputStream()
-    for (y <- 0 until h) {
-      scan.write(filterType)
-      for (x <- 0 until w * bpp) {
-        val cur = raw(y)(x) & 0xff
-        val a = if (x >= bpp) raw(y)(x - bpp) & 0xff else 0
-        val b = if (y > 0) raw(y - 1)(x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) raw(y - 1)(x - bpp) & 0xff else 0
-        val pred = filterType match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-        }
-        scan.write((cur - pred) & 0xff)
-      }
-    }
-    val defl = new java.util.zip.Deflater(level)
-    defl.setInput(scan.toByteArray); defl.finish()
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](4096)
-    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-    defl.end()
-    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
-      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
-    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
-      chunk("IEND", Array[Byte]())
-  }
+      filterType: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    graft.operators.PixelCodecs.makePng(w, h, colorType, level, filterType, px)
 
   private def gradient(x: Int, y: Int): (Int, Int, Int) =
     ((x * 7 + y * 3) % 256, (y * 11 + x) % 256, ((x + y) * 13) % 256)
@@ -451,20 +400,8 @@ class MultimodalSpec extends GraftSuite {
   }
 
   private def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float,
-      progressive: Boolean = false): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(quality)
-    if (progressive)
-      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    ios.close(); writer.dispose()
-    bos.toByteArray
-  }
+      progressive: Boolean = false): Array[Byte] =
+    graft.operators.PixelCodecs.encodeJpeg(img, quality, progressive)
 
   private def imageIoLuma(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -682,5 +619,34 @@ class MultimodalSpec extends GraftSuite {
       } else i += 1
     }
     assert(done && Multimodal.decodeJpegLuminance(giant).isEmpty)
+  }
+
+  test("m04px gate: every planted encode takes the pixel path; pairs are exactly the construction") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Multimodal.m04PxCorpus(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    // every payload must DECODE — a refusal would silently fall back to
+    // the byte hash, and the driver gate would stop gating the decoders
+    corpus.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(Multimodal.decodeLuminance(p).isDefined,
+        s"payload for doc ${r.getLong(0)} fell back to the byte path")
+    }
+    // both codec slices are populated (parity split), plus unpaired
+    // %31 distractors (a false pair against one would break the gate)
+    val baseIds = corpus.map(_.getLong(0)).filter(_ >= 0)
+    assert(baseIds.exists(_ % 2 == 0) && baseIds.exists(_ % 2 == 1),
+      "corpus must carry both PNG and JPEG slices")
+    assert(baseIds.exists(id => id % 29 != 0 && id % 31 == 0),
+      "corpus must carry unpaired distractor images")
+    val got = Multimodal.m04PhashNeardupPx(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expect = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 0 && col("doc_id") % 29 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (-1L - id, id, if (id % 2 == 0) "png" else "jpeg")).toSet
+    assert(got == expect,
+      s"px pairs diverged from the planted construction: " +
+        s"missing=${expect -- got} extra=${got -- expect}")
   }
 }
