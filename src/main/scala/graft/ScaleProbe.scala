@@ -95,7 +95,11 @@ object ScaleProbe {
       // are the DECLARED quadratic yardsticks and are deliberately not
       // probed; their production consumers are probed below over the
       // IVF graph instead — the DEPLOY.md swap)
-      "s19b_knn_graph_ivf", "s21_graph_refine")
+      "s19b_knn_graph_ivf", "s21_graph_refine",
+      // r13: the range family's no-knob entries are footer-auto-sized
+      // now (the last fixed index knob) — probe that s06/d13 track
+      // sub-quadratically with the auto ⌈√n⌉ sizing
+      "d13_semantic_decontamination")
         .filter(q => onlyQueries.forall(_.contains(q)))
     onlyQueries.foreach { only =>
       val unknown = only -- queries.toSet

@@ -600,8 +600,12 @@ object Dedup {
     * Output is per-eval-id (count, max cosine): all-integer but the
     * rounded max, no pair-level float ordering in the gate. */
   def d13SemanticDecontamination(spark: SparkSession, dir: String,
-      tau: Double = D13Tau, nLists: Int = Similarity.RangeLists): DataFrame = {
-    val (assigned, probes) = d13Index(spark, dir, tau, nLists)
+      tau: Double = D13Tau, nLists: Int = 0): DataFrame = {
+    // nLists ≤ 0 = footer-auto (⌈√n⌉, r13): the no-knob entry sizes
+    // like every other index family; exactness is knob-independent
+    // (triangle bound), so gates are unchanged at any value
+    val nl = if (nLists > 0) nLists else Similarity.autoNLists(spark, dir)
+    val (assigned, probes) = d13Index(spark, dir, tau, nl)
     assigned.select(col("list_id"), col("embedding").as("cv"))
       .join(probes, Seq("list_id"))
       .withColumn("cos", VF.cosine(col("qv"), col("cv")))

@@ -561,33 +561,41 @@ object Pipelines {
       workDir: String): DataFrame =
     p20StagesCheckpointed(spark, dir, workDir).repaired
 
-  private[graft] def p20StagesCheckpointed(spark: SparkSession, dir: String,
-      workDir: String): P20Stages = {
+  /** Crash-safe artifact publish under a build workDir (write to a
+    * fresh `.tmp-*`, rename into `name` — readers only ever see a
+    * complete, `_SUCCESS`-marked artifact; a committed artifact is
+    * served as-is and `make` never runs). Factored from the staged p20
+    * build (r13) so the release datasheet — and any future build-chain
+    * artifact — publishes under the same resume contract. Sweeps
+    * orphaned `.tmp-*` debris first (safe under the single-builder
+    * contract; never touches committed artifacts). */
+  private[graft] def publishArtifact(spark: SparkSession, workDir: String,
+      name: String)(make: => DataFrame): DataFrame = {
     val rootP = new org.apache.hadoop.fs.Path(workDir)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(rootP)
-    // sweep orphaned `.tmp-*` dirs from builds that died mid-write —
-    // each crashed attempt would otherwise leak a partial stage corpus
-    // forever (publishIndex's leftover-sibling rule); safe under the
-    // single-builder contract, and never touches committed stages
     fs.listStatus(rootP).map(_.getPath)
-      .filter(_.getName.startsWith(".tmp-"))
+      .filter(_.getName.startsWith(s".tmp-$name-"))
       .foreach(fs.delete(_, true))
-    def artifact(name: String)(make: => DataFrame): DataFrame = {
-      val dst = new org.apache.hadoop.fs.Path(rootP, name)
-      val committed = fs.exists(dst) &&
-        fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
-      if (!committed) {
-        if (fs.exists(dst)) fs.delete(dst, true) // crashed write's debris
-        val tmp = new org.apache.hadoop.fs.Path(rootP,
-          s".tmp-$name-${System.nanoTime()}")
-        try {
-          make.write.parquet(tmp.toString)
-          require(fs.rename(tmp, dst), s"failed to publish $tmp -> $dst")
-        } finally if (fs.exists(tmp)) fs.delete(tmp, true)
-      }
-      spark.read.parquet(dst.toString)
+    val dst = new org.apache.hadoop.fs.Path(rootP, name)
+    val committed = fs.exists(dst) &&
+      fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
+    if (!committed) {
+      if (fs.exists(dst)) fs.delete(dst, true) // crashed write's debris
+      val tmp = new org.apache.hadoop.fs.Path(rootP,
+        s".tmp-$name-${System.nanoTime()}")
+      try {
+        make.write.parquet(tmp.toString)
+        require(fs.rename(tmp, dst), s"failed to publish $tmp -> $dst")
+      } finally if (fs.exists(tmp)) fs.delete(tmp, true)
     }
+    spark.read.parquet(dst.toString)
+  }
+
+  private[graft] def p20StagesCheckpointed(spark: SparkSession, dir: String,
+      workDir: String): P20Stages = {
+    def artifact(name: String)(make: => DataFrame): DataFrame =
+      publishArtifact(spark, workDir, name)(make)
     val _ = artifact("stage0-raw") {
       Tables.documents(spark, dir)
         .agg(count(lit(1)).as("n_docs"),

@@ -1708,8 +1708,12 @@ object Similarity {
     * (q31 precedent). */
   val RangeTau = 0.3
 
-  /** Inverted-list count for the pruned range-search index. Same sizing
-    * rule as s03's `nLists` (≈√n; 10⁵–10⁶ at 100 TB). */
+  /** FIXTURE inverted-list count for the range family's explicit-knob
+    * forms (spec corpora pin a fixed denominator). The no-knob
+    * corpus-dir entries (s06, d13) size from parquet footers via
+    * [[autoNLists]] like every other index family (r13 — this was the
+    * last fixed index knob); exactness never depends on the value
+    * (triangle-bound pruning), only pruning power does. */
   val RangeLists = 16
 
   /** s06: RANGE similarity search — every corpus vector within cosine ≥
@@ -1729,7 +1733,7 @@ object Similarity {
     * hash-gated exact operator. The approximate form exists separately
     * as [[s06RangeSearchAnn]] for declared-approximate sweeps. */
   def s06RangeSearch(spark: SparkSession, dir: String): DataFrame =
-    s06RangeSearchPruned(spark, dir, RangeTau, RangeLists)
+    s06RangeSearchPruned(spark, dir, RangeTau, autoNLists(spark, dir))
 
   /** The un-pruned reference scan — oracle mirror and the spec's equality
     * baseline. O(corpus × queries): correct, but the shape that dies on

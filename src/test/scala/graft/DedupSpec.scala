@@ -501,7 +501,8 @@ class DedupSpec extends GraftSuite {
   test("d13: persisted train-split index serves results identical to fresh fit") {
     import graft.operators.Similarity
     val n = Tables.parquetRowCount(spark, sf, "embeddings")
-    Similarity.dropIvfIndex(spark, sf, "d13", Similarity.RangeLists, n)
+    // no-knob d13 is footer-auto-sized since r13
+    Similarity.dropIvfIndex(spark, sf, "d13", Similarity.autoNLists(spark, sf), n)
     val fresh = Dedup.d13SemanticDecontamination(spark, sf).collect()
     val served = Dedup.d13SemanticDecontamination(spark, sf).collect()
     assert(fresh.toSeq == served.toSeq,

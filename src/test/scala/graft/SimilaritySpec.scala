@@ -320,8 +320,8 @@ class SimilaritySpec extends GraftSuite {
     Similarity.dropIvfIndex(spark, sf, "s03", autoL, n)
     val refit = Similarity.s03AnnIvf(spark, sf).collect()
     assert(fresh.toSeq == refit.toSeq, "s03 refit diverged — fit is not deterministic")
-    // s06 range family
-    Similarity.dropIvfIndex(spark, sf, "s06", Similarity.RangeLists, n)
+    // s06 range family (no-knob entry is footer-auto-sized since r13)
+    Similarity.dropIvfIndex(spark, sf, "s06", autoL, n)
     val f6 = Similarity.s06RangeSearch(spark, sf).collect()
     val s6 = Similarity.s06RangeSearch(spark, sf).collect()
     assert(f6.toSeq == s6.toSeq, "s06 index-served result diverged from fresh fit")
