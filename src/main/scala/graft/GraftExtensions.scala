@@ -119,7 +119,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text")),
           a.long(2, operators.Dedup.NoDfCap),
-          a.long(3, operators.Dedup.NoDfCap)))
+          a.long(3, operators.Dedup.NoDfCap))),
+      // the one operator a data team most plausibly runs AD HOC ("is
+      // MMLU in my corpus?") — d16's production entry made SQL-reachable
+      // (r13): benchmark parquet needs (bench_id, text)
+      tvf("graft_benchmark_decontam",
+        "graft_benchmark_decontam(corpusDir, benchPath[, tau, bloomItems])", 2, 4)(
+        (s, a) => operators.Dedup.d16BenchmarkDecontam(s, a.str(0),
+          s.read.parquet(a.str(1)).select(
+            org.apache.spark.sql.functions.col("bench_id"),
+            org.apache.spark.sql.functions.col("text")),
+          a.dbl(2, 0.3), a.long(3, 0L)))
     ).foreach(ext.injectTableFunction)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

@@ -271,6 +271,21 @@ object ScaleProbe {
       spark.read.parquet(s"$dir/tree/base").agg(sum(col("h"))).head()
       val scanSec = (System.nanoTime() - t1) / 1e9
       val indexRows = spark.read.parquet(s"$dir/tree/base").count()
+      // r13: the bucketed at-rest option measured against the flat
+      // layout on the SAME base + arrivals — the probe join is the
+      // history-sized term, and the bucketed table supplies its
+      // clustering from the layout (no index-side exchange), so its
+      // growth should track the raw page read, not read + shuffle
+      val arrivals = spark.read.parquet(arrDir)
+        .select(col("doc_id"), col("text"))
+      Dedup.d18BuildIndexBucketed(corpus, s"nightly_bucketed_$n",
+        s"$dir/bucketed", 32)
+      val tf = System.nanoTime()
+      Dedup.d18FromIndex(spark, s"$dir/tree/base", arrivals).count()
+      val probeFlatSec = (System.nanoTime() - tf) / 1e9
+      val tb = System.nanoTime()
+      Dedup.d18FromIndexBucketed(spark, s"nightly_bucketed_$n", arrivals).count()
+      val probeBucketedSec = (System.nanoTime() - tb) / 1e9
       val t0 = System.nanoTime()
       val (_, nPairs, selfPairs, _, _) =
         Nightly.runCycle(spark, s"$dir/tree", arrDir, s"$dir/pairs")
@@ -278,6 +293,8 @@ object ScaleProbe {
       println(f"""SCALEPROBE {"mode":"nightly","scale":$n,"index_rows":$indexRows,""" +
         f""""cycle_sec":$cycleSec%.2f,"index_scan_sec":$scanSec%.2f,""" +
         f""""scan_basis":"pre-cycle over the probe's generation set; page-cache warm",""" +
+        f""""probe_flat_sec":$probeFlatSec%.2f,""" +
+        f""""probe_bucketed_sec":$probeBucketedSec%.2f,""" +
         f""""pairs":$nPairs,"self_pairs":$selfPairs}""")
     }
   }

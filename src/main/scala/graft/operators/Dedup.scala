@@ -1413,6 +1413,60 @@ object Dedup {
     dfCapped(shingleIndexRows(docs), "h", maxDf)
       .write.mode("overwrite").parquet(path)
 
+  /** The BUCKETED at-rest option (r13 — DEPLOY's "on a cluster with a
+    * catalog, write it bucketed by `h`" guidance, shipped): the same
+    * release-capped index written `bucketBy(nBuckets, "h")` as an
+    * external catalog table at `path`. The probe join against a
+    * bucketed base ([[d18FromIndexBucketed]]) then satisfies its
+    * clustering from the BUCKET LAYOUT — the history-sized index side
+    * is read without an Exchange (plan-pinned), so the only per-night
+    * work that grows with history is the raw page read, not
+    * read + shuffle-write + shuffle-read. Choose `nBuckets` ≈ the
+    * cluster's target shuffle parallelism; the cap semantics are
+    * BUILD-time ([[d18BuildIndex]]'s `maxDf` overload) — the union-df
+    * nightly cap needs the flat path's one-relation df pass. */
+  def d18BuildIndexBucketed(docs: DataFrame, table: String, path: String,
+      nBuckets: Int, maxDf: Long = NoDfCap): Unit =
+    dfCapped(shingleIndexRows(docs), "h", maxDf)
+      // align write tasks with buckets: repartition's HashPartitioning
+      // and the bucket id are the same murmur3-pmod of h, so each task
+      // holds exactly one bucket's rows → ONE file per bucket instead
+      // of tasks × buckets small files (the at-rest layout a reader
+      // actually wants; bucketed scans can't coalesce splits, so file
+      // count is read parallelism overhead, not just metadata)
+      .repartition(nBuckets, col("h"))
+      .write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, "h")
+      .saveAsTable(table)
+
+  /** [[d18FromIndex]] against a BUCKETED base table: the new×old join
+    * runs directly against the catalog table (bucket layout supplies
+    * the index side's clustering — only the batch shuffles), the
+    * new×new join is batch-internal, and both feed the ONE
+    * [[d18PairScore]] scoring tail — result-identical to the flat
+    * probe (spec-pinned). `batchMaxDf` is the batch-local cap exactly
+    * as on the flat form; the union-df `maxDf` knob is deliberately
+    * absent (it requires a df pass over base ∪ batch as one relation,
+    * which re-shuffles the index and forfeits the bucket win — cap at
+    * build time instead, the DEPLOY-documented pairing). */
+  def d18FromIndexBucketed(spark: SparkSession, table: String,
+      newDocs: DataFrame, batchMaxDf: Long = NoDfCap): DataFrame = {
+    val base = spark.table(table)
+    val exNew = shingleIndexRows(newDocs)
+    val oldHits = exNew.as("a").hint("SHUFFLE_HASH")
+      .join(base.as("b"), col("a.h") === col("b.h"))
+      .select(col("a.doc_id").as("di"), col("b.doc_id").as("dj"),
+        col("a.n").as("ni"), col("b.n").as("nj"))
+    val newHits = exNew.as("a").hint("SHUFFLE_HASH")
+      .join(dfCapped(exNew, "h", batchMaxDf).as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("di"), col("b.doc_id").as("dj"),
+        col("a.n").as("ni"), col("b.n").as("nj"))
+    present18(d18PairScore(oldHits.unionByName(newHits)))
+  }
+
   /** INCREMENTAL near-dup pairs: arrivals against (base index ∪
     * arrivals) in ONE equi-join on the shingle hash — new×old and
     * new×new candidates, never old×old. The base side carries an
@@ -1465,18 +1519,26 @@ object Dedup {
         .unionByName(dfCapped(exNew, "h", batchMaxDf)
           .withColumn("is_new", lit(true))),
       "h", maxDf)
-    exNew.as("a").hint("SHUFFLE_HASH").join(rhs.as("b"),
+    d18PairScore(exNew.as("a").hint("SHUFFLE_HASH").join(rhs.as("b"),
         col("a.h") === col("b.h") &&
           (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
-      .groupBy(col("a.doc_id").as("di"), col("b.doc_id").as("dj"),
-        col("a.n").as("ni"), col("b.n").as("nj"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared") / (col("ni") + col("nj") - col("shared")))
-      .filter(atLeast(col("jaccard"), 0.2))
-      .select(least(col("di"), col("dj")).as("doc_i"),
-        greatest(col("di"), col("dj")).as("doc_j"), col("jaccard"))
+      .select(col("a.doc_id").as("di"), col("b.doc_id").as("dj"),
+        col("a.n").as("ni"), col("b.n").as("nj")))
   }
+
+  /** d18's scoring tail over candidate hit rows (di, dj, ni, nj — one
+    * row per shared shingle occurrence pair): shared count → jaccard →
+    * threshold → canonical (doc_i < doc_j) projection. Factored (r13)
+    * so the flat-union probe and the bucketed-table probe share ONE
+    * scoring definition and cannot drift. */
+  private def d18PairScore(hits: DataFrame): DataFrame = hits
+    .groupBy(col("di"), col("dj"), col("ni"), col("nj"))
+    .agg(count(lit(1)).as("shared"))
+    .withColumn("jaccard",
+      col("shared") / (col("ni") + col("nj") - col("shared")))
+    .filter(atLeast(col("jaccard"), 0.2))
+    .select(least(col("di"), col("dj")).as("doc_i"),
+      greatest(col("di"), col("dj")).as("doc_j"), col("jaccard"))
 
   /** d18: incremental near-dup — the production NIGHTLY shape d02
     * cannot serve at 100 TB: when a new snapshot lands, the base corpus

@@ -1095,6 +1095,55 @@ class DedupSpec extends GraftSuite {
       new java.io.File(idxDir))
   }
 
+  test("d18 bucketed at-rest index: probe is result-identical and reads the base without an exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val isNew =
+      col("doc_id") % Dedup.IncrementalNewMod === Dedup.IncrementalNewRem
+    val base = docs.filter(!isNew)
+    val batch = docs.filter(isNew)
+    val idxDir = java.nio.file.Files.createTempDirectory("d18bkt").toString
+    try {
+      Dedup.d18BuildIndex(base, s"$idxDir/flat")
+      // nBuckets = the session's shuffle parallelism (the sizing rule)
+      Dedup.d18BuildIndexBucketed(base, "d18_bucketed_spec",
+        s"$idxDir/bucketed", 4)
+      // result identity, cap off and with the batch-local cap
+      val flat = d18PairSet(Dedup.d18FromIndex(spark, s"$idxDir/flat", batch))
+      assert(flat.nonEmpty)
+      assert(d18PairSet(Dedup.d18FromIndexBucketed(
+        spark, "d18_bucketed_spec", batch)) == flat,
+        "bucketed probe diverged from the flat probe")
+      assert(d18PairSet(Dedup.d18FromIndexBucketed(
+          spark, "d18_bucketed_spec", batch, batchMaxDf = 3)) ==
+        d18PairSet(Dedup.d18FromIndex(
+          spark, s"$idxDir/flat", batch, Dedup.NoDfCap, 3)),
+        "bucketed probe diverged under the batch-local cap")
+      // the bucket layout is EXPLOITED, not just written: the same
+      // probe-side equi-join plans one fewer Exchange against the
+      // catalog table than against the identical files read as plain
+      // parquet (the index side's shuffle is gone — the 100 TB claim)
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllMatchIn(
+          df.queryExecution.executedPlan.toString).length
+      val probe = Dedup.shingleIndexRows(batch)
+      val viaTable = probe.as("a").hint("SHUFFLE_HASH")
+        .join(spark.table("d18_bucketed_spec").as("b"), col("a.h") === col("b.h"))
+      val viaFiles = probe.as("a").hint("SHUFFLE_HASH")
+        .join(spark.read.parquet(s"$idxDir/bucketed").as("b"),
+          col("a.h") === col("b.h"))
+      assert(viaTable.queryExecution.executedPlan.toString
+          .contains("Bucketed: true"),
+        "catalog scan must report the bucket layout as exploited")
+      assert(exchanges(viaTable) == exchanges(viaFiles) - 1,
+        s"bucketing must remove exactly the index-side exchange: " +
+          s"${exchanges(viaTable)} vs ${exchanges(viaFiles)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS d18_bucketed_spec")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    }
+  }
+
   test("d18: a violated disjointness contract surfaces as self-pair rows") {
     // d18FromIndex's contract says arrival ids are disjoint from the
     // index; this pins the documented BREACH SIGNATURE — a re-crawled

@@ -83,6 +83,35 @@ class SqlSurfaceSpec extends GraftSuite {
       rows(Dedup.d18FromIndex(spark, s"$root/index", arrivals, 3L, 3L)))
   }
 
+  test("graft_benchmark_decontam: the ad-hoc decontamination check drives from SQL alone") {
+    // an external "published eval suite": half quoted verbatim from the
+    // corpus (must flag), half synthetic-clean (must not)
+    val bench = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 120)
+      .limit(8)
+      .select((col("doc_id") * 2).as("bench_id"),
+        substring(col("text"), 5, 100).as("text"))
+      .unionByName(spark.range(4).select(
+        (col("id") * 2 + 1).as("bench_id"),
+        concat(lit("synthetic question "), col("id"),
+          lit(" with vocabulary no corpus document contains whatsoever"))
+          .as("text")))
+    val root = java.nio.file.Files.createTempDirectory("sqld16").toString
+    bench.write.parquet(s"$root/bench")
+    val benchDf = spark.read.parquet(s"$root/bench")
+      .select(col("bench_id"), col("text"))
+    val sql = rows(spark.sql(
+      s"SELECT * FROM graft_benchmark_decontam('$sf', '$root/bench')"))
+    assert(sql == rows(Dedup.d16BenchmarkDecontam(spark, sf, benchDf, 0.3, 0L)),
+      "SQL surface diverged from the Scala production entry")
+    assert(sql.nonEmpty)
+    // knobs ride through: tau + the broadcast-Bloom prefilter
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_benchmark_decontam('$sf', '$root/bench', 0.1, 4096)")) ==
+      rows(Dedup.d16BenchmarkDecontam(spark, sf, benchDf, 0.1, 4096L)),
+      "knob form diverged from the Scala call at the same knobs")
+  }
+
   test("table functions COMPOSE with plain SQL: joins, filters, aggregates") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
     // the cleaned corpus joined back against the raw table, all in SQL
