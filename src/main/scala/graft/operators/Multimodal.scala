@@ -936,15 +936,6 @@ object Multimodal {
   private[graft] val PxW = 72
   private[graft] val PxH = 64
 
-  /** The three plane levels. Adjacent lattice cells ALWAYS differ (the
-    * walk below never steps 0 mod 3), so every dHash comparison sits on
-    * a ≥ 98-luma gap — an order of magnitude past both JPEG-q50 DC
-    * error and the IDCT's rounding, which is what makes the planted
-    * fingerprint an exact, engine-independent function of doc_id. A
-    * two-level design would leave equal-valued neighbours whose
-    * comparison flips on ±1 codec noise. */
-  private val PxLevels = Array(30, 128, 226)
-
   /** splitmix64 finalizer — the per-(doc, row) bit source. */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -954,20 +945,39 @@ object Multimodal {
   }
 
   /** The deterministic luminance plane for `docId`: per grid row, a
-    * 9-cell walk over [[PxLevels]] as a ring (start cell + 8 doc-keyed
-    * ±steps, never 0 mod 3) — ~9.6 information bits per row, so planes
-    * (and their fingerprints) are effectively unique per doc and two
-    * DIFFERENT docs never band-join into a false pair. */
+    * ±1 walk over the 9 cells (direction = one doc bit per step),
+    * affine-rescaled per row to [30, 226]. Every dHash comparison then
+    * carries one INDEPENDENT doc bit — the full 63-bit fingerprint is
+    * effectively uniform, so two DIFFERENT docs land within the
+    * hamming-6 band-join threshold with probability ~8e-12/pair (a
+    * first-cut 3-level ring walk had STATE-FORCED bits — from the top
+    * level every step reads "down" — and its biased fingerprints
+    * produced 24 false pairs at docs16x's 8k images). Adjacent cells
+    * keep a gap ≥ ⌊196/span⌋ ≥ 24 luma: for the constant 8×8 blocks
+    * the cells map to, JPEG DC quantization error is quant/(2·8) ≈ 1
+    * luma (the IDCT divides the coefficient error by 8), so ~24× the
+    * codec noise — the comparison sign, and therefore the fingerprint,
+    * is an exact engine-independent function of doc_id. */
   private[graft] def pxPlane(docId: Long): Array[Int] = {
     val lum = new Array[Int](PxW * PxH)
+    val w = new Array[Int](9)
     var r = 0
     while (r < 8) {
       val bits = mix64(docId * 8 + r)
-      var s = (((bits >>> 58) & 0x3f) % 3).toInt
+      var i = 0
+      while (i < 8) {
+        w(i + 1) = w(i) + (if (((bits >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      var mn = w(0); var mx = w(0)
+      i = 1
+      while (i < 9) {
+        if (w(i) < mn) mn = w(i); if (w(i) > mx) mx = w(i); i += 1
+      }
+      val span = mx - mn // ≥ 1: w(1) ≠ w(0) structurally
       var g = 0
       while (g < 9) {
-        if (g > 0) s = (s + (if (((bits >>> (g - 1)) & 1L) == 1L) 1 else 2)) % 3
-        val v = PxLevels(s)
+        val v = 30 + (w(g) - mn) * 196 / span
         var yy = 0
         while (yy < 8) {
           var xx = 0
