@@ -1162,7 +1162,18 @@ object Dedup {
       else
         exploded.select(col("doc_id"),
           (col("pos") + 1).cast("long").as("i"), col("col").as("fp"))
-    val occ = if (!persistOcc) occRaw else {
+    // ONE wire crossing for the occurrence index (r13 — the d19 2× bar):
+    // both consumers need occ clustered on fp (the stats aggregate and
+    // the probe join), but as separate operators each planned its own
+    // Exchange — the corpus-sized index crossed the shuffle TWICE. An
+    // explicit repartition(fp) makes the aggregate exchange-free and
+    // the join co-partitioned on both sides (stats inherits the
+    // partitioning); without the cache the two consumers' identical
+    // exchange subplans collapse under ReuseExchange, with it the
+    // cached rows are already fp-clustered, so warm passes shuffle
+    // NOTHING corpus-sized.
+    val occPart = occRaw.repartition(col("fp"))
+    val occ = if (!persistOcc) occPart else {
       // same-corpus repeat call: hand back the slot's OWN DataFrame
       // instead of persisting a fresh equal-plan one — the CacheManager
       // would share the entry anyway but logs an "already cached"
@@ -1172,9 +1183,9 @@ object Dedup {
       // entry was dropped externally (catalog.clearCache) must re-persist
       if (prev != null &&
           prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
-          prev.queryExecution.analyzed.sameResult(occRaw.queryExecution.analyzed)) prev
+          prev.queryExecution.analyzed.sameResult(occPart.queryExecution.analyzed)) prev
       else {
-        val cached = occRaw
+        val cached = occPart
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // a DIFFERENT corpus's index frees its slot (one occ index per
         // session — persist hygiene, see the d19DupSpans doc). A
