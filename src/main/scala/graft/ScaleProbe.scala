@@ -275,11 +275,18 @@ object ScaleProbe {
       // layout on the SAME base + arrivals — the probe join is the
       // history-sized term, and the bucketed table supplies its
       // clustering from the layout (no index-side exchange), so its
-      // growth should track the raw page read, not read + shuffle
+      // growth should track the raw page read, not read + shuffle.
+      // Symmetric warming (review): the bucketed build runs BEFORE
+      // anything is timed (its corpus-sized write would otherwise sit
+      // between the measurements, evicting one side's pages), and BOTH
+      // probes get one untimed pass each — codegen/first-touch for the
+      // bucketed plan shape is not covered by the cycle warm-up.
       val arrivals = spark.read.parquet(arrDir)
         .select(col("doc_id"), col("text"))
       Dedup.d18BuildIndexBucketed(corpus, s"nightly_bucketed_$n",
         s"$dir/bucketed", 32)
+      Dedup.d18FromIndex(spark, s"$dir/tree/base", arrivals).count()
+      Dedup.d18FromIndexBucketed(spark, s"nightly_bucketed_$n", arrivals).count()
       val tf = System.nanoTime()
       Dedup.d18FromIndex(spark, s"$dir/tree/base", arrivals).count()
       val probeFlatSec = (System.nanoTime() - tf) / 1e9

@@ -1211,7 +1211,11 @@ object Dedup {
         count(lit(1)).as("df"), min(col("pk")).as("canon"))
       occ.join(stats.filter(col("df") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
         .filter(col("pk") =!= col("canon"))
-        .select(shiftright(col("pk"), 32).as("doc_id"),
+        // unpack preserves the SOURCE doc_id type (an INT32 corpus —
+        // which the footer gate admits — must not widen to bigint in
+        // one plan variant only; the knobs are pinned plan-only)
+        .select(shiftright(col("pk"), 32)
+          .cast(docsIn.schema("doc_id").dataType).as("doc_id"),
           col("pk").bitwiseAND(lit((1L << 32) - 1)).as("i"))
     } else {
       val stats = occ.groupBy(col("fp"), col("doc_id"))

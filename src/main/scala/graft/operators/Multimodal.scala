@@ -1007,7 +1007,10 @@ object Multimodal {
       .filter(col("doc_id") >= 0 &&
         (pmod(col("doc_id"), lit(29)) === 0 || pmod(col("doc_id"), lit(31)) === 0))
       .select(col("doc_id"), (pmod(col("doc_id"), lit(29)) === 0).as("paired"))
-    ids.repartition(col("doc_id")).as[(Long, Boolean)]
+    // no repartition here: the consumer (m04PhashNeardupDecodedOf)
+    // repartitions by doc_id itself — a second exchange would shuffle
+    // every encoded payload twice (review)
+    ids.as[(Long, Boolean)]
       .mapPartitions { it =>
         it.flatMap { case (id, paired) =>
           val lum = pxPlane(id)

@@ -574,8 +574,13 @@ object Pipelines {
     val rootP = new org.apache.hadoop.fs.Path(workDir)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(rootP)
+    // sweep ALL orphaned tmp dirs, not just this artifact's (review:
+    // a crashed datasheet write resumed later through the stage-only
+    // path would otherwise leak its partial corpus-sized dir forever);
+    // safe under the single-builder contract, never touches committed
+    // artifacts
     fs.listStatus(rootP).map(_.getPath)
-      .filter(_.getName.startsWith(s".tmp-$name-"))
+      .filter(_.getName.startsWith(".tmp-"))
       .foreach(fs.delete(_, true))
     val dst = new org.apache.hadoop.fs.Path(rootP, name)
     val committed = fs.exists(dst) &&

@@ -965,8 +965,14 @@ class DedupSpec extends GraftSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.get(0).asInstanceOf[Number].longValue, r.getLong(1),
         r.getLong(2), r.getLong(3))).toSet
-    val packed = rows(Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars, packedCanon = true))
-    val plain = rows(Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars))
+    val packedDf = Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars, packedCanon = true)
+    val plainDf = Dedup.d19DupSpansOf(docs, Dedup.ExactSpanChars)
+    // plan-only knob includes the SCHEMA: the packed unpack must hand
+    // back the source INT32 doc_id type, not a silently widened bigint
+    assert(packedDf.schema == plainDf.schema,
+      s"packed variant changed the schema: ${packedDf.schema} vs ${plainDf.schema}")
+    val packed = rows(packedDf)
+    val plain = rows(plainDf)
     assert(packed == plain,
       "packed canonical must widen INT32 ids before the shift")
     assert(packed.nonEmpty && packed.forall(_._1 == 9L),
