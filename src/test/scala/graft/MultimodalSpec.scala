@@ -621,6 +621,41 @@ class MultimodalSpec extends GraftSuite {
     assert(done && Multimodal.decodeJpegLuminance(giant).isEmpty)
   }
 
+  test("m04px planes: decode-side fingerprint equals the plane's at every codec/quality, across random ids") {
+    // the gate's entire determinism claim reduced to its invariant:
+    // for ANY doc id, the dHash of the DECODED image — PNG at any
+    // filter/level, JPEG at q92 and q50 — equals the dHash computed
+    // directly from the planted plane (lossless for PNG; inside the
+    // 24-luma-gap-vs-~1-luma-DC-error margin for JPEG)
+    val rnd = new scala.util.Random(41)
+    val ids = Seq(0L, 1L, 28L, 29L, 31L, Int.MaxValue.toLong) ++
+      Seq.fill(40)(math.abs(rnd.nextLong()) % (1L << 31))
+    ids.foreach { id =>
+      val lum = Multimodal.pxPlane(id)
+      val want = Multimodal.pixelDhash63(Multimodal.PxW, Multimodal.PxH, lum)
+      def gray(x: Int, y: Int) = {
+        val v = lum(y * Multimodal.PxW + x); (v, v, v)
+      }
+      for (ft <- 0 to 4; (ct, lvl) <- Seq(
+          (2, java.util.zip.Deflater.NO_COMPRESSION),
+          (0, java.util.zip.Deflater.BEST_COMPRESSION))) {
+        val png = graft.operators.PixelCodecs.makePng(
+          Multimodal.PxW, Multimodal.PxH, ct, lvl, ft, gray)
+        val got = Multimodal.decodeLuminance(png)
+        assert(got.exists(d => Multimodal.pixelDhash63(d._1, d._2, d._3) == want),
+          s"PNG fp drifted for id=$id filter=$ft colorType=$ct")
+      }
+      for (q <- Seq(0.92f, 0.5f)) {
+        val jpg = graft.operators.PixelCodecs.encodeJpeg(
+          graft.operators.PixelCodecs.grayImage(
+            Multimodal.PxW, Multimodal.PxH, lum), q)
+        val got = Multimodal.decodeLuminance(jpg)
+        assert(got.exists(d => Multimodal.pixelDhash63(d._1, d._2, d._3) == want),
+          s"JPEG q=$q fp drifted for id=$id")
+      }
+    }
+  }
+
   test("m04px gate: every planted encode takes the pixel path; pairs are exactly the construction") {
     import org.apache.spark.sql.functions.col
     val corpus = Multimodal.m04PxCorpus(spark, sf).collect()
