@@ -109,8 +109,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       tvf("graft_corpus_datasheet", "graft_corpus_datasheet(corpusDir)", 1, 1)(
         (s, a) => operators.Pipelines.p21CorpusDatasheet(s, a.str(0))),
       tvf("graft_release_datasheet",
-        "graft_release_datasheet(corpusDir, workDir) — the staged p20 release's datasheet", 2, 2)(
-        (s, a) => operators.Pipelines.p21ReleaseDatasheet(s, a.str(0), a.str(1))),
+        "graft_release_datasheet(corpusDir, workDir[, minTokens, minQuality, repairTau]) " +
+          "— the staged p20 release's datasheet (knobs pinned in workDir)", 2, 5)(
+        (s, a) => operators.Pipelines.p21ReleaseDatasheet(s, a.str(0), a.str(1),
+          operators.Pipelines.P20Knobs(
+            a.int(2, operators.Pipelines.CleanMinTokens),
+            a.dbl(3, operators.Pipelines.CleanMinQuality),
+            a.dbl(4, 0.3)))),
       tvf("graft_d18_probe",
         "graft_d18_probe(indexPath, arrivalsPath[, maxDf, batchMaxDf]) — " +
           "arrivals parquet needs (doc_id, text)", 2, 4)(

@@ -22,12 +22,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Usage:
   * {{{
-  *   runMain graft.Release <corpusDir> <workDir>
+  *   runMain graft.Release <corpusDir> <workDir> \
+  *     [minTokens] [minQuality] [repairTau]
   * }}}
   * `corpusDir` holds the documents table; `workDir` receives
   * `stage0-raw` … `stage4-leakage_repair` + `datasheet`. The released
   * corpus is the `stage4-leakage_repair` parquet; re-running after
   * completion is a no-op that re-prints the summary from the artifacts.
+  * Trailing knobs (defaults = the library's cleaning constants) are
+  * PINNED in the workDir on first build: a relaunch under different
+  * values refuses loudly instead of silently serving stages computed
+  * under the old regime.
   *
   * Reference anchor: the reference's batch jobs are each one scan with
   * a side effect (e.g. SampleMapRed.java's decode-then-scan pass); this
@@ -37,21 +42,32 @@ object Release {
 
   /** One build (resume-aware) — factored from `main` so the smoke spec
     * drives the CLI path directly. Returns (per-stage audit rows,
-    * datasheet). */
+    * datasheet). Knobs are pinned in the workDir: a relaunch under
+    * different knobs refuses instead of silently mixing regimes. */
   private[graft] def runBuild(spark: SparkSession, corpusDir: String,
-      workDir: String): (DataFrame, DataFrame) = {
-    val audit = operators.Pipelines.p20ReleaseBuild(spark, corpusDir, workDir)
+      workDir: String,
+      knobs: operators.Pipelines.P20Knobs = operators.Pipelines.P20Knobs())
+      : (DataFrame, DataFrame) = {
+    val audit =
+      operators.Pipelines.p20ReleaseBuild(spark, corpusDir, workDir, knobs)
     // the datasheet is artifact #6 under the SAME resume contract: a
     // committed sheet is served, never recomputed (its sections scan
     // the full released corpus — not free at release scale)
     val sheet = operators.Pipelines.publishArtifact(spark, workDir, "datasheet")(
-      operators.Pipelines.p21ReleaseDatasheet(spark, corpusDir, workDir))
+      operators.Pipelines.p21ReleaseDatasheet(spark, corpusDir, workDir, knobs))
     (audit, sheet)
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
-      "usage: graft.Release <corpusDir> <workDir>")
+    require(args.length >= 2 && args.length <= 5,
+      "usage: graft.Release <corpusDir> <workDir> " +
+        "[minTokens] [minQuality] [repairTau]")
+    val knobs = operators.Pipelines.P20Knobs(
+      minTokens = if (args.length > 2) args(2).toInt
+        else operators.Pipelines.CleanMinTokens,
+      minQuality = if (args.length > 3) args(3).toDouble
+        else operators.Pipelines.CleanMinQuality,
+      repairTau = if (args.length > 4) args(4).toDouble else 0.3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,7 +81,7 @@ object Release {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val (audit, sheet) = runBuild(spark, args(0), args(1))
+      val (audit, sheet) = runBuild(spark, args(0), args(1), knobs)
       val stages = audit.collect().sortBy(_.getAs[Int]("stage")).map { r =>
         s"""{"stage":${r.getAs[Int]("stage")},""" +
           s""""name":"${r.getAs[String]("stage_name")}",""" +

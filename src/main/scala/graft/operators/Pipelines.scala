@@ -517,14 +517,27 @@ object Pipelines {
     * CARRIES (cleanCorpus's) — re-deriving it from post-surgery text
     * would silently reassign documents across splits (the fingerprint
     * changed with the text). */
-  private[graft] def p20Repair(surged: DataFrame): DataFrame = {
+  private[graft] def p20Repair(surged: DataFrame,
+      repairTau: Double = 0.3): DataFrame = {
     val prepared = Dedup.d10PreparedKeepSplit(
       surged.select(col("doc_id"), col("split"), col("text")))
     val leaked = Dedup.d10Contamination(
         prepared.filter(col("split") =!= "train"),
-        Dedup.d10TrainIndex(prepared), 0.3)
+        Dedup.d10TrainIndex(prepared), repairTau)
       .select(col("doc_id"))
     surged.join(leaked, Seq("doc_id"), "left_anti")
+  }
+
+  /** The staged release build's tuning knobs (r13 — threaded through
+    * `graft.Release` so an operator tunes the chain without Scala):
+    * stage-1 cleaning thresholds + the stage-4 leakage threshold.
+    * Recorded in the workDir on first build and REFUSED on mismatch at
+    * resume — a resumed build under different knobs would silently
+    * serve stages computed under the old ones. */
+  case class P20Knobs(minTokens: Int = CleanMinTokens,
+      minQuality: Double = CleanMinQuality, repairTau: Double = 0.3) {
+    private[graft] def marker: String =
+      s"minTokens=$minTokens minQuality=$minQuality repairTau=$repairTau"
   }
 
   /** The STAGED release build the p20 doc promised ("a real release
@@ -543,8 +556,12 @@ object Pipelines {
     * the build between stages, deletes the SOURCE corpus, and resumes
     * to the same bytes). */
   def p20ReleaseBuild(spark: SparkSession, dir: String,
-      workDir: String): DataFrame = {
-    val st = p20StagesCheckpointed(spark, dir, workDir)
+      workDir: String): DataFrame =
+    p20ReleaseBuild(spark, dir, workDir, P20Knobs())
+
+  def p20ReleaseBuild(spark: SparkSession, dir: String,
+      workDir: String, knobs: P20Knobs): DataFrame = {
+    val st = p20StagesCheckpointed(spark, dir, workDir, knobs)
     spark.read.parquet(s"$workDir/stage0-raw")
       .select(lit(0).as("stage"), lit("raw").as("stage_name"),
         col("n_docs"), col("n_chars"))
@@ -558,8 +575,8 @@ object Pipelines {
   /** The staged build's final corpus — served from the stage-4 artifact
     * (building it first if needed). */
   def p20ReleaseCorpus(spark: SparkSession, dir: String,
-      workDir: String): DataFrame =
-    p20StagesCheckpointed(spark, dir, workDir).repaired
+      workDir: String, knobs: P20Knobs = P20Knobs()): DataFrame =
+    p20StagesCheckpointed(spark, dir, workDir, knobs).repaired
 
   /** Crash-safe artifact publish under a build workDir (write to a
     * fresh `.tmp-*`, rename into `name` — readers only ever see a
@@ -598,7 +615,41 @@ object Pipelines {
   }
 
   private[graft] def p20StagesCheckpointed(spark: SparkSession, dir: String,
-      workDir: String): P20Stages = {
+      workDir: String, knobs: P20Knobs = P20Knobs()): P20Stages = {
+    // knob pinning: the resume contract serves committed stages as-is,
+    // so a relaunch under DIFFERENT knobs would silently mix corpora
+    // built under two regimes — record the knobs on first build
+    // (atomic create-then-rename) and refuse loudly on mismatch
+    val rootP = new org.apache.hadoop.fs.Path(workDir)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(rootP)
+    val kPath = new org.apache.hadoop.fs.Path(rootP, "knobs")
+    if (fs.exists(kPath)) {
+      val in = fs.open(kPath)
+      val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(prior == knobs.marker,
+        s"workDir $workDir was built under different knobs ($prior) than " +
+          s"requested (${knobs.marker}) — resuming would mix stages from " +
+          "two regimes. Use a fresh workDir or the original knobs.")
+    } else {
+      // sweep a crashed attempt's marker tmp before writing ours
+      fs.listStatus(rootP).map(_.getPath)
+        .filter(_.getName.startsWith(".tmpk-"))
+        .foreach(fs.delete(_, false))
+      val tmp = new org.apache.hadoop.fs.Path(rootP,
+        s".tmpk-knobs-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(knobs.marker.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, kPath)) { // lost a race to a twin builder:
+        fs.delete(tmp, true)        // re-check against the winner's marker
+        val in = fs.open(kPath)
+        val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        require(prior == knobs.marker,
+          s"workDir $workDir was concurrently pinned to different knobs ($prior)")
+      }
+    }
     def artifact(name: String)(make: => DataFrame): DataFrame =
       publishArtifact(spark, workDir, name)(make)
     val _ = artifact("stage0-raw") {
@@ -606,10 +657,12 @@ object Pipelines {
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("n_chars"))
     }
-    val cleaned = artifact("stage1-clean_dedup_split")(cleanCorpus(spark, dir))
+    val cleaned = artifact("stage1-clean_dedup_split")(
+      cleanCorpus(spark, dir, CleanLangs, knobs.minTokens, knobs.minQuality))
     val kept = artifact("stage2-neardup_keep")(p20Keep(spark, cleaned))
     val surged = artifact("stage3-span_surgery")(p20Surge(kept))
-    val repaired = artifact("stage4-leakage_repair")(p20Repair(surged))
+    val repaired = artifact("stage4-leakage_repair")(
+      p20Repair(surged, knobs.repairTau))
     P20Stages(cleaned, kept, surged, repaired)
   }
 
@@ -709,8 +762,8 @@ object Pipelines {
     * build section. Spec pins each metric ≡ its source operator run on
     * the released corpus. */
   def p21ReleaseDatasheet(spark: SparkSession, dir: String,
-      workDir: String): DataFrame = {
-    val audit = p20ReleaseBuild(spark, dir, workDir)
+      workDir: String, knobs: P20Knobs = P20Knobs()): DataFrame = {
+    val audit = p20ReleaseBuild(spark, dir, workDir, knobs)
     val buildRows = audit.select(lit("build").as("section"),
         concat(lit("stage"), col("stage"), lit("_"), col("stage_name"),
           lit("_docs")).as("metric"),
@@ -719,7 +772,7 @@ object Pipelines {
         concat(lit("stage"), col("stage"), lit("_"), col("stage_name"),
           lit("_chars")).as("metric"),
         col("n_chars").cast("long").as("value")))
-    p21SectionsOf(p20ReleaseCorpus(spark, dir, workDir))
+    p21SectionsOf(p20ReleaseCorpus(spark, dir, workDir, knobs))
       .unionByName(buildRows)
       .orderBy("section", "metric")
   }

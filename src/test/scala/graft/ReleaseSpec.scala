@@ -52,4 +52,33 @@ class ReleaseSpec extends GraftSuite {
     val (audit3, sheet3) = Release.runBuild(spark, sf, work)
     assert(rows(audit3) == a1 && rows(sheet3) == s1)
   }
+
+  test("release knobs: threaded through the chain, pinned in the workDir, mismatch refuses") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("releaseknob").toString
+    // a floor derived from the corpus (median whitespace-token count
+    // + 1) is guaranteed to bite — a fixed literal silently stopped
+    // biting when every cleaned doc cleared it
+    val floor = Tables.documents(spark, sf)
+      .select(size(split(trim(col("text")), "\\s+")).cast("double").as("n"))
+      .stat.approxQuantile("n", Array(0.5), 0.0)(0).toInt + 1
+    val strict = Pipelines.P20Knobs(minTokens = floor)
+    val (audit, _) = Release.runBuild(spark, sf, work, strict)
+    // the knob genuinely reaches stage 1: the median-derived floor
+    // keeps fewer docs than the default floor on the same corpus
+    val s1strict = audit.filter(col("stage") === 1).head().getAs[Long]("n_docs")
+    val s1default = Pipelines.p20ReleaseBuild(spark, sf)
+      .filter(col("stage") === 1).head().getAs[Long]("n_docs")
+    assert(s1strict < s1default,
+      s"minTokens=$floor must shrink stage 1: $s1strict vs default $s1default")
+    // same knobs resume cleanly; DIFFERENT knobs refuse loudly instead
+    // of silently serving stages built under the old regime
+    val (audit2, _) = Release.runBuild(spark, sf, work, strict)
+    assert(rows(audit2) == rows(audit))
+    val ex = intercept[IllegalArgumentException] {
+      Release.runBuild(spark, sf, work, Pipelines.P20Knobs())
+    }
+    assert(ex.getMessage.contains("different knobs"),
+      s"knob mismatch must refuse with the pinned marker: ${ex.getMessage}")
+  }
 }
