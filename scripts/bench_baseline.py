@@ -9,12 +9,15 @@ ORACLE_JSON defaults to the oracle_sql.json a `graft.Verify` run dumps
 Each query is timed `--runs` times (default 2, interleaved passes: all
 queries once, then again) and the per-query MIN is recorded, mirroring
 graft.Bench's methodology so the ratio column compares like with like."""
-import duckdb, json, sys, time
+import duckdb, json, os, sys, time
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 ORACLE = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
 OUT = sys.argv[3] if len(sys.argv) > 3 else f"BASELINE_duckdb_{SF_DIR.rstrip('/').split('/')[-1]}.json"
-RUNS = 2
+# BASELINE_RUNS=3 gives the ledger the same 3 min-draws graft.Bench's
+# interleaved passes give each query (r14 parity discipline; default
+# stays 2 so existing ledgers remain reproducible as recorded).
+RUNS = int(os.environ.get("BASELINE_RUNS", "2"))
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]

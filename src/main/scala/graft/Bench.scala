@@ -138,12 +138,19 @@ object Bench {
     // their WORST sample, up to three rounds. Genuine bimodality
     // survives (the retry reproduces the slow time and the spread
     // stays); transient noise is scrubbed from the published artifact
-    // instead of being archived as signal. Every
-    // discarded sample AND every retry (favorable or not) is recorded in
-    // bench_detail's "repairs" map — a repaired vector is a curated
-    // subsample, and the artifact must say so rather than pass it off as
-    // raw measurement (the min is unaffected either way: retries can only
-    // add samples to the min pool, never remove a fast one).
+    // instead of being archived as signal. Every discarded sample AND
+    // every retry (favorable or not) is recorded in bench_detail's
+    // "repairs" map — a repaired vector is a curated subsample, and the
+    // artifact must say so rather than pass it off as raw measurement.
+    // The PUBLISHED MIN is taken over the ORIGINAL 3 interleaved passes
+    // ONLY (r13 ADVICE: retries appended to the min pool gave flagged
+    // queries up to 6 min-lottery draws vs 3 for everything else and
+    // for the DuckDB baseline — parity means every query, both engines,
+    // gets exactly 3 draws); retries exist to scrub SPREAD, not to
+    // lower minima. A query still spanning >1.5x after the 3 repair
+    // rounds is marked "exhausted" in its repairs entry (r13 verdict
+    // item 4: the loop previously gave up silently and the closing
+    // artifact carried unannotated spreads).
     val discarded = scala.collection.mutable.Map[String, List[Double]]()
     val retries = scala.collection.mutable.Map[String, List[Double]]()
     val samples = (0 until 3).foldLeft(samples0) { case (ss, _) =>
@@ -167,8 +174,12 @@ object Bench {
         case kv => kv
       }
     }
-    val results = samples.collect { case (name, ss) if ss.nonEmpty => name -> ss.min }
-    val failed = samples.collect { case (name, ss) if ss.isEmpty => name }
+    // spread survivors after all repair rounds — annotated, never silent
+    val exhausted = samples.collect {
+      case (name, v) if v.nonEmpty && v.max > 1.5 * v.min => name
+    }.toSet
+    val results = samples0.collect { case (name, ss) if ss.nonEmpty => name -> ss.min }
+    val failed = samples0.collect { case (name, ss) if ss.isEmpty => name }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Optional baseline ledger (scripts/bench_baseline.py): when present,
     // also emit the suite-level graft/baseline ratio so "within 2x of
@@ -190,11 +201,37 @@ object Bench {
         Option(base.get(name)).map(b => name -> sec / b.asDouble())
       }
       val baseTotal = root.get("total").asDouble()
+      // FLOOR DECOMPOSITION (r13 verdict item 1: the sf1 artifact
+      // published total_vs_baseline 6.9 with no decomposition and read
+      // as a bar breach when the truth was N × Spark's ~1 s
+      // scheduling/session floor vs DuckDB's 10–270 ms embedded floor).
+      // Split the paired queries at base < 0.3 s: below it DuckDB is
+      // measuring its embedded-call floor while Spark pays a fixed
+      // per-query scheduling floor — the ratio measures the floors, not
+      // the operators. BOTH halves are published (nothing is dropped
+      // from total_vs_baseline); heavy_vs_baseline is the ratio over
+      // queries where both engines do work that scales with data.
+      val floorThresh = 0.3
+      val paired = results.flatMap { case (name, sec) =>
+        Option(base.get(name)).map(b => (name, sec, b.asDouble()))
+      }
+      val (floorQ, heavyQ) = paired.partition(_._3 < floorThresh)
+      val heavyRatio =
+        if (heavyQ.nonEmpty && heavyQ.map(_._3).sum > 0)
+          heavyQ.map(_._2).sum / heavyQ.map(_._3).sum
+        else 0.0
       ratioFields = s""","baseline_engine":${root.get("engine")},"baseline_total":${f"$baseTotal%.1f"}""" +
-        s""","total_vs_baseline":${f"${total / baseTotal}%.4f"}"""
+        s""","total_vs_baseline":${f"${total / baseTotal}%.4f"}""" +
+        s""","n_floor_class":${floorQ.size},"heavy_vs_baseline":${f"$heavyRatio%.4f"}"""
       ratioDetail = ",\"vs_baseline\":" + ratios
         .map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
-        .mkString("{", ",", "}")
+        .mkString("{", ",", "}") +
+        s""","floor_decomp":{"base_floor_threshold_sec":$floorThresh,""" +
+        s""""n_floor":${floorQ.size},"spark_floor_sec":${f"${floorQ.map(_._2).sum}%.3f"},""" +
+        s""""base_floor_sec":${f"${floorQ.map(_._3).sum}%.3f"},""" +
+        s""""n_heavy":${heavyQ.size},"spark_heavy_sec":${f"${heavyQ.map(_._2).sum}%.3f"},""" +
+        s""""base_heavy_sec":${f"${heavyQ.map(_._3).sum}%.3f"},""" +
+        s""""heavy_vs_baseline":${f"$heavyRatio%.4f"}}"""
     }
     // stdout carries only the 24 heaviest queries: the driver's tail
     // capture is 2000 bytes, and the r6/r7 lines with the full ~115-query
@@ -215,18 +252,35 @@ object Bench {
       }.mkString("{", ",", "}")
       // Per-query repair provenance: which vectors were scrubbed, every
       // retry taken (unfavorable retries included; a retry that FAILED
-      // records a −1 sentinel), and the samples they displaced —
+      // records a −1 sentinel), the samples they displaced, and whether
+      // the loop EXHAUSTED its 3 rounds with the spread still >1.5x —
       // consumers can reconstruct the raw measurement set as
-      // samples ∪ discarded.
+      // samples ∪ discarded. The published min never comes from a
+      // retry (it is min over the original 3 passes), so repairs only
+      // explain spread, not minima.
+      val repairKeys = (retries.keys.toSet ++ exhausted).toSeq.sorted
       val repairs =
-        if (retries.isEmpty) ""
-        else ",\"repairs\":" + retries.keys.toSeq.sorted.map { k =>
-          val r = retries(k).map(d => f"$d%.4f").mkString("[", ",", "]")
+        if (repairKeys.isEmpty) ""
+        else ",\"repairs\":" + repairKeys.map { k =>
+          val r = retries.getOrElse(k, Nil).map(d => f"$d%.4f")
+            .mkString("[", ",", "]")
           val d = discarded.getOrElse(k, Nil).map(d => f"$d%.4f")
             .mkString("[", ",", "]")
-          s"""\"$k\":{"retries":$r,"discarded":$d}"""
+          s"""\"$k\":{"retries":$r,"discarded":$d,"exhausted":${exhausted(k)}}"""
         }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","total":${f"$total%.3f"},$env,"samples":$ss$repairs$ratioDetail$failedField}"""
+      // Queries whose DuckDB oracle does not perform the operator's
+      // real work (r13 verdict item 7: m04_px decodes real PNG/JPEG
+      // payloads while its oracle derives the planted pair list from
+      // doc_id arithmetic — the per-query ratio is meaningless by
+      // construction, like the sub-second floor class but for WORK
+      // asymmetry rather than engine floors). Annotated so a future
+      // round doesn't misread the ratio as a regression.
+      val asymmetric = Seq("m04_phash_neardup_px").filter(samples0.toMap.contains)
+      val asymField =
+        if (asymmetric.isEmpty) ""
+        else asymmetric.map("\"" + _ + "\"").mkString(
+          ",\"asymmetric_oracle\":[", ",", "]")
+      s"""{"sf":"$sfDir","total":${f"$total%.3f"},$env,"samples":$ss$repairs$asymField$ratioDetail$failedField}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_detail.json")

@@ -115,7 +115,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           operators.Pipelines.P20Knobs(
             a.int(2, operators.Pipelines.CleanMinTokens),
             a.dbl(3, operators.Pipelines.CleanMinQuality),
-            a.dbl(4, 0.3)))),
+            a.dbl(4, operators.Pipelines.RepairTau)))),
       tvf("graft_d18_probe",
         "graft_d18_probe(indexPath, arrivalsPath[, maxDf, batchMaxDf]) — " +
           "arrivals parquet needs (doc_id, text)", 2, 4)(

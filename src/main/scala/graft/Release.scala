@@ -67,7 +67,8 @@ object Release {
         else operators.Pipelines.CleanMinTokens,
       minQuality = if (args.length > 3) args(3).toDouble
         else operators.Pipelines.CleanMinQuality,
-      repairTau = if (args.length > 4) args(4).toDouble else 0.3)
+      repairTau = if (args.length > 4) args(4).toDouble
+        else operators.Pipelines.RepairTau)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -32,7 +32,25 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
   def main(rawArgs: Array[String]): Unit = {
     val docs = rawArgs.contains("--docs")
-    val args = rawArgs.filterNot(_ == "--docs")
+    val cdr = rawArgs.contains("--cdr")
+    val args = rawArgs.filterNot(a => a == "--docs" || a == "--cdr")
+    if (cdr) {
+      // --cdr <outDir> [nRecords]: the reference's OWN stated workload
+      // (notes.txt: 10,000,000 flat ASCII records, ~230 B each) as a
+      // deterministic corpus for graft.CdrWorkload — no base dir needed.
+      val out = if (args.length > 0) args(0) else "target/cdr10m"
+      val nRec = if (args.length > 1) args(1).toLong else 10000000L
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try generateCdr(spark, out, nRec) finally spark.stop()
+      return
+    }
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1)
       else if (docs) "target/docs4x" else "target/sf1"
@@ -202,5 +220,21 @@ object ScaleGen {
     println(s"SCALEGEN {" +
       s""""base":"$base","out":"$out","replicas":$n,""" +
       s""""lineitem_rows":${spark.read.parquet(s"$out/lineitem.parquet").count()}}""")
+  }
+
+  /** `--cdr` mode — the reference's stated workload (notes.txt: 10M
+    * flat ASCII CDR records, ~230 B/rec; record shape
+    * IngestTest.java:105) as a DETERMINISTIC text corpus: every field
+    * is residue arithmetic on the record id (see [[CdrCorpus]]), so
+    * grep/finder/parse results have closed-form expected counts and
+    * the workload artifact carries its own correctness slice. */
+  def generateCdr(spark: SparkSession, out: String, n: Long,
+      files: Int = 32): Unit = {
+    CdrCorpus.lines(spark, n, files).write.mode("overwrite").text(out)
+    val bytes = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    println(s"""SCALEGEN {"mode":"cdr","out":"$out","records":$n,""" +
+      s""""files":$files,"bytes":$bytes,""" +
+      s""""avg_bytes_per_rec":${bytes / math.max(n, 1)}}""")
   }
 }

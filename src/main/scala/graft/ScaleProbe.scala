@@ -297,6 +297,14 @@ object ScaleProbe {
       val (_, nPairs, selfPairs, _, _) =
         Nightly.runCycle(spark, s"$dir/tree", arrDir, s"$dir/pairs")
       val cycleSec = (System.nanoTime() - t0) / 1e9
+      // the bucketed build registers an EXTERNAL table in the session
+      // catalog/warehouse — drop it (and its path) once the cell's
+      // measurements are done, or every probe run leaks one table per
+      // scale into the shared warehouse (r13 ADVICE; DedupSpec's rule)
+      spark.sql(s"DROP TABLE IF EXISTS nightly_bucketed_$n")
+      val bktP = new org.apache.hadoop.fs.Path(s"$dir/bucketed")
+      val bktFs = bktP.getFileSystem(spark.sessionState.newHadoopConf())
+      if (bktFs.exists(bktP)) bktFs.delete(bktP, true)
       println(f"""SCALEPROBE {"mode":"nightly","scale":$n,"index_rows":$indexRows,""" +
         f""""cycle_sec":$cycleSec%.2f,"index_scan_sec":$scanSec%.2f,""" +
         f""""scan_basis":"pre-cycle over the probe's generation set; page-cache warm",""" +

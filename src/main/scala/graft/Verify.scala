@@ -50,6 +50,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Shared-intermediate oracle forms for the heavy family (r14) —
+    // consumed by scripts/check_heavy.py for the docs16x gate; the
+    // driver's own gate keeps reading oracle_sql.json unchanged.
+    val shared = {
+      val prel = OracleShared.prelude
+        .map { case (n, s) => s"[${q(n)}, ${q(s)}]" }.mkString("[", ",", "]")
+      val qs = OracleShared.queries
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      val dir = OracleShared.direct.map(q).mkString("[", ",", "]")
+      s"""{"prelude": $prel, "queries": $qs, "direct": $dir}"""
+    }
+    Files.writeString(Paths.get(s"$outDir/oracle_shared.json"), shared)
     spark.stop()
   }
 }

@@ -23,6 +23,12 @@ object Pipelines {
   val CleanLangs: Seq[String] = Seq("en", "es", "de", "fr", "zh")
   val CleanMinTokens: Int = 10
   val CleanMinQuality: Double = 0.3
+  /** Default leakage-repair contamination threshold (d10's τ), shared by
+    * p11/p20, the `graft_release_datasheet` TVF and the `graft.Release`
+    * CLI. Single-sourced (r13 ADVICE): the staged build pins its knob
+    * marker on this value — if the surfaces disagreed on "the default",
+    * a resume across surfaces would refuse as a regime mix. */
+  val RepairTau: Double = 0.3
   private[graft] val cleanNTok: Column = size(col("toks"))
   private[graft] val cleanQuality: Column =
     least(cleanNTok / 100.0, lit(1.0)) * 0.5 +
@@ -518,7 +524,7 @@ object Pipelines {
     * would silently reassign documents across splits (the fingerprint
     * changed with the text). */
   private[graft] def p20Repair(surged: DataFrame,
-      repairTau: Double = 0.3): DataFrame = {
+      repairTau: Double = RepairTau): DataFrame = {
     val prepared = Dedup.d10PreparedKeepSplit(
       surged.select(col("doc_id"), col("split"), col("text")))
     val leaked = Dedup.d10Contamination(
@@ -535,7 +541,7 @@ object Pipelines {
     * resume — a resumed build under different knobs would silently
     * serve stages computed under the old ones. */
   case class P20Knobs(minTokens: Int = CleanMinTokens,
-      minQuality: Double = CleanMinQuality, repairTau: Double = 0.3) {
+      minQuality: Double = CleanMinQuality, repairTau: Double = RepairTau) {
     private[graft] def marker: String =
       s"minTokens=$minTokens minQuality=$minQuality repairTau=$repairTau"
   }
@@ -583,21 +589,23 @@ object Pipelines {
     * complete, `_SUCCESS`-marked artifact; a committed artifact is
     * served as-is and `make` never runs). Factored from the staged p20
     * build (r13) so the release datasheet — and any future build-chain
-    * artifact — publishes under the same resume contract. Sweeps
-    * orphaned `.tmp-*` debris first (safe under the single-builder
-    * contract; never touches committed artifacts). */
+    * artifact — publishes under the same resume contract. Sweeps THIS
+    * artifact's orphaned `.tmp-<name>-*` debris first (r13 ADVICE: the
+    * datasheet is a SQL TVF any session can invoke, so a blanket
+    * `.tmp-*` sweep would let two concurrent queries on one workDir
+    * delete each other's in-flight writes; per-prefix scoping keeps
+    * cleanup complete — a crashed write of X is swept by the next
+    * publish of X, which every resume path reaches — while concurrent
+    * DIFFERENT-artifact publishes can no longer interfere. Two
+    * concurrent publishes of the SAME artifact remain the caller's
+    * single-builder contract; never touches committed artifacts). */
   private[graft] def publishArtifact(spark: SparkSession, workDir: String,
       name: String)(make: => DataFrame): DataFrame = {
     val rootP = new org.apache.hadoop.fs.Path(workDir)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(rootP)
-    // sweep ALL orphaned tmp dirs, not just this artifact's (review:
-    // a crashed datasheet write resumed later through the stage-only
-    // path would otherwise leak its partial corpus-sized dir forever);
-    // safe under the single-builder contract, never touches committed
-    // artifacts
     fs.listStatus(rootP).map(_.getPath)
-      .filter(_.getName.startsWith(".tmp-"))
+      .filter(_.getName.startsWith(s".tmp-$name-"))
       .foreach(fs.delete(_, true))
     val dst = new org.apache.hadoop.fs.Path(rootP, name)
     val committed = fs.exists(dst) &&
@@ -1080,6 +1088,19 @@ object Pipelines {
       .orderBy("source")
   }
 
+  /** The clean pipeline's quality score as a DuckDB expression —
+    * single-sourced between the standalone oracle entries and the
+    * shared-intermediate forms in [[graft.OracleShared]] (r14: the two
+    * must compute the same corpus or the shared docs16x gate would
+    * silently test different semantics). */
+  private[graft] def oracleQualitySql: String = {
+    val toks = TS.toks
+    s"""round(least(len($toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+            * CAST(0.5 AS DOUBLE)
+          + (${TS.markerHits(toks, TF.stopwords)} / len($toks))
+            * CAST(0.5 AS DOUBLE), 4)"""
+  }
+
   val oracle: Map[String, String] = {
     val toks = TS.toks
     val p14 = {
@@ -1153,11 +1174,7 @@ object Pipelines {
               AS tok_end
           FROM x ORDER BY shard, chunk, tok_start"""
     }
-    val quality =
-      s"""round(least(len($toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-            * CAST(0.5 AS DOUBLE)
-          + (${TS.markerHits(toks, TF.stopwords)} / len($toks))
-            * CAST(0.5 AS DOUBLE), 4)"""
+    val quality = oracleQualitySql
     Map(
       "p14_shard_layout" -> p14,
       "p16_span_layout" -> p16,
