@@ -31,14 +31,35 @@ class Wiretap {
   def snapshot: Map[String, String] = interests.toMap
 
   /** Route a (batch) DataFrame with a `value` string column against the
-    * CURRENT interest set → (subscriber, value) rows. Pure plan: cross
-    * join the broadcast interests, keep regex matches. */
+    * CURRENT interest set → (subscriber, value) rows.
+    *
+    * The interest set is snapshotted at PLAN time, so each pattern is
+    * folded in as a LITERAL `regexp_like` — codegen compiles every
+    * regex once per task. The first cut cross-joined a broadcast
+    * (subscriber, pattern) table instead; semantically identical, but
+    * a non-foldable pattern column makes RLike recompile the regex PER
+    * ROW — measured 12.1 s vs 1s-class for 3 interests over the 10M
+    * CDR corpus (CDR_BENCH r14). One scan, one when() per interest,
+    * matching subscribers collected map-side and exploded — no join,
+    * no per-record driver traffic; dynamism still comes from the
+    * per-batch re-plan in [[routeDynamic]]. Registering MORE interests
+    * adds one compiled-regex evaluation per record each — the
+    * broadcast-table form only wins if interests outgrow what a plan
+    * can hold (thousands), far past the reference's "dozens of
+    * subscribers" regime. */
   def route(lines: DataFrame): DataFrame = {
-    val spark = lines.sparkSession
-    val ints = spark.createDataFrame(snapshot.toSeq).toDF("subscriber", "pattern")
-    lines.crossJoin(broadcast(ints))
-      .filter(regexp_like(col("value"), col("pattern")))
-      .select(col("subscriber"), col("value"))
+    val pats = snapshot.toSeq.sortBy(_._1)
+    if (pats.isEmpty) {
+      lines.sparkSession.emptyDataFrame
+        .withColumn("subscriber", lit("")).withColumn("value", lit(""))
+        .limit(0)
+    } else {
+      val matched = array(pats.map { case (sub, pat) =>
+        when(regexp_like(col("value"), lit(pat)), lit(sub))
+      }: _*)
+      lines.select(explode(array_compact(matched)).as("subscriber"),
+        col("value"))
+    }
   }
 
   /** Dynamic streaming routing: each micro-batch re-snapshots the
