@@ -96,14 +96,17 @@ for name, sql in sorted(todo.items()):
             fails.append(name); print(f"FAIL {name}: spark dump unreadable: {e}"); continue
         got, exp = exp, got  # spark dump is `got`, oracle is `exp` (check.py order)
         label = "gate"
+    # label which side is which per mode (r14 ADVICE: the got/exp swap
+    # above made bare 'a='/'b=' diagnostics ambiguous)
+    gside, eside = ("shared", "standalone") if SELFCHECK else ("spark", "oracle")
     dt = time.monotonic() - t0
     if list(got.columns) != list(exp.columns):
         fails.append(name)
-        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+        print(f"FAIL {name}: columns {gside}={list(got.columns)} vs {eside}={list(exp.columns)}")
         continue
     if len(got) != len(exp):
         fails.append(name)
-        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+        print(f"FAIL {name}: rows {gside}={len(got)} vs {eside}={len(exp)}")
         continue
     if table_hash(got) != table_hash(exp):
         fails.append(name)
@@ -112,8 +115,8 @@ for name, sql in sorted(todo.items()):
             g = [cell(v) for v in got.iloc[i]]
             e = [cell(v) for v in exp.iloc[i]]
             if g != e:
-                print(f"  row {i}: a={g}")
-                print(f"  row {i}: b={e}")
+                print(f"  row {i}: {gside}={g}")
+                print(f"  row {i}: {eside}={e}")
                 break
         continue
     print(f"OK   {name} ({len(got)} rows, {dt:.1f}s {label})", flush=True)

@@ -9,10 +9,18 @@ object Bench {
     // data; the env knob lets a scale experiment test exactly that claim
     // on a fixed corpus without editing the tool.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Scan-side task sizing knob (r15). Measured A/B at sf1 (q21/q33/
+    // q35/q45 scoped, idle box): 8m read 12.2 s vs 9.1 s at the 128m
+    // default — the heavy queries are shuffle-agg bound, not scan
+    // bound, and 3 MB scan tasks just add task overhead. Default stays
+    // Spark's 128m; the env knob exists so scale experiments can test
+    // scan-width claims without editing the tool.
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION", "128m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see Verify.scala: Generate-inferred filters re-run tokenization
@@ -280,7 +288,15 @@ object Bench {
         if (asymmetric.isEmpty) ""
         else asymmetric.map("\"" + _ + "\"").mkString(
           ",\"asymmetric_oracle\":[", ",", "]")
-      s"""{"sf":"$sfDir","total":${f"$total%.3f"},$env,"samples":$ss$repairs$asymField$ratioDetail$failedField}"""
+      // in-band semantics (r14 ADVICE): "samples" is the REPAIRED
+      // vector, so when a kept retry beat every original pass,
+      // min(samples) < the published min — state that in the artifact
+      // itself instead of relying on a doc comment
+      val note = "\"samples_note\":\"samples are the repaired vectors " +
+        "(worst outliers replaced by retries); published min/total are " +
+        "computed over the ORIGINAL 3 passes only — reconstruct them as " +
+        "min(samples ∪ repairs.discarded ∖ repairs.retries)\","
+      s"""{"sf":"$sfDir","total":${f"$total%.3f"},$env,$note"samples":$ss$repairs$asymField$ratioDetail$failedField}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_detail.json")

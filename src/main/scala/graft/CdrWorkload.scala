@@ -165,7 +165,10 @@ object CdrWorkload {
       residueCount(n, Seq(Events.size.toLong -> i.toLong))).sum
     val eProtoSum = residueProtoSum(n, Seq(1L -> 0L))
     val parse = timed("parse_agg", eParseLines, n) {
-      val r = v2.groupBy(col("event"))
+      // PARSED rows only: a line that fails LinePattern surfaces as a
+      // count shortfall instead of hiding in the null-event group
+      // (which would keep sum(n_lines) == n even on parse failures)
+      val r = v2.filter(col("event").isNotNull).groupBy(col("event"))
         .agg(count(lit(1)).as("n_lines"), sum(col("proto")).as("sum_proto"))
         .agg(sum(col("n_lines")), sum(col("sum_proto"))).head()
       require(r.getLong(1) == eProtoSum,

@@ -17,13 +17,29 @@ import org.apache.spark.sql.functions._
   * PqSubspaces, S19Probes…) — the artifact cannot claim a knob the code
   * doesn't use.
   *
-  * Usage: runMain graft.RecallAudit [sfDir] [outFile]
-  * (env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS honored, Bench's rule). */
+  * Usage: runMain graft.RecallAudit [sfDir] [outFile] [prevFile]
+  * (env SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS honored, Bench's rule).
+  * When a previous round's file is given — or a RECALL_r{N}.json is
+  * found in the cwd — the emitted JSON carries a `vs_prev` object with
+  * per-path recall deltas, so quality drift is a diffable number in the
+  * artifact itself (r14 verdict item 6). */
 object RecallAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "RECALL.json"
+    val prevFile: Option[java.io.File] =
+      (if (args.length > 2) Some(new java.io.File(args(2))) else {
+        // auto-detect: the highest-round RECALL_r{N}.json in the cwd
+        // that is not the output file itself
+        val re = """RECALL_r(\d+)\.json""".r
+        val outName = new java.io.File(out).getName
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap { f => f.getName match {
+            case re(n) if f.getName != outName => Some((n.toInt, f))
+            case _ => None
+          }}.sortBy(_._1).lastOption.map(_._2)
+      }).filter(_.isFile)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,11 +53,41 @@ object RecallAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val json = audit(spark, sfDir)
+      val base = audit(spark, sfDir)
+      val json = prevFile match {
+        case Some(pf) =>
+          val prevJson = scala.io.Source.fromFile(pf)
+          val prevText = try prevJson.mkString finally prevJson.close()
+          base.dropRight(1) + s""","vs_prev":${deltasVs(pf.getName, prevText, base)}}"""
+        case None => base
+      }
       val w = new java.io.PrintWriter(out)
       try w.println(json) finally w.close()
       println(json)
     } finally spark.stop()
+  }
+
+  /** Per-path recall deltas vs a previous round's artifact: one flat
+    * regex pull of the `"path":{"recall_at_3":x` pairs from each side
+    * (the artifact grammar is ours, emitted above — a JSON library
+    * would be parsing our own println). Paths present on one side only
+    * are listed, not silently dropped. */
+  private[graft] def deltasVs(prevName: String, prevText: String,
+      curText: String): String = {
+    val re = """"([a-z0-9_]+)":\{"recall_at_3":([0-9.]+)""".r
+    def recalls(t: String): Map[String, Double] =
+      re.findAllMatchIn(t).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val prev = recalls(prevText)
+    val cur = recalls(curText)
+    // plain %.4f — a %+.4f leading '+' is not valid JSON number syntax
+    val deltas = cur.keySet.intersect(prev.keySet).toSeq.sorted.map { p =>
+      s""""$p":${f"${cur(p) - prev(p)}%.4f"}"""
+    }.mkString("{", ",", "}")
+    val added = (cur.keySet -- prev.keySet).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val removed = (prev.keySet -- cur.keySet).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"file":"$prevName","recall_deltas":$deltas,"added":$added,"removed":$removed}"""
   }
 
   /** One audit pass → the JSON line (factored from main for the spec). */
@@ -65,8 +111,19 @@ object RecallAudit {
       s07IvfRecall(spark, sfDir))
     entries += entry("pq_s09", s"m=$PqSubspaces,k=$PqCodebookSize",
       s11PqRecall(spark, sfDir))
+    // the sizing someone would SHIP (DEPLOY: m=16-64, k=256) next to the
+    // gate's toy default — the 0.04 default row is honest but measures a
+    // configuration no serving tier would run (r14 verdict nit 6)
+    entries += entry("pq_s09_prod", "m=16,k=256",
+      s11PqRecall(spark, sfDir, 16, 256))
     entries += entry("sq8_s15", "int8-dot vs exact float-IP top-3",
       s17Sq8Recall(spark, sfDir))
+    entries += entry("multitable_s05", s"bits=$AnnSignBits,tables=$AnnTables,multiProbe=true",
+      s05MultiTableRecall(spark, sfDir))
+    // range search: k_exact is the true τ-neighbor SET per query (not a
+    // fixed k) — 1.0 by the triangle bound; the row measures the claim
+    entries += entry("range_s06", s"tau=$RangeTau,nLists=$nLists,exact-by-triangle-bound",
+      s06RangeRecall(spark, sfDir))
     val pca = s16PcaRecall(spark, sfDir)
     Seq(8, 16, 32).foreach { sl =>
       entries += entry(s"pca_s14_sl$sl", s"kDims=16,shortlist=$sl",

@@ -133,6 +133,10 @@ object ScaleGen {
         regexp_replace(col("text"), "(\\S+)", ch + "$1").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ union _)
+      // one row group per core minimum (see replicate(): row groups are
+      // the scan-split floor; a 4-replica union of single-file bases
+      // would cap document scans at 4 tasks)
+      .repartition(math.max(spark.sparkContext.defaultParallelism, n))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // vec_id lives in the DOCUMENT key space (`vec_id` = `doc_id` of an
@@ -153,6 +157,7 @@ object ScaleGen {
           .cast(emb.schema("embedding").dataType).as("embedding"),
         col("label"))
     }.reduce(_ union _)
+      .repartition(math.max(spark.sparkContext.defaultParallelism, n))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     Tables.all.filterNot(Set("documents", "embeddings")).foreach { t =>
@@ -200,6 +205,12 @@ object ScaleGen {
           }
         }: _*)
       }.reduce(_ union _)
+        // ≥ one file per core: the base tables are single parquet files,
+        // so a plain union writes n files = n unsplittable row groups —
+        // at n=10 (sf1) that caps every downstream scan at 10 tasks no
+        // matter how maxPartitionBytes is sized (a row group is the
+        // split floor). Row distribution, not content, changes.
+        .repartition(math.max(spark.sparkContext.defaultParallelism, n))
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
 

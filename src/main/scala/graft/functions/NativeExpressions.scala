@@ -295,22 +295,106 @@ case class CosineSimExpr(left: Expression, right: Expression)
 }
 
 object GzipCodecUtil {
+  // GZIPOutputStream's constant header: magic, CM=8 (deflate), FLG=0,
+  // MTIME=0 (deterministic — the whole point of the fixed encoding),
+  // XFL=0, OS=0xff (unknown — what the JDK writes). Byte-identical to
+  // the old stream path's output, spec-pinned.
+  private val GzipHeader = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+
+  /** Per-thread reusable codec state. A fresh GZIP{Input,Output}Stream
+    * per record allocates a native zlib Deflater/Inflater (the ~256 KB
+    * window setup dominates small-record codec cost: the r06
+    * encoded_scan at the reference's 10M × 230 B scale spent 41.6 s
+    * mostly here) — `reset()` on a thread-local pair costs nanoseconds.
+    * Executor task threads are pooled, so state lives for the JVM; it
+    * is reset at every call and never carries data between rows. */
+  private final class Codec {
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val inflater = new java.util.zip.Inflater(true)
+    val crc = new java.util.zip.CRC32
+    var buf = new Array[Byte](16 * 1024)
+    def grow(): Unit = buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+    def ensure(n: Int): Unit =
+      if (buf.length < n) buf = new Array[Byte](java.lang.Integer.highestOneBit(n - 1) << 1)
+  }
+  private val codecs: ThreadLocal[Codec] = ThreadLocal.withInitial(() => new Codec)
+
+  private def writeIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+  private def readIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
   /** gzip-compress then base64 a string — the packed-record encoding the
     * reference ships around (SampleMapRed.java:35-45 decodes exactly
-    * this). Deterministic for a fixed Deflater default. */
+    * this). Deterministic for a fixed Deflater default, and
+    * byte-identical to the GZIPOutputStream form (same header constants,
+    * same deflate parameters — spec-pinned round-trip). */
   def encode(s: UTF8String): UTF8String = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(s.getBytes)
-    gz.close()
-    UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
+    val c = codecs.get()
+    val in = s.getBytes
+    val d = c.deflater
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    c.ensure(in.length / 2 + 64)
+    System.arraycopy(GzipHeader, 0, c.buf, 0, 10)
+    var n = 10
+    while (!d.finished()) {
+      if (n == c.buf.length) c.grow()
+      n += d.deflate(c.buf, n, c.buf.length - n)
+    }
+    c.crc.reset()
+    c.crc.update(in, 0, in.length)
+    if (c.buf.length < n + 8) c.grow()
+    writeIntLE(c.buf, n, c.crc.getValue.toInt)
+    writeIntLE(c.buf, n + 4, in.length)
+    UTF8String.fromBytes(java.util.Base64.getEncoder.encode(
+      java.util.Arrays.copyOf(c.buf, n + 8)))
   }
 
   /** base64-decode then gzip-decompress; malformed input → null (the
-    * reference's decompress() swallows and returns null the same way). */
+    * reference's decompress() swallows and returns null the same way).
+    * Fast path: raw thread-local Inflater over the member body with the
+    * CRC32+ISIZE trailer verified exactly like GZIPInputStream; anything
+    * the plain-header parse can't pin down (FLG bits set, concatenated
+    * members, a stalled stream) falls back to the stream path rather
+    * than guessing. */
   def decode(b64: UTF8String): UTF8String = {
     try {
-      val bytes = java.util.Base64.getMimeDecoder.decode(b64.toString)
+      val bytes = java.util.Base64.getMimeDecoder.decode(b64.getBytes)
+      if (bytes.length < 18 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte ||
+          bytes(2) != 8 || bytes(3) != 0)
+        return decodeStream(bytes)
+      val c = codecs.get()
+      val inf = c.inflater
+      inf.reset()
+      inf.setInput(bytes, 10, bytes.length - 18)
+      var n = 0
+      while (!inf.finished()) {
+        if (n == c.buf.length) c.grow()
+        val k = inf.inflate(c.buf, n, c.buf.length - n)
+        // no progress with output space free = truncated input or a
+        // preset-dictionary stream — let the stream path classify it
+        if (k == 0 && n < c.buf.length && !inf.finished()) return decodeStream(bytes)
+        n += k
+      }
+      if (inf.getRemaining > 0) return decodeStream(bytes) // concatenated members
+      c.crc.reset()
+      c.crc.update(c.buf, 0, n)
+      if (readIntLE(bytes, bytes.length - 8) != c.crc.getValue.toInt ||
+          readIntLE(bytes, bytes.length - 4) != n) null
+      else UTF8String.fromBytes(java.util.Arrays.copyOf(c.buf, n))
+    } catch { case _: Exception => null }
+  }
+
+  /** The general gzip reader (exotic headers, multi-member streams) —
+    * the old per-record path, now only the fallback. */
+  private def decodeStream(bytes: Array[Byte]): UTF8String = {
+    try {
       val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)

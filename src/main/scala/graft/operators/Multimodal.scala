@@ -254,6 +254,21 @@ object Multimodal {
   val PhashBandBits = 9
   val PhashMaxHamming = 6
 
+  /** Hot-FINGERPRINT cap for m04's band join (r15, the verdict's one
+    * remaining scale-killer): payloads hashing to the SAME fp — blank/
+    * padding images, the constant-asset certainty of a real crawl —
+    * pair |group|² in EVERY band, the d02 stop-shingle pathology on
+    * perceptual hashes. Fingerprints with more than this many payloads
+    * are dropped from the band index at the source (`Dedup.dfCapped`,
+    * m05's rule); the oracle mirror applies the IDENTICAL exclusion, so
+    * the entry stays hash-gated even where the cap bites. 64 sits far
+    * above any organic fp multiplicity in the gate corpora (measured
+    * max 3 at sf0.1, 16 at docs16x where every multiplicity is replica
+    * fixture correlation) and far below a padding pile; a group at the
+    * cap still emits ≤ cap² ≈ 4k pairs — bounded, not quadratic in the
+    * corpus. */
+  val M04MaxFpDf = 64L
+
   /** The dHash bit arithmetic as SQL text, shared verbatim by the Spark
     * expression (`divOp = "div"`) and the DuckDB mirror (`"//"`) so the
     * two engines cannot drift: bit i compares the byte sampled at
@@ -309,9 +324,11 @@ object Multimodal {
     *
     * Shape at 100 TB: the fingerprint is one map-side codegen'd pass,
     * the band index explodes ×7, candidates ride the band equi-join
-    * exactly like d06/d03 (AQE skew-join + the maxDf cap idea cover a
-    * degenerate constant-payload corpus), and the 1-word XOR verify
-    * touches candidates only. */
+    * exactly like d06/d03 — with the [[M04MaxFpDf]] hot-fingerprint
+    * cap REAL (r15), not an idea in a comment: a degenerate
+    * constant-payload pile (blank images) leaves the index at the
+    * source, oracle-mirrored — and the 1-word XOR verify touches
+    * candidates only. */
   def m04PhashNeardup(spark: SparkSession, dir: String): DataFrame =
     m04BandVerify(m04Corpus(spark, dir)
       .select(col("doc_id"),
@@ -320,8 +337,16 @@ object Multimodal {
   /** The codec-independent banding + verify half of m04 over any
     * (doc_id, fp) relation — shared by the gated byte-hash entry and
     * the decode-aware [[m04PhashNeardupDecoded]] variant, so a decoder
-    * swap can never drift the candidate-generation semantics. */
-  private[graft] def m04BandVerify(fp: DataFrame): DataFrame = {
+    * swap can never drift the candidate-generation semantics. Applies
+    * the [[M04MaxFpDf]] hot-fingerprint cap (single-sourced via
+    * `Dedup.dfCapped`, m05's pattern) before banding. */
+  private[graft] def m04BandVerify(fp: DataFrame): DataFrame =
+    m04BandVerify(fp, M04MaxFpDf)
+
+  /** `maxDf`-knob form — the spec's capped-vs-uncapped equivalence and
+    * planted-hot-pile assertions drive this directly. */
+  private[graft] def m04BandVerify(fp0: DataFrame, maxDf: Long): DataFrame = {
+    val fp = graft.operators.Dedup.dfCapped(fp0, "fp", maxDf)
     val bands = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until PhashBands).map(b =>
         shiftright(col("fp"), b * PhashBandBits)
@@ -1181,9 +1206,14 @@ object Multimodal {
             SELECT -1 - doc_id AS doc_id,
               substring(text, 1, 10) || '~' || substring(text, 12) AS text
             FROM base WHERE doc_id % 17 = 0),
-          f AS (
+          f0 AS (
             SELECT doc_id, CAST(${phashTerms("//")} AS BIGINT) AS fp
             FROM corpus),
+          f AS (
+            -- the M04MaxFpDf hot-fingerprint cap, mirrored: fps shared
+            -- by more than $M04MaxFpDf payloads leave the band index
+            SELECT f0.* FROM f0 WHERE fp NOT IN (
+              SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) > $M04MaxFpDf)),
           bands AS (
             SELECT doc_id, fp, unnest(generate_series(0, ${PhashBands - 1})) AS band,
               unnest($bandTerms) AS key

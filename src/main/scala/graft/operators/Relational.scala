@@ -265,12 +265,20 @@ object Relational {
   }
 
   /** q16: TPC-H Q17-style correlated scalar subquery, decorrelated into an
-    * aggregate + re-join on the part key (one shuffle, then broadcast of
-    * the per-part averages if small). */
+    * aggregate + re-join on the part key. ONE fact exchange (r15, q33's
+    * repartition-for-shared-clustering rule): both the per-part average
+    * and the join-back cluster on l_partkey, so the pruned fact is
+    * repartitioned on it once and BOTH consumers run exchange-free —
+    * the old shape paid the aggregate's own exchange plus a second
+    * full-fact exchange for the join side (measured 6.1× growth on 10×
+    * data at sf10, the superlinear tell of a doubled fact shuffle). */
   def q16ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
-    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(col("l_partkey"))
+    val avgQty = l.groupBy(col("l_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
+      .withColumnRenamed("l_partkey", "ap_partkey")
     l.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
@@ -490,8 +498,15 @@ object Relational {
     * a plan flip (BENCH now records load/heap to attribute this). The
     * executed plan is pinned hash-join-only by PlanAuditSpec. */
   def q26CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // r15: the fact is repartitioned on l_partkey ONCE (q33's rule) —
+    // the min aggregate and the join-back both consume that clustering
+    // exchange-free. At gate SF AQE still broadcasts minP (the pinned
+    // hash-join-only plan); at sf10, where minP outgrows the broadcast
+    // threshold, the old shape degraded to TWO full fact exchanges
+    // (measured 3.7× growth on 10× data).
     val l = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .repartition(col("l_partkey"))
     val p = Tables.part(spark, dir)
       .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
     val minP = l.groupBy(col("l_partkey"))
@@ -624,9 +639,22 @@ object Relational {
     * (pinned in PlanAuditSpec), so the per-part argmax never full-sorts
     * its group. Quantities are integer-valued doubles, so the per-
     * supplier sums are EXACT in both engines (< 2^53) and the ordering
-    * cannot diverge; the share is one divide, rounded at the edge. */
+    * cannot diverge; the share is one divide, rounded at the edge.
+    *
+    * ONE fact exchange (r15, d19's repartition-for-shared-clustering
+    * rule): everything downstream of `sp` — the per-part rollup, the
+    * argmax window, and their join — clusters on l_partkey, so the
+    * fact is repartitioned on l_partkey ONCE and the (l_partkey,
+    * l_suppkey) aggregate runs exchange-free on top (pk-clustering
+    * satisfies the (pk, sk) grouping distribution); the old shape paid
+    * that aggregate's own (pk, sk) exchange and then re-shuffled its
+    * ~|lineitem| output on pk for the window (map-side partial agg
+    * bought ~1% dedup on this corpus — and at any corpus the rollup's
+    * re-exchange dwarfs it). */
   def q33DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
     val sp = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("q"))
     val p = sp.groupBy(col("l_partkey"))
@@ -1049,17 +1077,32 @@ object Relational {
   /** q30: set operations — year-over-year customer retention via
     * INTERSECT / EXCEPT over the 1997 and 1998 buyer sets. Each set op
     * plans as distinct + left-semi/anti join co-partitioned on
-    * o_custkey, so the three branches are one fact scan each plus one
-    * key shuffle — no row explosion at any scale — and AQE reuses the
-    * year-filtered exchanges across branches. Output is the 3-segment
-    * retention report (integer counts — no float boundary). */
+    * o_custkey; all six set-op inputs ride ONE o_custkey exchange of
+    * the year-sliced fact (the shared flags aggregate below) — no row
+    * explosion and no repeated fact shuffle at any scale. Output is
+    * the 3-segment retention report (integer counts — no float
+    * boundary). */
   def q30SetOps(spark: SparkSession, dir: String): DataFrame = {
-    def buyers(year: Int) = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= ts(s"$year-01-01 00:00:00") &&
-        col("o_orderdate") < ts(s"${year + 1}-01-01 00:00:00"))
-      .select(col("o_custkey")).distinct()
-    val y97 = buyers(1997)
-    val y98 = buyers(1998)
+    // ONE exchange for all six set-op inputs (r15): the two buyer sets
+    // are sliced from a shared per-customer year-flag aggregate — one
+    // shuffle of the two-year orders slice on o_custkey. The filters
+    // preserve that clustering, so each INTERSECT/EXCEPT's distinct
+    // aggregates and semi/anti joins all run exchange-free on top (the
+    // old per-branch `distinct()` shapes re-shuffled the slice up to
+    // six times behind partial exchange reuse). Flags are computed
+    // with ts-range predicates, not year(), keeping the buyer sets
+    // bit-identical to the old filters.
+    val in97 = col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+      col("o_orderdate") < ts("1998-01-01 00:00:00")
+    val in98 = col("o_orderdate") >= ts("1998-01-01 00:00:00") &&
+      col("o_orderdate") < ts("1999-01-01 00:00:00")
+    val flags = Tables.orders(spark, dir)
+      .filter(in97 || in98)
+      .select(col("o_custkey"), in97.as("y97"), in98.as("y98"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("y97")).as("in97"), max(col("y98")).as("in98"))
+    val y97 = flags.filter(col("in97")).select(col("o_custkey"))
+    val y98 = flags.filter(col("in98")).select(col("o_custkey"))
     def seg(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_customers"))
         .select(lit(name).as("segment"), col("n_customers"))
@@ -1198,16 +1241,23 @@ object Relational {
     * promo type, how many DISTINCT suppliers ship them, excluding
     * low-standing suppliers (acctbal < 1000 — the testdata's stand-in
     * for Q16's complaints filter). The part-supplier relation is
-    * derived from lineitem (no partsupp table): distinct (l_partkey,
-    * l_suppkey) — a map-side-combined distinct on the join key, the
-    * fact's one shuffle. Plan: the supplier exclusion is a LEFT ANTI
+    * derived from lineitem (no partsupp table) as the RAW (l_partkey,
+    * l_suppkey) projection, NOT distinct-ed first: count(DISTINCT s)'s
+    * own two-phase plan partial-aggregates (brand, type, size, supp)
+    * map-side before its one shuffle, so a leading distinct() is a
+    * strictly redundant second exchange at EVERY corpus — duplicate
+    * pairs are absorbed by the same map-side hash either way, and the
+    * anti/part joins are duplicate-insensitive (r15: dropping it cut a
+    * full 6M-row shuffle+agg chain at sf1, where 98.5% of pairs are
+    * unique and the "dedup" shuffled 5.9M of 6M rows for nothing).
+    * Plan: the supplier exclusion is a LEFT ANTI
     * join against a filtered SF-linear dim (never NOT IN's
     * null-trapped subquery form, same distributed shape); brand/type
     * prune part before its join; count(DISTINCT s) per (brand, type,
-    * size) re-shuffles only the surviving slice. All-integer output. */
+    * size) shuffles once on the group key. All-integer output. */
   def q45SupplierCountByClass(spark: SparkSession, dir: String): DataFrame = {
     val partSupp = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
     val excluded = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
     val parts = Tables.part(spark, dir)

@@ -866,6 +866,31 @@ object Similarity {
   def s11PqRecall(spark: SparkSession, dir: String): DataFrame =
     recallAudit(spark, dir, s09PqAnn(spark, dir))
 
+  /** (m, k)-knob form of the PQ recall audit — the sizing sweep a
+    * serving tier runs before picking DEPLOY's production (m=16-64,
+    * k=256) over the gate's toy defaults; RECALL.json carries one row
+    * at each so the quality-vs-compression trade is a round-diffable
+    * number, not prose. */
+  def s11PqRecall(spark: SparkSession, dir: String, m: Int, k: Int): DataFrame =
+    recallAudit(spark, dir, s09PqAnn(spark, dir, m, k))
+
+  /** s05's recall@3 vs the exact top-3 — the multi-table LSH path was
+    * the one ANN family RECALL.json omitted (r14 verdict item: "wire
+    * RECALL into the round diff and complete its coverage"). */
+  def s05MultiTableRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAudit(spark, dir, s05AnnMultiTable(spark, dir)
+      .select(col("query_id"), col("neighbor_id")))
+
+  /** s06's range-set recall vs the brute scan: k_exact is the TRUE
+    * τ-neighbor count per query (not a fixed k), n_hit what the pruned
+    * search returned — 1.0 by the triangle-bound exactness argument,
+    * and the audit row makes that claim measured instead of proved-only
+    * (a slack regression would surface here as recall < 1). */
+  def s06RangeRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAuditOf(
+      s06RangeSearchBrute(spark, dir).select(col("query_id"), col("neighbor_id")),
+      s06RangeSearch(spark, dir).select(col("query_id"), col("neighbor_id")))
+
   /** s16: PCA-shortlist recall SWEEP — s14's quality check promoted to
     * a first-class audit (the s04/s07/s11 symmetry): recall@3 vs s01's
     * exact top-3, per query, at each shortlist size. The shortlist is

@@ -12,15 +12,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * "interests" at runtime and matching records are routed to them,
   * tagged by subscriber.
   *
-  * Spark-first shape: the interest set is a tiny DataFrame broadcast
-  * against the record stream (one pass over records evaluates every
-  * pattern — records are the 100 TB side, interests are dozens of rows).
-  * Dynamism comes from foreachBatch: the routing plan is rebuilt from the
-  * current registry snapshot each micro-batch, so a `register` call takes
-  * effect on the next batch without restarting the query — no per-record
-  * driver RPC, no state store. On a multi-tenant cluster the registry
-  * would live in a compacted table read the same way; the per-batch
-  * broadcast is identical.
+  * Spark-first shape: the interest set is snapshotted at plan time and
+  * folded into the record scan as LITERAL `regexp_like` branches (one
+  * when() per interest, matches collected map-side and exploded) —
+  * records are the 100 TB side, interests are dozens of patterns each
+  * compiled once per task; see [[route]] for why this beats the
+  * broadcast-table form. Dynamism comes from foreachBatch: the routing
+  * plan is rebuilt from the current registry snapshot each micro-batch,
+  * so a `register` call takes effect on the next batch without
+  * restarting the query — no per-record driver RPC, no state store. On
+  * a multi-tenant cluster the registry would live in a compacted table
+  * snapshotted into the plan the same way.
   */
 class Wiretap {
 

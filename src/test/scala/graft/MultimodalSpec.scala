@@ -371,6 +371,40 @@ class MultimodalSpec extends GraftSuite {
     assert(plain == plainCapped, "cap must be a no-op without a hot frame")
   }
 
+  test("m04 hot-fingerprint cap removes a planted constant-payload pile's quadratic pairs, changes nothing else") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Multimodal}
+    // synthetic fp relation (the banding half is codec-independent):
+    // 200 payloads of ONE hot fingerprint (a blank-image pile) next to
+    // a genuine near-pair (hamming 1) and isolated organic fps
+    val hot = (0 until 200).map(i => (1000L + i, 0x123456789abL))
+    val near = Seq((1L, 0x0f0f0f0fL), (2L, 0x0f0f0f0eL))
+    val organic = (0 until 30).map(i => (100L + i, 0x4000000000000L + i * 0x10204081L))
+    val fps = (hot ++ near ++ organic).toDF("doc_id", "fp")
+    val uncapped = Multimodal.m04BandVerify(fps, Dedup.NoDfCap).collect()
+    val capped = Multimodal.m04BandVerify(fps, Multimodal.M04MaxFpDf).collect()
+    def pairSet(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: the pile alone contributes 200·199/2 hamming-0 pairs
+    assert(uncapped.length >= 200 * 199 / 2,
+      s"hot fp must pair quadratically uncapped: ${uncapped.length}")
+    // capped: the pile is gone at the source; the genuine near-pair
+    // survives untouched
+    assert(pairSet(capped).contains((1L, 2L)), "genuine near-pair must survive the cap")
+    assert(!pairSet(capped).exists { case (i, j) => i >= 1000 || j >= 1000 },
+      s"pile pairs must be removed: ${pairSet(capped).filter(_._1 >= 1000).take(3)}")
+    // default entry ≡ uncapped on the organic gate corpus (no hot fp
+    // there — the cap is calibrated far above organic multiplicity)
+    val gated = Multimodal.m04PhashNeardup(spark, sf).collect().map(_.toString).toSeq
+    val gateFp = Multimodal.m04Corpus(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.phash63(col("text")).as("fp"))
+    val uncappedGate = Multimodal.m04BandVerify(gateFp, Dedup.NoDfCap)
+      .collect().map(_.toString).toSeq
+    assert(gated == uncappedGate, "cap must be a no-op on the organic corpus")
+  }
+
   // ---- JPEG decode fixtures (r12): the JDK's own ImageIO JPEG codec
   // is the INDEPENDENT encoder + reference decoder — test-only, the
   // production decoder stays zero-dep ----

@@ -390,4 +390,63 @@ class NativeExprSpec extends GraftSuite {
     assert(tie == Seq(0, 1, 3, 2),
       s"ties must resolve lower-index-first with k clamped to n, got $tie")
   }
+
+  test("gzip64 fast codec: byte-identical to the stream form, trailer-verified, exotic headers fall back") {
+    import graft.functions.GzipCodecUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    import java.util.Base64
+    def u(s: String) = UTF8String.fromString(s)
+    def streamEncode(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close(); bos.toByteArray
+    }
+    val cases = Seq("", "a", "hello world", "x" * 100000,
+      "repeat " * 5000, "unicode: é中文 😀",
+      new String(Array.tabulate(257)(i => (i % 256).toChar)))
+    for (s <- cases) {
+      // encode parity: the thread-local Deflater path must produce the
+      // SAME bytes GZIPOutputStream wrote (header constants + deflate
+      // params pinned) — not merely a decodable stream
+      val fast = Base64.getDecoder.decode(GzipCodecUtil.encode(u(s)).toString)
+      assert(java.util.Arrays.equals(fast, streamEncode(s)), s"encode drift on ${s.take(20)}")
+      // decode inverts both producers
+      val b64 = UTF8String.fromString(Base64.getEncoder.encodeToString(streamEncode(s)))
+      assert(GzipCodecUtil.decode(b64).toString == s)
+      assert(GzipCodecUtil.decode(GzipCodecUtil.encode(u(s))).toString == s)
+    }
+    // FLG != 0 (FNAME set): the fast header check must route to the
+    // stream path, which decodes it fine
+    val withName = {
+      val body = streamEncode("named member")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 0))
+      out.write("f.txt".getBytes); out.write(0)
+      out.write(body, 10, body.length - 10)
+      UTF8String.fromString(Base64.getEncoder.encodeToString(out.toByteArray))
+    }
+    assert(GzipCodecUtil.decode(withName).toString == "named member")
+    // concatenated members: fast path sees trailing input and falls back
+    // (GZIPInputStream reads all members)
+    val multi = {
+      val a = streamEncode("first|"); val b = streamEncode("second")
+      UTF8String.fromString(Base64.getEncoder.encodeToString(a ++ b))
+    }
+    assert(GzipCodecUtil.decode(multi).toString == "first|second")
+    // corrupt trailer CRC → null (the trailer IS verified, not skipped)
+    val corrupt = {
+      val raw = streamEncode("crc matters")
+      raw(raw.length - 6) = (raw(raw.length - 6) ^ 0x7f).toByte
+      UTF8String.fromString(Base64.getEncoder.encodeToString(raw))
+    }
+    assert(GzipCodecUtil.decode(corrupt) == null)
+    // truncated body → null, not an exception
+    val trunc = {
+      val raw = streamEncode("truncate me please, a reasonably long payload")
+      UTF8String.fromString(Base64.getEncoder.encodeToString(
+        java.util.Arrays.copyOf(raw, raw.length - 12)))
+    }
+    assert(GzipCodecUtil.decode(trunc) == null)
+    assert(GzipCodecUtil.decode(u("not base64!!")) == null)
+  }
 }

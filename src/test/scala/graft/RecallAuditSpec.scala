@@ -11,7 +11,8 @@ class RecallAuditSpec extends GraftSuite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json) // throws on malformed JSON
     val paths = root.get("paths")
-    val expected = Seq("lsh_s02", "ivf_s03", "pq_s09", "sq8_s15",
+    val expected = Seq("lsh_s02", "ivf_s03", "pq_s09", "pq_s09_prod",
+      "sq8_s15", "multitable_s05", "range_s06",
       "pca_s14_sl8", "pca_s14_sl16", "pca_s14_sl32",
       "graph_ivf_nprobe2", "graph_refined_1round")
     expected.foreach { p =>
@@ -41,5 +42,22 @@ class RecallAuditSpec extends GraftSuite {
       paths.get(s"pca_s14_sl$sl").get("recall_at_3").asDouble())
     assert(rs(0) <= rs(1) + 1e-9 && rs(1) <= rs(2) + 1e-9,
       s"shortlist recall not monotone: $rs")
+    // the triangle-bound exactness claim, measured: pruned range search
+    // returns the full brute-force τ-neighbor set
+    assert(paths.get("range_s06").get("recall_at_3").asDouble() == 1.0,
+      "range_s06 must be exact (triangle bound)")
+  }
+
+  test("vs_prev deltas: per-path differences plus added/removed path lists") {
+    val prev = """{"paths":{"lsh_s02":{"recall_at_3":0.1000,"n_queries":8,"knob":"x"},
+      "gone_path":{"recall_at_3":0.5000,"n_queries":8,"knob":"x"}}}"""
+    val cur = """{"paths":{"lsh_s02":{"recall_at_3":0.1250,"n_queries":8,"knob":"x"},
+      "new_path":{"recall_at_3":0.9000,"n_queries":8,"knob":"x"}}}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val d = mapper.readTree(RecallAudit.deltasVs("RECALL_r14.json", prev, cur))
+    assert(d.get("file").asText() == "RECALL_r14.json")
+    assert(math.abs(d.get("recall_deltas").get("lsh_s02").asDouble() - 0.025) < 1e-9)
+    assert(d.get("added").get(0).asText() == "new_path")
+    assert(d.get("removed").get(0).asText() == "gone_path")
   }
 }
