@@ -16,11 +16,21 @@ object Bench {
     // Spark's 128m; the env knob exists so scale experiments can test
     // scan-width claims without editing the tool.
     val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION", "128m")
+    // Broadcast threshold knob (r15). Measured A/B at sf10: raising it
+    // to 64m looked like parity with DuckDB's always-build-small-side
+    // hash joins, but BroadcastExchange collects AND builds the hash
+    // relation single-threaded on the driver — a 2M-row build costs
+    // seconds and is re-paid every pass, so the heavy set read 2-7×
+    // WORSE (q26 6.9 s → 16.5 s, q43 1.2 s → 8.8 s). A 32-thread
+    // shuffle join beats a serial broadcast build at these sizes;
+    // default stays Spark's 10 MB, knob kept for experiments.
+    val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", "10485760")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.files.maxPartitionBytes", maxPart)
+      .config("spark.sql.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see Verify.scala: Generate-inferred filters re-run tokenization

@@ -224,7 +224,7 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 10
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""",
     "q03_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
          SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue

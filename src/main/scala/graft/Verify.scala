@@ -17,6 +17,10 @@ object Verify {
       // scan-task sizing parity with Bench (see Bench.scala's A/B note)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION", "128m"))
+      // broadcast sizing parity with Bench (see Bench.scala): the gate
+      // must execute the same plans the bench times
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", "10485760"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // InferFiltersFromGenerate re-inlines the full generator expression

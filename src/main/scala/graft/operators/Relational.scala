@@ -84,7 +84,12 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** q02: selective filter + narrow projection. Zero shuffle; correctness
-    * of pushdown is audited via explain (PushedFilters + 4-col ReadSchema). */
+    * of pushdown is audited via explain (PushedFilters + 4-col ReadSchema).
+    * The ORDER BY is the FULL output row: (l_orderkey, l_linenumber) is
+    * not a key in this corpus (118k duplicate pairs at sf0.1), and a
+    * non-total sort let engine tie orders diverge — caught by the sf10
+    * gate in r15 after 14 rounds of agreeing by luck (§6's full-ORDER-BY
+    * rule, enforced late). */
   def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
@@ -93,7 +98,8 @@ object Relational {
         col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
 
   /** q03: TPC-H Q3 shipping priority. customer grows linearly with SF
     * (~10⁹ rows at the 100 TB design point), so it carries NO explicit
