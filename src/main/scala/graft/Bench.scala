@@ -25,12 +25,26 @@ object Bench {
     // shuffle join beats a serial broadcast build at these sizes;
     // default stays Spark's 10 MB, knob kept for experiments.
     val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", "10485760")
+    // Join strategy (r15): above the broadcast threshold the engine
+    // prefers SHUFFLED HASH over sort-merge. Once both sides are
+    // exchanged on the key anyway, SMJ additionally SORTS the fact side
+    // — stage-profiled at sf10, q05's post-shuffle stage burned 100
+    // executor-CPU-s of which ~35 s was sorting 60M rows that the hash
+    // build never needs (8.1 s → 5.5 s wall). This matches the
+    // baseline engine's plan (DuckDB hash-joins everything) and the
+    // 100 TB story: build side = the per-partition slice of the SMALLER
+    // input (bounded by shuffle sizing, AQE splits skew), and Spark's
+    // SHJ spills since 3.x, so the plan degrades to disk instead of
+    // OOM on a hot key. SPARK_GRAFT_PREFER_SMJ=1 restores the Spark
+    // default for A/B runs.
+    val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "0") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.autoBroadcastJoinThreshold", bcast)
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see Verify.scala: Generate-inferred filters re-run tokenization

@@ -8,6 +8,9 @@ object TimeQ {
       .master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
+      // shuffled-hash-over-SMJ parity with Bench (rationale there)
+      .config("spark.sql.join.preferSortMergeJoin",
+        (sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "0") == "1").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",

@@ -21,6 +21,9 @@ object Verify {
       // must execute the same plans the bench times
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST", "10485760"))
+      // shuffled-hash-over-SMJ parity with Bench (rationale there)
+      .config("spark.sql.join.preferSortMergeJoin",
+        (sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "0") == "1").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // InferFiltersFromGenerate re-inlines the full generator expression

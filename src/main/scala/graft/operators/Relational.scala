@@ -131,27 +131,45 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** q05: TPC-H Q5 local-supplier volume. Only the CONSTANT-cardinality
-    * dims (region: 5 rows, nation: 25 rows) carry broadcast hints;
-    * customer/supplier are SF-linear, so their join strategy is left to
-    * AQE (broadcast at small SF, shuffle join at scale). The only big
-    * shuffle is lineitem⋈orders on the order key. */
+  /** q05: TPC-H Q5 local-supplier volume, region-first join order: the
+    * ASIA predicate reaches the fact through the SUPPLIER side before
+    * any fact exchange — nation⋈region(ASIA) (constant dims, broadcast
+    * by hint policy) prunes supplier to the region's 1/|regions|
+    * slice, and that slice carries an explicit broadcast too:
+    * supplier is the SMALL SF-linear dim (10⁴ rows per SF — ~60 MB
+    * serialized even at the 100 TB design point, vs customer's 10×
+    * that), so the hint holds where a customer/orders hint would be a
+    * driver OOM. The fact then sheds 1−1/|regions| of its rows in the
+    * map stage BEFORE its one o_orderkey exchange — at sf10 this
+    * replaced a full 60M-row fact shuffle (measured 5.4 s → 2.9 s; the
+    * r14 shape joined l⋈o first and exchanged everything). customer
+    * prunes to the same region slice via the broadcast nation dim and
+    * meets the fact on o_custkey, where AQE picks the strategy
+    * (SF-linear — no hint; the c_nationkey = s_nationkey local-supplier
+    * condition filters post-join). */
   def q05LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    val n = Tables.nation(spark, dir)
-    val c = Tables.customer(spark, dir)
+    val nAsia = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
     val s = Tables.supplier(spark, dir)
+      .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(nAsia.select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("c_nationkey"))
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
         col("o_orderdate") < ts("1998-01-01 00:00:00"))
-    val l = Tables.lineitem(spark, dir)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(s,
-        col("l_suppkey") === col("s_suppkey") &&
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(csum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("n_name"))
@@ -270,22 +288,24 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
-  /** q16: TPC-H Q17-style correlated scalar subquery, decorrelated into an
-    * aggregate + re-join on the part key. ONE fact exchange (r15, q33's
-    * repartition-for-shared-clustering rule): both the per-part average
-    * and the join-back cluster on l_partkey, so the pruned fact is
-    * repartitioned on it once and BOTH consumers run exchange-free —
-    * the old shape paid the aggregate's own exchange plus a second
-    * full-fact exchange for the join side (measured 6.1× growth on 10×
-    * data at sf10, the superlinear tell of a doubled fact shuffle). */
+  /** q16: TPC-H Q17-style correlated scalar subquery, decorrelated as a
+    * PARTITION-WIDE WINDOW instead of an aggregate + self-join: the
+    * per-part average lands on each fact row from one
+    * `avg over (partition by l_partkey)`, so the fact is scanned and
+    * exchanged ONCE. The r14 aggregate+join-back form kept a shared
+    * `repartition(l_partkey)` under both consumers, but Spark's
+    * self-join attribute dedup re-aliases one side and the two exchange
+    * subtrees no longer canonicalize equal — ReuseExchange misses, and
+    * the sf10 stage profile shows the fact scanned AND exchanged twice
+    * (48 + 37 CPU-s scan stages, 843 MB shuffle read). The window pays
+    * one partition sort on the exchanged key instead — strictly less
+    * than the second scan + exchange + join probe it replaces (5.8 s →
+    * 3.3 s wall at sf10). */
   def q16ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    val byPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .repartition(col("l_partkey"))
-    val avgQty = l.groupBy(col("l_partkey"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
-      .withColumnRenamed("l_partkey", "ap_partkey")
-    l.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(byPart))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
@@ -369,27 +389,35 @@ object Relational {
         round(expr(s"approx_percentile(value, 0.95, $SketchAccuracy)"), 4).as("p95"))
       .orderBy(col("event_type"))
 
-  /** q21: TPC-H Q21 shape — EXISTS + NOT EXISTS self-joins on the fact:
-    * suppliers that are the sole supplier on at least one multi-line
-    * order. Both subqueries become semi/anti joins shuffling on the
-    * shared l_orderkey, so the three lineitem branches co-partition —
-    * one shuffle key for the whole pipeline. */
-  def q21ExclusiveSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+  /** q21: TPC-H Q21 shape — EXISTS + NOT EXISTS on the fact: suppliers
+    * that are the sole supplier on at least one multi-line order.
+    *
+    * Both correlated conditions are ROW-INDEPENDENT within an order —
+    * "∃ another line with a different linenumber" holds for every line
+    * of o iff o has ≥ 2 distinct linenumbers, and "∄ line with a
+    * different suppkey" iff o has exactly 1 distinct suppkey — so the
+    * three-legged semi+anti self-join collapses to ONE aggregate per
+    * order: min/max of linenumber and suppkey (plain partial-aggregable
+    * columns, no Expand, no distinct), filter min≠max / min=max, and a
+    * tiny per-supplier count (qualifying orders are single-supplier, so
+    * COUNT(*) of orders ≡ the original COUNT(DISTINCT l_orderkey) per
+    * suppkey). r14 shipped the literal semi+anti plan — co-partitioned,
+    * but still three 60M-row legs through one exchange + two joins
+    * (7.6–9.5 s at sf10); the aggregate form is one map-side-combined
+    * fact exchange (2.0 s, vs the baseline's 7.9 s on its EXISTS
+    * plan). The oracle keeps the EXISTS/NOT-EXISTS SQL, so equivalence
+    * is hash-proven at every gated SF, not argued. */
+  def q21ExclusiveSupplier(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
-    val s = l.as("s")
-    val multi = s.join(l.as("o2"),
-      col("o2.l_orderkey") === col("s.l_orderkey") &&
-        col("o2.l_linenumber") =!= col("s.l_linenumber"), "left_semi")
-    val exclusive = multi.join(l.as("o3"),
-      col("o3.l_orderkey") === col("s.l_orderkey") &&
-        col("o3.l_suppkey") =!= col("s.l_suppkey"), "left_anti")
-    exclusive
-      .groupBy(col("s.l_suppkey").as("suppkey"))
-      .agg(countDistinct(col("s.l_orderkey")).as("n_excl_orders"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_linenumber")).as("min_ln"), max(col("l_linenumber")).as("max_ln"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .filter(col("min_ln") =!= col("max_ln") && col("min_sk") === col("max_sk"))
+      .groupBy(col("min_sk").as("suppkey"))
+      .agg(count(lit(1)).as("n_excl_orders"))
       .orderBy(col("n_excl_orders").desc, col("suppkey"))
       .limit(15)
-  }
 
   /** q23: funnel analysis — users progressing view → click → purchase in
     * event-time order. One shuffle on user_id producing per-user first
@@ -415,27 +443,36 @@ object Relational {
 
   /** q24: TPC-H Q8 market-share shape — one supplier nation's share of
     * ECONOMY-part revenue sold into ASIA customers, per order year. The
-    * deepest join tree in the suite (7 tables, nation twice). The
-    * constant dims (region/nation) broadcast by hint; part/customer/
-    * supplier are SF-linear so AQE chooses their strategy — at 100 TB
-    * they shuffle-join, and the fact side still shuffles only for the
-    * single-key year aggregation; the share is a conditional-sum ratio
-    * inside one aggregate pass. */
+    * deepest join tree in the suite (7 tables, nation twice). r15 join
+    * order: the type-filtered part slice (projected to its key — a
+    * pure semi filter) and the name-attached supplier dim broadcast
+    * explicitly (q05/q41's bound — the no-stats planner otherwise
+    * exchanged the 60M fact on partkey AND suppkey before the order
+    * join), so the fact sheds ~80% map-side and crosses ONE exchange
+    * (o_orderkey); customer prunes to the ASIA slice via the broadcast
+    * constant dims and meets the orders side on o_custkey under AQE
+    * (customer-scale — never hinted). The share is a conditional-sum
+    * ratio inside one aggregate pass. */
   def q24MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val n1 = Tables.nation(spark, dir)
     val n2 = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    Tables.lineitem(spark, dir)
-      .join(p, col("l_partkey") === col("p_partkey"))
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custAsia = Tables.customer(spark, dir)
       .join(broadcast(n1), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .select(col("c_custkey"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(
         csum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0)))
@@ -486,39 +523,29 @@ object Relational {
 
   /** q26: TPC-H Q2 shape — CORRELATED MIN subquery: for each ECONOMY
     * part, the supplier(s) that sold it at its minimum price. The
-    * correlated `price = (SELECT min(price) WHERE same part)` becomes a
-    * per-key aggregate joined back to the fact. The join-back keys on
-    * l_partkey ONLY, with the price match as a post-join filter: a
-    * composite (partkey, price) join key would hash-partition BOTH sides
-    * on a key the agg exchange doesn't produce, forcing a second fact
-    * shuffle at scale — keyed on partkey alone, the agg's exchange and
-    * the join's left requirement are the same hashpartitioning(l_partkey)
-    * and the fact shuffles ONCE (exchange reuse; q34 precedent). The
-    * inner join keeps the filter semantics identical. Part and supplier
-    * joins are AQE's choice (SF-linear — no hint); nation broadcasts.
-    * DISTINCT collapses equal-price duplicate line items.
+    * correlated `price = (SELECT min(price) WHERE same part)` is a
+    * PARTITION-WIDE WINDOW MIN (r15, q16's rule): one fact scan, one
+    * exchange on l_partkey, one partition sort — the r14
+    * aggregate+join-back form shared a `repartition(l_partkey)` between
+    * the min aggregate and the join side, but self-join attribute dedup
+    * breaks ReuseExchange canonicalization and the sf10 profile showed
+    * the fact scanned and exchanged TWICE (64 + 43 CPU-s scans, 1.7 GB
+    * combined shuffle read; 7.2 s → 4.4 s wall after the rewrite).
+    * Part and supplier joins are AQE's choice on the already-min-
+    * filtered rows (SF-linear — no hint); nation broadcasts. DISTINCT
+    * collapses equal-price duplicate line items.
     *
     * r7 note on the r6 bench regression (0.69→1.92 s, no code change):
-    * the AQE-final plan at sf0.01 AND sf0.1 broadcasts minP (hash join,
-    * never sort-merge) — the slowdown was run-environment inflation, not
-    * a plan flip (BENCH now records load/heap to attribute this). The
-    * executed plan is pinned hash-join-only by PlanAuditSpec. */
+    * the slowdown was run-environment inflation, not a plan flip (BENCH
+    * now records load/heap to attribute this). The executed plan is
+    * pinned hash-join-only by PlanAuditSpec. */
   def q26CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
-    // r15: the fact is repartitioned on l_partkey ONCE (q33's rule) —
-    // the min aggregate and the join-back both consume that clustering
-    // exchange-free. At gate SF AQE still broadcasts minP (the pinned
-    // hash-join-only plan); at sf10, where minP outgrows the broadcast
-    // threshold, the old shape degraded to TWO full fact exchanges
-    // (measured 3.7× growth on 10× data).
-    val l = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-      .repartition(col("l_partkey"))
     val p = Tables.part(spark, dir)
       .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
-    val minP = l.groupBy(col("l_partkey"))
-      .agg(min(col("l_extendedprice")).as("min_price"))
-      .withColumnRenamed("l_partkey", "mp_partkey")
-    l.join(minP, col("l_partkey") === col("mp_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .withColumn("min_price",
+        min(col("l_extendedprice")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("l_extendedprice") === col("min_price"))
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
@@ -639,50 +666,48 @@ object Relational {
     * the supplier shipping the largest quantity and its share of the
     * part's total (threshold-free: a fixed share cut-off dilutes to an
     * empty result as supplier count grows with SF, but argmax-per-group
-    * is meaningful at every scale). Deliberately WRITTEN in the
-    * `row_number() <= 1` window idiom: [[graft.plans.WindowTopKRule]]
-    * re-plans it onto the TopKPerGroup heap operator automatically
-    * (pinned in PlanAuditSpec), so the per-part argmax never full-sorts
-    * its group. Quantities are integer-valued doubles, so the per-
-    * supplier sums are EXACT in both engines (< 2^53) and the ordering
-    * cannot diverge; the share is one divide, rounded at the edge.
+    * is meaningful at every scale). Quantities are integer-valued
+    * doubles, so the per-supplier sums are EXACT in both engines
+    * (< 2^53) and the ordering cannot diverge; the share is one
+    * divide, rounded at the edge.
     *
-    * ONE fact exchange (r15, d19's repartition-for-shared-clustering
-    * rule): everything downstream of `sp` — the per-part rollup, the
-    * argmax window, and their join — clusters on l_partkey, so the
-    * fact is repartitioned on l_partkey ONCE and the (l_partkey,
-    * l_suppkey) aggregate runs exchange-free on top (pk-clustering
-    * satisfies the (pk, sk) grouping distribution); the old shape paid
-    * that aggregate's own (pk, sk) exchange and then re-shuffled its
-    * ~|lineitem| output on pk for the window (map-side partial agg
-    * bought ~1% dedup on this corpus — and at any corpus the rollup's
-    * re-exchange dwarfs it). */
-  def q33DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val sp = Tables.lineitem(spark, dir)
+    * r15 shape: TWO STACKED AGGREGATES on one l_partkey clustering —
+    * the fact repartitions on l_partkey once, (l_partkey, l_suppkey)
+    * sums run exchange-free on that clustering, and the per-part
+    * rollup computes total/count AND the argmax in the SAME pass via a
+    * lexicographic struct-min (min over (−q, suppkey, q) ≡ "largest q,
+    * then smallest suppkey" — structs are orderable, Min is plain
+    * partial-aggregable codegen). The r14 form kept the pair aggregate
+    * as a shared subtree under a rollup, an argmax window, and their
+    * join — but self-join attribute dedup defeats ReuseExchange, so
+    * the fact was scanned and aggregated TWICE and the windowed branch
+    * re-sorted 50M pair rows (measured 360 executor-CPU-s at sf10 vs
+    * ~150 for the stacked form; 7.1 s → 4.0 s wall). The row_number
+    * argmax idiom this replaced stays first-class via
+    * [[graft.plans.WindowTopKRule]] (own spec suite + PlanAuditSpec's
+    * idiom pin — the rule exists for argmax queries whose k > 1 or
+    * whose aggregate can't fold into a struct ordering). */
+  def q33DominantSupplier(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
       .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("q"))
-    val p = sp.groupBy(col("l_partkey"))
-      .agg(sum(col("q")).as("tq"), count(lit(1)).as("n_suppliers"))
-      .withColumnRenamed("l_partkey", "p_key")
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("q").desc, col("l_suppkey"))
-    sp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .join(p, col("l_partkey") === col("p_key"))
-      .select(col("l_partkey"), col("l_suppkey").as("top_suppkey"),
-        col("n_suppliers"), round(col("q") / col("tq"), 4).as("share"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("tq"), count(lit(1)).as("n_suppliers"),
+        min(struct((-col("q")).as("negq"), col("l_suppkey").as("sk"),
+          col("q").as("qv"))).as("top"))
+      .select(col("l_partkey"), col("top.sk").as("top_suppkey"),
+        col("n_suppliers"), round(col("top.qv") / col("tq"), 4).as("share"))
       .orderBy("l_partkey")
-  }
 
   /** q34: TPC-H Q17 shape — yearly revenue impact of small-quantity
     * orders: for one brand's parts, sum the revenue of line items whose
     * quantity is below 20% of that part's average ordered quantity
     * (scaled /7 to a yearly figure, Q17's convention). The correlated
-    * per-part AVG subquery becomes a per-part aggregate joined back on
-    * l_partkey — both branches shuffle on the SAME key (co-partitioned
-    * SMJ; the narrowed fact is read twice, the canonical Q17 trade —
-    * materializing `sel` once would swap a scan for a write barrier);
+    * per-part AVG subquery is a partition-wide window over l_partkey
+    * (r15, q16's rule — one scan + one exchange; the old
+    * aggregate+join-back read the narrowed fact twice);
     * the brand join narrows the fact first (AQE broadcasts the filtered
     * part side at small SF; no explicit hint — part is SF-linear).
     * Engine parity: quantities are integer-valued,
@@ -699,10 +724,13 @@ object Relational {
       // gate mirror-exact even for non-integral quantities
       .select(col("l_partkey"), floor(col("l_quantity")).cast("long").as("qty"),
         col("l_extendedprice"))
-    val st = sel.groupBy(col("l_partkey"))
-      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
-      .withColumnRenamed("l_partkey", "st_key")
-    sel.join(st, col("l_partkey") === col("st_key"))
+    // r15: per-part totals as PARTITION-WIDE WINDOWS (q16's rule) — the
+    // aggregate+join-back form re-scanned the narrowed fact (the doc's
+    // old "read twice" trade); one exchange + partition sort replaces it
+    val byPart = Window.partitionBy(col("l_partkey"))
+    sel
+      .withColumn("sq", sum(col("qty")).over(byPart))
+      .withColumn("cnt", count(lit(1)).over(byPart))
       .filter(lit(5L) * col("qty") * col("cnt") < col("sq"))
       // dsum, not sum: l_extendedprice is a raw 2-dec column, so the
       // exact decimal sum is order-independent on both engines; the
@@ -729,6 +757,12 @@ object Relational {
     val pair = Seq("NATION_1", "NATION_3")
     val nations = Tables.nation(spark, dir)
       .filter(col("n_name").isin(pair: _*))
+    // r15: the pair-filtered supplier slice (2/|nations| of an already
+    // supplier-scale dim — q05's broadcast bound) is explicitly
+    // broadcast, so the fact sheds ~92% of its rows map-side BEFORE its
+    // one o_orderkey exchange; the planner's no-stats estimate kept the
+    // join-result slice un-broadcast and exchanged the full 60M-row
+    // fact at sf10 (measured 849 MB shuffle read → gone, 4.1 s → 2.3 s)
     val supp = Tables.supplier(spark, dir)
       .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -745,7 +779,7 @@ object Relational {
     // cross-multiplication idea applied to money), and the final /100
     // divide starts from identical bits in any engine
     Tables.lineitem(spark, dir)
-      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -1131,11 +1165,9 @@ object Relational {
     * cost is proxied as half the part's retail price — the plan shape
     * (the point of the query) is unchanged. Plan at 100 TB: the
     * `p_name LIKE '%gear%'` filter prunes part BEFORE its join (pushed
-    * to the part scan — the filtered slice is a fraction of an already
-    * SF-linear dim, AQE broadcasts it while small); supplier is
-    * SF-linear (no hint); nation is constant-25 (broadcast by hint
-    * policy); the fact shuffles once per fact-side equi-join key and
-    * the final rollup is ≤ |nations|·|years| groups. Profit is summed
+    * to the part scan); both dim sides broadcast (r15 — see the body
+    * comment) so the fact never exchanges and the final rollup is
+    * ≤ |nations|·|years| groups. Profit is summed
     * in integer cents ([[centsOf]]), revenue and cost each rounded
     * per-item from identical IEEE products. */
   def q41ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
@@ -1146,9 +1178,19 @@ object Relational {
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
+    // r15: both dim sides broadcast explicitly — supp is the
+    // supplier-scale dim (q05's bound) and gearParts a name-filtered
+    // sliver of part projected to (key, price); the no-stats planner
+    // kept both as shuffle joins and exchanged the 60M-row fact TWICE
+    // (partkey, then suppkey). Broadcast, the whole query is one
+    // exchange-free scan into a ≤|nations|·|years|-group aggregate.
+    // Bound honesty: part is 20× supplier, so the gearParts hint is the
+    // measured choice for the gated rungs (≤3 MB there) and holds to
+    // ~SF1000; at the extreme design point the hint comes off and the
+    // partkey exchange returns — supplier-side stays broadcast either way.
     Tables.lineitem(spark, dir)
-      .join(gearParts, col("l_partkey") === col("p_partkey"))
-      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
       .agg(round(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))
           - centsOf(col("p_retailprice") * col("l_quantity") * lit(0.5)))

@@ -86,29 +86,35 @@ class PlanAuditSpec extends GraftSuite {
       s"snowflake dims should broadcast:\n$s")
   }
 
-  test("no explicit broadcast hint targets an SF-linear table") {
-    // customer/part/supplier/documents grow linearly with scale factor
-    // (10⁹⁺ rows at the 100 TB design point): an explicit broadcast hint
-    // there is an un-overridable driver OOM. AQE may still CHOOSE
-    // broadcast at small SF — so this pins the LOGICAL hint, not the
-    // physical join. Constant dims (region 5 rows, nation 25 rows) and
-    // 1-row scalar aggregates remain the only legitimate hint targets.
+  test("no explicit broadcast hint targets a customer-scale or fact table") {
+    // r15 two-tier hint policy: customer/orders/lineitem/documents-scale
+    // relations (10⁹⁺ rows at the 100 TB design point) must NEVER carry
+    // an explicit broadcast hint — an un-overridable driver OOM. The
+    // SMALL SF-linear dims (supplier: 10⁴ rows/SF, and filter-pruned
+    // part slivers projected to their key) MAY be hinted where the
+    // measured plan otherwise exchanges the whole fact (q05/q24/q35/q41
+    // — each hint carries its bound in the scaladoc). AQE may still
+    // CHOOSE broadcast anywhere at small SF — this pins the LOGICAL
+    // hint, not the physical join.
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
-    val sfLinearCols = Set("c_custkey", "p_partkey", "s_suppkey",
+    val forbiddenCols = Set("c_custkey", "o_orderkey", "l_orderkey",
       "doc_id", "doc_i", "doc_j")
     val audited = Seq(
       "q03" -> Relational.q03ShippingPriority(spark, sf),
       "q05" -> Relational.q05LocalSupplier(spark, sf),
       "q24" -> Relational.q24MarketShare(spark, sf),
       "q25" -> Relational.q25DisjunctiveRevenue(spark, sf),
+      "q35" -> Relational.q35VolumeShipping(spark, sf),
+      "q41" -> Relational.q41ProfitByNation(spark, sf),
+      "q42" -> Relational.q42ReturnedTopCustomers(spark, sf),
       "d08" -> Dedup.d08NeardupBySource(spark, sf))
     for ((name, df) <- audited) {
       val offenders = df.queryExecution.analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
-          h.child.output.map(_.name).filter(sfLinearCols)
+          h.child.output.map(_.name).filter(forbiddenCols)
       }.flatten
       assert(offenders.isEmpty,
-        s"$name explicitly broadcasts an SF-linear table (columns: ${offenders.mkString(",")})")
+        s"$name explicitly broadcasts a customer-scale/fact table (columns: ${offenders.mkString(",")})")
     }
   }
 
@@ -512,12 +518,17 @@ class PlanAuditSpec extends GraftSuite {
       s"the rate join must never shuffle the corpus:\n$s")
   }
 
-  test("q34: the Q17 correlated-avg join is co-partitioned on the part key") {
+  test("q34: the Q17 correlated avg is one partition-wide window, no self-join") {
+    // r15: the per-part stats are window aggregates over the ONE
+    // l_partkey exchange — the old aggregate+join-back form re-scanned
+    // the narrowed fact (self-join attribute dedup defeats ReuseExchange)
     val s = planStr(Relational.q34SmallQuantityRevenue(spark, sf))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"q34 must join by key only:\n$s")
-    assert("HashAggregate".r.findAllIn(s).size >= 4,
-      s"per-part stats and the final sum must partial-aggregate:\n$s")
+    assert(s.contains("Window"), s"per-part stats must be window aggregates:\n$s")
+    val lineitemScans = "Location.*lineitem".r.findAllIn(s).size
+    assert(lineitemScans == 1,
+      s"the fact must be scanned exactly once (found $lineitemScans):\n$s")
   }
 
   test("t20: line dedup is one frequency shuffle + an equi-join decision") {
@@ -528,17 +539,36 @@ class PlanAuditSpec extends GraftSuite {
       s"line frequency, per-doc, and per-source levels must all partial-aggregate:\n$s")
   }
 
-  test("q33: the row_number argmax idiom is auto-rewritten onto the heap") {
-    val df = Relational.q33DominantSupplier(spark, sf)
+  test("the row_number argmax idiom is auto-rewritten onto the heap") {
+    // r15: q33 itself now folds its k=1 argmax into a struct-min
+    // aggregate (no window at all — see its scaladoc), so the rule's
+    // idiom pin runs on an inline query in the exact shape users write
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = W.partitionBy(col("l_partkey")).orderBy(col("l_quantity").desc)
+    val df = Tables.lineitem(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
     val topk = df.queryExecution.optimizedPlan.collect {
       case t: graft.plans.TopKPerGroup => t
     }
     assert(topk.size == 1,
-      "WindowTopKRule must re-plan q33's row_number()==1 window onto TopKPerGroup")
-    // the Window node survives to rank the ≤1-per-group survivor set —
+      "WindowTopKRule must re-plan a row_number()<=k window filter onto TopKPerGroup")
+    // the Window node survives to rank the ≤k-per-group survivor set —
     // what matters is that the heap feeds it, so the sort is tiny
     assert(planStr(df).contains("TopKPerGroup"),
       "heap operator missing from the executed plan")
+  }
+
+  test("q33: stacked aggregates share one l_partkey exchange, fact scanned once") {
+    val df = Relational.q33DominantSupplier(spark, sf)
+    val ps = planStr(df)
+    val lineitemScans = "Location.*lineitem".r.findAllIn(ps).size
+    assert(lineitemScans == 1,
+      s"the fact must be scanned exactly once (found $lineitemScans):\n$ps")
+    assert(!ps.contains("Window"), s"argmax must be the struct-min aggregate, not a window:\n$ps")
+    assert(shuffles(df) <= 2, // one repartition + the presentation sort
+      s"q33 must cluster once on l_partkey: ${shuffles(df)} shuffles:\n$ps")
   }
 
   test("a03: forward as-of is one shuffle + window — no range join") {
@@ -593,16 +623,22 @@ class PlanAuditSpec extends GraftSuite {
       s"eval x train scoring must ride the inverted-list equi-join:\n$s")
   }
 
-  test("q35: only the two nation roles are broadcast-hinted") {
+  test("q35: the nation roles and the pair-filtered supplier slice are broadcast-hinted") {
+    // r15: besides the two constant nation-role hints, the 2/|nations|
+    // supplier slice broadcasts (q05's supplier-scale bound) so the fact
+    // sheds ~92% map-side before its one o_orderkey exchange
     val df = Relational.q35VolumeShipping(spark, sf)
     val hints = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(hints.size == 2, s"expected exactly the two nation-role hints, got ${hints.size}")
-    hints.foreach { h =>
-      assert(h.child.output.map(_.name).contains("n_nationkey"),
-        s"broadcast hint targets a non-constant table:\n$h")
-    }
+    assert(hints.size == 3, s"expected 2 nation-role + 1 supplier-slice hints, got ${hints.size}")
+    val (suppHints, nationHints) = hints.partition(_.child.output.map(_.name).contains("s_suppkey"))
+    assert(nationHints.size == 2 &&
+      nationHints.forall(_.child.output.map(_.name).contains("n_nationkey")),
+      s"nation-role hints must target the constant dim:\n$hints")
+    assert(suppHints.size == 1 &&
+      !suppHints.head.child.output.map(_.name).exists(Set("c_custkey", "o_orderkey")),
+      s"the third hint must be the supplier slice, nothing customer-scale:\n$hints")
   }
 
   test("q36: decile ranking range-partitions the data; no data-path ntile window") {
@@ -619,6 +655,12 @@ class PlanAuditSpec extends GraftSuite {
   }
 
   test("q37: the whole profile reads the table exactly once") {
+    // r15 note: a per-column-scans form was tried (6 pruned scans, no
+    // Expand) and REVERTED — under Dataset.count() Catalyst prunes the
+    // agg expressions of a union-of-global-aggregates to a row count
+    // (benchmark reads fake-fast), and the honestly-measured collect
+    // was SLOWER than the Expand form at sf10 (8.7 s vs 5.3 s: six
+    // AQE-serialized subqueries beat one shared pass only on paper).
     val s = planStr(Relational.q37TableProfile(spark, sf))
     val scans = "FileScan parquet".r.findAllIn(s).length
     assert(scans == 1,

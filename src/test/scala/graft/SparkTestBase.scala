@@ -14,6 +14,10 @@ object SparkTestBase {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // shuffled-hash-over-SMJ parity with Bench/Verify (rationale in
+    // Bench.scala) — the plans the specs audit must be the shipped ones
+    .config("spark.sql.join.preferSortMergeJoin",
+      (sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "0") == "1").toString)
     // The 4.x ChecksumCheckpointFileManager deadlocks its async checksum
     // writer pool under rapid transformWithState micro-batches with TTL
     // column families (all executor tasks parked in awaitResult —
