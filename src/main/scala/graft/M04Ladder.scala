@@ -63,13 +63,22 @@ object M04Ladder {
     val canon = (c: org.apache.spark.sql.Column) =>
       pmod(when(c >= 0, c).otherwise(lit(-1L) - c), lit(stride))
     val uncapped = Multimodal.m04BandVerify(fps, operators.Dedup.NoDfCap)
-      .withColumn("same_base", canon(col("doc_i")) === canon(col("doc_j")))
-      .agg(count(lit(1)), sum(when(col("same_base"), 1L).otherwise(0L))).head()
+      .withColumn("ci", canon(col("doc_i"))).withColumn("cj", canon(col("doc_j")))
+      .agg(count(lit(1)), sum(when(col("ci") === col("cj"), 1L).otherwise(0L)),
+        // distinct CANONICAL cross-base pairs — the operator-level
+        // candidate structure: a same-base pair collapses to (c,c) and
+        // is excluded; every replica echo of one underlying near-dup
+        // relation collapses to ONE canonical pair. Linear/flat growth
+        // here = the operator is stable and the raw pair mass is
+        // replica bookkeeping, not a quadratic blow-up.
+        count_distinct(when(col("ci") =!= col("cj"),
+          struct(least(col("ci"), col("cj")), greatest(col("ci"), col("cj")))))).head()
     val capped = Multimodal.m04BandVerify(fps, Multimodal.M04MaxFpDf).count()
     s"""{"dir":"$dir","n_docs":$nDocs,"n_distinct_fps":${dfStats.getLong(0)},""" +
       s""""max_fp_df":${dfStats.getLong(1)},"fps_df_gt1":${dfStats.getLong(2)},""" +
       s""""fps_over_cap":${dfStats.getLong(3)},""" +
       s""""pairs_capped":$capped,"pairs_uncapped":${uncapped.getLong(0)},""" +
-      s""""pairs_same_base_replica":${uncapped.getLong(1)}}"""
+      s""""pairs_same_base_replica":${uncapped.getLong(1)},""" +
+      s""""distinct_canonical_cross_pairs":${uncapped.getLong(2)}}"""
   }
 }
