@@ -23,7 +23,10 @@ object ExplainQ {
     args.foreach { n =>
       println(s"===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.count() // materialize so AQE finalizes the plan
+      // collect() (results are gated-small) runs df's OWN QueryExecution so
+      // the printed plan is AQE-final; count() would plan a separate query
+      // and leave this one isFinalPlan=false
+      df.collect()
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
