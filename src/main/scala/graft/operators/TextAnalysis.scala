@@ -318,29 +318,45 @@ object TextAnalysis {
     * per doc, −(1/n)·Σ log2 p(tok) = log2(N) − Σ m·log2(c) / n over
     * corpus token counts c and per-doc multiplicities m. High surprisal
     * = vocabulary unlike the corpus (noise, wrong language, garbled
-    * text); low = boilerplate. Shape at 100 TB: corpus token counts are
-    * one partial-aggregable shuffle; the count join shuffles by token
-    * (AQE broadcasts the vocab while it's small); the per-doc fold runs
-    * over the SORTED term list (t12's float-determinism rule — the
-    * per-doc term count is bounded by doc length, never corpus size).
-    * Σm and N are integers — exact; only log2's engine ULP gap remains,
-    * mitigated by threshold distance and edge rounding (§6). */
+    * text); low = boilerplate. Shape at 100 TB (r15): the corpus is
+    * tokenized ONCE — the exploded stream repartitions on the token,
+    * the (doc, source, t) multiplicity aggregate runs exchange-free on
+    * that clustering (hash(t) satisfies the grouping — subset rule),
+    * and the corpus count c lands on each row as a window
+    * `sum(m) over (partition by t)` with no join (the r14 count-join
+    * form re-derived the count table from a second scan+tokenize pass:
+    * self-join attribute dedup broke ReuseExchange, the docs16x
+    * AQE-final plan carried two Generate subtrees). N is a scan-only
+    * `sum(size(tokens))` broadcast scalar — no explode. The per-doc
+    * fold runs over the SORTED term list (t12's float-determinism rule
+    * — the per-doc term count is bounded by doc length, never corpus
+    * size). Σm and N are integers — exact; only log2's engine ULP gap
+    * remains, mitigated by threshold distance and edge rounding (§6). */
   def t13UnigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     t13UnigramSurprisal(spark, dir, SurprisalThreshold)
 
   def t13UnigramSurprisal(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
-    val tok = graft.Tables.documents(spark, dir)
+    val nonEmpty = graft.Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
+    val tok = nonEmpty
       .select(col("doc_id"), col("source"), explode(TF.tokens(col("text"))).as("t"))
-    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val tot = cnt.agg(sum(col("c")).as("n_corpus"))
+      .repartition(col("t"))
+    // hash(t) clustering satisfies the (doc, source, t) grouping, so the
+    // multiplicity aggregate and the corpus-count window below share the
+    // ONE exchange above — and c ≡ the old tok.groupBy(t).count() because
+    // Σ m over a token's rows counts exactly its instances
     val dt = tok.groupBy(col("doc_id"), col("source"), col("t"))
       .agg(count(lit(1)).as("m"))
+      .withColumn("c", sum(col("m")).over(Window.partitionBy(col("t"))))
+    // N without a second tokenize-explode pass: trimmed non-empty docs
+    // contribute size(tokens) instances each — same integer as sum(c)
+    val tot = nonEmpty
+      .agg(sum(size(TF.tokens(col("text")))).as("n_corpus"))
     val termFold = aggregate(
       sort_array(collect_list(col("m").cast("double") * log2(col("c")))),
       lit(0.0), (acc, v) => acc + v)
-    val perDoc = dt.join(cnt, "t")
+    val perDoc = dt
       .groupBy(col("doc_id"), col("source"))
       .agg(termFold.as("s_sum"), sum(col("m")).as("n_toks"))
       .crossJoin(broadcast(tot))
@@ -515,25 +531,35 @@ object TextAnalysis {
     * WHAT a source contains (and the weighting BM25/t07 generalizes).
     * Reported: the corpus-wide top-20 (doc, term) cells by score — the
     * most document-specific vocabulary in the corpus. Shape at 100 TB:
-    * explode → (doc, term) partial-agg shuffle for tf, a term-keyed
-    * partial-agg shuffle for df (both combine map-side), then tf⋈df on
-    * term — AQE broadcasts the df side while the vocabulary is small —
-    * and the corpus doc count joins as a broadcast scalar; the top-20 is
-    * TakeOrdered (per-partition heap), never a full sort. Score uses
-    * log2 on integer ratios only (t13's engine-parity precedent), ties
-    * broken totally by (doc_id, term). */
+    * explode → (doc, term) partial-agg shuffle for tf, then df as a
+    * PARTITION-WIDE WINDOW COUNT over the term (r15, q16's rule: the
+    * r14 `tf.groupBy(t)` + join-back form hit Spark's self-join
+    * attribute dedup, ReuseExchange missed, and the docs16x AQE-final
+    * plan tokenized the corpus TWICE and broadcast the 1.86M-row tf
+    * aggregate — 256 MiB, built single-threaded on the driver — to
+    * probe the 2.5k-row df table from the duplicated subtree; the
+    * window is one term-keyed exchange + partition sort on rows already
+    * collapsed to one per (doc, term), 3.8 s → measured in
+    * OPTIMIZATION_r15 §B.4); the corpus doc count joins as a broadcast
+    * scalar; the top-20 is TakeOrdered (per-partition heap), never a
+    * full sort. Score uses log2 on integer ratios only (t13's
+    * engine-parity precedent), ties broken totally by (doc_id, term). */
   def t16TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val nonEmpty = graft.Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
     val tok = nonEmpty
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // df ≡ the old tf.groupBy(t).count() join-back: tf carries exactly
+    // one row per (doc, term), so count(*) over (partition by t) IS the
+    // document frequency, landed on every row without a join
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("t"))))
     // count the filtered docs WITHOUT re-exploding: trimmed non-empty
     // text always yields >= 1 token, so this equals countDistinct(doc_id)
     // over tok but costs a plain scan instead of a second tokenize pass
     val nDocs = nonEmpty.agg(count(lit(1)).as("n_docs"))
-    tf.join(df, "t")
+    withDf
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
         round(col("tf").cast("double") *
@@ -715,12 +741,20 @@ object TextAnalysis {
     * real. Output audits the pass per source: docs, lines, removed
     * lines, affected docs — all integers.
     *
-    * Shape at 100 TB: the line-frequency table is ONE partial-aggregable
-    * shuffle on the line (map-side combine collapses each partition's
-    * repeats); the removal decision joins lines to counts by equi-key —
-    * AQE broadcasts the hot tail if skewed, and the same maxDf-style cap
+    * Shape at 100 TB (r15): documents are chunked ONCE and the
+    * corpus-wide line count lands on each line row as a window
+    * `count(*) over (partition by line)` — one line-keyed exchange +
+    * partition sort, no join. The r14 count-table join re-derived the
+    * frequency table from a second chunk+explode pass (self-join
+    * attribute dedup broke ReuseExchange) and the docs16x AQE-final
+    * plan broadcast the RAW 507k-row exploded lines side (144 MiB,
+    * built single-threaded on the driver) to probe it — the no-stats
+    * planner under-estimates explode output. The same maxDf-style cap
     * logic as d02's inverted index applies if a pathological line
-    * dominates. Per-doc and per-source rollups partial-aggregate. */
+    * dominates (the window count is partial-agg-free but line groups
+    * are bounded by the line's corpus frequency, and the rollup needs
+    * only the >LineDfCap flag). Per-doc and per-source rollups
+    * partial-aggregate. */
   def t20LineDedup(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val toks = col("toks")
@@ -734,8 +768,10 @@ object TextAnalysis {
     val lines = docsWithTokens(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(id, col("source"), explode(linesCol).as("line"))
-    val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("c"))
-    val perDoc = lines.join(freq, "line")
+    // c ≡ the old lines.groupBy(line).count() join-back: count(*) over
+    // the line's partition counts exactly its corpus instances
+    val perDoc = lines
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("line"))))
       .groupBy(id, col("source"))
       .agg(count(lit(1)).as("lt"),
         sum(when(col("c") > LineDfCap, 1L).otherwise(0L)).as("lr"))

@@ -226,13 +226,34 @@ class PlanAuditSpec extends GraftSuite {
       s"explicit value list must not trigger a distinct-discovery join:\n$s")
   }
 
-  test("t16: tf-idf joins are equi-joins; top-20 is a heap, not a full sort") {
+  test("t16: tf-idf tokenizes once, df is a window (no term self-join); top-20 is a heap") {
     val df = TextAnalysis.t16TfidfKeywords(spark, sf)
     val s = planStr(df)
     assert(!s.contains("CartesianProduct"),
       s"tf-idf must never cross-join the term space:\n$s")
     assert(s.contains("TakeOrderedAndProject"),
       s"top-20 must be TakeOrdered (per-partition heap), not global sort:\n$s")
+    // r15: df comes from `count() over (partition by t)` — the old
+    // tf.groupBy(t) join-back hit self-join attribute dedup, ReuseExchange
+    // missed, and the docs16x plan tokenized the corpus TWICE and built a
+    // 256 MiB driver-serial broadcast of the tf aggregate
+    assert("Generate".r.findAllIn(s).size == 1,
+      s"the corpus must be tokenized exactly once:\n$s")
+    assert(!s.contains("HashJoin") && !s.contains("SortMergeJoin"),
+      s"the only join is the 1-row n_docs broadcast scalar (nested-loop cross):\n$s")
+    assert(s.contains("Window"), s"df must land via a window, not a join:\n$s")
+  }
+
+  test("t13: surprisal tokenizes once; corpus counts land via a window, N is scan-only") {
+    val s = planStr(TextAnalysis.t13UnigramSurprisal(spark, sf))
+    // one Generate = the single tokenize-explode pass (the N scalar sums
+    // size(tokens) without exploding; the old count-join form re-derived
+    // the count table from a second scan+tokenize subtree)
+    assert("Generate".r.findAllIn(s).size == 1,
+      s"the corpus must be tokenized (exploded) exactly once:\n$s")
+    assert(!s.contains("HashJoin") && !s.contains("SortMergeJoin"),
+      s"the only join is the 1-row n_corpus broadcast scalar:\n$s")
+    assert(s.contains("Window"), s"corpus counts must land via a window:\n$s")
   }
 
   test("p05: packing is join-free with one source shuffle for the window") {
@@ -531,12 +552,19 @@ class PlanAuditSpec extends GraftSuite {
       s"the fact must be scanned exactly once (found $lineitemScans):\n$s")
   }
 
-  test("t20: line dedup is one frequency shuffle + an equi-join decision") {
+  test("t20: line dedup chunks once; the removal decision is a window, join-free") {
     val s = planStr(TextAnalysis.t20LineDedup(spark, sf))
-    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
-      s"the removal decision must be an equi-join on the line:\n$s")
-    assert("HashAggregate".r.findAllIn(s).size >= 6,
-      s"line frequency, per-doc, and per-source levels must all partial-aggregate:\n$s")
+    // r15: the old lines⋈freq equi-join re-chunked the corpus for the
+    // frequency table (self-join dedup broke ReuseExchange) and the
+    // docs16x planner broadcast the RAW 507k-row exploded lines side
+    // (144 MiB, serial build); the window form is join-free
+    assert(!s.contains("Join"), s"line dedup must not join at all:\n$s")
+    assert("Generate".r.findAllIn(s).size == 1,
+      s"documents must be chunked (exploded) exactly once:\n$s")
+    assert(s.contains("Window"),
+      s"the corpus line count must land via a window:\n$s")
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      s"per-doc and per-source levels must both partial-aggregate:\n$s")
   }
 
   test("the row_number argmax idiom is auto-rewritten onto the heap") {
