@@ -846,18 +846,25 @@ object Dedup {
     * evidence per occurrence but cap² join rows, so capping trades a
     * bounded recall sliver for the quadratic hot-bucket cost; capped
     * results on a skew-free corpus are IDENTICAL (spec-pinned).
-    * One extra df aggregation over the index (linear, partial-agg);
-    * the hot-key list is tiny by construction (|keys with df > cap|)
-    * and broadcasts into a left-anti join. Shared across the text
-    * inverted indexes (d02/d07/d08/d09) and m05's binary frame index —
-    * one cap definition, not per-operator copies. */
+    * The df lands on each index row as a window count over the key —
+    * ONE exchange of the index, no join, and crucially no SECOND
+    * evaluation of the index subtree: the r15-original form built the
+    * hot list as `ex.groupBy(key)` and anti-joined it back to `ex`,
+    * and Spark's self-join attribute dedup broke ReuseExchange, so the
+    * index source was computed twice — for m04/m04_px that meant
+    * byte-dHashing / pixel-DECODING every payload twice (measured
+    * +1.4/+1.7 s at docs16x, removed by this form). The window's
+    * hash(key) output partitioning is exactly what the downstream
+    * candidate equi-joins need, so the exchange is shared, not added.
+    * Shared across the text inverted indexes (d02/d07/d08/d09), the
+    * incremental d18 index, and m04/m05's binary indexes — one cap
+    * definition, not per-operator copies. */
   private[graft] def dfCapped(ex: DataFrame, key: String, maxDf: Long): DataFrame =
     if (maxDf == NoDfCap) ex
-    else {
-      val hot = ex.groupBy(col(key)).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select(col(key))
-      ex.join(broadcast(hot), Seq(key), "left_anti")
-    }
+    else ex
+      .withColumn("__cap_df", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(col("__cap_df") <= maxDf)
+      .drop("__cap_df")
 
   /** Shared-shingle counts per unordered doc pair (doc_i < doc_j) with
     * both set sizes — the ONE inverted-index candidate join behind
@@ -1499,10 +1506,12 @@ object Dedup {
     * union build side) — map-side work over the BATCH, deliberately
     * recomputed rather than checkpointed because the exploded index is
     * ~an order of magnitude larger than the batch text it derives
-    * from. With `maxDf` set, [[dfCapped]]'s df aggregation adds one
-    * extra SCAN of (base index ∪ batch) — IO linear in history, no
-    * join blowup; a nightly that must stay strictly constant-in-
-    * history should cap at BUILD time instead — the
+    * from. With `maxDf` set, [[dfCapped]]'s window lands the union df
+    * in the same single pass over (base index ∪ batch) — one exchange,
+    * no second history scan (r15; the old groupBy+anti-join form
+    * re-read the index for the df pass, the cost this paragraph used
+    * to document), no join blowup. A nightly that must avoid even that
+    * one union exchange should cap at BUILD time instead — the
     * `d18BuildIndex(docs, path, maxDf)` overload: hot shingles never
     * enter the artifact, zero nightly df passes, cap as-of-release.
     *

@@ -489,12 +489,12 @@ class PlanAuditSpec extends GraftSuite {
       assert(idxScans(Dedup.d18FromIndex(spark, s"$dir/$tag", batch,
           Dedup.NoDfCap, 3L)) == 1,
         "batch-local cap must not add an index scan")
-      // ≥ 2, not == 2: the optimizer pushes the anti-join through the
-      // union, duplicating the hot-key subtree per branch (3 logical
-      // scans; runtime exchange reuse may dedupe) — the pinned claim
-      // is only that the df pass re-reads history at all
-      assert(idxScans(Dedup.d18FromIndex(spark, s"$dir/$tag", batch, 3L)) >= 2,
-        "union-df cap pays extra index scans (the documented cost)")
+      // r15: dfCapped's window form lands the union df in the SAME
+      // pass — the old groupBy+anti-join re-read history for the df
+      // aggregation (this assert used to pin >= 2 scans as the
+      // documented cost; the window removed it)
+      assert(idxScans(Dedup.d18FromIndex(spark, s"$dir/$tag", batch, 3L)) == 1,
+        "union-df cap must no longer re-read the at-rest index")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir))
   }
