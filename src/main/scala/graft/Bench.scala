@@ -38,7 +38,11 @@ object Bench {
     // OOM on a hot key. SPARK_GRAFT_PREFER_SMJ=1 restores the Spark
     // default for A/B runs.
     val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "0") == "1"
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF (r15): generic "k=v;k=v" conf overlay for scoped
+    // A/B experiments — applied LAST so an experiment can override any
+    // default; never set by the driver, so artifacts of record are
+    // unaffected.
+    val spark = ToolConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -50,7 +54,7 @@ object Bench {
       // see Verify.scala: Generate-inferred filters re-run tokenization
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Machine-state capture (r6 verdict: a run-wide ~1.45x inflation was

@@ -531,23 +531,37 @@ object Relational {
     * breaks ReuseExchange canonicalization and the sf10 profile showed
     * the fact scanned and exchanged TWICE (64 + 43 CPU-s scans, 1.7 GB
     * combined shuffle read; 7.2 s → 4.4 s wall after the rewrite).
-    * Part and supplier joins are AQE's choice on the already-min-
-    * filtered rows (SF-linear — no hint); nation broadcasts. DISTINCT
-    * collapses equal-price duplicate line items.
+    * The part sliver joins BEFORE the window (r15b — see the inline
+    * comment: partition-level pruning commutes with the partition-wide
+    * min); supplier joins post-filter under AQE (SF-linear — no hint);
+    * nation broadcasts. DISTINCT collapses equal-price duplicate line
+    * items.
     *
     * r7 note on the r6 bench regression (0.69→1.92 s, no code change):
     * the slowdown was run-environment inflation, not a plan flip (BENCH
     * now records load/heap to attribute this). The executed plan is
     * pinned hash-join-only by PlanAuditSpec. */
   def q26CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // r15b: the part predicate selects PARTKEYS, and the window
+    // partitions BY partkey — so pruning whole partitions before the
+    // window leaves every surviving partition's min unchanged
+    // (partition-level filters commute with partition-wide windows;
+    // q34's brand join is the same move). The pruned sliver projected
+    // to (key, brand) broadcasts under the q41 gearParts bound, so the
+    // fact sheds ~24/25 of its rows MAP-SIDE before its one l_partkey
+    // exchange — sf10: 4.05 → 2.38 s in the scoped bench, 2.32 s
+    // isolated with the fact exchange at 75.7 MB (the window
+    // previously exchanged and sorted all 60M rows to keep 2.4M).
+    // Hash-proven against the unchanged oracle SQL at every gated SF.
     val p = Tables.part(spark, dir)
       .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"))
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .withColumn("min_price",
         min(col("l_extendedprice")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("l_extendedprice") === col("min_price"))
-      .join(p, col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -1101,10 +1115,37 @@ object Relational {
     * from the threshold on this data — three orders of magnitude above
     * cross-engine float-sum noise (q16 precedent). */
   def q31ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    // r15b: repartition BEFORE the aggregate. Partkeys are scattered
+    // across scan tasks (parquet order is orderkey-clustered), so at
+    // any SF each map task sees ~rows/|tasks| rows over ~|parts| keys —
+    // map-side partial aggregation collapses ~nothing (measured 1.06×
+    // at sf10) while every task builds a ~2M-entry hash map to find
+    // that out. Pre-partitioning satisfies the aggregate's required
+    // distribution, so the planner drops the map-side pass entirely:
+    // the exchange carries the same columns either way, and the hash
+    // maps shrink from |parts| per map task to |parts|/|tasks| per
+    // reduce task (the cents projection still computes map-side,
+    // before the exchange). With the localCheckpoint and int-cents
+    // below, sf10 isolated wall 5.42 → 3.67 s, scan+exchange stage
+    // 85 → 52 executor-CPU-s.
+    // cents is INT on the wire: a per-ROW revenue in cents is < 2^31 at
+    // any SF (it is a price, not an aggregate) — 12 B/row instead of
+    // 16 B across the query's one big exchange; the sum aggregates to
+    // long as before.
     val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * lit(100), 0).cast("int").as("cents")) // exact integer cents
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"))
-      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
-        * lit(100), 0).cast("long")).as("rev")) // exact integer cents
+      .agg(sum(col("cents")).as("rev"))
+      // materialize the grouped relation ONCE (q36's localCheckpoint
+      // precedent): it has two consumers (the mean and the join-back),
+      // and without the checkpoint each re-read the 582 MB exchange
+      // and re-ran the 60M-row aggregation (sf10 stage profile: two
+      // identical 16-18 CPU-s final-agg stages). |parts| rows is the
+      // bounded aggregate, not the fact — safe to pin at any SF.
+      .localCheckpoint()
     val meanRev = perPart // mean stays in cents: exact long sum / count
       .agg((sum(col("rev")).cast("double") / count(lit(1))).as("mean_rev"))
     perPart.crossJoin(broadcast(meanRev))
@@ -1123,15 +1164,14 @@ object Relational {
     * the 3-segment retention report (integer counts — no float
     * boundary). */
   def q30SetOps(spark: SparkSession, dir: String): DataFrame = {
-    // ONE exchange for all six set-op inputs (r15): the two buyer sets
-    // are sliced from a shared per-customer year-flag aggregate — one
-    // shuffle of the two-year orders slice on o_custkey. The filters
-    // preserve that clustering, so each INTERSECT/EXCEPT's distinct
-    // aggregates and semi/anti joins all run exchange-free on top (the
-    // old per-branch `distinct()` shapes re-shuffled the slice up to
-    // six times behind partial exchange reuse). Flags are computed
-    // with ts-range predicates, not year(), keeping the buyer sets
-    // bit-identical to the old filters.
+    // ONE exchange total (r15/r15b): the two buyer sets are sliced
+    // from a shared per-customer year-flag aggregate — one shuffle of
+    // the two-year orders slice on o_custkey — and the set-op
+    // cardinalities collapse to conditional sums over those flags (see
+    // below; the r14 per-branch `distinct()` shapes re-shuffled the
+    // slice up to six times). Flags are computed with ts-range
+    // predicates, not year(), keeping the buyer sets bit-identical to
+    // the old filters.
     val in97 = col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
       col("o_orderdate") < ts("1998-01-01 00:00:00")
     val in98 = col("o_orderdate") >= ts("1998-01-01 00:00:00") &&
@@ -1141,14 +1181,30 @@ object Relational {
       .select(col("o_custkey"), in97.as("y97"), in98.as("y98"))
       .groupBy(col("o_custkey"))
       .agg(max(col("y97")).as("in97"), max(col("y98")).as("in98"))
-    val y97 = flags.filter(col("in97")).select(col("o_custkey"))
-    val y98 = flags.filter(col("in98")).select(col("o_custkey"))
-    def seg(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_customers"))
-        .select(lit(name).as("segment"), col("n_customers"))
-    seg("both", y97.intersect(y98))
-      .unionAll(seg("only_1997", y97.except(y98)))
-      .unionAll(seg("only_1998", y98.except(y97)))
+    // r15b: the flags relation already carries BOTH membership bits on
+    // its one row per customer, so the three set-op cardinalities are
+    // conditional sums over flags — |y97 ∩ y98| = #(in97 ∧ in98),
+    // |y97 ∖ y98| = #(in97 ∧ ¬in98), |y98 ∖ y97| = #(¬in97 ∧ in98);
+    // y97/y98 are already duplicate-free (grouped by o_custkey), so
+    // INTERSECT/EXCEPT's distinct semantics are vacuous here. The old
+    // three-branch form re-aggregated the flag slices and ran a semi +
+    // two anti joins on top; this is ONE row-count pass over the
+    // grouped rows (sf10: 2.41 → 1.57 s in the scoped bench, 0.79 s
+    // isolated; plan: 3 joins + 3 aggregates → 1 aggregate + stack).
+    // stack unpivots the 1-row wide
+    // aggregate; coalesce keeps the degenerate empty-corpus counts 0
+    // like count(*) would. Hash-proven against the unchanged oracle
+    // INTERSECT/EXCEPT SQL at every gated SF.
+    flags
+      .agg(
+        sum(when(col("in97") && col("in98"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("in97") && !col("in98"), 1L).otherwise(0L)).as("n_o97"),
+        sum(when(!col("in97") && col("in98"), 1L).otherwise(0L)).as("n_o98"))
+      .select(expr(
+        "stack(3, 'both', coalesce(n_both, 0L)," +
+          " 'only_1997', coalesce(n_o97, 0L)," +
+          " 'only_1998', coalesce(n_o98, 0L))" +
+          " AS (segment, n_customers)"))
       .orderBy("segment")
   }
 
