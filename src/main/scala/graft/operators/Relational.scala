@@ -110,11 +110,18 @@ object Relational {
   def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
-    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    // r15b: revenue cents computed MAP-SIDE and shipped as int (q12's
+    // rule / centsOf32 bound) — the fact exchange carries (key, int)
+    // instead of (key, double, double); sum(int→long)/100.0 is csum's
+    // math on identical per-row values.
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select(col("l_orderkey"),
+        centsOf32(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("cents"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(csum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg((sum(col("cents")) / lit(100.0)).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
   }
@@ -238,15 +245,22 @@ object Relational {
   /** q12: TPC-H Q12-style conditional aggregation over a fact⋈fact join
     * (single shuffle on the order key; CASE sums stay in codegen). */
   def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    // r15b (guide §2.3 — narrower types across the exchange): the CASE
+    // only reads o_orderpriority through the crit predicate, so the
+    // boolean is computed MAP-SIDE and the orders exchange carries
+    // (key, bool) instead of (key, string) — same aggregate, ~10 fewer
+    // bytes per orders row on the wire at any SF.
     val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("crit"))
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
         col("l_shipdate") < ts("1998-01-01 00:00:00"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_linestatus"))
       .agg(
-        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+        sum(when(col("crit"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("crit"), 1L).otherwise(0L)).as("low_line_count"))
       .orderBy(col("l_linestatus"))
   }
 
@@ -1214,6 +1228,14 @@ object Relational {
     * order-independent and mirror-exact at any scale. */
   private def centsOf(c: Column): Column = round(c * lit(100), 0).cast("long")
 
+  /** Per-ROW cents as INT for exchange-crossing projections (guide
+    * §2.3 — narrower types): a single line/order price in cents is
+    * bounded by the price domain (~10⁷), not by SF, so int is safe at
+    * any scale; Spark widens sum(int) to long, so downstream aggregates
+    * are bit-identical to the centsOf(long) form. NEVER use for
+    * aggregated cents (those grow with SF). */
+  private def centsOf32(c: Column): Column = round(c * lit(100), 0).cast("int")
+
   /** q41: TPC-H Q9 shape — PROFIT by nation and year through a
     * part-FILTERED multi-fact star: lineitem joined to a name-filtered
     * part slice, its supplier, and the supplier's nation, aggregated on
@@ -1268,8 +1290,8 @@ object Relational {
   def q42ReturnedTopCustomers(spark: SparkSession, dir: String): DataFrame = {
     val returned = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"),
-        centsOf(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("cents"))
+      .select(col("l_orderkey"), // int on the wire (centsOf32 bound)
+        centsOf32(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("cents"))
     val ordQ = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
         col("o_orderdate") < ts("1997-04-01 00:00:00"))
@@ -1304,13 +1326,14 @@ object Relational {
       .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
         col("l_shipdate") < ts("1998-01-01 00:00:00"))
       .select(col("l_orderkey"), col("l_returnflag"))
+    // r15b: crit computed map-side, boolean on the wire (q12's rule)
     val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     items97
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), crit.as("crit")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .agg(sum(when(col("crit"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("crit"), 0L).otherwise(1L)).as("low_line_count"))
       .orderBy("l_returnflag")
   }
 
